@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Portable deterministic hashing shared by the engine and the DuckDB
+  * oracle.
+  *
+  * The correctness gate re-executes every hash-based operator (dedup
+  * fingerprints, MinHash, SimHash) in DuckDB, so hashes must be
+  * reproducible from ANSI-ish SQL in both engines. Engine-native hashes
+  * (Spark xxhash64 / murmur3 vs DuckDB `hash()`) differ, so we derive
+  * integer hashes from SHA-256 hex prefixes — identical everywhere, and
+  * still cheap (one sha2 per value, whole-stage codegen'd).
+  *
+  * Spark:  conv(substr(sha2(s,256), 1, n), 16, 10)::bigint
+  * DuckDB: ('0x' || substr(sha256(s), 1, n))::bigint
+  */
+object Hashing {
+
+  /** 28-bit hash (7 hex chars): small enough that (a*h+b) stays inside
+    * int64 for multipliers a < 2^31. */
+  def sha28(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 7), 16, 10).cast("long")
+
+  /** 60-bit hash (15 hex chars) for low-collision fingerprints. */
+  def sha60(c: Column): Column =
+    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL fragments computing the same hashes. */
+  def sha28Sql(expr: String): String =
+    s"CAST(('0x' || substr(sha256($expr), 1, 7)) AS BIGINT)"
+  def sha60Sql(expr: String): String =
+    s"CAST(('0x' || substr(sha256($expr), 1, 15)) AS BIGINT)"
+
+  /** Mersenne prime 2^31-1; universal-hash modulus for MinHash. */
+  val P: Long = 2147483647L
+
+  /** Deterministic MinHash seed pairs (a, b), a odd, derived from small
+    * fixed constants so both engines can embed them as literals. */
+  def minhashSeeds(k: Int): Seq[(Long, Long)] =
+    (0 until k).map(i => (2L * i + 1001L, 7919L * i + 17L))
+}

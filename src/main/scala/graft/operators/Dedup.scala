@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.functions.Hashing
+
+/** Deduplication operators for training-data pipelines: exact hash dedup,
+  * MinHash signatures + banded LSH candidate pairs, SimHash, and exact
+  * n-gram Jaccard. Hashing is SHA-based (see [[graft.functions.Hashing]])
+  * so every stage is reproducible in the DuckDB oracle.
+  *
+  * Scale design: everything is per-row expressions + one aggregation or
+  * one equi-join on a band/bucket key. The only pairwise work (Jaccard,
+  * LSH verification) happens AFTER blocking (band key or group key), never
+  * as a global cross join.
+  */
+object Dedup {
+
+  /** Word k-shingles of a document, lowercased. Documents shorter than k
+    * tokens yield an empty shingle list (Spark's `sequence(1, 0)` DESCENDS,
+    * so the short case must be guarded explicitly). */
+  def shingles(text: Column, k: Int): Column = {
+    val tk = split(lower(text), "\\s+")
+    when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** DuckDB twin of [[shingles]]: 1-indexed lists; `range(a, b)` is [a, b)
+    * and empty when a >= b, matching the short-document guard above.
+    * Expects a CTE/subquery column `tk` holding the token list. */
+  def shinglesOverTkSql(k: Int): String = {
+    val parts = (0 until k).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"[$parts for i in range(1, len(tk) - ${k - 2})]"
+  }
+
+  /** Exact dedup: group identical texts by SHA-256, keep the minimum id as
+    * the canonical representative, count the duplicates. */
+  def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature: k universal hashes min-folded over the shingle
+    * set. mh_i = min over shingles of (a_i * sha28(sh) + b_i) mod P. */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numHashes: Int): DataFrame = {
+    val sh = shingles(col(textCol), shingleK)
+    val hashed = transform(sh, s => Hashing.sha28(s))
+    val sigCols = Hashing.minhashSeeds(numHashes).zipWithIndex.map {
+      case ((a, b), i) =>
+        array_min(transform(hashed, h => (h * a + b) % Hashing.P)).as(s"mh$i")
+    }
+    docs.select(col(idCol) +: sigCols: _*)
+  }
+
+  /** DuckDB twin of one minhash column (expects token-list column `tk`). */
+  def minhashSql(shingleK: Int, i: Int): String = {
+    val (a, b) = Hashing.minhashSeeds(i + 1).last
+    val sh = shinglesOverTkSql(shingleK)
+    s"list_min(list_transform($sh, s -> (${Hashing.sha28Sql("s")} * $a + $b) % ${Hashing.P}))"
+  }
+
+  /** DuckDB subquery exposing (extraCols..., tk) over `documents`. */
+  def tkSourceSql(textExpr: String, extraCols: String*): String = {
+    val cols = (extraCols :+ s"string_split_regex(lower($textExpr), '\\s+') AS tk")
+      .mkString(", ")
+    s"(SELECT $cols FROM documents)"
+  }
+
+  /** Banded-LSH candidate pairs: split the signature into bands of
+    * `rowsPerBand` hashes; docs sharing any band key are candidates.
+    * One shuffle on the band key — no cross join. Returns distinct
+    * (id_a < id_b) candidate pairs. */
+  def lshCandidates(sig: DataFrame, idCol: String, numHashes: Int,
+                    rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bands = (0 until numBands).map { b =>
+      val key = concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      sig.select(col(idCol), key.as("band_key"))
+    }
+    val exploded = bands.reduce(_ union _)
+    val l = exploded.as("l")
+    val r = exploded.as("r")
+    l.join(r, col("l.band_key") === col("r.band_key") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
+    * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
+    * sets the bit (deterministic zero handling). */
+  def simhash(text: Column, bits: Int): Column = {
+    val hashed = transform(split(lower(text), "\\s+"), t => Hashing.sha28(t))
+    val bitCols = (0 until bits).map { j =>
+      val contrib = aggregate(hashed, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** DuckDB twin of [[simhash]]. */
+  def simhashSql(textExpr: String, bits: Int): String = {
+    val tk = s"string_split_regex(lower($textExpr), '\\s+')"
+    val hashed = s"list_transform($tk, t -> ${Hashing.sha28Sql("t")})"
+    val bitTerms = (0 until bits).map { j =>
+      val contrib = s"list_sum(list_transform($hashed, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END))"
+      s"(CASE WHEN $contrib >= 0 THEN ${1L << j} ELSE 0 END)"
+    }
+    bitTerms.mkString("(", " + ", ")")
+  }
+
+  /** Exact n-gram Jaccard similarity for pairs blocked by `blockCol`
+    * (pairs are only formed within a block — at scale the block key is an
+    * LSH band or a cluster id, never the whole corpus). */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        blockCol: String, shingleK: Int, minJaccard: Double): DataFrame = {
+    val withSets = docs.select(
+      col(blockCol), col(idCol),
+      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+    val l = withSets.as("l")
+    val r = withSets.as("r")
+    l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(
+        col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        round(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
+          size(array_union(col("l.sh"), col("r.sh"))), 6).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+}

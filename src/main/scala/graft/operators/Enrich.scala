@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+
+/** Rolling-window enrichment operators (SURVEY.md §2.5 W1-W3, W5-W8).
+  *
+  * The reference enrichers (`src/domains/enriched/pre/prejoin_enricher.py`,
+  * `post/postjoin_enricher.py`) add 7-ROW rolling means, global z-scores,
+  * rolling correlations, and gap interpolation to the daily table. Window
+  * frames are ROW-based (pandas `rolling(7)` rolls over rows, not calendar
+  * days) — replicated here with `rowsBetween` for parity (SURVEY §7.5.3).
+  *
+  * All windows partition by an entity key so they distribute; per-key daily
+  * series are small by construction.
+  */
+object Enrich {
+
+  /** W1 — k-row rolling mean (min_periods=1) per feature, `_roll` suffix.
+    * Reference: `src/domains/enriched/pre/prejoin_enricher.py:71-125`. */
+  def rollingMean(daily: DataFrame, keyCol: String, orderCol: String,
+                  features: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(k - 1), 0)
+    features.foldLeft(daily)((d, f) =>
+      d.withColumn(s"${f}_roll", round(avg(col(f)).over(w), 6)))
+  }
+
+  /** W5 — rolling std/var with a min-observation guard (min_periods=n).
+    * Reference: `src/biomarkers/circadian.py:136-194`. */
+  def rollingStd(daily: DataFrame, keyCol: String, orderCol: String,
+                 feature: String, k: Int, minPeriods: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(k - 1), 0)
+    daily
+      .withColumn("__n", count(col(feature)).over(w))
+      .withColumn(s"${feature}_rollstd",
+        when(col("__n") >= minPeriods, round(stddev_samp(col(feature)).over(w), 6)))
+      .drop("__n")
+  }
+
+  /** W2 — global z-score per feature (`_zscore` suffix) computed via a
+    * cross-join of one aggregated stats row (broadcast), not a global
+    * window — no single-partition stage at scale.
+    * Reference: `prejoin_enricher.py:59-68`. */
+  def globalZScores(daily: DataFrame, features: Seq[String]): DataFrame = {
+    val aggs = features.flatMap(f => Seq(
+      avg(col(f)).as(s"__m_$f"), stddev_samp(col(f)).as(s"__s_$f")))
+    val stats = daily.agg(aggs.head, aggs.tail: _*)
+    val joined = daily.crossJoin(broadcast(stats))
+    features.foldLeft(joined)((d, f) =>
+      d.withColumn(s"${f}_zscore",
+        when(col(s"__s_$f") > 0, round((col(f) - col(s"__m_$f")) / col(s"__s_$f"), 6)))
+      ).drop(features.flatMap(f => Seq(s"__m_$f", s"__s_$f")): _*)
+  }
+
+  /** W3 — k-row rolling Pearson correlation of two features, expanded into
+    * windowed sums. (Spark's `corr` as a window aggregate divides by zero
+    * on 1-row frames under ANSI mode; the expansion also gives an explicit
+    * zero-variance guard matching SQL `corr`'s NULL.)
+    * Reference: `src/domains/enriched/post/postjoin_enricher.py:18-36`. */
+  def rollingCorr(daily: DataFrame, keyCol: String, orderCol: String,
+                  a: String, b: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(k - 1), 0)
+    val (x, y) = (col(a), col(b))
+    val n = count(when(x.isNotNull && y.isNotNull, 1)).over(w).cast("double")
+    val sx = sum(x).over(w)
+    val sy = sum(y).over(w)
+    val sxy = sum(x * y).over(w)
+    val sxx = sum(x * x).over(w)
+    val syy = sum(y * y).over(w)
+    val vx = n * sxx - sx * sx
+    val vy = n * syy - sy * sy
+    val cov = n * sxy - sx * sy
+    daily.withColumn(s"corr_${a}_$b",
+      round(when(vx > 0 && vy > 0, cov / sqrt(vx * vy)), 6))
+  }
+
+  /** W6 — linear interpolation of interior nulls + edge fill
+    * (pandas `interpolate(method="linear", limit_direction="both")`):
+    * interior gaps are linearly interpolated between the previous and next
+    * non-null anchors by row distance; leading/trailing nulls take the
+    * nearest anchor. The classic 4-window formulation.
+    * Reference: `src/domains/enriched/post/postjoin_enricher.py:54-88`. */
+  def interpolateLinear(df: DataFrame, keyCol: String, orderCol: String,
+                        feature: String): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val wPrev = wAll.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = wAll.rowsBetween(0, Window.unboundedFollowing)
+    val v = col(feature)
+    df.withColumn("__rn", row_number().over(wAll))
+      .withColumn("__pv", last(v, ignoreNulls = true).over(wPrev))
+      .withColumn("__prn", last(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(wNext))
+      .withColumn("__nrn", first(when(v.isNotNull, col("__rn")), ignoreNulls = true).over(wNext))
+      .withColumn(s"${feature}_interp", round(
+        when(v.isNotNull, v)
+          .when(col("__pv").isNotNull && col("__nv").isNotNull,
+            col("__pv") + (col("__nv") - col("__pv")) *
+              (col("__rn") - col("__prn")) / (col("__nrn") - col("__prn")))
+          .when(col("__pv").isNotNull, col("__pv"))
+          .otherwise(col("__nv")), 6))
+      .drop("__rn", "__pv", "__prn", "__nv", "__nrn")
+  }
+
+  /** W7 — k-row sliding sequence summary for sequence-model prep: per row,
+    * the window start/end order keys, element count, and windowed mean —
+    * emitted only for complete windows (size == k).
+    * Reference: `src/etl/ml7_analysis.py:475-493`. */
+  def slidingSequences(daily: DataFrame, keyCol: String, orderCol: String,
+                       feature: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(k - 1), 0)
+    daily
+      .withColumn("seq_n", count(col(feature)).over(w))
+      .withColumn("seq_start", first(col(orderCol)).over(w))
+      .withColumn("seq_mean", round(avg(col(feature)).over(w), 6))
+      .filter(col("seq_n") === k)
+  }
+
+  /** W8 — persistence baseline: previous row's label per key. */
+  def persistenceBaseline(daily: DataFrame, keyCol: String, orderCol: String,
+                          labelCol: String): DataFrame =
+    daily.withColumn("label_persist",
+      lag(col(labelCol), 1).over(Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.functions.Hashing
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k via a blocked join + window rank —
+  * correct at any scale but O(Q*N). Scale path: random-hyperplane LSH
+  * bucketing so candidate generation is an equi-join on bucket keys.
+  *
+  * Dot products use higher-order functions (`zip_with` + `aggregate`) in
+  * DOUBLE precision with left-to-right summation — the same order DuckDB's
+  * `list_cosine_similarity` uses, keeping engine-vs-oracle drift inside
+  * round-off that a round(6) canonicalization absorbs. Ranking ties are
+  * broken on (rounded sim DESC, id ASC) so top-k is deterministic in both
+  * engines.
+  */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Brute-force cosine top-k: for each query vector, the k most similar
+    * other vectors. `queries` and `corpus` share (idCol, vecCol). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim):
+    * sha28("p_d") mapped to [-1, 1). Reproducible anywhere. */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val hex = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    val v = java.lang.Long.parseLong(hex, 16)
+    v.toDouble / math.pow(2, 31) - 1.0
+  }
+
+  /** Sign-random-projection bucket key: `numPlanes` hyperplanes with
+    * components derived from [[planeComponent]]; bit j = sign of dot with
+    * plane j. Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val plane = (0 until dims).map(d => planeComponent(p, d))
+      val dotExpr = aggregate(
+        zip_with(vec, typedLit(plane), (x, w) => x.cast("double") * w),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotExpr >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: bucket both sides, equi-join on the bucket
+    * key, then rank within query. Trades recall for turning the O(Q*N)
+    * cross join into a shuffle on bucket keys. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int, dims: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), numPlanes, dims).as("bkt"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), numPlanes, dims).as("bkt"))
+    val scored = q.join(c, Seq("bkt")).filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Near-duplicate pairs by embedding cosine within a blocking key. */
+  def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                     blockCol: String, minSim: Double): DataFrame = {
+    val v = vectors.select(col(blockCol), col(idCol), col(vecCol))
+    val l = v.as("l")
+    val r = v.as("r")
+    l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
+        col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        round(cosine(col(s"l.$vecCol"), col(s"r.$vecCol")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

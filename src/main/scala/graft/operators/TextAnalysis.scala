@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.functions.Hashing
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * language-ID, quality scoring, token counting, document fingerprinting.
+  * All are pure column expressions (whole-stage codegen, no UDFs) and all
+  * have an exact DuckDB-SQL twin generated from the same constants, so the
+  * oracle re-computes them bit-for-bit.
+  */
+object TextAnalysis {
+
+  /** Tokenize: lowercase, split on whitespace. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Per-language marker-word lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny — the operator's value is its shape
+    * (portable scoring + argmax with deterministic tie-break), not lexical
+    * coverage. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht", "mit", "ist"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "es"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "en", "est"),
+    "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
+
+  /** Language-ID: count token hits per marker list; predict the argmax
+    * language, ties broken alphabetically (score DESC, lang ASC). */
+  def langId(text: Column): Column = {
+    val tk = tokens(text)
+    val scored = langMarkers.map { case (lang, words) =>
+      val score = size(filter(tk, t => array_contains(typedLit(words), t)))
+      struct(score.as("s"), lit(lang).as("l"))
+    }
+    // max over (score, reversed-lang) = highest score, then lexicographically
+    // smallest language. Reverse by negating char order is messy; instead
+    // sort desc on score with array_sort comparator.
+    val arr = array(scored: _*)
+    val best = aggregate(arr, scored.head,
+      (acc, x) => when(x.getField("s") > acc.getField("s") ||
+        (x.getField("s") === acc.getField("s") && x.getField("l") < acc.getField("l")),
+        x).otherwise(acc))
+    best.getField("l")
+  }
+
+  /** DuckDB twin of [[langId]] over SQL expression `expr`. */
+  def langIdSql(expr: String): String = {
+    val tk = s"string_split_regex(lower($expr), '\\s+')"
+    val scores = langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"(len(list_filter($tk, t -> list_contains($list, t))), '$lang')"
+    }
+    // list_min on (score DESC, lang ASC): use (-score, lang) tuples, min.
+    val tuples = langMarkers.map { case (lang, words) =>
+      val list = words.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"(-len(list_filter($tk, t -> list_contains($list, t))), '$lang')"
+    }.mkString("[", ", ", "]")
+    s"(list_min($tuples))[2]"
+  }
+
+  /** English stopword list for the quality score's stopword ratio. */
+  val qualityStopwords: Seq[String] = langMarkers.toMap.apply("en")
+
+  /** Quality scoring: doc length, word count, mean word length, punctuation
+    * ratio, stopword ratio, and a composite quality score in [0, 100].
+    * Mirrors the reference's clipped-ratio style (A1/F9). */
+  def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val tk = tokens(t)
+    val nChars = length(t)
+    val nWords = size(tk)
+    val punct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
+    val stops = size(filter(tk, x => array_contains(typedLit(qualityStopwords), x)))
+    // raw (unrounded) ratios feed the composite; only outputs are rounded —
+    // the oracle must round in the same places, not earlier.
+    val punctRatio = punct.cast("double") / nChars
+    val stopRatio = stops.cast("double") / nWords
+    df.withColumn("n_words", nWords)
+      .withColumn("mean_word_len", round(nChars.cast("double") / nWords, 6))
+      .withColumn("punct_ratio", round(punctRatio, 6))
+      .withColumn("stopword_ratio", round(stopRatio, 6))
+      .withColumn("quality_score", round(
+        least(greatest(
+          lit(50.0)
+            + least(nWords.cast("double") / lit(4.0), lit(25.0))
+            + stopRatio * 100.0
+            - punctRatio * 200.0,
+          lit(0.0)), lit(100.0)), 6))
+  }
+
+  /** DuckDB twins for [[qualityColumns]] (select-list fragments). */
+  def qualitySql(textExpr: String): Map[String, String] = {
+    val tk = s"string_split_regex(lower($textExpr), '\\s+')"
+    val stops = qualityStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    val nWords = s"len($tk)"
+    val punct = s"(length($textExpr) - length(regexp_replace($textExpr, '[^a-zA-Z0-9\\s]', '', 'g')))"
+    Map(
+      "n_words" -> nWords,
+      "mean_word_len" -> s"round(length($textExpr) / CAST($nWords AS DOUBLE), 6)",
+      "punct_ratio" -> s"round($punct / CAST(length($textExpr) AS DOUBLE), 6)",
+      "stopword_ratio" -> s"round(len(list_filter($tk, x -> list_contains($stops, x))) / CAST($nWords AS DOUBLE), 6)",
+      "quality_score" -> (s"round(least(greatest(50.0 + least($nWords / 4.0, 25.0)" +
+        s" + (len(list_filter($tk, x -> list_contains($stops, x))) / CAST($nWords AS DOUBLE)) * 100.0" +
+        s" - ($punct / CAST(length($textExpr) AS DOUBLE)) * 200.0, 0.0), 100.0), 6)"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex token
+    * count (letter runs / digit runs / single other non-space chars). */
+  val tokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("ws_tokens", size(tokens(col(textCol))))
+      .withColumn("re_tokens", size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))))
+
+  /** Rolling polynomial fingerprint over per-token 28-bit hashes:
+    * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
+    * compact near-exact-dup document signature. */
+  def fingerprint(text: Column): Column = {
+    val hashed = transform(tokens(text), t => Hashing.sha28(t))
+    aggregate(hashed, lit(0L), (acc, h) => (acc * 31L + h) % Hashing.P)
+  }
+
+  /** DuckDB twin of [[fingerprint]]: DuckDB's list_reduce has no init
+    * parameter, so prepend the 0 seed to the hashed-token list. */
+  def fingerprintSql(textExpr: String): String = {
+    val tk = s"string_split_regex(lower($textExpr), '\\s+')"
+    val hashed = s"list_transform($tk, t -> ${Hashing.sha28Sql("t")})"
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $hashed), (a, b) -> (a * 31 + b) % ${Hashing.P})"
+  }
+}

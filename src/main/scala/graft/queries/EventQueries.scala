@@ -1,0 +1,564 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.core.Tables
+import graft.operators._
+
+/** SURVEY §2 operators exercised on the `events` table (the stand-in for
+  * the reference's wearable event streams — FIXTURES.md F5). Each query
+  * has a DuckDB oracle in [[EventQueries.oracles]] computing identical
+  * semantics; doubles are rounded to 6dp on both sides so hash-compare is
+  * stable across engines.
+  */
+object EventQueries {
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** Daily per-user feature frame used by several queries: one row per
+    * (user_id, date) with three fused features. */
+  private def dailyUser(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(
+        round(avg(col("value")), 6).as("f_mean"),
+        count(lit(1)).cast("double").as("f_n"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6)
+          .as("f_purchase"))
+
+  private val dailyUserSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS date,
+      |  round(avg(value), 6) AS f_mean,
+      |  CAST(count(*) AS DOUBLE) AS f_n,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS f_purchase
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A2 + F2: outlier filter then daily stats (population std).
+    "a2_daily_stats" -> ((s, dir) =>
+      DailyAgg.dailyStats(
+          DailyAgg.outlierFilter(ev(s, dir), "value", 30, 220), "ts", "value")
+        .select(col("date"), round(col("v_mean"), 6).as("v_mean"),
+          round(col("v_min"), 6).as("v_min"), round(col("v_max"), 6).as("v_max"),
+          round(col("v_std"), 6).as("v_std"), col("n_samples"))),
+
+    // A3/A6: exact median + p95 daily.
+    "a3_daily_percentiles" -> ((s, dir) =>
+      DailyAgg.dailyPercentiles(ev(s, dir), "ts", "value")
+        .select(col("date"), round(col("v_mean"), 6).as("v_mean"),
+          round(col("v_median"), 6).as("v_median"), round(col("v_p95"), 6).as("v_p95"),
+          round(col("v_min"), 6).as("v_min"), round(col("v_max"), 6).as("v_max"), col("n"))),
+
+    // A7: meds-style rollup with sorted distinct name list.
+    "a7_named_rollup" -> ((s, dir) =>
+      DailyAgg.dailyNamedEvents(ev(s, dir), "ts", "event_type", "value")),
+
+    // A8: mean + last-by-timestamp + 3-class threshold per (user, date).
+    "a8_last_mean" -> ((s, dir) =>
+      DailyAgg.dailyLastAndMean(ev(s, dir), Seq("user_id"), "ts", "value", 0.25)
+        .withColumn("category_3class",
+          when(col("mean_score") >= 110, 1).when(col("mean_score") <= 90, -1).otherwise(0))),
+
+    // A9: pivot event types to daily sum columns.
+    "a9_pivot_daily" -> ((s, dir) =>
+      DailyAgg.dailyPivotSum(ev(s, dir), "ts", "event_type", "value",
+        Seq("click", "error", "purchase", "signup", "view"))),
+
+    // A1: conditional split-sum + clipped ratio.
+    "a1_split_sum" -> ((s, dir) =>
+      DailyAgg.conditionalSplitSum(ev(s, dir), "ts", "value",
+        col("event_type").isin("click", "view"),
+        col("event_type").isin("purchase", "error"))),
+
+    // A16: circadian hourly-bucket stats.
+    "a16_circadian" -> ((s, dir) =>
+      DailyAgg.circadianStats(ev(s, dir), "ts", "value")),
+
+    // A17: successive-difference biomarkers (ordered lag diffs).
+    "a17_succ_diff" -> ((s, dir) =>
+      DailyAgg.successiveDiffStats(ev(s, dir), "ts", "value", 20.0, 10)),
+
+    // A19/Q4: gaps-and-islands runs of low values per user.
+    "a19_runs" -> ((s, dir) =>
+      Segmentation.runStats(
+        ev(s, dir).withColumn("low", when(col("value") < 50, 1).otherwise(0))
+          .withColumn("ord", struct(col("ts"), col("event_id"))),
+        "user_id", "ord", "low", 3)),
+
+    // A20: category distribution.
+    "a20_distribution" -> ((s, dir) =>
+      DailyAgg.distribution(ev(s, dir), "event_type")),
+
+    // A12+A14+A13: the PBSI slice — per-user z-scores, weighted clipped
+    // composite, two-pass percentile labels.
+    "a13_pbsi" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+      val z = Labels.groupZScores(daily, Seq("user_id"), Seq("f_mean", "f_n", "f_purchase"))
+      val composite = Labels.weightedComposite(z,
+        Map(
+          "sub_a" -> Seq("z_f_mean" -> 0.6, "z_f_n" -> 0.4),
+          "sub_b" -> Seq("z_f_purchase" -> 0.7, "z_f_mean" -> 0.3)),
+        Seq("sub_a" -> 0.5, "sub_b" -> 0.5), "pbsi_score")
+      Labels.twoPassPercentileLabel(composite, "pbsi_score", 0.25, 0.75)
+        .select(col("user_id"), col("date"),
+          round(col("sub_a"), 6).as("sub_a"), round(col("sub_b"), 6).as("sub_b"),
+          col("pbsi_score"), col("label_3cls"), col("label_2cls"))
+    }),
+
+    // W1: 7-row rolling mean per user.
+    "w1_rolling_mean" -> ((s, dir) =>
+      Enrich.rollingMean(dailyUser(s, dir), "user_id", "date", Seq("f_mean"), 7)
+        .select("user_id", "date", "f_mean", "f_mean_roll")),
+
+    // W2: global z-score of a daily feature.
+    "w2_global_zscore" -> ((s, dir) =>
+      Enrich.globalZScores(
+          dailyUser(s, dir).groupBy("date").agg(round(avg("f_mean"), 6).as("g_mean")),
+          Seq("g_mean"))
+        .select("date", "g_mean", "g_mean_zscore")),
+
+    // W3: 7-row rolling Pearson correlation of two daily features.
+    "w3_rolling_corr" -> ((s, dir) =>
+      Enrich.rollingCorr(dailyUser(s, dir), "user_id", "date", "f_mean", "f_n", 7)
+        .select("user_id", "date", "corr_f_mean_f_n")),
+
+    // W4: timestamp sessionization (gap > 1h) per user.
+    "w4_sessionize" -> ((s, dir) =>
+      Segmentation.sessionize(ev(s, dir), "user_id", "ts", 3600)
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_timestamp(col("ts"))).as("start_epoch"),
+          max(unix_timestamp(col("ts"))).as("end_epoch"))),
+
+    // W4 date-grain: segment table with gap/time_boundary reasons.
+    "w4_segment_table" -> ((s, dir) => {
+      val daily = dailyUser(s, dir).filter(col("f_purchase") > 0)
+      Segmentation.segmentTable(
+        Segmentation.segmentDays(daily, "user_id", "date"), "user_id", "date")
+    }),
+
+    // W5: rolling std with min_periods guard.
+    "w5_rolling_std" -> ((s, dir) =>
+      Enrich.rollingStd(dailyUser(s, dir), "user_id", "date", "f_mean", 7, 3)
+        .select("user_id", "date", "f_mean_rollstd")),
+
+    // W6: linear interpolation + edge fill over a gappy daily series.
+    "w6_interpolate" -> ((s, dir) => {
+      val spine = ev(s, dir).select(to_date(col("ts")).as("date")).distinct()
+      val purch = ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("date"), col("user_id"))
+        .agg(round(avg("value"), 6).as("pv"))
+      val users = ev(s, dir).select("user_id").distinct()
+      val grid = spine.crossJoin(users)
+      val sparse = grid.join(purch, Seq("date", "user_id"), "left")
+      Enrich.interpolateLinear(sparse, "user_id", "date", "pv")
+        .select("user_id", "date", "pv", "pv_interp")
+    }),
+
+    // W7: complete k-row sliding windows (sequence-model prep).
+    "w7_sequences" -> ((s, dir) =>
+      Enrich.slidingSequences(dailyUser(s, dir), "user_id", "date", "f_mean", 7)
+        .select("user_id", "date", "seq_start", "seq_n", "seq_mean")),
+
+    // W8: persistence baseline (lag of a derived label).
+    "w8_persistence" -> ((s, dir) => {
+      val labeled = dailyUser(s, dir).withColumn("label",
+        when(col("f_mean") >= 110, 1).when(col("f_mean") <= 90, -1).otherwise(0))
+      Enrich.persistenceBaseline(labeled, "user_id", "date", "label")
+        .select("user_id", "date", "label", "label_persist")
+    }),
+
+    // J8: range-attach month segments to daily rows via broadcast range join.
+    "j8_range_attach" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+      val segments = daily.groupBy(date_trunc("month", col("date")).as("m"))
+        .agg(min("date").as("seg_start"), max("date").as("seg_end"))
+        .select(date_format(col("m"), "yyyy-MM").as("segment_key"),
+          col("seg_start"), col("seg_end"))
+      Unify.rangeAttach(daily, "date", segments, "seg_start", "seg_end")
+        .groupBy("segment_key")
+        .agg(count(lit(1)).as("n_days"), round(avg("f_mean"), 6).as("seg_mean"))
+    }),
+
+    // D3: first-half vs second-half distribution drift per event type.
+    "d3_drift_halves" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      ev(s, dir).withColumn("half", ntile(2).over(w))
+        .groupBy("event_type", "half")
+        .agg(round(avg("value"), 6).as("v_avg"), round(stddev_samp("value"), 6).as("v_std"),
+          count(lit(1)).as("n"))
+    }),
+
+    // O2: top-k with deterministic tie-break.
+    "o2_topk_users" -> ((s, dir) =>
+      ev(s, dir).groupBy("user_id")
+        .agg(round(sum("value"), 4).as("total_value"), count(lit(1)).as("n"))
+        .orderBy(col("total_value").desc, col("user_id"))
+        .limit(5)),
+
+    // C8: regex extraction from a JSON-ish string column.
+    "c8_json_extract" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"))
+        .groupBy("event_type")
+        .agg(round(avg("k"), 6).as("k_avg"), max("k").as("k_max"), count(lit(1)).as("n"))),
+
+    // M2: calendar fold assignment (5-day folds from the min date).
+    "m2_folds" -> ((s, dir) => {
+      val withDate = ev(s, dir).withColumn("date", to_date(col("ts")))
+      val minDate = withDate.agg(min("date")).head().getDate(0)
+      withDate
+        .withColumn("fold_id", floor(datediff(col("date"), lit(minDate)) / 5))
+        .groupBy("fold_id")
+        .agg(countDistinct(col("date")).as("n_days"), count(lit(1)).as("n_events"),
+          min("date").as("fold_start"), max("date").as("fold_end"))
+    }),
+
+    // M6: classification metrics as pure relational aggregation.
+    "m6_metrics" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pred = ev(s, dir).withColumn("y_pred",
+        element_at(typedLit(types), (pmod(floor(col("value") / 40), lit(5)) + 1).cast("int")))
+        .withColumnRenamed("event_type", "y_true")
+      val counts = pred
+        .select(explode(typedLit(types)).as("label"), col("y_true"), col("y_pred"))
+        .groupBy("label")
+        .agg(
+          sum(when(col("y_true") === col("label") && col("y_pred") === col("label"), 1)
+            .otherwise(0)).as("tp"),
+          sum(when(col("y_true") =!= col("label") && col("y_pred") === col("label"), 1)
+            .otherwise(0)).as("fp"),
+          sum(when(col("y_true") === col("label") && col("y_pred") =!= col("label"), 1)
+            .otherwise(0)).as("fn"))
+      // f1 from UNROUNDED precision/recall; round only at the output edge
+      // (the oracle does the same — rounding order must match).
+      val p = when(col("tp") + col("fp") > 0,
+        col("tp") / (col("tp") + col("fp"))).otherwise(0.0)
+      val r = when(col("tp") + col("fn") > 0,
+        col("tp") / (col("tp") + col("fn"))).otherwise(0.0)
+      counts.select(col("label"), col("tp"), col("fp"), col("fn"),
+        round(p, 6).as("precision"), round(r, 6).as("recall"),
+        round(when(p + r > 0, lit(2) * p * r / (p + r)).otherwise(0.0), 6).as("f1"))
+    }))
+
+  def oracles: Map[String, String] = Map(
+    "a2_daily_stats" ->
+      """SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS v_mean,
+        |  round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+        |  round(stddev_pop(value), 6) AS v_std, count(value) AS n_samples
+        |FROM events WHERE value BETWEEN 30 AND 220 GROUP BY 1""".stripMargin,
+
+    "a3_daily_percentiles" ->
+      """SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS v_mean,
+        |  round(quantile_cont(value, 0.5), 6) AS v_median,
+        |  round(quantile_cont(value, 0.95), 6) AS v_p95,
+        |  round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,
+        |  count(value) AS n
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a7_named_rollup" ->
+      """SELECT CAST(ts AS DATE) AS date, count(*) AS event_count,
+        |  round(sum(value), 6) AS dose_total,
+        |  string_agg(DISTINCT event_type, ', ' ORDER BY event_type) AS names,
+        |  CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS any_flag
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a8_last_mean" ->
+      """SELECT user_id, CAST(ts AS DATE) AS date,
+        |  round(avg(value), 6) AS mean_score,
+        |  arg_max(value, ts) AS last_score,
+        |  count(*) AS n_entries,
+        |  CASE WHEN round(avg(value), 6) >= 110 THEN 1
+        |       WHEN round(avg(value), 6) <= 90 THEN -1 ELSE 0 END AS category_3class
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a9_pivot_daily" ->
+      """SELECT CAST(ts AS DATE) AS date,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 6) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 6) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 6) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "a1_split_sum" ->
+      """WITH d AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    round(sum(CASE WHEN event_type IN ('click','view') THEN value ELSE 0.0 END), 6) AS sum_a,
+        |    round(sum(CASE WHEN event_type IN ('purchase','error') THEN value ELSE 0.0 END), 6) AS sum_b
+        |  FROM events GROUP BY 1)
+        |SELECT date, sum_a, sum_b,
+        |  CASE WHEN sum_b > 0 THEN least(greatest(sum_a / sum_b * 100.0, 0.0), 100.0) END AS ratio_score
+        |FROM d""".stripMargin,
+
+    "a16_circadian" ->
+      """WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS date, hour(ts) AS hr, sum(value) AS hsum
+        |  FROM events GROUP BY 1, 2),
+        |peak AS (
+        |  SELECT date, hr AS peak_hour,
+        |    row_number() OVER (PARTITION BY date ORDER BY hsum DESC, hr ASC) AS rk
+        |  FROM hourly),
+        |stats AS (
+        |  SELECT date,
+        |    round(CASE WHEN sum(hsum) > 0
+        |      THEN sum(CASE WHEN hr >= 22 OR hr < 6 THEN hsum ELSE 0.0 END) / sum(hsum) * 100.0 END, 6)
+        |      AS nocturnal_pct,
+        |    round(CASE WHEN sum(hsum) > 0
+        |      THEN sum(CASE WHEN hr >= 4 AND hr < 8 THEN hsum ELSE 0.0 END) / sum(hsum) * 100.0 END, 6)
+        |      AS early_pct,
+        |    round(sum(hsum), 6) AS total
+        |  FROM hourly GROUP BY date)
+        |SELECT s.date, s.nocturnal_pct, s.early_pct, p.peak_hour, s.total
+        |FROM stats s JOIN peak p ON s.date = p.date AND p.rk = 1""".stripMargin,
+
+    "a17_succ_diff" ->
+      """WITH o AS (
+        |  SELECT CAST(ts AS DATE) AS date, value,
+        |    value - lag(value) OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, value) AS d
+        |  FROM events)
+        |SELECT date, count(value) AS n,
+        |  round(stddev_samp(value), 6) AS sdnn,
+        |  round(sqrt(avg(d * d)), 6) AS rmssd,
+        |  round(avg(CASE WHEN abs(d) > 20 THEN 1.0 ELSE 0.0 END) * 100.0, 6) AS pnn,
+        |  round(stddev_samp(value) / avg(value) * 100.0, 6) AS cv
+        |FROM o GROUP BY date HAVING count(value) >= 10""".stripMargin,
+
+    "a19_runs" ->
+      """WITH f AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN value < 50 THEN 1 ELSE 0 END AS low,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    sum(CASE WHEN value < 50 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cf
+        |  FROM events),
+        |runs AS (
+        |  SELECT user_id, rn - cf AS grp, count(*) AS run_len
+        |  FROM f WHERE low = 1 GROUP BY user_id, rn - cf)
+        |SELECT user_id,
+        |  sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n_long_runs,
+        |  max(run_len) AS max_run, count(*) AS n_runs
+        |FROM runs GROUP BY user_id""".stripMargin,
+
+    "a20_distribution" ->
+      """SELECT event_type, count(*) AS cnt,
+        |  round(count(*) * 100.0 / sum(count(*)) OVER (), 6) AS pct
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "a13_pbsi" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |z AS (
+        |  SELECT user_id, date, f_mean, f_n, f_purchase,
+        |    CASE WHEN stddev_samp(f_mean) OVER w > 0
+        |      THEN (f_mean - avg(f_mean) OVER w) / stddev_samp(f_mean) OVER w ELSE 0.0 END AS z_f_mean,
+        |    CASE WHEN stddev_samp(f_n) OVER w > 0
+        |      THEN (f_n - avg(f_n) OVER w) / stddev_samp(f_n) OVER w ELSE 0.0 END AS z_f_n,
+        |    CASE WHEN stddev_samp(f_purchase) OVER w > 0
+        |      THEN (f_purchase - avg(f_purchase) OVER w) / stddev_samp(f_purchase) OVER w ELSE 0.0 END AS z_f_purchase
+        |  FROM daily WINDOW w AS (PARTITION BY user_id)),
+        |comp AS (
+        |  SELECT user_id, date,
+        |    least(greatest(0.6 * z_f_mean + 0.4 * z_f_n, -3.0), 3.0) AS sub_a,
+        |    least(greatest(0.7 * z_f_purchase + 0.3 * z_f_mean, -3.0), 3.0) AS sub_b
+        |  FROM z),
+        |scored AS (
+        |  SELECT user_id, date, sub_a, sub_b,
+        |    round(0.5 * sub_a + 0.5 * sub_b, 6) AS pbsi_score FROM comp),
+        |thresholds AS (
+        |  SELECT quantile_cont(pbsi_score, 0.25) AS lo, quantile_cont(pbsi_score, 0.75) AS hi
+        |  FROM scored)
+        |SELECT s.user_id, s.date, round(s.sub_a, 6) AS sub_a, round(s.sub_b, 6) AS sub_b,
+        |  s.pbsi_score,
+        |  CASE WHEN s.pbsi_score >= t.hi THEN 1 WHEN s.pbsi_score <= t.lo THEN -1 ELSE 0 END AS label_3cls,
+        |  CASE WHEN s.pbsi_score >= t.hi THEN 1 ELSE 0 END AS label_2cls
+        |FROM scored s CROSS JOIN thresholds t""".stripMargin,
+
+    "w1_rolling_mean" ->
+      s"""WITH daily AS ($dailyUserSql)
+        |SELECT user_id, date, f_mean,
+        |  round(avg(f_mean) OVER (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS f_mean_roll
+        |FROM daily""".stripMargin,
+
+    "w2_global_zscore" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |g AS (SELECT date, round(avg(f_mean), 6) AS g_mean FROM daily GROUP BY date)
+        |SELECT date, g_mean,
+        |  CASE WHEN stddev_samp(g_mean) OVER () > 0
+        |    THEN round((g_mean - avg(g_mean) OVER ()) / stddev_samp(g_mean) OVER (), 6) END
+        |    AS g_mean_zscore
+        |FROM g""".stripMargin,
+
+    "w3_rolling_corr" ->
+      s"""WITH daily AS ($dailyUserSql)
+        |SELECT user_id, date,
+        |  round(corr(f_mean, f_n) OVER (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS corr_f_mean_f_n
+        |FROM daily""".stripMargin,
+
+    "w4_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(lag(ts) OVER w) // 1000000 > 3600
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_us(ts) // 1000000) AS start_epoch,
+        |  max(epoch_us(ts) // 1000000) AS end_epoch
+        |FROM s GROUP BY user_id, session_id""".stripMargin,
+
+    "w4_segment_table" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |d AS (SELECT * FROM daily WHERE f_purchase > 0),
+        |flagged AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN lag(date) OVER w IS NULL THEN 'initial'
+        |         WHEN date_diff('day', lag(date) OVER w, date) > 1 THEN 'gap'
+        |         WHEN month(date) <> month(lag(date) OVER w)
+        |           OR year(date) <> year(lag(date) OVER w) THEN 'time_boundary'
+        |    END AS seg_reason
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY date)),
+        |seg AS (
+        |  SELECT user_id, date, seg_reason,
+        |    sum(CASE WHEN seg_reason IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY date
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+        |  FROM flagged)
+        |SELECT user_id, segment_id, min(date) AS date_start, max(date) AS date_end,
+        |  arg_min(seg_reason, date) AS reason, count(*) AS cnt,
+        |  date_diff('day', min(date), max(date)) + 1 AS duration_days
+        |FROM seg GROUP BY user_id, segment_id""".stripMargin,
+
+    "w5_rolling_std" ->
+      s"""WITH daily AS ($dailyUserSql)
+        |SELECT user_id, date,
+        |  CASE WHEN count(f_mean) OVER w >= 3
+        |    THEN round(stddev_samp(f_mean) OVER w, 6) END AS f_mean_rollstd
+        |FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY date
+        |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "w6_interpolate" ->
+      """WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |purch AS (
+        |  SELECT CAST(ts AS DATE) AS date, user_id, round(avg(value), 6) AS pv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, s.date, p.pv,
+        |    row_number() OVER (PARTITION BY u.user_id ORDER BY s.date) AS rn
+        |  FROM spine s CROSS JOIN users u
+        |  LEFT JOIN purch p ON p.date = s.date AND p.user_id = u.user_id),
+        |anch AS (
+        |  SELECT user_id, date, pv, rn,
+        |    last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv_prev,
+        |    last_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn_prev,
+        |    first_value(pv IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS pv_next,
+        |    first_value(CASE WHEN pv IS NOT NULL THEN rn END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS rn_next
+        |  FROM grid)
+        |SELECT user_id, date, pv,
+        |  round(CASE WHEN pv IS NOT NULL THEN pv
+        |    WHEN pv_prev IS NOT NULL AND pv_next IS NOT NULL
+        |      THEN pv_prev + (pv_next - pv_prev) * (rn - rn_prev) / (rn_next - rn_prev)
+        |    WHEN pv_prev IS NOT NULL THEN pv_prev
+        |    ELSE pv_next END, 6) AS pv_interp
+        |FROM anch""".stripMargin,
+
+    "w7_sequences" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |w AS (
+        |  SELECT user_id, date,
+        |    count(f_mean) OVER w AS seq_n,
+        |    first_value(date) OVER w AS seq_start,
+        |    round(avg(f_mean) OVER w, 6) AS seq_mean
+        |  FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, date, seq_start, seq_n, seq_mean FROM w WHERE seq_n = 7""".stripMargin,
+
+    "w8_persistence" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |lab AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN f_mean >= 110 THEN 1 WHEN f_mean <= 90 THEN -1 ELSE 0 END AS label
+        |  FROM daily)
+        |SELECT user_id, date, label,
+        |  lag(label) OVER (PARTITION BY user_id ORDER BY date) AS label_persist
+        |FROM lab""".stripMargin,
+
+    "j8_range_attach" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |segments AS (
+        |  SELECT strftime(date_trunc('month', date), '%Y-%m') AS segment_key,
+        |    min(date) AS seg_start, max(date) AS seg_end
+        |  FROM daily GROUP BY 1)
+        |SELECT s.segment_key, count(*) AS n_days, round(avg(d.f_mean), 6) AS seg_mean
+        |FROM daily d JOIN segments s ON d.date >= s.seg_start AND d.date <= s.seg_end
+        |GROUP BY s.segment_key""".stripMargin,
+
+    "d3_drift_halves" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |    ntile(2) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS half
+        |  FROM events)
+        |SELECT event_type, half, round(avg(value), 6) AS v_avg,
+        |  round(stddev_samp(value), 6) AS v_std, count(*) AS n
+        |FROM h GROUP BY event_type, half""".stripMargin,
+
+    "o2_topk_users" ->
+      """SELECT user_id, round(sum(value), 4) AS total_value, count(*) AS n
+        |FROM events GROUP BY user_id
+        |ORDER BY total_value DESC, user_id LIMIT 5""".stripMargin,
+
+    "c8_json_extract" ->
+      """SELECT event_type,
+        |  round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)), 6) AS k_avg,
+        |  max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS k_max,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "m2_folds" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS date, * FROM events),
+        |m AS (SELECT min(date) AS d0 FROM d)
+        |SELECT CAST(floor(date_diff('day', m.d0, d.date) / 5) AS BIGINT) AS fold_id,
+        |  count(DISTINCT d.date) AS n_days, count(*) AS n_events,
+        |  min(d.date) AS fold_start, max(d.date) AS fold_end
+        |FROM d CROSS JOIN m GROUP BY 1""".stripMargin,
+
+    "m6_metrics" ->
+      """WITH pred AS (
+        |  SELECT event_type AS y_true,
+        |    ['click','error','purchase','signup','view']
+        |      [CAST(floor(value / 40) AS BIGINT) % 5 + 1] AS y_pred
+        |  FROM events),
+        |cls AS (SELECT unnest(['click','error','purchase','signup','view']) AS label),
+        |counts AS (
+        |  SELECT c.label,
+        |    sum(CASE WHEN p.y_true = c.label AND p.y_pred = c.label THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN p.y_true <> c.label AND p.y_pred = c.label THEN 1 ELSE 0 END) AS fp,
+        |    sum(CASE WHEN p.y_true = c.label AND p.y_pred <> c.label THEN 1 ELSE 0 END) AS fn
+        |  FROM cls c CROSS JOIN pred p GROUP BY c.label)
+        |SELECT label, tp, fp, fn,
+        |  round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
+        |  round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall,
+        |  round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+        |           + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END) > 0
+        |    THEN 2 * (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+        |           * (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END)
+        |           / ((CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
+        |           + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
+        |    ELSE 0.0 END, 6) AS f1
+        |FROM counts""".stripMargin)
+}

@@ -1,0 +1,199 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.core.Tables
+import graft.functions.Hashing
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline operators on `documents` and `embeddings`:
+  * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding cosine),
+  * similarity search, and text analysis. Hash-based ops use the portable
+  * SHA-derived hashes so the DuckDB oracle recomputes them exactly; the
+  * LSH-ANN variant is engine-only (no SQL twin) and gets the driver's
+  * rows-only check.
+  */
+object TextQueries {
+  private val K = 3 // word-shingle size for near-dup ops
+  private val MINHASHES = 6
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup by content hash.
+    "dd1_exact_dedup" -> ((s, dir) =>
+      Dedup.exactDups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // MinHash signatures (6 portable universal hashes over 3-shingles).
+    "dd2_minhash_sig" -> ((s, dir) =>
+      Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", K, MINHASHES)),
+
+    // Banded LSH candidate pairs over UNIGRAM minhash (high-overlap shared
+    // vocab => nonempty candidate set), band size 1.
+    "dd3_lsh_candidates" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", 1, 4)
+      Dedup.lshCandidates(sig, "doc_id", 4, 1)
+    }),
+
+    // SimHash (16-bit) signature per document.
+    "dd4_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash16"))),
+
+    // Exact n-gram Jaccard for pairs blocked by source (bigram shingles —
+    // enough overlap in the synthetic corpus to produce matching pairs).
+    "dd5_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
+        "source", 2, 0.05)),
+
+    // Embedding-cosine near-dup pairs blocked by label (0.3 ~ the p99 of
+    // within-label cosine in the synthetic embeddings — nonempty output).
+    "dd6_embed_dups" -> ((s, dir) =>
+      Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
+        "label", 0.3)),
+
+    // Brute-force cosine top-5 for the first 20 vectors.
+    "sim1_knn" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", 5)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    }),
+
+    // LSH-bucketed ANN (engine-only; approximate by design).
+    "sim2_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", 5, 8, 64)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    }),
+
+    // Language-ID heuristic.
+    "t1_langid" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred_lang"))),
+
+    // Quality scoring.
+    "t2_quality" -> ((s, dir) =>
+      TextAnalysis.qualityColumns(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_words", "mean_word_len", "punct_ratio",
+          "stopword_ratio", "quality_score")),
+
+    // Token counting (whitespace + BPE-ish regex).
+    "t3_token_counts" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
+        .select("doc_id", "ws_tokens", "re_tokens")),
+
+    // Rolling-hash document fingerprint.
+    "t4_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // C7/C10: string ops + crypto hash projection.
+    "c7_strings" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        when(col("text").contains("spark"), 1).otherwise(0).as("has_spark"),
+        substring(sha2(col("text"), 256), 1, 8).as("sha8"),
+        element_at(split(lower(col("text")), "\\s+"), 1).as("first_tok"))))
+
+  def oracles: Map[String, String] = {
+    val sh = Hashing
+    Map(
+      "dd1_exact_dedup" ->
+        """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "dd2_minhash_sig" -> {
+        val cols = (0 until MINHASHES)
+          .map(i => s"${Dedup.minhashSql(K, i)} AS mh$i").mkString(",\n  ")
+        s"SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}"
+      },
+
+      "dd3_lsh_candidates" -> {
+        val cols = (0 until 4)
+          .map(i => s"${Dedup.minhashSql(1, i)} AS mh$i").mkString(",\n  ")
+        s"""WITH sig AS (SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
+          |bands AS (
+          |  SELECT doc_id, '0_' || mh0 AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, '1_' || mh1 FROM sig
+          |  UNION ALL SELECT doc_id, '2_' || mh2 FROM sig
+          |  UNION ALL SELECT doc_id, '3_' || mh3 FROM sig)
+          |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          |FROM bands l JOIN bands r
+          |  ON l.band_key = r.band_key AND l.doc_id < r.doc_id""".stripMargin
+      },
+
+      "dd4_simhash" ->
+        s"SELECT doc_id, ${Dedup.simhashSql("text", 16)} AS simhash16 FROM documents",
+
+      "dd5_ngram_jaccard" -> {
+        val shExpr = Dedup.shinglesOverTkSql(2)
+        s"""WITH sets AS (
+          |  SELECT source, doc_id, list_distinct($shExpr) AS sh
+          |  FROM ${Dedup.tkSourceSql("text", "source", "doc_id")}),
+          |pairs AS (
+          |  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+          |    round(len(list_intersect(l.sh, r.sh)) /
+          |      CAST(len(list_distinct(l.sh || r.sh)) AS DOUBLE), 6) AS jaccard
+          |  FROM sets l JOIN sets r ON l.source = r.source AND l.doc_id < r.doc_id)
+          |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin
+      },
+
+      "dd6_embed_dups" ->
+        """WITH v AS (
+          |  SELECT label, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings)
+          |SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+          |  round(list_inner_product(l.e, r.e) /
+          |    (sqrt(list_inner_product(l.e, l.e)) * sqrt(list_inner_product(r.e, r.e))), 6) AS sim
+          |FROM v l JOIN v r ON l.label = r.label AND l.vec_id < r.vec_id
+          |WHERE round(list_inner_product(l.e, r.e) /
+          |    (sqrt(list_inner_product(l.e, l.e)) * sqrt(list_inner_product(r.e, r.e))), 6) >= 0.3""".stripMargin,
+
+      "sim1_knn" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_inner_product(q.e, c.e) /
+          |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
+          |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      "t1_langid" ->
+        s"SELECT doc_id, lang, ${TextAnalysis.langIdSql("text")} AS pred_lang FROM documents",
+
+      "t2_quality" -> {
+        val q = TextAnalysis.qualitySql("text")
+        s"""SELECT doc_id, ${q("n_words")} AS n_words,
+          |  ${q("mean_word_len")} AS mean_word_len,
+          |  ${q("punct_ratio")} AS punct_ratio,
+          |  ${q("stopword_ratio")} AS stopword_ratio,
+          |  ${q("quality_score")} AS quality_score
+          |FROM documents""".stripMargin
+      },
+
+      "t3_token_counts" ->
+        s"""SELECT doc_id,
+          |  len(string_split_regex(lower(text), '\\s+')) AS ws_tokens,
+          |  len(regexp_extract_all(text, '${TextAnalysis.tokenRegex}')) AS re_tokens
+          |FROM documents""".stripMargin,
+
+      "t4_fingerprint" ->
+        s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+      "c7_strings" ->
+        """SELECT doc_id, length(text) AS n_chars_calc,
+          |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
+          |  substr(sha256(text), 1, 8) AS sha8,
+          |  (string_split_regex(lower(text), '\s+'))[1] AS first_tok
+          |FROM documents""".stripMargin)
+  }
+}
