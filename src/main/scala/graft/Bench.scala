@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm up the session (codegen, file listing, parquet footers) so the
+    // first timed query doesn't carry JVM/session startup.
+    graft.core.Tables.names.foreach { t =>
+      try {
+        if (t == "events") graft.core.Tables.events(spark, sfDir).count()
+        else graft.core.Tables.load(spark, sfDir, t).count()
+      } catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

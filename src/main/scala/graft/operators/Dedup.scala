@@ -52,7 +52,11 @@ object Dedup {
       case ((a, b), i) =>
         array_min(transform(hashed, h => (h * a + b) % Hashing.P)).as(s"mh$i")
     }
-    docs.select(col(idCol) +: sigCols: _*)
+    // SHA-per-shingle is CPU-bound: spread rows across all cores first
+    // (single-row-group files otherwise scan as ONE task and serialize
+    // the whole hashing pass).
+    docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol) +: sigCols: _*)
   }
 
   /** DuckDB twin of one minhash column (expects token-list column `tk`). */
@@ -76,10 +80,15 @@ object Dedup {
   def lshCandidates(sig: DataFrame, idCol: String, numHashes: Int,
                     rowsPerBand: Int): DataFrame = {
     val numBands = numHashes / rowsPerBand
+    // persist the signature table BEFORE splitting into bands: column
+    // pruning would otherwise push each band's projection into the
+    // signature pipeline, recomputing shingle+SHA hashing once per band
+    // per join side. The signature is k longs per doc — tiny at any scale.
+    val cached = sig.persist()
     val bands = (0 until numBands).map { b =>
       val key = concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      sig.select(col(idCol), key.as("band_key"))
+      cached.select(col(idCol), key.as("band_key"))
     }
     val exploded = bands.reduce(_ union _)
     val l = exploded.as("l")
@@ -119,17 +128,29 @@ object Dedup {
     * LSH band or a cluster id, never the whole corpus). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleK: Int, minJaccard: Double): DataFrame = {
+    // intersect 64-bit shingle hashes, not strings: ~8x less shuffle bytes
+    // and integer equality in the pairwise intersect hot loop. The SHA hash
+    // is shared with the oracle, so the (collision-negligible) semantics
+    // are identical in both engines. Arrays are sorted once per doc so the
+    // per-pair intersection is an allocation-free codegen'd merge walk.
     val withSets = docs.select(
       col(blockCol), col(idCol),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-    val l = withSets.as("l")
+      array_sort(array_distinct(transform(shingles(col(textCol), shingleK),
+        s => Hashing.sha28(s)))).as("sh"))
+    // Round-robin spread of the probe side: the pairwise intersect loop is
+    // the hot path and must use every core regardless of how few splits
+    // the input scan produced. The build side stays broadcastable.
+    val l = withSets
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism).as("l")
     val r = withSets.as("r")
-    l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
+    // |A∪B| = |A| + |B| - |A∩B|: sizes only, no union array materialized.
+    val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
+    val union = size(col("l.sh")) + size(col("r.sh")) - inter
+    l.join(broadcast(r), col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        round(size(array_intersect(col("l.sh"), col("r.sh"))).cast("double") /
-          size(array_union(col("l.sh"), col("r.sh"))), 6).as("jaccard"))
+        round(inter.cast("double") / union, 6).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

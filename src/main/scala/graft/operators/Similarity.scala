@@ -21,23 +21,35 @@ import graft.functions.Hashing
   */
 object Similarity {
 
+  /** Dot product of two double-array columns (left-to-right fold — the
+    * same summation order as DuckDB's list_inner_product). */
+  def dot(x: Column, y: Column): Column =
+    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
   /** Cosine similarity of two float-array columns, computed in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
+  def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+
+  /** Project (id, vec, norm): the norm is computed ONCE per vector so
+    * pairwise scoring does one dot product per pair instead of three.
+    * sqrt-of-dot is deterministic, so sim values are bit-identical to the
+    * per-pair formulation the oracle uses. */
+  private def withNorm(df: DataFrame, idCol: String, vecCol: String,
+                       idAs: String, vecAs: String, normAs: String): DataFrame =
+    df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
+      sqrt(dot(col(vecCol), col(vecCol))).as(normAs))
 
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * other vectors. `queries` and `corpus` share (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -72,13 +84,13 @@ object Similarity {
     * cross join into a shuffle on bucket keys. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int, dims: Int): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), numPlanes, dims).as("bkt"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshBucket(col(vecCol), numPlanes, dims).as("bkt"))
+    val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
+      .withColumn("bkt", lshBucket(col("qv"), numPlanes, dims))
+    val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
+      .withColumn("bkt", lshBucket(col("cv"), numPlanes, dims))
     val scored = q.join(c, Seq("bkt")).filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -87,13 +99,18 @@ object Similarity {
   /** Near-duplicate pairs by embedding cosine within a blocking key. */
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, minSim: Double): DataFrame = {
-    val v = vectors.select(col(blockCol), col(idCol), col(vecCol))
-    val l = v.as("l")
-    val r = v.as("r")
-    l.join(r, col(s"l.$blockCol") === col(s"r.$blockCol") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        round(cosine(col(s"l.$vecCol"), col(s"r.$vecCol")), 6).as("sim"))
+    val v = vectors
+      .select(col(blockCol).as("blk"), col(idCol).as("vid"), col(vecCol).as("vv"))
+      .withColumn("vn", sqrt(dot(col("vv"), col("vv"))))
+    // spread the probe side: pairwise dot products are CPU-bound
+    val l = v.repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .select(col("blk"), col("vid").as("id_a"), col("vv").as("va"),
+        col("vn").as("na"))
+    val r = v.select(col("blk"), col("vid").as("id_b"), col("vv").as("vb"),
+      col("vn").as("nb"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

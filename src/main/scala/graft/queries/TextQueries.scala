@@ -27,11 +27,11 @@ object TextQueries {
     "dd2_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", K, MINHASHES)),
 
-    // Banded LSH candidate pairs over UNIGRAM minhash (high-overlap shared
-    // vocab => nonempty candidate set), band size 1.
+    // Banded LSH candidate pairs: bigram minhash, 2 bands x 2 rows —
+    // selective (0.02% of all pairs at sf0.1) but nonempty.
     "dd3_lsh_candidates" -> ((s, dir) => {
-      val sig = Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", 1, 4)
-      Dedup.lshCandidates(sig, "doc_id", 4, 1)
+      val sig = Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", 2, 4)
+      Dedup.lshCandidates(sig, "doc_id", 4, 2)
     }),
 
     // SimHash (16-bit) signature per document.
@@ -113,13 +113,11 @@ object TextQueries {
 
       "dd3_lsh_candidates" -> {
         val cols = (0 until 4)
-          .map(i => s"${Dedup.minhashSql(1, i)} AS mh$i").mkString(",\n  ")
+          .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
         s"""WITH sig AS (SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
           |bands AS (
-          |  SELECT doc_id, '0_' || mh0 AS band_key FROM sig
-          |  UNION ALL SELECT doc_id, '1_' || mh1 FROM sig
-          |  UNION ALL SELECT doc_id, '2_' || mh2 FROM sig
-          |  UNION ALL SELECT doc_id, '3_' || mh3 FROM sig)
+          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig)
           |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           |FROM bands l JOIN bands r
           |  ON l.band_key = r.band_key AND l.doc_id < r.doc_id""".stripMargin
@@ -131,12 +129,14 @@ object TextQueries {
       "dd5_ngram_jaccard" -> {
         val shExpr = Dedup.shinglesOverTkSql(2)
         s"""WITH sets AS (
-          |  SELECT source, doc_id, list_distinct($shExpr) AS sh
+          |  SELECT source, doc_id,
+          |    list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")})) AS sh
           |  FROM ${Dedup.tkSourceSql("text", "source", "doc_id")}),
           |pairs AS (
           |  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
           |    round(len(list_intersect(l.sh, r.sh)) /
-          |      CAST(len(list_distinct(l.sh || r.sh)) AS DOUBLE), 6) AS jaccard
+          |      CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6)
+          |      AS jaccard
           |  FROM sets l JOIN sets r ON l.source = r.source AND l.doc_id < r.doc_id)
           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin
       },
