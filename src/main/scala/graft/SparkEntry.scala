@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, RelationalQueries, TextQueries}
+import graft.queries.{EventQueries, MlQueries, RelationalQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,13 +22,15 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries
+    EventQueries.queries ++ RelationalQueries.queries ++ TextQueries.queries ++
+      MlQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     * Every `round(x, s)` is rewritten to the canonical epsilon-shifted
     * rounding (see [[graft.functions.Canon]]) to match the Spark side. */
   def oracleSql: Map[String, String] =
-    (EventQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles)
+    (EventQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
+      MlQueries.oracles)
       .map { case (k, v) => k -> graft.functions.Canon.epsifySql(v) }
 }

@@ -173,6 +173,29 @@ object DailyAgg {
       .filter(col("n") >= minCount)
   }
 
+  /** A22 — overnight day classification: for each day, count signal
+    * presence in the overnight window (22:00 previous day → 08:00) for two
+    * channels, then classify normal / sleepless / sensor_missing /
+    * ambiguous with a `when` chain.
+    * Reference: `src/etl/sleep_hourly_audit.py:400-467`. */
+  def classifyDays(events: DataFrame, tsCol: String, isChannelA: Column,
+                   isChannelB: Column): DataFrame = {
+    // shift by 2h so 22:00..23:59 counts toward the NEXT calendar day,
+    // then keep hours up to 08:00 (shifted 0..10).
+    val shifted = col(tsCol) + expr("INTERVAL 2 HOURS")
+    val overnight = events
+      .filter(hour(shifted) < 10)
+      .groupBy(to_date(shifted).as("date"))
+      .agg(
+        sum(when(isChannelA, 1).otherwise(0)).as("n_a"),
+        sum(when(isChannelB, 1).otherwise(0)).as("n_b"))
+    overnight.withColumn("day_class",
+      when(col("n_a") > 0 && col("n_b") > 0, "normal")
+        .when(col("n_a") === 0 && col("n_b") > 0, "sleepless")
+        .when(col("n_a") === 0 && col("n_b") === 0, "sensor_missing")
+        .otherwise("ambiguous"))
+  }
+
   /** A20 — distribution stats: per-category counts and percentages. */
   def distribution(df: DataFrame, catCol: String): DataFrame = {
     val total = sum(col("cnt")).over(Window.partitionBy())

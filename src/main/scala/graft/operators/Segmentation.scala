@@ -69,6 +69,30 @@ object Segmentation {
         count(lit(1)).as("cnt"))
       .withColumn("duration_days", datediff(col("date_end"), col("date_start")) + 1)
 
+  /** A15 — temporal instability score: per feature, the variance ACROSS
+    * per-segment means, normalized by the max across features (driver-side
+    * normalize of a #features-sized vector, mirroring the reference's
+    * two-phase structure). Reference: `src/utils/temporal_instability
+    * .py:67-143`. Input must already carry `segment_id`. */
+  def instabilityScores(segmented: DataFrame, features: Seq[String]): DataFrame = {
+    val meanAggs = features.map(f => avg(col(f)).as(s"m_$f"))
+    val perSegment = segmented.groupBy(col("segment_id"))
+      .agg(meanAggs.head, meanAggs.tail: _*)
+    val varAggs = features.map(f => var_samp(col(s"m_$f")).as(s"v_$f"))
+    val varsRow = perSegment.agg(varAggs.head, varAggs.tail: _*).head()
+    val raw = features.zipWithIndex.map { case (f, i) =>
+      f -> (if (varsRow.isNullAt(i)) 0.0 else varsRow.getDouble(i))
+    }
+    val maxVar = raw.map(_._2).max
+    val spark = segmented.sparkSession
+    import spark.implicits._
+    raw.toDF("feature", "variance")
+      .withColumn("instability",
+        when(lit(maxVar) > 0, graft.functions.Canon.round(col("variance") / lit(maxVar), 6))
+          .otherwise(lit(0.0)))
+      .withColumn("variance", graft.functions.Canon.round(col("variance"), 6))
+  }
+
   /** A19/Q4 — consecutive-run (gaps-and-islands) stats: per key, flag rows
     * matching `flagCol` (0/1), find maximal runs of consecutive flagged
     * rows (consecutive = adjacent in `orderCol` order), and report the

@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.core.Tables
+import graft.functions.TimeParse
+import graft.operators._
+
+/** Batch 2: interval tables, instability, day classification, KS drift,
+  * multi-format timestamp parsing, imputation and anti-leak scaling —
+  * SURVEY §2 rows A10, A15, A22, D2, C1, M1', M3.
+  */
+object MlQueries {
+
+  private def dailyUser(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("date"))
+      .agg(
+        round(avg(col("value")), 6).as("f_mean"),
+        count(lit(1)).cast("double").as("f_n"),
+        round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6)
+          .as("f_purchase"))
+
+  private val dailyUserSql: String =
+    """SELECT user_id, CAST(ts AS DATE) AS date,
+      |  round(avg(value), 6) AS f_mean,
+      |  CAST(count(*) AS DOUBLE) AS f_n,
+      |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS f_purchase
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A10: interval table -> daily duration sums (events as intervals of
+    // `value` seconds).
+    "a10_intervals" -> ((s, dir) => {
+      val intervals = Tables.events(s, dir)
+        .select(col("ts").as("start_ts"),
+          // floor explicitly: Spark's double->int cast truncates but
+          // DuckDB's rounds — floor() pins both to the same integer.
+          expr("timestampadd(SECOND, CAST(floor(value) AS INT), ts)").as("end_ts"))
+      Intervals.dailyDurations(intervals, "start_ts", "end_ts")
+    }),
+
+    // A15: instability — variance of per-segment feature means, max-normed.
+    "a15_instability" -> ((s, dir) => {
+      val segmented = dailyUser(s, dir).withColumn("segment_id", col("user_id"))
+      Segmentation.instabilityScores(segmented, Seq("f_mean", "f_n", "f_purchase"))
+    }),
+
+    // A22: overnight-window day classification.
+    "a22_day_class" -> ((s, dir) =>
+      DailyAgg.classifyDays(Tables.events(s, dir), "ts",
+        col("event_type").isin("click", "view"),
+        col("event_type") === "purchase")),
+
+    // D2: KS two-sample statistic between first and second half per type.
+    "d2_ks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+      val labeled = Tables.events(s, dir)
+        .withColumn("s", when(ntile(2).over(w) === 1, "a").otherwise("b"))
+      Drift.ksTwoSample(labeled, "event_type", "s", "value")
+    }),
+
+    // C1: multi-format timestamp parse chain over heterogeneous strings.
+    "c1_parse_ts" -> ((s, dir) => {
+      val stringified = Tables.events(s, dir).withColumn("ts_str",
+        when(col("event_type") === "click",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss"))
+          .when(col("event_type") === "view",
+            date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"))
+          .otherwise(date_format(col("ts"), "yyyy-MM-dd")))
+      val parseFormats = Seq("yyyy-MM-dd HH:mm:ss", "yyyy-MM-dd'T'HH:mm:ss", "yyyy-MM-dd")
+      stringified
+        .withColumn("parsed", TimeParse.parseTimestamp(col("ts_str"), parseFormats))
+        .groupBy("event_type")
+        .agg(
+          count(col("parsed")).as("n_parsed"),
+          sum(when(col("parsed").isNull, 1).otherwise(0)).as("n_failed"),
+          min(unix_timestamp(col("parsed"))).as("min_epoch"),
+          max(unix_timestamp(col("parsed"))).as("max_epoch"))
+    }),
+
+    // M1': per-group median imputation with global fallback over a sparse
+    // daily grid.
+    "m1_impute" -> ((s, dir) => {
+      val spine = Tables.events(s, dir).select(to_date(col("ts")).as("date")).distinct()
+      val users = Tables.events(s, dir).select("user_id").distinct()
+      val purch = Tables.events(s, dir).filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("date"), col("user_id"))
+        .agg(round(avg("value"), 6).as("pv"))
+      val sparse = spine.crossJoin(users).join(purch, Seq("date", "user_id"), "left")
+      Impute.medianImpute(sparse, Seq("user_id"), Seq("pv"))
+        .select(col("user_id"), col("date"), round(col("pv"), 6).as("pv"))
+    }),
+
+    // M3: anti-leak standard scaling (fit on train fold only).
+    "m3_scale" -> ((s, dir) =>
+      Impute.scaleFitOnTrain(dailyUser(s, dir),
+          col("date") < lit("2024-01-20").cast("date"), Seq("f_mean", "f_n"))
+        .select("user_id", "date", "f_mean_scaled", "f_n_scaled")))
+
+  def oracles: Map[String, String] = Map(
+    "a10_intervals" ->
+      """WITH iv AS (
+        |  SELECT ts AS start_ts, ts + CAST(floor(value) AS INT) * INTERVAL 1 SECOND AS end_ts
+        |  FROM events),
+        |d AS (
+        |  SELECT start_ts,
+        |    (epoch_us(end_ts) // 1000000 - epoch_us(start_ts) // 1000000) / 3600.0 AS dur_h
+        |  FROM iv)
+        |SELECT CAST(start_ts AS DATE) AS date,
+        |  round(sum(dur_h), 6) AS total_h, count(*) AS n_intervals,
+        |  round(max(dur_h), 6) AS max_h
+        |FROM d WHERE dur_h > 0 GROUP BY 1""".stripMargin,
+
+    "a15_instability" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |seg AS (
+        |  SELECT user_id, avg(f_mean) AS m1, avg(f_n) AS m2, avg(f_purchase) AS m3
+        |  FROM daily GROUP BY user_id),
+        |vars AS (
+        |  SELECT var_samp(m1) AS v1, var_samp(m2) AS v2, var_samp(m3) AS v3 FROM seg),
+        |un AS (
+        |  SELECT 'f_mean' AS feature, v1 AS variance FROM vars
+        |  UNION ALL SELECT 'f_n', v2 FROM vars
+        |  UNION ALL SELECT 'f_purchase', v3 FROM vars),
+        |mx AS (SELECT max(variance) AS mv FROM un)
+        |SELECT feature, round(variance, 6) AS variance,
+        |  CASE WHEN mv > 0 THEN round(variance / mv, 6) ELSE 0.0 END AS instability
+        |FROM un CROSS JOIN mx""".stripMargin,
+
+    "a22_day_class" ->
+      """WITH sh AS (
+        |  SELECT ts + INTERVAL 2 HOUR AS shifted, event_type FROM events),
+        |o AS (
+        |  SELECT CAST(shifted AS DATE) AS date,
+        |    sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS n_a,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
+        |  FROM sh WHERE hour(shifted) < 10 GROUP BY 1)
+        |SELECT date, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN 'normal'
+        |       WHEN n_a = 0 AND n_b > 0 THEN 'sleepless'
+        |       WHEN n_a = 0 AND n_b = 0 THEN 'sensor_missing'
+        |       ELSE 'ambiguous' END AS day_class
+        |FROM o""".stripMargin,
+
+    "d2_ks" ->
+      """WITH h AS (
+        |  SELECT event_type, value,
+        |    CASE WHEN ntile(2) OVER (PARTITION BY event_type ORDER BY ts, event_id) = 1
+        |      THEN 'a' ELSE 'b' END AS s
+        |  FROM events),
+        |pv AS (
+        |  SELECT event_type, value,
+        |    sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM h GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT event_type,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wa AS (PARTITION BY event_type))
+        |SELECT event_type,
+        |  round(max(abs(cum_a / CAST(n_a AS DOUBLE) - cum_b / CAST(n_b AS DOUBLE))), 6) AS ks_stat,
+        |  max(n_a) AS n_a, max(n_b) AS n_b
+        |FROM cum GROUP BY event_type""".stripMargin,
+
+    "c1_parse_ts" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    CASE WHEN event_type = 'click' THEN strftime(ts, '%Y-%m-%d %H:%M:%S')
+        |         WHEN event_type = 'view' THEN strftime(ts, '%Y-%m-%dT%H:%M:%S')
+        |         ELSE strftime(ts, '%Y-%m-%d') END AS ts_str
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type, coalesce(
+        |    try_strptime(ts_str, '%Y-%m-%d %H:%M:%S'),
+        |    try_strptime(ts_str, '%Y-%m-%dT%H:%M:%S'),
+        |    try_strptime(ts_str, '%Y-%m-%d')) AS parsed
+        |  FROM s)
+        |SELECT event_type, count(parsed) AS n_parsed,
+        |  sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS n_failed,
+        |  min(epoch_us(parsed) // 1000000) AS min_epoch,
+        |  max(epoch_us(parsed) // 1000000) AS max_epoch
+        |FROM p GROUP BY event_type""".stripMargin,
+
+    "m1_impute" ->
+      """WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |purch AS (
+        |  SELECT CAST(ts AS DATE) AS date, user_id, round(avg(value), 6) AS pv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, s.date, p.pv
+        |  FROM spine s CROSS JOIN users u
+        |  LEFT JOIN purch p ON p.date = s.date AND p.user_id = u.user_id),
+        |gm AS (SELECT user_id, quantile_cont(pv, 0.5) AS med FROM grid GROUP BY user_id),
+        |am AS (SELECT quantile_cont(pv, 0.5) AS gmed FROM grid)
+        |SELECT g.user_id, g.date,
+        |  round(coalesce(g.pv, gm.med, am.gmed, 0.0), 6) AS pv
+        |FROM grid g LEFT JOIN gm ON g.user_id = gm.user_id CROSS JOIN am""".stripMargin,
+
+    "m3_scale" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |stats AS (
+        |  SELECT avg(f_mean) FILTER (date < DATE '2024-01-20') AS m1,
+        |    stddev_samp(f_mean) FILTER (date < DATE '2024-01-20') AS s1,
+        |    avg(f_n) FILTER (date < DATE '2024-01-20') AS m2,
+        |    stddev_samp(f_n) FILTER (date < DATE '2024-01-20') AS s2
+        |  FROM daily)
+        |SELECT d.user_id, d.date,
+        |  round(CASE WHEN s1 IS NOT NULL AND s1 > 0 THEN (d.f_mean - m1) / s1 ELSE 0.0 END, 6)
+        |    AS f_mean_scaled,
+        |  round(CASE WHEN s2 IS NOT NULL AND s2 > 0 THEN (d.f_n - m2) / s2 ELSE 0.0 END, 6)
+        |    AS f_n_scaled
+        |FROM daily d CROSS JOIN stats""".stripMargin)
+}

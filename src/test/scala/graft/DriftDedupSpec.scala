@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Drift, Similarity}
+
+/** D1 ADWIN, D2 KS, dedup accuracy, and the custom intersect expression. */
+class DriftDedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("D1: ADWIN flags a mean shift and stays quiet on a constant series") {
+    val shift = ((1 to 60).map(i => ("k", i, 0.0)) ++
+      (61 to 120).map(i => ("k", i, 10.0))).toDF("k", "o", "v")
+    val changes = Drift.adwin(shift, "k", "o", "v", delta = 0.002)
+      .filter(col("is_change") === 1).select("o").collect().map(_.getInt(0))
+    assert(changes.nonEmpty, "expected a change point after the shift")
+    assert(changes.head > 60 && changes.head < 75, s"change at ${changes.head}")
+    val const = (1 to 120).map(i => ("k", i, 5.0)).toDF("k", "o", "v")
+    assert(Drift.adwin(const, "k", "o", "v", 0.002)
+      .filter(col("is_change") === 1).count() === 0)
+  }
+
+  test("D2: KS — identical samples ~0, disjoint samples = 1") {
+    val same = ((1 to 50).map(i => ("g", "a", i.toDouble)) ++
+      (1 to 50).map(i => ("g", "b", i.toDouble))).toDF("g", "s", "v")
+    val ks0 = Drift.ksTwoSample(same, "g", "s", "v").head().getAs[Double]("ks_stat")
+    assert(ks0 === 0.0)
+    val disjoint = ((1 to 50).map(i => ("g", "a", i.toDouble)) ++
+      (1 to 50).map(i => ("g", "b", i + 1000.0))).toDF("g", "s", "v")
+    val ks1 = Drift.ksTwoSample(disjoint, "g", "s", "v").head().getAs[Double]("ks_stat")
+    assert(ks1 === 1.0)
+  }
+
+  test("dd1: exact dedup groups identical texts") {
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "unique text here")).toDF("doc_id", "text")
+    val out = Dedup.exactDups(docs, "doc_id", "text").orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+  }
+
+  test("dd2: minhash equality rate approximates jaccard for near-dups") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 57).map(i => s"tok$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", 1, 16).collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong)).toMap
+    def agree(a: Long, b: Long) = sig(a).zip(sig(b)).count { case (x, y) => x == y }
+    assert(agree(1L, 2L) >= 10, s"near-dups agree on ${agree(1L, 2L)}/16")
+    assert(agree(1L, 3L) === 0, "unrelated docs should share no minhashes")
+  }
+
+  test("dd4: simhash hamming distance small for near-dups, large otherwise") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = ((1 to 57).map(i => s"tok$i") ++ Seq("x", "y", "z")).mkString(" ")
+    val unrelated = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, unrelated)).toDF("doc_id", "text")
+    val sh = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    assert(ham(1L, 2L) <= 4, s"near-dup hamming ${ham(1L, 2L)}")
+    assert(ham(1L, 3L) > ham(1L, 2L))
+  }
+
+  test("SortedLongIntersectCount == size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(42)
+    val cases = (0 until 40).map { _ =>
+      def arr() = List.fill(rnd.nextInt(30))(rnd.nextLong() % 50).distinct.sorted
+      (arr(), arr())
+    } :+ ((List.empty[Long], List(1L, 2L))) :+ ((List.empty[Long], List.empty[Long]))
+    val df = cases.toDF("a", "b")
+    val rows = df.select(
+      graft.functions.SortedLongIntersectCount(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).as("e")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
+  test("sim: brute-force top-k is deterministic and self-consistent") {
+    val vecs = (0 until 30).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceTopK(vecs.filter(col("vec_id") < 3), vecs,
+      "vec_id", "embedding", 4)
+    assert(knn.count() === 12)
+    // rank 1..4 per query, sims non-increasing
+    val byQ = knn.orderBy("query_id", "rk").collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rows =>
+      val sims = rows.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("ANN LSH recall: bucketed top-k finds most true neighbors") {
+    val vecs = (0 until 200).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))
+      (i.toLong, base.map(x => (x + 0.01 * math.cos(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(q, vecs, "vec_id", "embedding", 5, 6, 16)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall $recall")
+  }
+}
