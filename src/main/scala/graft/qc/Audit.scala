@@ -1,0 +1,55 @@
+package graft.qc
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+
+/** Q1 — domain audit job (SURVEY §2.11).
+  *
+  * The reference's `src/etl/etl_audit.py` (1.9k LoC) loads each domain's
+  * outputs and emits per-check rows (CRITICAL/WARNING + counts) plus a
+  * PASS/FAIL verdict. Spark-native: every check is one aggregation over
+  * the audited table; checks union into a single issues DataFrame. The
+  * whole audit is a single pass (one multi-aggregate per table) — at
+  * 100 TB the audit costs one scan, not one scan per check.
+  */
+object Audit {
+
+  /** One audit rule: a named predicate counted over the table; rows where
+    * `violation` is true count against the rule. */
+  case class Rule(name: String, severity: String, violation: Column)
+
+  /** Range-check rule builder (reference value-range checks). */
+  def rangeRule(colName: String, lo: Double, hi: Double,
+                severity: String = "CRITICAL"): Rule =
+    Rule(s"${colName}_range", severity,
+      col(colName).isNotNull && !col(colName).between(lo, hi))
+
+  /** Null-fraction rule: fires per-row on nulls; the threshold is applied
+    * by the caller on the resulting fraction. */
+  def nullRule(colName: String, severity: String = "WARNING"): Rule =
+    Rule(s"${colName}_null", severity, col(colName).isNull)
+
+  /** Run all rules in ONE aggregation pass; returns
+    * (rule, severity, n_violations, n_rows, violation_pct). */
+  def run(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val aggs = rules.map(r =>
+      sum(when(r.violation, 1).otherwise(0)).as(r.name)) :+
+      count(lit(1)).as("__n")
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val long = rules.map { r =>
+      row.select(
+        lit(r.name).as("rule"),
+        lit(r.severity).as("severity"),
+        col(r.name).as("n_violations"),
+        col("__n").as("n_rows"))
+    }.reduce(_ union _)
+    long.withColumn("violation_pct",
+      round(col("n_violations") * 100.0 / col("n_rows"), 6))
+  }
+
+  /** PASS iff no CRITICAL rule has violations (reference exit-code rule). */
+  def passed(issues: DataFrame): Boolean =
+    issues.filter(col("severity") === "CRITICAL" && col("n_violations") > 0)
+      .isEmpty
+}

