@@ -1,0 +1,51 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.DataFrame
+
+/** S13 — sinks with the reference's safety conventions (SURVEY §2.1):
+  * atomic tmp-file writes and a `.prev` backup rename of the previous
+  * output (`src/lib/io_guards.py:69-137`,
+  * `src/etl/stage_csv_aggregation.py:1176-1186`).
+  *
+  * Contract outputs (small daily tables) are written as a SINGLE file to
+  * preserve the reference's file-per-table layout; scale outputs use
+  * [[writePartitioned]] which keeps Spark's parallel writers and
+  * partition pruning.
+  */
+object Sinks {
+
+  /** Atomic single-file CSV with `.prev` backup: write to a temp dir,
+    * back up any existing target, then rename into place. The rename is a
+    * filesystem metadata operation — the visible file is never partial. */
+  def atomicCsv(df: DataFrame, target: String): Unit = {
+    val spark = df.sparkSession
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmpDir = new Path(target + ".__tmp__")
+    df.coalesce(1).write.mode("overwrite")
+      .option("header", "true").csv(tmpDir.toString)
+    val part = fs.globStatus(new Path(tmpDir, "part-*"))(0).getPath
+    val tgt = new Path(target)
+    if (fs.exists(tgt)) {
+      val prev = new Path(target + ".prev")
+      if (fs.exists(prev)) fs.delete(prev, false)
+      fs.rename(tgt, prev)
+    }
+    fs.rename(part, tgt)
+    fs.delete(tmpDir, true)
+  }
+
+  /** Scale-path sink: parquet partitioned by the given columns (snapshot /
+    * participant / date become physical partitions => partition pruning). */
+  def writePartitioned(df: DataFrame, target: String, partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(target)
+
+  /** Write-guard (the reference's data/ai protection): refuse targets
+    * under protected prefixes. */
+  def guardedWrite(df: DataFrame, target: String, protectedPrefixes: Seq[String])
+                  (write: (DataFrame, String) => Unit): Unit = {
+    require(!protectedPrefixes.exists(target.startsWith),
+      s"write to protected path refused: $target")
+    write(df, target)
+  }
+}

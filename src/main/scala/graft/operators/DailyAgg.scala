@@ -173,6 +173,32 @@ object DailyAgg {
       .filter(col("n") >= minCount)
   }
 
+  /** A18 — activity variance / peaks / fragmentation: per day over event
+    * intensities — std, mean, count of events above mean+std ("peaks"),
+    * and the zero/nonzero fragmentation ratio. The peak count needs the
+    * day's own mean/std, so it's a TWO-PHASE aggregation: day stats first,
+    * broadcast-join back, then the conditional count — never a correlated
+    * subquery per row. Reference: `src/biomarkers/activity.py:92-173`. */
+  def activityStats(events: DataFrame, tsCol: String, valueCol: String,
+                    zeroThreshold: Double): DataFrame = {
+    val v = col(valueCol)
+    val day = to_date(col(tsCol)).as("date")
+    val stats = events.groupBy(day)
+      .agg(avg(v).as("__mean"), stddev_samp(v).as("__std"),
+        count(lit(1)).as("n_events"))
+    val joined = events.select(to_date(col(tsCol)).as("date"), v.as("__v"))
+      .join(broadcast(stats), Seq("date"))
+    joined.groupBy("date")
+      .agg(
+        round(first("__mean"), 6).as("v_mean"),
+        round(first("__std"), 6).as("v_std"),
+        first("n_events").as("n_events"),
+        sum(when(col("__v") > col("__mean") + col("__std"), 1).otherwise(0))
+          .as("n_peaks"),
+        round(sum(when(col("__v") <= zeroThreshold, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("sedentary_ratio"))
+  }
+
   /** A22 — overnight day classification: for each day, count signal
     * presence in the overnight window (22:00 previous day → 08:00) for two
     * channels, then classify normal / sleepless / sensor_missing /

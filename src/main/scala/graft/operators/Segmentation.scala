@@ -69,6 +69,39 @@ object Segmentation {
         count(lit(1)).as("cnt"))
       .withColumn("duration_days", datediff(col("date_end"), col("date_start")) + 1)
 
+  /** W9 — multi-rule auto-segmentation: a segment boundary opens when, in
+    * priority order, (1) the day-gap from the previous row exceeds
+    * `gapDays` ("gap-recovery"), or (2) the |Δ| between the current k-row
+    * rolling mean of `signalCol` and the previous row's rolling mean
+    * exceeds `deltaThreshold` AND the window is ≥ `minDensity` dense
+    * (observed/k). One pass of window expressions + a `when` chain —
+    * the reference's sequential rule precedence becomes column logic.
+    * Reference: `src/labels/auto_segment.py:39-305`. */
+  def autoSegment(daily: DataFrame, keyCol: String, dateCol: String,
+                  signalCol: String, k: Int, deltaThreshold: Double,
+                  minDensity: Double, gapDays: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(dateCol))
+    val wRoll = w.rowsBetween(-(k - 1), 0)
+    val prev = lag(col(dateCol), 1).over(w)
+    val rollMean = avg(col(signalCol)).over(wRoll)
+    val density = count(col(signalCol)).over(wRoll).cast("double") / k
+    val withRules = daily
+      .withColumn("__roll", rollMean)
+      .withColumn("__dens", density)
+      .withColumn("seg_reason",
+        when(prev.isNull, "initial")
+          .when(datediff(col(dateCol), prev) > gapDays, "gap_recovery")
+          .when(col("__dens") >= minDensity &&
+            abs(col("__roll") - lag(col("__roll"), 1).over(w)) > deltaThreshold,
+            "delta_shift")
+          .otherwise(null))
+    withRules
+      .withColumn("segment_id",
+        sum(when(col("seg_reason").isNotNull, 1).otherwise(0))
+          .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__roll", "__dens")
+  }
+
   /** A15 — temporal instability score: per feature, the variance ACROSS
     * per-segment means, normalized by the max across features (driver-side
     * normalize of a #features-sized vector, mirroring the reference's

@@ -100,6 +100,21 @@ object MlQueries {
           col("date") < lit("2024-01-20").cast("date"), Seq("f_mean", "f_n"))
         .select("user_id", "date", "f_mean_scaled", "f_n_scaled")),
 
+    // A18: two-phase activity stats (peaks need the day's own mean/std).
+    "a18_activity" -> ((s, dir) =>
+      DailyAgg.activityStats(Tables.events(s, dir), "ts", "value", 10.0)),
+
+    // W9: multi-rule auto-segmentation (gap-recovery + delta-shift with
+    // density guard), summarized per segment.
+    "w9_autoseg" -> ((s, dir) => {
+      val seg = Segmentation.autoSegment(dailyUser(s, dir), "user_id", "date",
+        "f_mean", k = 5, deltaThreshold = 3.0, minDensity = 0.8, gapDays = 1)
+      seg.groupBy("user_id", "segment_id")
+        .agg(min("date").as("seg_start"), max("date").as("seg_end"),
+          count(lit(1)).as("n_days"),
+          min_by(col("seg_reason"), col("date")).as("reason"))
+    }),
+
     // Q1: single-pass audit rules over the events table.
     "q1_audit" -> ((s, dir) =>
       graft.qc.Audit.run(Tables.events(s, dir), Seq(
@@ -253,6 +268,49 @@ object MlQueries {
         |SELECT g.user_id, g.date,
         |  round(coalesce(g.pv, gm.med, am.gmed, 0.0), 6) AS pv
         |FROM grid g LEFT JOIN gm ON g.user_id = gm.user_id CROSS JOIN am""".stripMargin,
+
+    "a18_activity" ->
+      """WITH stats AS (
+        |  SELECT CAST(ts AS DATE) AS date, avg(value) AS m, stddev_samp(value) AS s,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT e.date, round(any_value(st.m), 6) AS v_mean,
+        |  round(any_value(st.s), 6) AS v_std,
+        |  any_value(st.n_events) AS n_events,
+        |  sum(CASE WHEN e.v > st.m + st.s THEN 1 ELSE 0 END) AS n_peaks,
+        |  round(sum(CASE WHEN e.v <= 10.0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |    AS sedentary_ratio
+        |FROM (SELECT CAST(ts AS DATE) AS date, value AS v FROM events) e
+        |JOIN stats st ON e.date = st.date
+        |GROUP BY e.date""".stripMargin,
+
+    "w9_autoseg" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |r AS (
+        |  SELECT user_id, date, f_mean,
+        |    avg(f_mean) OVER (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS roll,
+        |    count(f_mean) OVER (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) / 5.0 AS dens,
+        |    lag(date) OVER (PARTITION BY user_id ORDER BY date) AS prev_d
+        |  FROM daily),
+        |f AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN prev_d IS NULL THEN 'initial'
+        |         WHEN date_diff('day', prev_d, date) > 1 THEN 'gap_recovery'
+        |         WHEN dens >= 0.8 AND abs(roll - lag(roll) OVER
+        |           (PARTITION BY user_id ORDER BY date)) > 3.0 THEN 'delta_shift'
+        |    END AS seg_reason
+        |  FROM r),
+        |seg AS (
+        |  SELECT user_id, date, seg_reason,
+        |    sum(CASE WHEN seg_reason IS NOT NULL THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY date
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
+        |  FROM f)
+        |SELECT user_id, segment_id, min(date) AS seg_start, max(date) AS seg_end,
+        |  count(*) AS n_days, arg_min(seg_reason, date) AS reason
+        |FROM seg GROUP BY user_id, segment_id""".stripMargin,
 
     "q1_audit" ->
       """WITH agg AS (
