@@ -52,4 +52,18 @@ object Audit {
   def passed(issues: DataFrame): Boolean =
     issues.filter(col("severity") === "CRITICAL" && col("n_violations") > 0)
       .isEmpty
+
+  /** Q3 — degenerate-label assertion: a label column must carry more than
+    * one distinct value (`src/labels/build_pbsi.py:276-277`). */
+  def assertNonDegenerate(df: DataFrame, labelCol: String): Unit = {
+    val n = df.select(countDistinct(col(labelCol))).head().getLong(0)
+    require(n > 1, s"degenerate labels: $labelCol has $n distinct value(s)")
+  }
+
+  /** Q3 — duplicate-key assertion (`src/features/unify_daily.py:332`). */
+  def assertUniqueKey(df: DataFrame, keyCols: Seq[String]): Unit = {
+    val dups = df.groupBy(keyCols.map(col): _*).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dups == 0, s"duplicate keys on (${keyCols.mkString(", ")})")
+  }
 }

@@ -148,6 +148,12 @@ object RelationalQueries {
         .withColumn("only_in", lit("click"))
     }),
 
+    // A23: rollup subtotals (absent in the reference; free in Spark).
+    "a23_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))),
+
     // Scan + selective filter + projection: predicate/projection pushdown
     // showcase (F1/F10).
     "f10_pushdown_scan" -> ((s, dir) =>
@@ -258,6 +264,11 @@ object RelationalQueries {
         |SELECT c.user_id, c.date, 'click' AS only_in
         |FROM c LEFT JOIN p ON c.user_id = p.user_id AND c.date = p.date
         |WHERE p.user_id IS NULL""".stripMargin,
+
+    "a23_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "f10_pushdown_scan" ->
       """SELECT l_returnflag,

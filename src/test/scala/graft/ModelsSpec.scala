@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Discovery
+import graft.ml.Models
+import graft.qc.Audit
+
+/** M5 model training end-to-end on engine-prepped matrices; S1/S2/S10
+  * deterministic discovery; Q3 assertions. */
+class ModelsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("M5: logistic regression beats majority baseline on separable data") {
+    val rnd = new scala.util.Random(42)
+    val rows = (0 until 300).map { i =>
+      val label = i % 3
+      val f1 = label * 2.0 + rnd.nextGaussian() * 0.3
+      val f2 = -label * 1.5 + rnd.nextGaussian() * 0.3
+      (i, label.toDouble, f1, f2)
+    }
+    val df = rows.toDF("id", "label", "f1", "f2")
+    val train = df.filter(col("id") % 5 =!= 0)
+    val test = df.filter(col("id") % 5 === 0)
+    val pred = Models.logisticRegression(train, test, Seq("f1", "f2"), "label")
+    val f1 = Models.macroF1(pred, "label")
+    assert(f1 > 0.9, s"macro-F1 $f1")
+    // majority baseline on 3 balanced classes ~ 0.17 macro-F1
+    val rf = Models.randomForest(train, test, Seq("f1", "f2"), "label",
+      numTrees = 20, maxDepth = 5)
+    assert(Models.macroF1(rf, "label") > 0.9)
+  }
+
+  test("S1/O3: deterministic ZIP selection by filename date <= snapshot") {
+    val names = Seq(
+      "HealthAutoExport-2025-10-01.zip",
+      "HealthAutoExport-2025-11-05.zip",
+      "HealthAutoExport-2025-11-07.zip",
+      "HealthAutoExport-2025-12-01.zip",
+      "no-date-here.zip")
+    val snap = java.time.LocalDate.parse("2025-11-07")
+    assert(Discovery.selectByFilenameDate(names, snap)
+      === Some("HealthAutoExport-2025-11-07.zip"))
+    assert(Discovery.selectByFilenameDate(Seq("only-2026-01-01.zip"), snap) === None)
+  }
+
+  test("S2: mtime selection; S10 range filter; S9 globs") {
+    assert(Discovery.selectByMtime(
+      Seq(("a.zip", 100L), ("b.zip", 200L), ("c.zip", 300L)), 250L) === Some("b.zip"))
+    val inRange = Discovery.autoExportInRange(
+      Seq("x-2021-05-01.csv", "x-2021-07-31.csv", "x-2021-08-01.csv"),
+      java.time.LocalDate.parse("2021-05-01"), java.time.LocalDate.parse("2021-07-31"))
+    assert(inRange === Seq("x-2021-05-01.csv", "x-2021-07-31.csv"))
+    val globs = Discovery.zeppGlobs("/data/extracted")
+    assert(globs("SLEEP") === "/data/extracted/zepp/cloud/SLEEP/*.csv")
+    assert(globs.size === 10)
+  }
+
+  test("Q3: degenerate-label and duplicate-key assertions") {
+    val ok = Seq((1, 0), (2, 1)).toDF("k", "label")
+    Audit.assertNonDegenerate(ok, "label")
+    Audit.assertUniqueKey(ok, Seq("k"))
+    intercept[IllegalArgumentException] {
+      Audit.assertNonDegenerate(Seq((1, 0), (2, 0)).toDF("k", "label"), "label")
+    }
+    intercept[IllegalArgumentException] {
+      Audit.assertUniqueKey(Seq((1, 0), (1, 1)).toDF("k", "label"), Seq("k"))
+    }
+  }
+}
