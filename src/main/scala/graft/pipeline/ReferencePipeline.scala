@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Canon.round
+import graft.functions.TimeParse
+import graft.ingest.XmlRecordScan
+import graft.operators._
+
+/** The reference's stage 1→4 dataflow composed from the engine's
+  * operators, producing the reference's OUTPUT CONTRACTS
+  * (FIXTURES.md F4): `daily_cardio`, `daily_sleep`, `daily_activity`,
+  * `features_daily_unified`, `features_daily_labeled`, `segment_autolog`.
+  *
+  * A user of the reference points this at the same extracted inputs
+  * (Apple export.xml + Zepp cloud CSVs) and gets the same daily tables —
+  * computed as distributed DataFrame transformations instead of
+  * single-process pandas. Stage boundaries the reference materializes
+  * stay materializable (every method returns the contract DataFrame).
+  *
+  * Reference trace: SURVEY §3.1 (`scripts/run_full_pipeline.py` stages
+  * 1-4); per-operator citations in the called modules.
+  */
+object ReferencePipeline {
+
+  val HrType = "HKQuantityTypeIdentifierHeartRate"
+  val HrvType = "HKQuantityTypeIdentifierHeartRateVariabilitySDNN"
+  val SleepType = "HKCategoryTypeIdentifierSleepAnalysis"
+  val StepsType = "HKQuantityTypeIdentifierStepCount"
+  val DistanceType = "HKQuantityTypeIdentifierDistanceWalkingRunning"
+  val EnergyType = "HKQuantityTypeIdentifierActiveEnergyBurned"
+
+  /** Stage 1a — Apple `daily_cardio`: HR (pop-std, F2 outliers 30-220) ⟗
+    * HRV (exact median, F3 outliers 5-300) on date.
+    * Contract: date, hr_mean, hr_min, hr_max, hr_std, hr_samples,
+    * hrv_sdnn_mean, hrv_sdnn_median, hrv_sdnn_min, hrv_sdnn_max,
+    * n_hrv_sdnn (`src/etl/stage_csv_aggregation.py:254-260,784-789`). */
+  def appleDailyCardio(spark: SparkSession, xmlPath: String): DataFrame = {
+    val records = XmlRecordScan.records(spark, xmlPath, Seq(HrType, HrvType))
+      .withColumn("v", col("value").try_cast("double"))
+      .filter(col("v").isNotNull)
+    val hr = DailyAgg.dailyStats(
+      DailyAgg.outlierFilter(records.filter(col("record_type") === HrType), "v", 30, 220),
+      "start_ts", "v")
+      .select(col("date"),
+        round(col("v_mean"), 6).as("hr_mean"), col("v_min").as("hr_min"),
+        col("v_max").as("hr_max"), round(col("v_std"), 6).as("hr_std"),
+        col("n_samples").as("hr_samples"))
+    val hrv = DailyAgg.dailyPercentiles(
+      DailyAgg.outlierFilter(records.filter(col("record_type") === HrvType), "v", 5, 300),
+      "start_ts", "v")
+      .select(col("date"),
+        round(col("v_mean"), 6).as("hrv_sdnn_mean"),
+        round(col("v_median"), 6).as("hrv_sdnn_median"),
+        col("v_min").as("hrv_sdnn_min"), col("v_max").as("hrv_sdnn_max"),
+        col("n").as("n_hrv_sdnn"))
+    hr.join(hrv, Seq("date"), "full_outer")
+  }
+
+  /** Stage 1b — Apple `daily_sleep` from sleep-analysis intervals:
+    * asleep-vs-inbed split sums, quality = asleep/inbed clipped 0-100.
+    * Contract: date, sleep_hours, sleep_quality_score,
+    * total_sleep_minutes (`src/etl/stage_csv_aggregation.py:162-215`). */
+  def appleDailySleep(spark: SparkSession, xmlPath: String): DataFrame = {
+    val iv = XmlRecordScan.records(spark, xmlPath, Seq(SleepType))
+      .withColumn("mins",
+        (unix_timestamp(col("end_ts")) - unix_timestamp(col("start_ts"))) / 60.0)
+      .filter(col("mins") > 0)
+    iv.groupBy(to_date(col("start_ts")).as("date"))
+      .agg(
+        round(sum(when(col("value").contains("Asleep"), col("mins")).otherwise(0.0)), 6)
+          .as("asleep_min"),
+        round(sum(when(col("value").contains("InBed"), col("mins")).otherwise(0.0)), 6)
+          .as("inbed_min"))
+      .select(
+        col("date"),
+        round(col("asleep_min") / 60.0, 6).as("sleep_hours"),
+        round(when(col("inbed_min") > 0,
+          least(greatest(col("asleep_min") / col("inbed_min") * 100.0, lit(0.0)),
+            lit(100.0))), 6).as("sleep_quality_score"),
+        col("asleep_min").as("total_sleep_minutes"))
+  }
+
+  /** Stage 1c — Apple `daily_activity`: sums of steps/distance/energy.
+    * Contract: date, total_steps, total_distance, total_active_energy. */
+  def appleDailyActivity(spark: SparkSession, xmlPath: String): DataFrame =
+    XmlRecordScan.records(spark, xmlPath, Seq(StepsType, DistanceType, EnergyType))
+      .withColumn("v", col("value").try_cast("double"))
+      .filter(col("v").isNotNull)
+      .groupBy(to_date(col("start_ts")).as("date"))
+      .agg(
+        round(sum(when(col("record_type") === StepsType, col("v")).otherwise(0.0)), 6)
+          .as("total_steps"),
+        round(sum(when(col("record_type") === DistanceType, col("v")).otherwise(0.0)), 6)
+          .as("total_distance"),
+        round(sum(when(col("record_type") === EnergyType, col("v")).otherwise(0.0)), 6)
+          .as("total_active_energy"))
+
+  /** Stage 1d — Zepp daily cardio from HEARTRATE CSVs (sample std —
+    * the reference's pandas default at this call site, SURVEY A2 note). */
+  def zeppDailyCardio(csv: DataFrame): DataFrame = {
+    val parsed = csv
+      .withColumn("ts", TimeParse.parseTimestamp(col("time")))
+      .withColumn("v", col("heartRate").try_cast("double"))
+      .filter(col("ts").isNotNull && col("v").isNotNull)
+    DailyAgg.outlierFilter(parsed, "v", 30, 220)
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(
+        round(avg("v"), 6).as("hr_mean"), min("v").as("hr_min"),
+        max("v").as("hr_max"), round(stddev_samp("v"), 6).as("hr_std"),
+        count(lit(1)).as("hr_samples"))
+  }
+
+  /** Stage 2 — unify: date spine over domains, left joins, Apple>Zepp
+    * cardio coalesce-merge with provenance, missing flags.
+    * Contract shape: `features_daily_unified`
+    * (`src/etl/stage_unify_daily.py:418-490`). */
+  def unifyDaily(appleCardio: DataFrame, zeppCardio: DataFrame, sleep: DataFrame,
+                 activity: DataFrame): DataFrame = {
+    val cardio = Unify.coalesceMerge(
+      appleCardio.select("date", "hr_mean", "hr_std", "hr_samples"),
+      zeppCardio.select("date", "hr_mean", "hr_std", "hr_samples"),
+      Seq("hr_mean", "hr_std", "hr_samples"), "cardio")
+    val unified = Unify.unifyAll(Seq(
+      cardio, sleep.select("date", "sleep_hours", "sleep_quality_score"),
+      activity.select("date", "total_steps", "total_active_energy")))
+    unified
+      .withColumn("missing_sleep", when(col("sleep_hours").isNull, 1).otherwise(0))
+      .withColumn("missing_activity", when(col("total_steps").isNull, 1).otherwise(0))
+  }
+
+  /** Stage 3+4 — segment + PBSI label. Proxies mirror the reference's
+    * `_normalize_column_names_for_pbsi` (hrv ≈ 2*hr_std, exercise ≈
+    * kcal/5, `src/etl/stage_apply_labels.py:84-165`). Output adds
+    * segment_id, z_*, subscores, pbsi_score, label_3cls/2cls,
+    * pbsi_quality. */
+  def labelDaily(unified: DataFrame): DataFrame = {
+    val participant = lit("P000001")
+    val withProxies = unified
+      .withColumn("pid", participant)
+      .withColumn("hrv_proxy", col("hr_std") * 2.0)
+      .withColumn("exercise_proxy", col("total_active_energy") / 5.0)
+    val segmented = Segmentation.segmentDays(withProxies, "pid", "date")
+    val z = Labels.groupZScores(segmented, Seq("pid", "segment_id"),
+      Seq("sleep_hours", "sleep_quality_score", "hr_mean", "hrv_proxy",
+        "total_steps", "exercise_proxy"))
+    val composite = Labels.weightedComposite(z,
+      Map(
+        "sleep_sub" -> Seq("z_sleep_hours" -> 0.6, "z_sleep_quality_score" -> 0.4),
+        "cardio_sub" -> Seq("z_hr_mean" -> -0.5, "z_hrv_proxy" -> 0.6),
+        "activity_sub" -> Seq("z_total_steps" -> 0.7, "z_exercise_proxy" -> 0.3)),
+      Seq("sleep_sub" -> 0.40, "cardio_sub" -> 0.35, "activity_sub" -> 0.25),
+      "pbsi_score")
+    val labeled = Labels.twoPassPercentileLabel(composite, "pbsi_score", 0.25, 0.75)
+    labeled.withColumn("pbsi_quality",
+      round(Labels.qualityFactor(Seq(
+        col("missing_sleep") === 1,
+        col("source_cardio") === "none",
+        col("missing_activity") === 1)), 6))
+  }
+
+  /** Stage 4 — `segment_autolog` contract: date_start, date_end, reason,
+    * count, duration_days (`scripts/run_full_pipeline.py:704-708`). */
+  def segmentAutolog(labeled: DataFrame): DataFrame =
+    Segmentation.segmentTable(labeled, "pid", "date")
+      .select(col("segment_id"), col("date_start"), col("date_end"),
+        col("reason"), col("cnt").as("count"), col("duration_days"))
+}
