@@ -22,19 +22,24 @@ object Labels {
 
   /** A12 — per-group z-score of each feature column, null/zero-std guarded
     * to 0.0 exactly like `_get_z_safe` (`src/labels/build_pbsi.py:84-117`).
-    * Sample std (pandas ddof=1). Adds `z_<col>` per feature. */
+    * Sample std (pandas ddof=1). Adds `z_<col>` per feature.
+    *
+    * Formulated as whole-partition window aggregates over the group key:
+    * ONE shuffle and one pass over the input. (The alternative — aggregate
+    * stats + join back — recomputes the entire upstream a second time
+    * inside a single query plan, doubling the heaviest scan at scale.)
+    * Windows here partition by the segment key, so they distribute; a
+    * segment's rows are bounded (daily grain). */
   def groupZScores(df: DataFrame, groupCols: Seq[String], features: Seq[String]): DataFrame = {
-    val aggs = features.flatMap(f => Seq(
-      avg(col(f)).as(s"__mean_$f"),
-      stddev_samp(col(f)).as(s"__std_$f")))
-    val stats = df.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
-    val joined = df.join(broadcast(stats), groupCols, "left")
-    val withZ = features.foldLeft(joined)((d, f) =>
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(groupCols.map(col): _*)
+    features.foldLeft(df) { (d, f) =>
+      val m = avg(col(f)).over(w)
+      val s = stddev_samp(col(f)).over(w)
       d.withColumn(s"z_$f",
-        when(col(s"__std_$f").isNotNull && col(s"__std_$f") > 0 && col(f).isNotNull,
-          (col(f) - col(s"__mean_$f")) / col(s"__std_$f"))
-          .otherwise(lit(0.0))))
-    withZ.drop(features.flatMap(f => Seq(s"__mean_$f", s"__std_$f")): _*)
+        when(s.isNotNull && !isnan(s) && s > 0 && col(f).isNotNull,
+          (col(f) - m) / s)
+          .otherwise(lit(0.0)))
+    }
   }
 
   /** Clip a column to [lo, hi] (F9). Reference: `build_pbsi.py:143-162`. */
