@@ -121,6 +121,24 @@ object Enrich {
       .filter(col("seq_n") === k)
   }
 
+  /** W7 (full) — materialized k-row sliding sequences for sequence models:
+    * per complete window, the ordered feature array (+ label of the last
+    * element), the LSTM input contract. Arrays are k doubles — bounded
+    * per row — and the window partitions by key, so this scales like any
+    * other window op. Reference: `src/etl/ml7_analysis.py:475-493`. */
+  def sequenceArrays(daily: DataFrame, keyCol: String, orderCol: String,
+                     features: Seq[String], labelCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(k - 1), 0)
+    val withSeqs = features.foldLeft(daily)((d, f) =>
+      d.withColumn(s"seq_$f", collect_list(col(f)).over(w)))
+    withSeqs
+      .withColumn("seq_len", size(col(s"seq_${features.head}")))
+      .filter(col("seq_len") === k)
+      .select((Seq(col(keyCol), col(orderCol).as("seq_end"), col(labelCol).as("y")) ++
+        features.map(f => col(s"seq_$f"))): _*)
+  }
+
   /** W8 — persistence baseline: previous row's label per key. */
   def persistenceBaseline(daily: DataFrame, keyCol: String, orderCol: String,
                           labelCol: String): DataFrame =

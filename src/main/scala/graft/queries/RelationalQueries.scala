@@ -148,6 +148,14 @@ object RelationalQueries {
         .withColumn("only_in", lit("click"))
     }),
 
+    // U4: set intersection on a composite key (absent in the reference;
+    // free in Spark).
+    "u4_intersect" -> ((s, dir) => {
+      def ud(t: String) = Tables.events(s, dir).filter(col("event_type") === t)
+        .select(col("user_id"), to_date(col("ts")).as("date"))
+      ud("click").intersect(ud("purchase"))
+    }),
+
     // A23: rollup subtotals (absent in the reference; free in Spark).
     "a23_rollup" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -264,6 +272,11 @@ object RelationalQueries {
         |SELECT c.user_id, c.date, 'click' AS only_in
         |FROM c LEFT JOIN p ON c.user_id = p.user_id AND c.date = p.date
         |WHERE p.user_id IS NULL""".stripMargin,
+
+    "u4_intersect" ->
+      """SELECT user_id, CAST(ts AS DATE) AS date FROM events WHERE event_type = 'click'
+        |INTERSECT
+        |SELECT user_id, CAST(ts AS DATE) AS date FROM events WHERE event_type = 'purchase'""".stripMargin,
 
     "a23_rollup" ->
       """SELECT l_returnflag, l_linestatus,

@@ -131,6 +131,15 @@ class DomainSpec extends SparkTestBase {
     assert(unchanged.toSeq === Seq(7.5, 8.0))
   }
 
+  test("W7: sequence arrays are ordered, complete-window-only, labeled") {
+    val daily = (1 to 10).map(i => ("u", i, i * 1.0, i % 2)).toDF("k", "o", "x", "lab")
+    val seqs = Enrich.sequenceArrays(daily, "k", "o", Seq("x"), "lab", k = 4)
+    assert(seqs.count() === 7) // rows 4..10 have complete windows
+    val first = seqs.orderBy("seq_end").head()
+    assert(first.getAs[scala.collection.Seq[Double]]("seq_x") === Seq(1.0, 2.0, 3.0, 4.0))
+    assert(first.getAs[Int]("y") === 0) // label of last element (o=4)
+  }
+
   test("A8: last-by-timestamp wins; deterministic on ties via value") {
     val df = Seq(
       (1L, "2021-05-01 08:00:00", 0.1),
