@@ -18,6 +18,10 @@ object Bench {
         else graft.core.Tables.load(spark, sfDir, t).count()
       } catch { case _: Throwable => () }
     }
+    // materialize the XML ingest fixture so s5_xml_scan times the SCAN,
+    // not the one-time fixture generation.
+    try graft.queries.IngestQueries.xmlFixture(spark, sfDir)
+    catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -43,7 +43,13 @@ object Perf {
       graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh")).as("i"))
     time("inter.agg")(withInter.agg(sum("i")).collect())
     withInter.agg(sum("i")).explain("simple")
-    time("dd5 full")(graft.queries.TextQueries.queries("dd5_ngram_jaccard")(spark, dir).count())
+    val dd5 = graft.queries.TextQueries.queries("dd5_ngram_jaccard")(spark, dir)
+    time("dd5 full")(dd5.count())
+    println("[perf] dd5 FINAL plan:")
+    println(dd5.queryExecution.executedPlan.toString.split("\n")
+      .filter(l => l.contains("WholeStageCodegen") || l.contains("Join") ||
+        l.contains("Exchange") || l.contains("Project") || l.contains("Scan") ||
+        l.contains("Filter")).mkString("\n"))
     time("dd3 full")(graft.queries.TextQueries.queries("dd3_lsh_candidates")(spark, dir).count())
     spark.stop()
   }
