@@ -80,6 +80,43 @@ class DomainSpec extends SparkTestBase {
     assert(out.toSeq === Seq(10.0, 10.0, 20.0, 30.0, 40.0, 40.0))
   }
 
+  test("W6 property: interpolation matches the pandas model on random gap patterns") {
+    // in-memory model of pandas interpolate(method=linear, limit_direction=both)
+    def model(vs: Seq[Option[Double]]): Seq[Double] = {
+      val n = vs.length
+      val idx = vs.zipWithIndex.collect { case (Some(v), i) => (i, v) }
+      vs.indices.map { i =>
+        vs(i).getOrElse {
+          val prev = idx.filter(_._1 < i).lastOption
+          val next = idx.find(_._1 > i)
+          (prev, next) match {
+            case (Some((pi, pv)), Some((ni, nv))) => pv + (nv - pv) * (i - pi).toDouble / (ni - pi)
+            case (Some((_, pv)), None) => pv
+            case (None, Some((_, nv))) => nv
+            case _ => Double.NaN
+          }
+        }
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { trial =>
+      val n = 3 + rnd.nextInt(12)
+      val vs = Seq.fill(n)(
+        if (rnd.nextBoolean()) Some(math.rint(rnd.nextDouble() * 1000) / 10) else None)
+      if (vs.exists(_.isDefined)) {
+        val df = vs.zipWithIndex
+          .map { case (v, i) => ("k", i, v.map(java.lang.Double.valueOf).orNull) }
+          .toDF("k", "o", "v")
+        val got = Enrich.interpolateLinear(df, "k", "o", "v")
+          .orderBy("o").select("v_interp").collect().map(_.getDouble(0))
+        val want = model(vs)
+        got.zip(want).zipWithIndex.foreach { case ((g, w), i) =>
+          assert(math.abs(g - w) < 1e-6, s"trial $trial idx $i: got $g want $w from $vs")
+        }
+      }
+    }
+  }
+
   test("A11: naps JSON aggregation sums positive durations") {
     val df = Seq(
       ("2022-01-08",
