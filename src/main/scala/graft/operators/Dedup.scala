@@ -144,13 +144,23 @@ object Dedup {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism).as("l")
     val r = withSets.as("r")
     // |A∪B| = |A| + |B| - |A∩B|: sizes only, no union array materialized.
+    // The intersect count is projected BELOW a (no-op) aggregation on the
+    // pair key: without that boundary Catalyst pushes the jaccard filter
+    // into the join condition and re-evaluates the intersect expression
+    // several times per pair (condition + projection, no cross-operator
+    // CSE). With it, the merge walk runs exactly once per pair and only
+    // (id, id, 3 ints) rows cross the exchange.
     val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
-    val union = size(col("l.sh")) + size(col("r.sh")) - inter
     l.join(broadcast(r), col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        round(inter.cast("double") / union, 6).as("jaccard"))
+        inter.as("i"), size(col("l.sh")).as("na"), size(col("r.sh")).as("nb"))
+      .groupBy("id_a", "id_b")
+      .agg(first("i").as("i"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+          .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
   }
 }

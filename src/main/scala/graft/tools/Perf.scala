@@ -50,6 +50,10 @@ object Perf {
       .filter(l => l.contains("WholeStageCodegen") || l.contains("Join") ||
         l.contains("Exchange") || l.contains("Project") || l.contains("Scan") ||
         l.contains("Filter")).mkString("\n"))
+    println("[perf] dd5 codegen: " + dd5.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("*(")) + " codegen'd nodes")
+    val cg = spark.sessionState.conf.getConfString("spark.sql.codegen.wholeStage")
+    println(s"[perf] wholeStage codegen conf: $cg")
     time("dd3 full")(graft.queries.TextQueries.queries("dd3_lsh_candidates")(spark, dir).count())
     spark.stop()
   }
