@@ -167,8 +167,10 @@ object DailyAgg {
         count(col(valueCol)).as("n"),
         round(stddev_samp(col(valueCol)), 6).as("sdnn"),
         round(sqrt(avg(col("d") * col("d"))), 6).as("rmssd"),
-        round(avg(when(abs(col("d")) > diffThreshold, 1.0).otherwise(0.0)) * 100.0, 6)
-          .as(s"pnn"),
+        // pNN denominator = number of DIFFS (n-1), not rows: the first
+        // row's null diff must stay null so avg excludes it.
+        round(avg(when(abs(col("d")) > diffThreshold, 1.0)
+          .when(col("d").isNotNull, 0.0)) * 100.0, 6).as("pnn"),
         round(stddev_samp(col(valueCol)) / avg(col(valueCol)) * 100.0, 6).as("cv"))
       .filter(col("n") >= minCount)
   }

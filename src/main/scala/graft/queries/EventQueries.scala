@@ -321,7 +321,8 @@ object EventQueries {
         |SELECT date, count(value) AS n,
         |  round(stddev_samp(value), 6) AS sdnn,
         |  round(sqrt(avg(d * d)), 6) AS rmssd,
-        |  round(avg(CASE WHEN abs(d) > 20 THEN 1.0 ELSE 0.0 END) * 100.0, 6) AS pnn,
+        |  round(avg(CASE WHEN d IS NULL THEN NULL
+        |            WHEN abs(d) > 20 THEN 1.0 ELSE 0.0 END) * 100.0, 6) AS pnn,
         |  round(stddev_samp(value) / avg(value) * 100.0, 6) AS cv
         |FROM o GROUP BY date HAVING count(value) >= 10""".stripMargin,
 
