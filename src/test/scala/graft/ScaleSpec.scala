@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core.{Sinks, Tables}
+import graft.operators.Skew
+
+/** Scale-mechanics evidence: partition pruning on partitioned sinks,
+  * salted joins/aggs matching their plain equivalents, bucketed joins
+  * eliminating the shuffle. */
+class ScaleSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("partitioned sink + partition pruning in the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val daily = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(to_date(col("ts")).as("date"), col("user_id"))
+      .agg(avg("value").as("v"))
+      .withColumn("date_str", date_format(col("date"), "yyyy-MM-dd"))
+    Sinks.writePartitioned(daily.drop("date"), s"$dir/daily", Seq("date_str"))
+    val read = spark.read.parquet(s"$dir/daily")
+      .filter(col("date_str") === "2024-01-05")
+    val plan = read.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("date_str"), s"no partition filter:\n${plan.take(500)}")
+    assert(read.count() > 0)
+    // pruning actually limits files read: only one partition dir touched
+    val scanned = read.select(input_file_name()).distinct().collect()
+      .map(_.getString(0))
+    assert(scanned.forall(_.contains("date_str=2024-01-05")))
+  }
+
+  test("salted join equals plain join under a hot key") {
+    val big = ((1 to 5000).map(i => ("hot", i)) ++ (1 to 100).map(i => ("cold", i)))
+      .toDF("k", "v")
+    val small = Seq(("hot", 10), ("cold", 20)).toDF("k", "m")
+    val plain = big.join(small, Seq("k"))
+      .agg(sum(col("v") * col("m"))).head().getLong(0)
+    val salted = Skew.saltedJoin(big, small, "k", saltFactor = 8)
+      .agg(sum(col("v") * col("m"))).head().getLong(0)
+    assert(salted === plain)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = ((1 to 3000).map(i => ("hot", i.toDouble)) ++
+      (1 to 50).map(i => ("cold", i.toDouble))).toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val salted = Skew.saltedAgg(df, "k", 8,
+        partials = Seq(sum("v").as("ps"), count(lit(1)).as("pn")),
+        finals = Seq(sum("ps").as("s"), sum("pn").as("n")))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === plain)
+  }
+
+  test("bucketed tables join without an exchange on the bucketed key") {
+    val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
+    val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
+    a.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("graft_bkt_a")
+    b.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
+      .saveAsTable("graft_bkt_b")
+    val joined = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "id")
+    val plan = joined.queryExecution.executedPlan.toString
+    // co-bucketed scan-to-scan join: no shuffle exchange on either side
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n${plan.take(800)}")
+    assert(joined.count() === 1000)
+  }
+}
