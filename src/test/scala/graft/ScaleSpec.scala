@@ -55,6 +55,19 @@ class ScaleSpec extends SparkTestBase {
   test("bucketed tables join without an exchange on the bucketed key") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
+    // a fresh in-memory catalog doesn't know tables left in the warehouse
+    // dir by a previous JVM — clear both catalog entries and locations.
+    Seq("graft_bkt_a", "graft_bkt_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles.foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     a.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
       .saveAsTable("graft_bkt_a")
     b.write.mode("overwrite").bucketBy(8, "id").sortBy("id")
