@@ -96,6 +96,58 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** IVF-style ANN: a k-means coarse quantizer (MLlib, seeded) assigns
+    * every corpus vector to a cell; each query probes its `nProbe`
+    * nearest centroids and ranks only those cells' vectors. Candidate
+    * generation is an equi-join on cell id — the classic inverted-file
+    * layout, where `lists` becomes the shuffle key at scale.
+    * Recall/cost is tuned by (numCells, nProbe). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, numCells: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import org.apache.spark.ml.linalg.Vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("cv"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val km = new KMeans().setK(numCells).setSeed(42).setMaxIter(20)
+      .fit(corpusVec)
+    val centers = km.clusterCenters
+    val assigned = km.transform(corpusVec)
+      .select(col("neighbor_id"), col("cv"), col("prediction").as("cell"),
+        sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    // per-query nProbe nearest cells, computed from the (numCells x dim)
+    // centroid table broadcast as a literal — O(numCells) per query row.
+    val centersArr = centers.map(_.toArray)
+    val probeUdfFree = {
+      // distance to each centroid via expressions over a literal 2-D array
+      val centLit = typedLit(centersArr.map(_.toSeq).toSeq)
+      (q: org.apache.spark.sql.Column) =>
+        sort_array(
+          transform(centLit, (c, i) =>
+            struct(
+              aggregate(zip_with(q, c, (x, y) => (x.cast("double") - y) *
+                (x.cast("double") - y)), lit(0.0), (a, v) => a + v).as("d"),
+              i.as("cell"))),
+          asc = true)
+    }
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+      transform(slice(probeUdfFree(col(vecCol)), 1, nProbe),
+        s => s.getField("cell")).as("cells"))
+      .withColumn("cell", explode(col("cells")))
+    val scored = q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
   /** Near-duplicate pairs by embedding cosine within a blocking key. */
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, minSim: Double): DataFrame = {

@@ -67,6 +67,14 @@ object TextQueries {
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
+    // IVF ANN: kmeans coarse quantizer + multi-probe (engine-only).
+    "sim3_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", 5, numCells = 16, nProbe = 4)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    }),
+
     // Language-ID heuristic.
     "t1_langid" -> ((s, dir) =>
       Tables.documents(s, dir)

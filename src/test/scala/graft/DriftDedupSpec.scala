@@ -113,6 +113,21 @@ class DriftDedupSpec extends SparkTestBase {
     }
   }
 
+  test("ANN IVF recall: kmeans-cell probing finds most true neighbors") {
+    val vecs = (0 until 200).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))
+      (i.toLong, base.map(x => (x + 0.01 * math.cos(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 5,
+      numCells = 8, nProbe = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall")
+  }
+
   test("ANN LSH recall: bucketed top-k finds most true neighbors") {
     val vecs = (0 until 200).map { i =>
       val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))
