@@ -35,6 +35,12 @@ object XmlRecordScan {
     val typePred = types.map(t => col("value").contains(s"""type="$t"""")).reduce(_ || _)
     lines
       .filter(col("value").contains("<Record ") && typePred)
+      // tolerate multiple <Record/> elements on one physical line (SURVEY
+      // §7.5.7 risk): lookahead-split the line, one row per element. For
+      // the canonical one-record-per-line layout this is a single-element
+      // array — no row-count change, negligible cost.
+      .select(explode(split(col("value"), "(?=<Record )")).as("value"))
+      .filter(col("value").contains("<Record ") && typePred)
       .select(
         attr(col("value"), "type").as("record_type"),
         attr(col("value"), "value").as("value"),
