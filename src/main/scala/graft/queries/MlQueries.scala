@@ -148,6 +148,32 @@ object MlQueries {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }),
 
+    // M6: AUROC one-vs-rest per class via tie-safe average ranks
+    // (rank-sum / Mann-Whitney formulation — pure relational math).
+    "m6_auc" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val withClass = Tables.events(s, dir)
+        .select(explode(typedLit(types)).as("cls"), col("event_type").as("y_true"),
+          col("value"))
+        .withColumn("score", col("value") / 200.0 +
+          when(col("y_true") === col("cls"), 0.2).otherwise(0.0))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cls").orderBy("score")
+      val wTies = org.apache.spark.sql.expressions.Window.partitionBy("cls", "score")
+      withClass
+        .withColumn("rmin", rank().over(w))
+        .withColumn("cnt", count(lit(1)).over(wTies))
+        .withColumn("avgrank", col("rmin") + (col("cnt") - 1) / 2.0)
+        .groupBy("cls")
+        .agg(
+          sum(when(col("y_true") === col("cls"), col("avgrank"))).as("sumpos"),
+          sum(when(col("y_true") === col("cls"), 1L).otherwise(0L)).as("np"),
+          sum(when(col("y_true") =!= col("cls"), 1L).otherwise(0L)).as("nn"))
+        .select(col("cls"), col("np"), col("nn"),
+          round((col("sumpos") - col("np") * (col("np") + 1) / 2.0) /
+            (col("np") * col("nn")), 6).as("auc"))
+    }),
+
     // W8 modal baseline: 7-row windowed label mode (ties -> smaller label).
     "w8_modal" -> ((s, dir) => {
       val labeled = dailyUser(s, dir).withColumn("label",
@@ -365,6 +391,28 @@ object MlQueries {
         |    / (1.0 - CAST(rt1 * rp1 + rt2 * rp2 + rt3 * rp3 + rt4 * rp4 + rt5 * rp5 AS DOUBLE)
         |        / (CAST(n AS DOUBLE) * n)), 6) AS kappa
         |FROM m""".stripMargin,
+
+    "m6_auc" ->
+      """WITH wc AS (
+        |  SELECT c.cls, e.event_type AS y_true,
+        |    e.value / 200.0 + CASE WHEN e.event_type = c.cls THEN 0.2 ELSE 0.0 END AS score
+        |  FROM events e CROSS JOIN
+        |    (SELECT unnest(['click','error','purchase','signup','view']) AS cls) c),
+        |r AS (
+        |  SELECT cls, y_true, score,
+        |    rank() OVER (PARTITION BY cls ORDER BY score) AS rmin,
+        |    count(*) OVER (PARTITION BY cls, score) AS cnt
+        |  FROM wc),
+        |a AS (SELECT cls, y_true, rmin + (cnt - 1) / 2.0 AS avgrank FROM r)
+        |SELECT cls,
+        |  sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END) AS np,
+        |  sum(CASE WHEN y_true <> cls THEN 1 ELSE 0 END) AS nn,
+        |  round((sum(CASE WHEN y_true = cls THEN avgrank END)
+        |      - sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END)
+        |        * (sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END) + 1) / 2.0)
+        |    / (sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END)
+        |      * sum(CASE WHEN y_true <> cls THEN 1 ELSE 0 END)), 6) AS auc
+        |FROM a GROUP BY cls""".stripMargin,
 
     "w8_modal" ->
       s"""WITH daily AS ($dailyUserSql),
