@@ -60,6 +60,21 @@ object EventQueries {
         .withColumn("category_3class",
           when(col("mean_score") >= 110, 1).when(col("mean_score") <= 90, -1).otherwise(0))),
 
+    // A8 (labels): union of pipe-split label lists per day — the SoM
+    // "Happy | Content" pattern: split, flatten across rows, distinct,
+    // sorted, comma-joined.
+    "a8_label_union" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("labels",
+          concat(col("event_type"), lit(" | "),
+            when(col("value") >= 100, "high").otherwise("low")))
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(
+          array_join(array_sort(array_distinct(
+            flatten(collect_list(split(col("labels"), " \\| "))))), ", ")
+            .as("label_union"),
+          count(lit(1)).as("n"))),
+
     // A9: pivot event types to daily sum columns.
     "a9_pivot_daily" -> ((s, dir) =>
       DailyAgg.dailyPivotSum(ev(s, dir), "ts", "event_type", "value",
@@ -272,6 +287,18 @@ object EventQueries {
         |  CASE WHEN round(avg(value), 6) >= 110 THEN 1
         |       WHEN round(avg(value), 6) <= 90 THEN -1 ELSE 0 END AS category_3class
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "a8_label_union" ->
+      """WITH l AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    event_type || ' | ' || CASE WHEN value >= 100 THEN 'high' ELSE 'low' END
+        |      AS labels
+        |  FROM events)
+        |SELECT date,
+        |  array_to_string(list_sort(list_distinct(
+        |    flatten(list(string_split_regex(labels, ' \| '))))), ', ') AS label_union,
+        |  count(*) AS n
+        |FROM l GROUP BY date""".stripMargin,
 
     "a9_pivot_daily" ->
       """SELECT CAST(ts AS DATE) AS date,
