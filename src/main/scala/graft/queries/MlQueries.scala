@@ -81,6 +81,31 @@ object MlQueries {
           max(unix_timestamp(col("parsed"))).as("max_epoch"))
     }),
 
+    // C2: timezone cutover — wall-clock conversion switching home zone at
+    // a date (winter months, so no DST edge in the fixture range).
+    "c2_tz_cutover" -> ((s, dir) => {
+      val local = TimeParse.tzCutover(col("ts"), "2024-01-15",
+        "Europe/Dublin", "America/New_York")
+      Tables.events(s, dir)
+        .withColumn("local_hour", hour(local))
+        .withColumn("local_date", to_date(local))
+        .groupBy("local_date")
+        .agg(count(lit(1)).as("n"), round(avg("local_hour"), 6).as("avg_local_hour"))
+    }),
+
+    // W10: ranking window functions (percent_rank / cume_dist / ntile).
+    "w10_ranks" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("value")
+      Tables.events(s, dir)
+        .withColumn("pr", percent_rank().over(w))
+        .withColumn("cd", cume_dist().over(w))
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("event_type", "quartile")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("v_avg"),
+          round(max("pr"), 6).as("pr_max"), round(max("cd"), 6).as("cd_max"))
+    }),
+
     // M1': per-group median imputation with global fallback over a sparse
     // daily grid.
     "m1_impute" -> ((s, dir) => {
@@ -278,6 +303,26 @@ object MlQueries {
         |  min(epoch_us(parsed) // 1000000) AS min_epoch,
         |  max(epoch_us(parsed) // 1000000) AS max_epoch
         |FROM p GROUP BY event_type""".stripMargin,
+
+    "c2_tz_cutover" ->
+      """WITH loc AS (
+        |  SELECT CASE WHEN CAST(ts AS DATE) < DATE '2024-01-15'
+        |    THEN (ts AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Dublin'
+        |    ELSE (ts AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' END AS lt
+        |  FROM events)
+        |SELECT CAST(lt AS DATE) AS local_date, count(*) AS n,
+        |  round(avg(hour(lt)), 6) AS avg_local_hour
+        |FROM loc GROUP BY 1""".stripMargin,
+
+    "w10_ranks" ->
+      """WITH r AS (
+        |  SELECT event_type, value,
+        |    percent_rank() OVER w AS pr, cume_dist() OVER w AS cd,
+        |    ntile(4) OVER w AS quartile
+        |  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY value))
+        |SELECT event_type, quartile, count(*) AS n, round(avg(value), 6) AS v_avg,
+        |  round(max(pr), 6) AS pr_max, round(max(cd), 6) AS cd_max
+        |FROM r GROUP BY 1, 2""".stripMargin,
 
     "m1_impute" ->
       """WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
