@@ -107,7 +107,6 @@ object TextQueries {
         element_at(split(lower(col("text")), "\\s+"), 1).as("first_tok"))))
 
   def oracles: Map[String, String] = {
-    val sh = Hashing
     Map(
       "dd1_exact_dedup" ->
         """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

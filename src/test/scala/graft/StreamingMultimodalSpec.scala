@@ -39,6 +39,30 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming A2 append mode: watermark finalizes closed days") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingDaily.dailyStats(df, "ts", "user_id", "value", watermark = "1 hour")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("daily_append").start()
+    try {
+      input.addData((ts("2024-01-01 08:00:00"), 1L, 10.0))
+      q.processAllAvailable()
+      // day 1 still open: nothing emitted in append mode
+      assert(spark.table("daily_append").count() === 0)
+      // event-time advances past day 1 + watermark -> day 1 finalizes
+      input.addData((ts("2024-01-02 02:00:00"), 1L, 20.0))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-03 02:00:00"), 1L, 30.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM daily_append ORDER BY date").collect()
+      assert(out.length >= 1)
+      assert(out(0).getAs[java.sql.Date]("date").toString === "2024-01-01")
+      assert(out(0).getAs[Long]("n") === 1)
+    } finally q.stop()
+  }
+
   test("streaming W4: stateful gap sessionization across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
