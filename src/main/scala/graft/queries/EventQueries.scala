@@ -280,13 +280,18 @@ object EventQueries {
         |FROM events GROUP BY 1""".stripMargin,
 
     "a8_last_mean" ->
-      """SELECT user_id, CAST(ts AS DATE) AS date,
+      """WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS date, value,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rk
+        |  FROM events)
+        |SELECT user_id, date,
         |  round(avg(value), 6) AS mean_score,
-        |  arg_max(value, ts) AS last_score,
+        |  max(CASE WHEN rk = 1 THEN value END) AS last_score,
         |  count(*) AS n_entries,
         |  CASE WHEN round(avg(value), 6) >= 110 THEN 1
         |       WHEN round(avg(value), 6) <= 90 THEN -1 ELSE 0 END AS category_3class
-        |FROM events GROUP BY 1, 2""".stripMargin,
+        |FROM e GROUP BY user_id, date""".stripMargin,
 
     "a8_label_union" ->
       """WITH l AS (
