@@ -23,8 +23,12 @@ object Tables {
     * how DuckDB floors ns to µs, so oracle date/hour/epoch math agrees). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // `div` = integral division. A double division (`/ 1000`) would lose
+    // precision at epoch-ns magnitude (~1.7e18 > 2^53) and flip the floor
+    // on values just below a microsecond boundary — DuckDB's epoch_us is
+    // exact, so that would be a latent oracle mismatch.
     load(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(floor(col("ts") / 1000L).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -75,7 +75,11 @@ object Multimodal {
         if (payload == null || nFrames <= 0) Iterator.empty
         else {
           val frameLen = math.max(payload.length / nFrames, 1)
-          (0 until nFrames by stride).iterator.map { f =>
+          // clamp to frames that actually start inside the payload:
+          // with payload shorter than n_frames, offsets past the end
+          // would make copyOfRange(from > until) throw.
+          val maxFrames = math.min(nFrames, payload.length)
+          (0 until maxFrames by stride).iterator.map { f =>
             val from = f * frameLen
             val until = math.min(from + frameLen, payload.length)
             Row(r.getAs[Long]("media_id"), f,

@@ -74,7 +74,8 @@ object DailyAgg {
     * Reference: `src/domains/som/som_from_autoexport.py:308-390`;
     * thresholds `:96-99`. */
   def dailyLastAndMean(events: DataFrame, keyCols: Seq[String], tsCol: String,
-                       valueCol: String, threshold: Double): DataFrame = {
+                       valueCol: String, hiThreshold: Double,
+                       loThreshold: Double): DataFrame = {
     val v = col(valueCol)
     events
       .groupBy(keyCols.map(col) :+ to_date(col(tsCol)).as("date"): _*)
@@ -85,8 +86,8 @@ object DailyAgg {
         max_by(v, struct(col(tsCol), v)).as("last_score"),
         count(lit(1)).as("n_entries"))
       .withColumn("category_3class",
-        when(col("mean_score") >= threshold, 1)
-          .when(col("mean_score") <= -threshold, -1)
+        when(col("mean_score") >= hiThreshold, 1)
+          .when(col("mean_score") <= loThreshold, -1)
           .otherwise(0))
   }
 

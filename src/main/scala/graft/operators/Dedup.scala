@@ -84,6 +84,9 @@ object Dedup {
     // pruning would otherwise push each band's projection into the
     // signature pipeline, recomputing shingle+SHA hashing once per band
     // per join side. The signature is k longs per doc — tiny at any scale.
+    // NB: the cache is intentionally left registered (unpersisting before
+    // the lazy result is consumed would defeat it); Spark evicts LRU, and
+    // repeated calls with the same logical plan reuse the same entry.
     val cached = sig.persist()
     val bands = (0 until numBands).map { b =>
       val key = concat_ws("_",
@@ -126,8 +129,14 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for pairs blocked by `blockCol`
     * (pairs are only formed within a block — at scale the block key is an
     * LSH band or a cluster id, never the whole corpus). */
+  /** @param broadcastBuild replicate the build side to every task
+    *        (correct only while the corpus-side shingle sets fit the
+    *        broadcast limit — right for bounded blocks / bench scale,
+    *        WRONG for an unbounded corpus: pass false there and the
+    *        blocked equi-join shuffles on the block key instead). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        blockCol: String, shingleK: Int, minJaccard: Double): DataFrame = {
+                        blockCol: String, shingleK: Int, minJaccard: Double,
+                        broadcastBuild: Boolean = true): DataFrame = {
     // intersect 64-bit shingle hashes, not strings: ~8x less shuffle bytes
     // and integer equality in the pairwise intersect hot loop. The SHA hash
     // is shared with the oracle, so the (collision-negligible) semantics
@@ -151,7 +160,8 @@ object Dedup {
     // CSE). With it, the merge walk runs exactly once per pair and only
     // (id, id, 3 ints) rows cross the exchange.
     val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
-    l.join(broadcast(r), col(s"l.$blockCol") === col(s"r.$blockCol") &&
+    val rSide = if (broadcastBuild) broadcast(r) else r
+    l.join(rSide, col(s"l.$blockCol") === col(s"r.$blockCol") &&
         col(s"l.$idCol") < col(s"r.$idCol"))
       .select(
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),

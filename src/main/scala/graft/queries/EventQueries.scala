@@ -56,9 +56,8 @@ object EventQueries {
 
     // A8: mean + last-by-timestamp + 3-class threshold per (user, date).
     "a8_last_mean" -> ((s, dir) =>
-      DailyAgg.dailyLastAndMean(ev(s, dir), Seq("user_id"), "ts", "value", 0.25)
-        .withColumn("category_3class",
-          when(col("mean_score") >= 110, 1).when(col("mean_score") <= 90, -1).otherwise(0))),
+      DailyAgg.dailyLastAndMean(ev(s, dir), Seq("user_id"), "ts", "value",
+        hiThreshold = 110, loThreshold = 90)),
 
     // A8 (labels): union of pipe-split label lists per day — the SoM
     // "Happy | Content" pattern: split, flatten across rows, distinct,

@@ -37,8 +37,11 @@ object StreamingDaily {
 
   /** W4-on-a-stream: gap-based sessionization via per-key state
     * (`flatMapGroupsWithState`): events more than `gapSeconds` after the
-    * previous one start a new session; the closed session is emitted.
-    * Processing-time timeout flushes the final open session. */
+    * previous one start a new session; a session is emitted when the gap
+    * CLOSES it. A key's final session stays open in state until a later
+    * event closes it — stop-time flushing would need a timeout policy
+    * (ProcessingTimeTimeout + hasTimedOut), deliberately not wired here
+    * to keep emission purely event-driven and deterministic in tests. */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -183,7 +183,7 @@ class DomainSpec extends SparkTestBase {
       (1L, "2021-05-01 22:00:00", 0.9),
       (1L, "2021-05-01 22:00:00", 0.4))
       .toDF("uid", "ts", "v").withColumn("ts", to_timestamp(col("ts")))
-    val out = DailyAgg.dailyLastAndMean(df, Seq("uid"), "ts", "v", 0.25).head()
+    val out = DailyAgg.dailyLastAndMean(df, Seq("uid"), "ts", "v", 0.25, -0.25).head()
     assert(out.getAs[Double]("last_score") === 0.9) // tie at 22:00 -> larger value
   }
 
