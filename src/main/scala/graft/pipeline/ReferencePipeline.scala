@@ -159,6 +159,108 @@ object ReferencePipeline {
         col("missing_activity") === 1)), 6))
   }
 
+  /** AutoExport meds daily (`load_autoexport_meds_daily`,
+    * `src/domains/meds/meds_from_extracted.py:244-343`): parse mixed-offset
+    * Date to a UTC date string, keep date <= snapshot, Status == "Taken",
+    * Dosage coerced (null -> 0), then the daily rollup contract
+    * (med_any, med_event_count, med_dose_total, med_names, med_sources).
+    * Checked 1:1 against the reference implementation by
+    * tools/reference_parity.py. */
+  def medsDaily(meds: DataFrame, snapshot: String): DataFrame =
+    meds
+      .withColumn("date",
+        date_format(TimeParse.parseTimestamp(col("Date")), "yyyy-MM-dd"))
+      .filter(col("date").isNotNull && col("date") <= snapshot)
+      .filter(col("Status") === "Taken")
+      .withColumn("dosage", coalesce(col("Dosage").try_cast("double"), lit(0.0)))
+      .groupBy("date")
+      .agg(
+        count(col("Medication")).as("med_event_count"),
+        sum(col("dosage")).as("med_dose_total"),
+        array_join(array_sort(collect_set(col("Medication"))), ", ").as("med_names"))
+      .select(col("date"), lit(1).as("med_any"), col("med_event_count"),
+        col("med_dose_total"), col("med_names"), lit("AutoExport").as("med_sources"))
+
+  /** AutoExport State-of-Mind daily (`SoMAggregator.aggregate_daily`,
+    * `src/domains/som/som_from_autoexport.py:308-392`). Semantics pinned
+    * per call site: SoM keeps LOCAL WALL-CLOCK time (the reference's
+    * parse_timestamp DROPS the offset — unlike meds, which converts to
+    * UTC); mean/last over non-null valence (last by timestamp); dominant
+    * Kind = most frequent with ties to the earliest first occurrence
+    * (Counter insertion order); pipe-split label/association unions,
+    * sorted, ", "-joined; 3-class on the UNROUNDED mean at ±0.25.
+    * Checked 1:1 against the reference by tools/reference_parity.py. */
+  def somDaily(som: DataFrame, snapshot: Option[String]): DataFrame = {
+    val naive = regexp_replace(col("Start"), "\\s*[+-]\\d{2}:?\\d{2}$", "")
+    val parsed = coalesce(
+      try_to_timestamp(naive, lit("yyyy-MM-dd HH:mm:ss")),
+      try_to_timestamp(naive, lit("yyyy-MM-dd'T'HH:mm:ss")))
+    val withTs = som.withColumn("_ts", parsed)
+      .filter(col("_ts").isNotNull)
+      .withColumn("date", date_format(col("_ts"), "yyyy-MM-dd"))
+    val cut = snapshot.fold(withTs)(s => withTs.filter(col("date") <= s))
+      .withColumn("_v", col("Valence").try_cast("double"))
+
+    val main = cut.groupBy("date").agg(
+      avg(col("_v")).as("_mean_raw"),
+      max_by(col("_v"), when(col("_v").isNotNull, col("_ts"))).as("som_last_score_raw"),
+      count(lit(1)).as("som_n_entries"))
+    val kinds = cut.filter(col("Kind").isNotNull)
+      .groupBy("date", "Kind")
+      .agg(count(lit(1)).as("kcnt"), min("_ts").as("kfirst"))
+      .groupBy("date")
+      .agg(max_by(col("Kind"),
+        struct(col("kcnt"), lit(0L) - unix_timestamp(col("kfirst"))))
+        .as("som_kind_dominant"))
+    def union(colName: String, out: String) = cut
+      .select(col("date"), explode_outer(split(col(colName), "\\|")).as("item"))
+      .withColumn("item", trim(col("item")))
+      .filter(col("item").isNotNull && col("item") =!= "")
+      .groupBy("date")
+      .agg(array_join(array_sort(collect_set(col("item"))), ", ").as(out))
+
+    main
+      .join(kinds, Seq("date"), "left")
+      .join(union("Labels", "som_labels"), Seq("date"), "left")
+      .join(union("Associations", "som_associations"), Seq("date"), "left")
+      .select(
+        col("date"),
+        round(col("_mean_raw"), 6).as("som_mean_score"),
+        round(col("som_last_score_raw"), 6).as("som_last_score"),
+        col("som_n_entries"),
+        when(col("_mean_raw").isNull, 0)
+          .when(col("_mean_raw") <= -0.25, -1)
+          .when(col("_mean_raw") >= 0.25, 1)
+          .otherwise(0).as("som_category_3class"),
+        coalesce(col("som_kind_dominant"), lit("")).as("som_kind_dominant"),
+        coalesce(col("som_labels"), lit("")).as("som_labels"),
+        coalesce(col("som_associations"), lit("")).as("som_associations"))
+  }
+
+  /** PBSI from an already-unified daily frame carrying the reference's
+    * canonical feature names + segment_id + missing flags — the
+    * `build_pbsi_labels` contract (`src/labels/build_pbsi.py:191-253`)
+    * with percentile thresholds. Checked 1:1 against the reference by
+    * tools/reference_parity.py. */
+  def pbsiFromUnified(unified: DataFrame): DataFrame = {
+    val z = Labels.groupZScores(unified, Seq("segment_id"),
+      Seq("sleep_total_h", "sleep_efficiency", "hr_mean", "hrv_rmssd",
+        "hr_max", "steps", "exercise_min"))
+    val composite = Labels.weightedComposite(z,
+      Map(
+        "sleep_sub" -> Seq("z_sleep_total_h" -> 0.6, "z_sleep_efficiency" -> 0.4),
+        "cardio_sub" -> Seq("z_hr_mean" -> -0.5, "z_hrv_rmssd" -> 0.6,
+          "z_hr_max" -> -0.2),
+        "activity_sub" -> Seq("z_steps" -> 0.7, "z_exercise_min" -> 0.3)),
+      Seq("sleep_sub" -> 0.40, "cardio_sub" -> 0.35, "activity_sub" -> 0.25),
+      "pbsi_score")
+    Labels.twoPassPercentileLabel(composite, "pbsi_score", 0.25, 0.75)
+      .withColumn("pbsi_quality",
+        graft.functions.Canon.round(Labels.qualityFactor(Seq(
+          col("missing_sleep") === 1, col("missing_cardio") === 1,
+          col("missing_activity") === 1)), 6))
+  }
+
   /** Stage 4 — `segment_autolog` contract: date_start, date_end, reason,
     * count, duration_days (`scripts/run_full_pipeline.py:704-708`). */
   def segmentAutolog(labeled: DataFrame): DataFrame =

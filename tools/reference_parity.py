@@ -1,0 +1,169 @@
+#!/usr/bin/env python3
+"""Direct parity check: run the ACTUAL reference implementation
+(/root/reference, read-only) and the Spark engine on the same fixtures and
+diff the outputs. Dev tool (driver-side python/pandas); results recorded in
+COVERAGE.md.
+
+Usage: python3 tools/reference_parity.py
+"""
+import subprocess
+import sys
+import tempfile
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/reference")
+
+# The reference's package __init__ imports its iPhone-backup decryptor,
+# which needs pycryptodome (absent here and out of engine scope, SURVEY
+# S12). Stub the Crypto modules so the pure-pandas domain code imports.
+import types  # noqa: E402
+
+for name in ["Crypto", "Crypto.Cipher", "Crypto.Cipher.AES",
+             "Crypto.Hash", "Crypto.Protocol", "Crypto.Protocol.KDF",
+             "Crypto.Util"]:
+    sys.modules.setdefault(name, types.ModuleType(name))
+
+OUT = Path(tempfile.mkdtemp(prefix="graft-parity-"))
+
+
+def run_engine(task, in_csv, out_csv, *extra):
+    subprocess.run(
+        ["sbt", "-batch",
+         f"runMain graft.tools.ParityDump {task} {in_csv} {out_csv} " +
+         " ".join(extra)],
+        cwd="/root/repo", check=True, capture_output=True, text=True)
+
+
+def check(name, expected: pd.DataFrame, got: pd.DataFrame, float_tol=2e-6):
+    expected = expected.reindex(sorted(expected.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(expected.columns) != list(got.columns):
+        print(f"FAIL {name}: columns {list(expected.columns)} vs {list(got.columns)}")
+        return False
+    expected = expected.sort_values(list(expected.columns)).reset_index(drop=True)
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    if len(expected) != len(got):
+        print(f"FAIL {name}: rows {len(expected)} vs {len(got)}")
+        return False
+    for c in expected.columns:
+        e, g = expected[c], got[c]
+        if np.issubdtype(e.dtype, np.floating) or np.issubdtype(g.dtype, np.floating):
+            e = pd.to_numeric(e, errors="coerce")
+            g = pd.to_numeric(g, errors="coerce")
+            bad = ~(np.isclose(e, g, atol=float_tol, rtol=0) | (e.isna() & g.isna()))
+        else:
+            bad = ~((e.astype(str) == g.astype(str)) | (e.isna() & g.isna()))
+        if bad.any():
+            i = bad.idxmax()
+            print(f"FAIL {name}: {c}[{i}] reference={e[i]!r} engine={g[i]!r}")
+            return False
+    print(f"PASS {name} ({len(got)} rows identical)")
+    return True
+
+
+def meds_parity():
+    rng = np.random.default_rng(42)
+    meds = ["Sertraline", "Methylphenidate", "Melatonin", "Omega-3"]
+    rows = []
+    for i in range(300):
+        day = 1 + int(rng.integers(0, 28))
+        offset = ["+0000", "+0100", "-0500"][int(rng.integers(0, 3))]
+        status = ["Taken", "Taken", "Taken", "Skipped", "Not Interacted"][
+            int(rng.integers(0, 5))]
+        dosage = ["", "50", "10.5", "2"][int(rng.integers(0, 4))]
+        rows.append({
+            "Date": f"2021-05-{day:02d} {int(rng.integers(0, 24)):02d}:30:00 {offset}",
+            "Medication": meds[int(rng.integers(0, 4))],
+            "Nickname": "", "Dosage": dosage, "Unit": "mg",
+            "Status": status, "Archived": "No", "Codings": ""})
+    # a record past the snapshot
+    rows.append({"Date": "2021-06-15 10:00:00 +0000", "Medication": "Future",
+                 "Nickname": "", "Dosage": "1", "Unit": "mg", "Status": "Taken",
+                 "Archived": "No", "Codings": ""})
+    fixture = OUT / "Medications.csv"
+    pd.DataFrame(rows).to_csv(fixture, index=False)
+
+    from src.domains.meds.meds_from_extracted import load_autoexport_meds_daily
+    expected = load_autoexport_meds_daily(fixture, "2021-05-31")
+
+    out_csv = OUT / "engine_meds.csv"
+    run_engine("meds", str(fixture), str(out_csv), "2021-05-31")
+    got = pd.read_csv(out_csv)
+    return check("meds_daily (load_autoexport_meds_daily)", expected, got)
+
+
+def pbsi_parity():
+    rng = np.random.default_rng(42)
+    n = 120
+    df = pd.DataFrame({
+        "date": pd.date_range("2021-05-01", periods=n).strftime("%Y-%m-%d"),
+        "segment_id": np.repeat([1, 2, 3, 4], n // 4),
+        "sleep_total_h": np.round(rng.normal(7, 1.2, n), 2),
+        "sleep_efficiency": np.round(rng.uniform(0.6, 0.99, n), 3),
+        "hr_mean": np.round(rng.normal(68, 8, n), 2),
+        "hrv_rmssd": np.round(rng.normal(42, 12, n), 2),
+        "hr_max": np.round(rng.normal(150, 15, n), 2),
+        "steps": np.round(rng.normal(9000, 2500, n), 0),
+        "exercise_min": np.round(rng.normal(35, 15, n), 1),
+        "missing_sleep": rng.integers(0, 2, n),
+        "missing_cardio": rng.integers(0, 2, n),
+        "missing_activity": rng.integers(0, 2, n),
+    })
+    # plant missing values
+    for c in ["sleep_total_h", "hrv_rmssd", "exercise_min"]:
+        df.loc[rng.choice(n, 12, replace=False), c] = np.nan
+    fixture = OUT / "unified.csv"
+    df.to_csv(fixture, index=False)
+
+    from src.labels.build_pbsi import build_pbsi_labels
+    ref = build_pbsi_labels(df.copy(), use_percentile_thresholds=True)
+    expected = ref[["date", "sleep_sub", "cardio_sub", "activity_sub",
+                    "pbsi_score", "label_3cls", "label_2cls", "pbsi_quality"]]
+
+    out_csv = OUT / "engine_pbsi.csv"
+    run_engine("pbsi", str(fixture), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("pbsi_labels (build_pbsi_labels)", expected, got)
+
+
+def som_parity():
+    rng = np.random.default_rng(42)
+    kinds = ["Daily Mood", "Momentary Emotion"]
+    labels = ["Happy", "Content", "Grateful", "Anxious", "Tired", "Calm"]
+    rows = []
+    for i in range(250):
+        day = 1 + int(rng.integers(0, 20))
+        hh, mm = int(rng.integers(0, 24)), int(rng.integers(0, 60))
+        offset = ["+0000", "+0100", "-0500"][int(rng.integers(0, 3))]
+        lab = " | ".join(sorted(set(
+            labels[int(j)] for j in rng.integers(0, 6, int(rng.integers(1, 4))))))
+        rows.append({
+            "Start": f"2021-05-{day:02d} {hh:02d}:{mm:02d}:{i % 60:02d} {offset}",
+            "End": "", "Kind": kinds[int(rng.integers(0, 2))],
+            "Labels": lab, "Associations": "Work | Family",
+            "Valence": "" if rng.random() < 0.1 else
+            str(round(float(rng.uniform(-1, 1)), 2)),
+            "Valence Classification": ""})
+    fixture = OUT / "StateOfMind.csv"
+    pd.DataFrame(rows).to_csv(fixture, index=False)
+
+    from src.domains.som.som_from_autoexport import SoMAggregator
+    expected = SoMAggregator(fixture).aggregate_daily(snapshot_date="2021-05-18")
+
+    out_csv = OUT / "engine_som.csv"
+    run_engine("som", str(fixture), str(out_csv), "2021-05-18")
+    got = pd.read_csv(out_csv, keep_default_na=False,
+                      na_values=[""], dtype={"som_kind_dominant": str})
+    # reference empty-string columns read back as NaN from csv; align
+    for c in ["som_kind_dominant", "som_labels", "som_associations"]:
+        got[c] = got[c].fillna("")
+    return check("som_daily (SoMAggregator.aggregate_daily)", expected, got)
+
+
+if __name__ == "__main__":
+    ok = meds_parity() & pbsi_parity() & som_parity()
+    print("reference parity:", "ALL PASS" if ok else "FAILURES")
+    sys.exit(0 if ok else 1)
