@@ -261,6 +261,60 @@ object ReferencePipeline {
           col("missing_activity") === 1)), 6))
   }
 
+  /** The `merge_apple_zepp` contract (`src/features/unify_daily
+    * .py:153-319`): per-date column-wise coalesce Apple > Zepp over
+    * canonical metric names, per-domain provenance, and the reference's
+    * exact missing-flag semantics — INCLUDING its quirk that when an
+    * Apple row exists for a date, `missing_*` reflects the APPLE side
+    * only (a Zepp fill does not clear the flag). Inputs carry canonical
+    * names (alias resolution is `RobustCsv.canonicalize`'s job).
+    * Checked 1:1 against the reference by tools/reference_parity.py. */
+  def unifyCanonical(apple: DataFrame, zepp: DataFrame): DataFrame = {
+    val metrics = Seq("sleep_total_h", "sleep_efficiency", "hr_mean", "hr_max",
+      "hrv_rmssd", "steps", "exercise_min", "stand_hours", "move_kcal")
+    def normEff(c: org.apache.spark.sql.Column) =
+      when(c > 1.5, c / 100.0).otherwise(c)
+    def side(df: DataFrame, p: String) = {
+      val pref = metrics.foldLeft(df)((d, m) => d.withColumnRenamed(m, s"$p$m"))
+      pref
+        .withColumn(s"${p}sleep_efficiency", normEff(col(s"${p}sleep_efficiency")))
+        .withColumn(s"${p}exists", lit(1))
+    }
+    val a = side(apple, "a_")
+    val z = side(zepp, "z_")
+    val joined = a.join(z, Seq("date"), "full_outer")
+    def anyNotNull(p: String, cols: Seq[String]) =
+      cols.map(c => col(s"$p$c").isNotNull).reduce(_ || _)
+    def domain(cols: Seq[String], name: String) = {
+      val srcExpr =
+        when(col("a_exists").isNotNull && anyNotNull("a_", cols), "apple")
+          .when(col("z_exists").isNotNull && anyNotNull("z_", cols), "zepp")
+          .otherwise("none")
+      val missExpr =
+        when(col("a_exists").isNotNull,
+          when(anyNotNull("a_", cols), 0).otherwise(1))
+          .otherwise(when(anyNotNull("z_", cols), 0).otherwise(1))
+      (srcExpr.as(s"source_$name"), missExpr.as(s"missing_$name"))
+    }
+    val (srcSleep, missSleep) = domain(Seq("sleep_total_h", "sleep_efficiency"), "sleep")
+    val (srcCardio, missCardio) = domain(Seq("hr_mean", "hr_max", "hrv_rmssd"), "cardio")
+    val (srcAct, missAct) =
+      domain(Seq("steps", "exercise_min", "stand_hours", "move_kcal"), "activity")
+    def fused(m: String) = coalesce(col(s"a_$m"), col(s"z_$m"))
+    joined.select(
+      col("date"),
+      fused("sleep_total_h").as("sleep_total_h"),
+      fused("sleep_efficiency").as("sleep_efficiency"),
+      fused("hr_mean").as("apple_hr_mean"),
+      fused("hr_max").as("apple_hr_max"),
+      fused("hrv_rmssd").as("apple_hrv_rmssd"),
+      fused("steps").as("steps"),
+      fused("exercise_min").as("exercise_min"),
+      fused("stand_hours").as("stand_hours"),
+      fused("move_kcal").as("move_kcal"),
+      srcSleep, missSleep, srcCardio, missCardio, srcAct, missAct)
+  }
+
   /** Stage 4 — `segment_autolog` contract: date_start, date_end, reason,
     * count, duration_days (`scripts/run_full_pipeline.py:704-708`). */
   def segmentAutolog(labeled: DataFrame): DataFrame =

@@ -1,6 +1,7 @@
 package graft.tools
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import graft.pipeline.ReferencePipeline
 
 /** Dev harness: run a reference-contract operator on a fixture CSV and
@@ -33,6 +34,29 @@ object ParityDump {
         val csv = spark.read.option("header", "true").csv(in)
         ReferencePipeline.somDaily(csv,
           if (args.length > 3) Some(args(3)) else None)
+      case "unify" =>
+        // in = "<appleCsv>,<zeppCsv>"; zepp columns carry vendor aliases
+        // resolved by RobustCsv.canonicalize (the reference's find_column).
+        val Array(applePath, zeppPath) = in.split(",")
+        def read(p: String) = spark.read.option("header", "true")
+          .option("inferSchema", "true").option("nullValue", "").csv(p)
+        val canonical = Map(
+          "sleep_total_h" -> Seq("sleep_total_h", "zepp_slp_total_h"),
+          "sleep_efficiency" -> Seq("sleep_eff", "sleep_efficiency", "zepp_slp_eff"),
+          "hr_mean" -> Seq("apple_hr_mean", "zepp_hr_mean", "hr_mean"),
+          "hr_max" -> Seq("apple_hr_max", "hr_max", "zepp_hr_max"),
+          "hrv_rmssd" -> Seq("apple_hrv_rmssd", "zepp_hrv_rmssd", "hrv_rmssd"),
+          "steps" -> Seq("steps", "zepp_steps"),
+          "exercise_min" -> Seq("exercise_min", "zepp_exercise_min"),
+          "stand_hours" -> Seq("stand_hours", "zepp_stand_hours"),
+          "move_kcal" -> Seq("move_kcal", "zepp_kcal"))
+        def canon(df: org.apache.spark.sql.DataFrame) = {
+          val out = graft.ingest.RobustCsv.canonicalize(df, canonical)
+          // canonicalize pins absent columns as string-null; re-type
+          canonical.keys.foldLeft(out)((d, c) =>
+            d.withColumn(c, col(c).cast("double")))
+        }
+        ReferencePipeline.unifyCanonical(canon(read(applePath)), canon(read(zeppPath)))
     }
     graft.core.Sinks.atomicCsv(df, out)
     spark.stop()

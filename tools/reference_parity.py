@@ -163,7 +163,56 @@ def som_parity():
     return check("som_daily (SoMAggregator.aggregate_daily)", expected, got)
 
 
+def unify_parity():
+    rng = np.random.default_rng(42)
+
+    def maybe(v, p=0.15):
+        return np.nan if rng.random() < p else v
+
+    apple_rows = []
+    for day in range(1, 21):
+        if day in (7, 13):
+            continue  # gaps: zepp-only coverage
+        apple_rows.append({
+            "date": f"2021-05-{day:02d}",
+            "sleep_total_h": maybe(round(float(rng.normal(7, 1)), 2)),
+            "sleep_eff": maybe(round(float(rng.uniform(0.6, 0.98)), 3)),
+            "apple_hr_mean": maybe(round(float(rng.normal(66, 6)), 2)),
+            "apple_hr_max": maybe(round(float(rng.normal(150, 12)), 2)),
+            "apple_hrv_rmssd": maybe(round(float(rng.normal(40, 10)), 2)),
+            "steps": maybe(float(int(rng.normal(9000, 2000)))),
+            "exercise_min": maybe(round(float(rng.normal(30, 10)), 1)),
+            "stand_hours": maybe(float(int(rng.integers(6, 15)))),
+            "move_kcal": maybe(round(float(rng.normal(500, 120)), 1))})
+    zepp_rows = []
+    for day in range(5, 29):
+        zepp_rows.append({
+            "date": f"2021-05-{day:02d}",
+            "zepp_slp_total_h": maybe(round(float(rng.normal(6.8, 1)), 2)),
+            "zepp_slp_eff": maybe(round(float(rng.uniform(60, 98)), 1)),  # 0-100 scale
+            "zepp_hr_mean": maybe(round(float(rng.normal(68, 6)), 2)),
+            "zepp_hr_max": maybe(round(float(rng.normal(152, 12)), 2)),
+            "zepp_hrv_rmssd": maybe(round(float(rng.normal(38, 10)), 2)),
+            "zepp_steps": maybe(float(int(rng.normal(8500, 2000)))),
+            "zepp_exercise_min": maybe(round(float(rng.normal(28, 10)), 1)),
+            "zepp_stand_hours": maybe(float(int(rng.integers(5, 14)))),
+            "zepp_kcal": maybe(round(float(rng.normal(480, 120)), 1))})
+    apple_df = pd.DataFrame(apple_rows)
+    zepp_df = pd.DataFrame(zepp_rows)
+    a_csv, z_csv = OUT / "apple_daily.csv", OUT / "zepp_daily.csv"
+    apple_df.to_csv(a_csv, index=False)
+    zepp_df.to_csv(z_csv, index=False)
+
+    from src.features.unify_daily import merge_apple_zepp
+    expected = merge_apple_zepp(apple_df.copy(), zepp_df.copy())
+
+    out_csv = OUT / "engine_unify.csv"
+    run_engine("unify", f"{a_csv},{z_csv}", str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("unify_daily (merge_apple_zepp)", expected, got)
+
+
 if __name__ == "__main__":
-    ok = meds_parity() & pbsi_parity() & som_parity()
+    ok = meds_parity() & pbsi_parity() & som_parity() & unify_parity()
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
