@@ -57,6 +57,22 @@ object ParityDump {
             d.withColumn(c, col(c).cast("double")))
         }
         ReferencePipeline.unifyCanonical(canon(read(applePath)), canon(read(zeppPath)))
+      case "instability" =>
+        // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
+        // variance-across-segment-means operator.
+        val Array(featPath, segPath) = in.split(",")
+        def read(p: String) = spark.read.option("header", "true")
+          .option("inferSchema", "true").option("nullValue", "").csv(p)
+        val features = Seq("hr_mean", "sleep_h", "steps")
+        val segments = read(segPath)
+          .select(col("segment_id"), col("date_start").cast("date"),
+            col("date_end").cast("date"))
+        val attached = graft.operators.Unify.rangeAttach(
+            read(featPath).withColumn("date", col("date").cast("date")),
+            "date", segments, "date_start", "date_end")
+          .filter(col("segment_id").isNotNull)
+        graft.operators.Segmentation.instabilityScores(attached, features)
+          .select("feature", "instability")
     }
     graft.core.Sinks.atomicCsv(df, out)
     spark.stop()

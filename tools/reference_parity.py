@@ -212,7 +212,40 @@ def unify_parity():
     return check("unify_daily (merge_apple_zepp)", expected, got)
 
 
+def instability_parity():
+    rng = np.random.default_rng(42)
+    n = 90
+    feats = pd.DataFrame({
+        "date": pd.date_range("2021-05-01", periods=n).strftime("%Y-%m-%d"),
+        "hr_mean": np.round(rng.normal(68, 8, n), 2),
+        "sleep_h": np.round(rng.normal(7, 1, n), 2),
+        "steps": np.round(rng.normal(9000, 2500, n), 0),
+    })
+    feats.loc[rng.choice(n, 10, replace=False), "sleep_h"] = np.nan
+    segs = pd.DataFrame({
+        "segment_id": [0, 1, 2],
+        "date_start": ["2021-05-01", "2021-06-01", "2021-07-01"],
+        "date_end": ["2021-05-28", "2021-06-25", "2021-07-25"],
+        "reason": ["initial", "gap", "gap"],
+    })  # days 05-29..05-31 and 06-26..06-30 fall outside -> dropped
+    f_csv, s_csv = OUT / "features.csv", OUT / "segments.csv"
+    feats.to_csv(f_csv, index=False)
+    segs.to_csv(s_csv, index=False)
+
+    from src.utils.temporal_instability import compute_instability_scores
+    scores = compute_instability_scores(
+        feats.copy(), str(s_csv), ["hr_mean", "sleep_h", "steps"])
+    expected = pd.DataFrame(
+        [{"feature": k, "instability": v} for k, v in scores.items()])
+
+    out_csv = OUT / "engine_instability.csv"
+    run_engine("instability", f"{f_csv},{s_csv}", str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("instability (compute_instability_scores)", expected, got)
+
+
 if __name__ == "__main__":
-    ok = meds_parity() & pbsi_parity() & som_parity() & unify_parity()
+    ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
+          instability_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
