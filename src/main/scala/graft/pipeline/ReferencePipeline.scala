@@ -261,6 +261,69 @@ object ReferencePipeline {
           col("missing_activity") === 1)), 6))
   }
 
+  /** Zepp cloud sleep daily (`load_zepp_sleep_daily_from_cloud`,
+    * `src/domains/sleep/sleep_from_extracted.py:229-293,435-527,579-607`):
+    * the daily-summary format (stage minutes with the whole-column
+    * minutes→hours heuristic, float32 casts) and the naps-JSON format
+    * (any column holding a JSON array of {start,end}, positive durations
+    * summed), dates converted UTC → home_tz, both parts combined by a
+    * second per-date sum, zero-total days dropped.
+    * Inputs carry canonical names `date, deep_min, light_min, rem_min` /
+    * `date, <napsCols...>` (alias resolution = RobustCsv.canonicalize).
+    * Checked 1:1 against the reference by tools/reference_parity.py. */
+  def zeppSleepDaily(daily: DataFrame, naps: DataFrame, homeTz: String,
+                     napsCols: Seq[String]): DataFrame = {
+    def localDate(c: org.apache.spark.sql.Column) =
+      to_date(from_utc_timestamp(to_timestamp(c), homeTz))
+
+    // C4 two-phase unit heuristic: whole-column max decides minutes vs hours
+    val stages = Seq("deep_min", "light_min", "rem_min")
+    val maxRow = daily.agg(
+      max(col("deep_min").try_cast("double")),
+      max(col("light_min").try_cast("double")),
+      max(col("rem_min").try_cast("double"))).head()
+    def hoursCol(i: Int) = {
+      val v = coalesce(col(stages(i)).try_cast("double"), lit(0.0))
+      val mx = if (maxRow.isNullAt(i)) 0.0 else maxRow.getDouble(i)
+      (if (mx > 24) v / 60.0 else v).cast("float")
+    }
+    val dailyPart = daily.select(
+      localDate(col("date")).as("date"),
+      hoursCol(0).as("zepp_slp_deep_h"),
+      hoursCol(1).as("zepp_slp_light_h"),
+      hoursCol(2).as("zepp_slp_rem_h"))
+      .withColumn("zepp_slp_total_h",
+        (col("zepp_slp_deep_h") + col("zepp_slp_light_h") + col("zepp_slp_rem_h"))
+          .cast("float"))
+
+    // naps: sum positive durations across every naps-like column's array
+    val napHours = napsCols.map { c =>
+      coalesce(aggregate(
+        transform(from_json(col(c), Intervals.napsSchema), n =>
+          (unix_timestamp(to_timestamp(n.getField("end"), "yyyy-MM-dd HH:mm:ssZ")) -
+            unix_timestamp(to_timestamp(n.getField("start"), "yyyy-MM-dd HH:mm:ssZ")))
+            / 3600.0),
+        lit(0.0), (acc, h) => acc + when(h > 0, h).otherwise(0.0)), lit(0.0))
+    }.reduce(_ + _)
+    val napsPart = naps.select(
+      localDate(col("date")).as("date"),
+      napHours.cast("float").as("zepp_slp_total_h"))
+      .withColumn("zepp_slp_deep_h", lit(0.0f))
+      .withColumn("zepp_slp_light_h", lit(0.0f))
+      .withColumn("zepp_slp_rem_h", lit(0.0f))
+
+    dailyPart.unionByName(napsPart)
+      .groupBy("date")
+      .agg(
+        sum("zepp_slp_total_h").cast("float").as("zepp_slp_total_h"),
+        sum("zepp_slp_deep_h").cast("float").as("zepp_slp_deep_h"),
+        sum("zepp_slp_light_h").cast("float").as("zepp_slp_light_h"),
+        sum("zepp_slp_rem_h").cast("float").as("zepp_slp_rem_h"))
+      .filter(col("zepp_slp_total_h") > 0)
+      .select("date", "zepp_slp_total_h", "zepp_slp_deep_h",
+        "zepp_slp_light_h", "zepp_slp_rem_h")
+  }
+
   /** The `merge_apple_zepp` contract (`src/features/unify_daily
     * .py:153-319`): per-date column-wise coalesce Apple > Zepp over
     * canonical metric names, per-domain provenance, and the reference's

@@ -57,6 +57,17 @@ object ParityDump {
             d.withColumn(c, col(c).cast("double")))
         }
         ReferencePipeline.unifyCanonical(canon(read(applePath)), canon(read(zeppPath)))
+      case "zeppsleep" =>
+        // in = "<dailyCsv>,<napsCsv>,<homeTz>"
+        val Array(dailyPath, napsPath, tz) = in.split(",")
+        // escape=" : the naps JSON column uses RFC-4180 doubled quotes
+        def read(p: String) = spark.read.option("header", "true")
+          .option("escape", "\"").csv(p)
+        val dailyCanon = graft.ingest.RobustCsv.canonicalize(read(dailyPath), Map(
+          "deep_min" -> Seq("deepSleepTime", "deep_minutes"),
+          "light_min" -> Seq("shallowSleepTime", "light_minutes"),
+          "rem_min" -> Seq("REMTime", "rem_minutes")))
+        ReferencePipeline.zeppSleepDaily(dailyCanon, read(napsPath), tz, Seq("naps"))
       case "instability" =>
         // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
         // variance-across-segment-means operator.

@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 
 sys.path.insert(0, "/root/reference")
+sys.path.insert(0, "/root/reference/src")  # modules import `lib.*` as top-level
 
 # The reference's package __init__ imports its iPhone-backup decryptor,
 # which needs pycryptodome (absent here and out of engine scope, SURVEY
@@ -244,8 +245,55 @@ def instability_parity():
     return check("instability (compute_instability_scores)", expected, got)
 
 
+def zeppsleep_parity():
+    rng = np.random.default_rng(42)
+    # daily-summary format: stage MINUTES (max > 24 triggers the /60)
+    daily_rows = []
+    for day in range(1, 15):
+        daily_rows.append({
+            "date": f"2022-01-{day:02d}",
+            "deepSleepTime": int(rng.integers(40, 140)),
+            "shallowSleepTime": int(rng.integers(120, 320)),
+            "REMTime": int(rng.integers(30, 110))})
+    # a zero-sleep day that must be dropped
+    daily_rows.append({"date": "2022-01-20", "deepSleepTime": 0,
+                       "shallowSleepTime": 0, "REMTime": 0})
+    # naps format: JSON arrays incl. a negative-duration nap and an empty day
+    naps_rows = [
+        {"date": "2022-01-08", "naps":
+            '[{"start":"2022-01-08 00:33:10+0000","end":"2022-01-08 01:33:10+0000"},'
+            '{"start":"2022-01-08 14:00:00+0000","end":"2022-01-08 14:45:00+0000"}]'},
+        {"date": "2022-01-09", "naps":
+            '[{"start":"2022-01-09 10:00:00+0000","end":"2022-01-09 09:00:00+0000"}]'},
+        {"date": "2022-01-16", "naps":
+            '[{"start":"2022-01-16 13:00:00+0000","end":"2022-01-16 13:30:00+0000"}]'},
+        {"date": "2022-01-17", "naps": "[]"},
+    ]
+    d_csv, n_csv = OUT / "zepp_sleep_daily.csv", OUT / "zepp_sleep_naps.csv"
+    pd.DataFrame(daily_rows).to_csv(d_csv, index=False)
+    pd.DataFrame(naps_rows).to_csv(n_csv, index=False)
+
+    # reference loader wants the snapshot layout
+    snap = OUT / "snap"
+    cloud = snap / "extracted" / "zepp" / "cloud" / "SLEEP"
+    cloud.mkdir(parents=True)
+    pd.DataFrame(daily_rows).to_csv(cloud / "SLEEP_2022.csv", index=False)
+    pd.DataFrame(naps_rows).to_csv(cloud / "SLEEP_NAPS_2022.csv", index=False)
+
+    from src.domains.sleep.sleep_from_extracted import load_zepp_sleep_daily_from_cloud
+    expected = load_zepp_sleep_daily_from_cloud(snap, home_tz="Asia/Tokyo")
+    expected = expected.copy()
+    expected["date"] = pd.to_datetime(expected["date"]).dt.strftime("%Y-%m-%d")
+
+    out_csv = OUT / "engine_zeppsleep.csv"
+    run_engine("zeppsleep", f"{d_csv},{n_csv},Asia/Tokyo", str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("zepp_sleep (load_zepp_sleep_daily_from_cloud)", expected, got,
+                 float_tol=1e-4)
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
-          instability_parity())
+          instability_parity() & zeppsleep_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
