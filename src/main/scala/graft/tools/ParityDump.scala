@@ -57,6 +57,10 @@ object ParityDump {
             d.withColumn(c, col(c).cast("double")))
         }
         ReferencePipeline.unifyCanonical(canon(read(applePath)), canon(read(zeppPath)))
+      case "zepphr" =>
+        val csv = spark.read.option("header", "true")
+          .option("inferSchema", "true").csv(in)
+        ReferencePipeline.zeppDailyCardio(csv)
       case "zeppsleep" =>
         // in = "<dailyCsv>,<napsCsv>,<homeTz>"
         val Array(dailyPath, napsPath, tz) = in.split(",")

@@ -292,8 +292,38 @@ def zeppsleep_parity():
                  float_tol=1e-4)
 
 
+def zepphr_parity():
+    # stub tqdm for stage_csv_aggregation's progress bar import
+    import types as _t
+    tq = _t.ModuleType("tqdm")
+    tq.tqdm = lambda x, **k: x
+    sys.modules.setdefault("tqdm", tq)
+
+    rng = np.random.default_rng(42)
+    rows = []
+    for i in range(2000):
+        day = 1 + int(rng.integers(0, 25))
+        hr = float(rng.normal(70, 25))  # includes <30 / >220 outliers
+        rows.append({
+            "time": f"2021-05-{day:02d} {int(rng.integers(0,24)):02d}:"
+                    f"{int(rng.integers(0,60)):02d}:{i % 60:02d}+0000",
+            "heartRate": round(hr, 1)})
+    zdir = OUT / "zepp_hr" / "zepp"
+    zdir.mkdir(parents=True, exist_ok=True)
+    fixture = zdir / "HEARTRATE_auto.csv"
+    pd.DataFrame(rows).to_csv(fixture, index=False)
+
+    from src.etl.stage_csv_aggregation import ZeppHealthAggregator
+    expected = ZeppHealthAggregator(str(zdir)).aggregate_heartrate()
+
+    out_csv = OUT / "engine_zepphr.csv"
+    run_engine("zepphr", str(fixture), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("zepp_hr (ZeppHealthAggregator.aggregate_heartrate)", expected, got)
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
-          instability_parity() & zeppsleep_parity())
+          instability_parity() & zeppsleep_parity() & zepphr_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
