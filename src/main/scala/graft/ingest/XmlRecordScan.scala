@@ -48,6 +48,10 @@ object XmlRecordScan {
           .as("start_ts"),
         to_timestamp(attr(col("value"), "endDate"), "yyyy-MM-dd HH:mm:ss Z")
           .as("end_ts"),
+        // the reference's `_get_date_from_dt` keeps the record's LOCAL
+        // wall-clock date (offset preserved, not converted to UTC) — the
+        // first 10 chars of the raw attribute ARE that date.
+        to_date(substring(attr(col("value"), "startDate"), 1, 10)).as("wall_date"),
         attr(col("value"), "sourceName").as("source_name"))
   }
 

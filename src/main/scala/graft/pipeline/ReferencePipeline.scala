@@ -30,6 +30,20 @@ object ReferencePipeline {
   val DistanceType = "HKQuantityTypeIdentifierDistanceWalkingRunning"
   val EnergyType = "HKQuantityTypeIdentifierActiveEnergyBurned"
 
+  /** Apple XML HR daily — exact `AppleHealthAggregator.aggregate_heartrate`
+    * contract (`src/etl/stage_csv_aggregation.py:217-460`): binary-regex
+    * record scan, outlier filter 30-220, POPULATION std (np.std), and the
+    * reference's LOCAL wall-clock date (offset preserved). Checked 1:1
+    * against the reference by tools/reference_parity.py. */
+  def appleHrDaily(spark: SparkSession, xmlPath: String): DataFrame =
+    XmlRecordScan.records(spark, xmlPath, Seq(HrType))
+      .withColumn("v", col("value").try_cast("double"))
+      .filter(col("v").isNotNull && col("v").between(30, 220))
+      .groupBy(col("wall_date").as("date"))
+      .agg(
+        avg("v").as("hr_mean"), min("v").as("hr_min"), max("v").as("hr_max"),
+        stddev_pop("v").as("hr_std"), count(lit(1)).as("hr_samples"))
+
   /** Stage 1a — Apple `daily_cardio`: HR (pop-std, F2 outliers 30-220) ⟗
     * HRV (exact median, F3 outliers 5-300) on date.
     * Contract: date, hr_mean, hr_min, hr_max, hr_std, hr_samples,

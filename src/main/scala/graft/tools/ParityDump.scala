@@ -57,6 +57,8 @@ object ParityDump {
             d.withColumn(c, col(c).cast("double")))
         }
         ReferencePipeline.unifyCanonical(canon(read(applePath)), canon(read(zeppPath)))
+      case "applehr" =>
+        ReferencePipeline.appleHrDaily(spark, in)
       case "zepphr" =>
         val csv = spark.read.option("header", "true")
           .option("inferSchema", "true").csv(in)

@@ -322,8 +322,47 @@ def zepphr_parity():
     return check("zepp_hr (ZeppHealthAggregator.aggregate_heartrate)", expected, got)
 
 
+def applehr_parity():
+    import types as _t
+    tq = _t.ModuleType("tqdm")
+    tq.tqdm = lambda x, **k: x
+    sys.modules.setdefault("tqdm", tq)
+
+    rng = np.random.default_rng(42)
+    lines = ['<?xml version="1.0"?>', "<HealthData>"]
+    for i in range(3000):
+        day = 1 + int(rng.integers(0, 20))
+        hr = round(float(rng.normal(72, 30)), 1)  # includes outliers
+        off = ["+0000", "+0100", "-0500"][int(rng.integers(0, 3))]
+        lines.append(
+            f' <Record type="HKQuantityTypeIdentifierHeartRate" sourceName="W"'
+            f' value="{hr}" startDate="2021-05-{day:02d}'
+            f' {int(rng.integers(0,24)):02d}:{int(rng.integers(0,60)):02d}:{i%60:02d} {off}"'
+            f' endDate="2021-05-{day:02d} 00:00:00 {off}"/>')
+        if i % 10 == 0:  # other record types must be skipped
+            lines.append(
+                ' <Record type="HKQuantityTypeIdentifierStepCount" sourceName="P"'
+                ' value="100" startDate="2021-05-01 12:00:00 +0000"'
+                ' endDate="2021-05-01 12:00:00 +0000"/>')
+    lines.append("</HealthData>")
+    xdir = OUT / "apple"
+    xdir.mkdir(exist_ok=True)
+    xml = xdir / "export.xml"
+    xml.write_text("\n".join(lines))
+
+    from src.etl.stage_csv_aggregation import AppleHealthAggregator
+    expected = AppleHealthAggregator(str(xml)).aggregate_heartrate()
+
+    out_csv = OUT / "engine_applehr.csv"
+    run_engine("applehr", str(xml), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("apple_hr (AppleHealthAggregator.aggregate_heartrate)",
+                 expected, got)
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
-          instability_parity() & zeppsleep_parity() & zepphr_parity())
+          instability_parity() & zeppsleep_parity() & zepphr_parity() &
+          applehr_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
