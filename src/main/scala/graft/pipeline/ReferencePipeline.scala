@@ -286,7 +286,8 @@ object ReferencePipeline {
     * `date, <napsCols...>` (alias resolution = RobustCsv.canonicalize).
     * Checked 1:1 against the reference by tools/reference_parity.py. */
   def zeppSleepDaily(daily: DataFrame, naps: DataFrame, homeTz: String,
-                     napsCols: Seq[String]): DataFrame = {
+                     napsCols: Seq[String],
+                     intervals: Option[DataFrame] = None): DataFrame = {
     def localDate(c: org.apache.spark.sql.Column) =
       to_date(from_utc_timestamp(to_timestamp(c), homeTz))
 
@@ -326,7 +327,38 @@ object ReferencePipeline {
       .withColumn("zepp_slp_light_h", lit(0.0f))
       .withColumn("zepp_slp_rem_h", lit(0.0f))
 
-    dailyPart.unionByName(napsPart)
+    // interval format (`_agg_intervals` fallback path): start/stop rows
+    // with a stage column — durations summed per (date, normalized stage)
+    // and pivoted; "other" stages count toward the total only.
+    val intervalPart = intervals.map { iv =>
+      val durH = coalesce(
+        (unix_timestamp(to_timestamp(col("stop"))) -
+          unix_timestamp(to_timestamp(col("start")))) / 3600.0, lit(0.0))
+      val stageNorm = when(lower(col("stage")).contains("deep"), "deep")
+        .when(lower(col("stage")).contains("rem"), "rem")
+        .when(lower(col("stage")).contains("light"), "light")
+        .otherwise("other")
+      iv.select(localDate(col("start")).as("date"), durH.as("dur_h"),
+          stageNorm.as("sn"))
+        .groupBy("date")
+        .agg(
+          sum("dur_h").as("zepp_slp_total_h"),
+          sum(when(col("sn") === "deep", col("dur_h")).otherwise(0.0))
+            .as("zepp_slp_deep_h"),
+          sum(when(col("sn") === "light", col("dur_h")).otherwise(0.0))
+            .as("zepp_slp_light_h"),
+          sum(when(col("sn") === "rem", col("dur_h")).otherwise(0.0))
+            .as("zepp_slp_rem_h"))
+        .filter(col("zepp_slp_total_h") > 0)
+    }
+
+    val parts = Seq(dailyPart, napsPart) ++ intervalPart.toSeq
+    parts.map(p => p.select(col("date"),
+        col("zepp_slp_total_h").cast("double").as("zepp_slp_total_h"),
+        col("zepp_slp_deep_h").cast("double").as("zepp_slp_deep_h"),
+        col("zepp_slp_light_h").cast("double").as("zepp_slp_light_h"),
+        col("zepp_slp_rem_h").cast("double").as("zepp_slp_rem_h")))
+      .reduce(_ unionByName _)
       .groupBy("date")
       .agg(
         sum("zepp_slp_total_h").cast("float").as("zepp_slp_total_h"),

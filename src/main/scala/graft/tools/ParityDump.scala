@@ -64,8 +64,8 @@ object ParityDump {
           .option("inferSchema", "true").csv(in)
         ReferencePipeline.zeppDailyCardio(csv)
       case "zeppsleep" =>
-        // in = "<dailyCsv>,<napsCsv>,<homeTz>"
-        val Array(dailyPath, napsPath, tz) = in.split(",")
+        // in = "<dailyCsv>,<napsCsv>,<intervalsCsv>,<homeTz>"
+        val Array(dailyPath, napsPath, intervalsPath, tz) = in.split(",")
         // escape=" : the naps JSON column uses RFC-4180 doubled quotes
         def read(p: String) = spark.read.option("header", "true")
           .option("escape", "\"").csv(p)
@@ -73,7 +73,8 @@ object ParityDump {
           "deep_min" -> Seq("deepSleepTime", "deep_minutes"),
           "light_min" -> Seq("shallowSleepTime", "light_minutes"),
           "rem_min" -> Seq("REMTime", "rem_minutes")))
-        ReferencePipeline.zeppSleepDaily(dailyCanon, read(napsPath), tz, Seq("naps"))
+        ReferencePipeline.zeppSleepDaily(dailyCanon, read(napsPath), tz,
+          Seq("naps"), Some(read(intervalsPath)))
       case "instability" =>
         // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
         // variance-across-segment-means operator.

@@ -269,9 +269,25 @@ def zeppsleep_parity():
             '[{"start":"2022-01-16 13:00:00+0000","end":"2022-01-16 13:30:00+0000"}]'},
         {"date": "2022-01-17", "naps": "[]"},
     ]
+    # interval format: start/stop/stage rows, midnight-spanning, mixed
+    # stage labels incl. unmapped ("awake" -> counts toward total only)
+    rng2 = np.random.default_rng(7)
+    interval_rows = []
+    for day in range(21, 26):
+        for (h0, m0, h1, m1, stage) in [
+                (23, 30, 1, 15, "deep sleep"), (1, 15, 3, 0, "light"),
+                (3, 0, 4, 10, "REM phase"), (4, 10, 4, 40, "awake")]:
+            d0 = day if h0 >= 20 else day + 1
+            d1 = day + 1 if h1 < 20 else day
+            interval_rows.append({
+                "start": f"2022-01-{d0:02d} {h0:02d}:{m0:02d}:00+0000",
+                "stop": f"2022-01-{d1:02d} {h1:02d}:{m1:02d}:00+0000",
+                "stage": stage})
     d_csv, n_csv = OUT / "zepp_sleep_daily.csv", OUT / "zepp_sleep_naps.csv"
+    i_csv = OUT / "zepp_sleep_intervals.csv"
     pd.DataFrame(daily_rows).to_csv(d_csv, index=False)
     pd.DataFrame(naps_rows).to_csv(n_csv, index=False)
+    pd.DataFrame(interval_rows).to_csv(i_csv, index=False)
 
     # reference loader wants the snapshot layout
     snap = OUT / "snap"
@@ -279,6 +295,7 @@ def zeppsleep_parity():
     cloud.mkdir(parents=True)
     pd.DataFrame(daily_rows).to_csv(cloud / "SLEEP_2022.csv", index=False)
     pd.DataFrame(naps_rows).to_csv(cloud / "SLEEP_NAPS_2022.csv", index=False)
+    pd.DataFrame(interval_rows).to_csv(cloud / "SLEEP_INTERVALS_2022.csv", index=False)
 
     from src.domains.sleep.sleep_from_extracted import load_zepp_sleep_daily_from_cloud
     expected = load_zepp_sleep_daily_from_cloud(snap, home_tz="Asia/Tokyo")
@@ -286,7 +303,7 @@ def zeppsleep_parity():
     expected["date"] = pd.to_datetime(expected["date"]).dt.strftime("%Y-%m-%d")
 
     out_csv = OUT / "engine_zeppsleep.csv"
-    run_engine("zeppsleep", f"{d_csv},{n_csv},Asia/Tokyo", str(out_csv))
+    run_engine("zeppsleep", f"{d_csv},{n_csv},{i_csv},Asia/Tokyo", str(out_csv))
     got = pd.read_csv(out_csv)
     return check("zepp_sleep (load_zepp_sleep_daily_from_cloud)", expected, got,
                  float_tol=1e-4)
