@@ -149,9 +149,12 @@ object Dedup {
     // Round-robin spread of the probe side: the pairwise intersect loop is
     // the hot path and must use every core regardless of how few splits
     // the input scan produced. The build side stays broadcastable.
-    val l = withSets
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism).as("l")
-    val r = withSets.as("r")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val l = withSets.repartition(par).as("l")
+    // the BUILD side also repartitions: a broadcast collect executes its
+    // child plan as-is, and a single-split scan would otherwise compute
+    // every shingle hash in one task before broadcasting.
+    val r = withSets.repartition(par).as("r")
     // |A∪B| = |A| + |B| - |A∩B|: sizes only, no union array materialized.
     // The intersect count is projected BELOW a (no-op) aggregation on the
     // pair key: without that boundary Catalyst pushes the jaccard filter
