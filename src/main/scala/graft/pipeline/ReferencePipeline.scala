@@ -44,6 +44,50 @@ object ReferencePipeline {
         avg("v").as("hr_mean"), min("v").as("hr_min"), max("v").as("hr_max"),
         stddev_pop("v").as("hr_std"), count(lit(1)).as("hr_samples"))
 
+  /** Apple XML HRV daily — exact `aggregate_hrv` contract
+    * (`src/etl/stage_csv_aggregation.py:516-624`): outliers 5-300, exact
+    * median (np.median = linear midpoint), wall-clock dates.
+    * Checked 1:1 by tools/reference_parity.py. */
+  def appleHrvDaily(spark: SparkSession, xmlPath: String): DataFrame =
+    XmlRecordScan.records(spark, xmlPath, Seq(HrvType))
+      .withColumn("v", col("value").try_cast("double"))
+      .filter(col("v").isNotNull && col("v").between(5, 300))
+      .groupBy(col("wall_date").as("date"))
+      .agg(
+        avg("v").as("hrv_sdnn_mean"),
+        percentile(col("v"), lit(0.5)).as("hrv_sdnn_median"),
+        min("v").as("hrv_sdnn_min"), max("v").as("hrv_sdnn_max"),
+        count(lit(1)).as("n_hrv_sdnn"))
+
+  /** Apple XML sleep daily — exact `aggregate_sleep` contract
+    * (`src/etl/stage_csv_aggregation.py:162-215`): per-record minutes
+    * split asleep-vs-inbed ("asleep" wins, elif "bed"), NO positive-
+    * duration filter, quality = asleep/inbed*100 clipped 0-100 with the
+    * reference's division edge cases (asleep>0 & inbed=0 -> inf -> 100;
+    * asleep=0 -> 0). Wall-clock dates.
+    * Checked 1:1 by tools/reference_parity.py. */
+  def appleSleepDailyExact(spark: SparkSession, xmlPath: String): DataFrame = {
+    val lv = lower(col("value"))
+    val mins = (unix_timestamp(col("end_ts")) - unix_timestamp(col("start_ts"))) / 60.0
+    XmlRecordScan.records(spark, xmlPath, Seq(SleepType))
+      .filter(col("start_ts").isNotNull && col("end_ts").isNotNull)
+      .groupBy(col("wall_date").as("date"))
+      .agg(
+        sum(when(lv.contains("asleep"), mins).otherwise(0.0))
+          .as("total_sleep_minutes"),
+        sum(when(!lv.contains("asleep") && lv.contains("bed"), mins).otherwise(0.0))
+          .as("in_bed_minutes"))
+      .select(
+        col("date"),
+        (col("total_sleep_minutes") / 60.0).as("sleep_hours"),
+        when(col("total_sleep_minutes") > 0,
+          when(col("in_bed_minutes") === 0, lit(100.0))
+            .otherwise(Labels.clip(
+              col("total_sleep_minutes") / col("in_bed_minutes") * 100.0, 0, 100)))
+          .otherwise(lit(0.0)).as("sleep_quality_score"),
+        col("total_sleep_minutes"))
+  }
+
   /** Stage 1a — Apple `daily_cardio`: HR (pop-std, F2 outliers 30-220) ⟗
     * HRV (exact median, F3 outliers 5-300) on date.
     * Contract: date, hr_mean, hr_min, hr_max, hr_std, hr_samples,

@@ -59,6 +59,10 @@ object ParityDump {
         ReferencePipeline.unifyCanonical(canon(read(applePath)), canon(read(zeppPath)))
       case "applehr" =>
         ReferencePipeline.appleHrDaily(spark, in)
+      case "applehrv" =>
+        ReferencePipeline.appleHrvDaily(spark, in)
+      case "applesleep" =>
+        ReferencePipeline.appleSleepDailyExact(spark, in)
       case "zepphr" =>
         val csv = spark.read.option("header", "true")
           .option("inferSchema", "true").csv(in)

@@ -27,6 +27,37 @@ for name in ["Crypto", "Crypto.Cipher", "Crypto.Cipher.AES",
              "Crypto.Util"]:
     sys.modules.setdefault(name, types.ModuleType(name))
 
+
+class _FakePbar:
+    """tqdm stand-in: context manager + update + iteration passthrough."""
+
+    def __init__(self, *args, **kwargs):
+        self._it = args[0] if args and hasattr(args[0], "__iter__") else []
+        self.n = 0
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def __iter__(self):
+        return iter(self._it)
+
+    def update(self, *a, **k):
+        self.n += 1
+
+    def close(self):
+        pass
+
+    def set_description(self, *a, **k):
+        pass
+
+
+_tqdm_mod = types.ModuleType("tqdm")
+_tqdm_mod.tqdm = _FakePbar
+sys.modules.setdefault("tqdm", _tqdm_mod)
+
 OUT = Path(tempfile.mkdtemp(prefix="graft-parity-"))
 
 
@@ -310,12 +341,6 @@ def zeppsleep_parity():
 
 
 def zepphr_parity():
-    # stub tqdm for stage_csv_aggregation's progress bar import
-    import types as _t
-    tq = _t.ModuleType("tqdm")
-    tq.tqdm = lambda x, **k: x
-    sys.modules.setdefault("tqdm", tq)
-
     rng = np.random.default_rng(42)
     rows = []
     for i in range(2000):
@@ -340,11 +365,6 @@ def zepphr_parity():
 
 
 def applehr_parity():
-    import types as _t
-    tq = _t.ModuleType("tqdm")
-    tq.tqdm = lambda x, **k: x
-    sys.modules.setdefault("tqdm", tq)
-
     rng = np.random.default_rng(42)
     lines = ['<?xml version="1.0"?>', "<HealthData>"]
     for i in range(3000):
@@ -377,9 +397,65 @@ def applehr_parity():
                  expected, got)
 
 
+def apple_xml_fixture():
+    """Shared HRV + sleep XML fixture (valid DOM for the ET-based paths)."""
+    rng = np.random.default_rng(43)
+    lines = ['<?xml version="1.0"?>', "<HealthData>"]
+    for i in range(800):
+        day = 1 + int(rng.integers(0, 15))
+        hrv = round(float(rng.normal(45, 30)), 1)  # includes <5 / >300 outliers
+        off = ["+0000", "+0100"][int(rng.integers(0, 2))]
+        lines.append(
+            f' <Record type="HKQuantityTypeIdentifierHeartRateVariabilitySDNN"'
+            f' sourceName="W" value="{hrv}" startDate="2021-05-{day:02d}'
+            f' {int(rng.integers(0,24)):02d}:{int(rng.integers(0,60)):02d}:{i%60:02d} {off}"'
+            f' endDate="2021-05-{day:02d} 00:00:00 {off}"/>')
+    for day in range(1, 12):
+        # asleep + inbed intervals; day 10: asleep but NO inbed (inf->100);
+        # day 11: inbed only (asleep=0 -> quality 0)
+        if day != 11:
+            lines.append(
+                f' <Record type="HKCategoryTypeIdentifierSleepAnalysis" sourceName="W"'
+                f' value="HKCategoryValueSleepAnalysisAsleepCore"'
+                f' startDate="2021-05-{day:02d} 01:00:00 +0000"'
+                f' endDate="2021-05-{day:02d} 0{4 + day % 4}:30:00 +0000"/>')
+        if day != 10:
+            lines.append(
+                f' <Record type="HKCategoryTypeIdentifierSleepAnalysis" sourceName="W"'
+                f' value="HKCategoryValueSleepAnalysisInBed"'
+                f' startDate="2021-05-{day:02d} 00:30:00 +0000"'
+                f' endDate="2021-05-{day:02d} 09:00:00 +0000"/>')
+    lines.append("</HealthData>")
+    xdir = OUT / "apple2"
+    xdir.mkdir(exist_ok=True)
+    xml = xdir / "export.xml"
+    xml.write_text("\n".join(lines))
+    return xml
+
+
+def applehrv_parity():
+    xml = apple_xml_fixture()
+    from src.etl.stage_csv_aggregation import AppleHealthAggregator
+    expected = AppleHealthAggregator(str(xml)).aggregate_hrv()
+    out_csv = OUT / "engine_applehrv.csv"
+    run_engine("applehrv", str(xml), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("apple_hrv (AppleHealthAggregator.aggregate_hrv)", expected, got)
+
+
+def applesleep_parity():
+    xml = apple_xml_fixture()
+    from src.etl.stage_csv_aggregation import AppleHealthAggregator
+    expected = AppleHealthAggregator(str(xml)).aggregate_sleep()
+    out_csv = OUT / "engine_applesleep.csv"
+    run_engine("applesleep", str(xml), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("apple_sleep (AppleHealthAggregator.aggregate_sleep)", expected, got)
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
-          applehr_parity())
+          applehr_parity() & applehrv_parity() & applesleep_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
