@@ -88,6 +88,23 @@ object ReferencePipeline {
         col("total_sleep_minutes"))
   }
 
+  /** Apple XML activity daily — exact `aggregate_activity` contract
+    * (`src/etl/stage_csv_aggregation.py:655-709`): per-type daily sums of
+    * steps/distance/energy, wall-clock dates, unparsable values skipped.
+    * Checked 1:1 by tools/reference_parity.py. */
+  def appleActivityDailyExact(spark: SparkSession, xmlPath: String): DataFrame =
+    XmlRecordScan.records(spark, xmlPath, Seq(StepsType, DistanceType, EnergyType))
+      .withColumn("v", col("value").try_cast("double"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("wall_date").as("date"))
+      .agg(
+        sum(when(col("record_type") === StepsType, col("v")).otherwise(0.0))
+          .as("total_steps"),
+        sum(when(col("record_type") === DistanceType, col("v")).otherwise(0.0))
+          .as("total_distance"),
+        sum(when(col("record_type") === EnergyType, col("v")).otherwise(0.0))
+          .as("total_active_energy"))
+
   /** Stage 1a — Apple `daily_cardio`: HR (pop-std, F2 outliers 30-220) ⟗
     * HRV (exact median, F3 outliers 5-300) on date.
     * Contract: date, hr_mean, hr_min, hr_max, hr_std, hr_samples,

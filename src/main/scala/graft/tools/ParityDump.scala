@@ -63,6 +63,8 @@ object ParityDump {
         ReferencePipeline.appleHrvDaily(spark, in)
       case "applesleep" =>
         ReferencePipeline.appleSleepDailyExact(spark, in)
+      case "appleactivity" =>
+        ReferencePipeline.appleActivityDailyExact(spark, in)
       case "zepphr" =>
         val csv = spark.read.option("header", "true")
           .option("inferSchema", "true").csv(in)

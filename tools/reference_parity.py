@@ -443,6 +443,38 @@ def applehrv_parity():
     return check("apple_hrv (AppleHealthAggregator.aggregate_hrv)", expected, got)
 
 
+def appleactivity_parity():
+    rng = np.random.default_rng(44)
+    types_ = ["HKQuantityTypeIdentifierStepCount",
+              "HKQuantityTypeIdentifierDistanceWalkingRunning",
+              "HKQuantityTypeIdentifierActiveEnergyBurned"]
+    lines = ['<?xml version="1.0"?>', "<HealthData>"]
+    for i in range(1200):
+        day = 1 + int(rng.integers(0, 12))
+        t = types_[int(rng.integers(0, 3))]
+        val = ("bogus" if rng.random() < 0.02
+               else str(round(float(rng.uniform(1, 800)), 3)))
+        off = ["+0000", "-0500"][int(rng.integers(0, 2))]
+        lines.append(
+            f' <Record type="{t}" sourceName="P" value="{val}"'
+            f' startDate="2021-05-{day:02d} {int(rng.integers(0,24)):02d}:'
+            f'{int(rng.integers(0,60)):02d}:00 {off}"'
+            f' endDate="2021-05-{day:02d} 23:59:59 {off}"/>')
+    lines.append("</HealthData>")
+    xdir = OUT / "apple3"
+    xdir.mkdir(exist_ok=True)
+    xml = xdir / "export.xml"
+    xml.write_text("\n".join(lines))
+
+    from src.etl.stage_csv_aggregation import AppleHealthAggregator
+    expected = AppleHealthAggregator(str(xml)).aggregate_activity()
+    out_csv = OUT / "engine_appleactivity.csv"
+    run_engine("appleactivity", str(xml), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("apple_activity (AppleHealthAggregator.aggregate_activity)",
+                 expected, got, float_tol=1e-5)
+
+
 def applesleep_parity():
     xml = apple_xml_fixture()
     from src.etl.stage_csv_aggregation import AppleHealthAggregator
@@ -456,6 +488,7 @@ def applesleep_parity():
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
-          applehr_parity() & applehrv_parity() & applesleep_parity())
+          applehr_parity() & applehrv_parity() & applesleep_parity() &
+          appleactivity_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
