@@ -138,7 +138,7 @@ object DailyAgg {
         round(sum(when(col("hr") >= 4 && col("hr") < 8, col("hsum")).otherwise(0.0)), 6)
           .as("early_sum"),
         // arg-max with deterministic tie-break: max over (sum, -hour).
-        max_by(col("hr"), struct(col("hsum"), -col("hr"))).as("peak_hour"))
+        max_by(col("hr"), struct(col("hsum"), -col("hr"))).cast("long").as("peak_hour"))
       .select(
         col("date"),
         round(when(col("total") > 0, col("nocturnal_sum") / col("total") * 100.0)

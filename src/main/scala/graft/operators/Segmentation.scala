@@ -67,7 +67,10 @@ object Segmentation {
         // the boundary row is the segment's first row; min_by gives its reason
         min_by(col("seg_reason"), col(dateCol)).as("reason"),
         count(lit(1)).as("cnt"))
-      .withColumn("duration_days", datediff(col("date_end"), col("date_start")) + 1)
+      // long, not int: the DuckDB oracle's date_diff is BIGINT and the driver
+      // gate hashes dtype-sensitively
+      .withColumn("duration_days",
+        (datediff(col("date_end"), col("date_start")) + 1).cast("long"))
 
   /** W9 — multi-rule auto-segmentation: a segment boundary opens when, in
     * priority order, (1) the day-gap from the previous row exceeds

@@ -52,7 +52,7 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
@@ -93,7 +93,7 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** IVF-style ANN: a k-means coarse quantizer (MLlib, seeded) assigns
@@ -145,7 +145,7 @@ object Similarity {
       .distinct()
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** Near-duplicate pairs by embedding cosine within a blocking key. */

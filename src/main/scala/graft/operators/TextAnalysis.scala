@@ -78,7 +78,7 @@ object TextAnalysis {
     // the oracle must round in the same places, not earlier.
     val punctRatio = punct.cast("double") / nChars
     val stopRatio = stops.cast("double") / nWords
-    df.withColumn("n_words", nWords)
+    df.withColumn("n_words", nWords.cast("long"))
       .withColumn("mean_word_len", round(nChars.cast("double") / nWords, 6))
       .withColumn("punct_ratio", round(punctRatio, 6))
       .withColumn("stopword_ratio", round(stopRatio, 6))
@@ -111,8 +111,9 @@ object TextAnalysis {
     * count (letter runs / digit runs / single other non-space chars). */
   val tokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("ws_tokens", size(tokens(col(textCol))))
-      .withColumn("re_tokens", size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))))
+    df.withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
+      .withColumn("re_tokens",
+        size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))).cast("long"))
 
   /** Rolling polynomial fingerprint over per-token 28-bit hashes:
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a

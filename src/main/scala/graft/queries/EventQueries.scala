@@ -198,7 +198,7 @@ object EventQueries {
     // D3: first-half vs second-half distribution drift per event type.
     "d3_drift_halves" -> ((s, dir) => {
       val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
-      ev(s, dir).withColumn("half", ntile(2).over(w))
+      ev(s, dir).withColumn("half", ntile(2).over(w).cast("long"))
         .groupBy("event_type", "half")
         .agg(round(avg("value"), 6).as("v_avg"), round(stddev_samp("value"), 6).as("v_std"),
           count(lit(1)).as("n"))
@@ -370,7 +370,7 @@ object EventQueries {
         |  SELECT user_id, rn - cf AS grp, count(*) AS run_len
         |  FROM f WHERE low = 1 GROUP BY user_id, rn - cf)
         |SELECT user_id,
-        |  sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS n_long_runs,
+        |  CAST(sum(CASE WHEN run_len >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_runs,
         |  max(run_len) AS max_run, count(*) AS n_runs
         |FROM runs GROUP BY user_id""".stripMargin,
 
@@ -442,7 +442,7 @@ object EventQueries {
         |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         |  FROM g)
-        |SELECT user_id, session_id, count(*) AS n_events,
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
         |  min(epoch_us(ts) // 1000000) AS start_epoch,
         |  max(epoch_us(ts) // 1000000) AS end_epoch
         |FROM s GROUP BY user_id, session_id""".stripMargin,
@@ -464,7 +464,8 @@ object EventQueries {
         |      OVER (PARTITION BY user_id ORDER BY date
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
         |  FROM flagged)
-        |SELECT user_id, segment_id, min(date) AS date_start, max(date) AS date_end,
+        |SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id,
+        |  min(date) AS date_start, max(date) AS date_end,
         |  arg_min(seg_reason, date) AS reason, count(*) AS cnt,
         |  date_diff('day', min(date), max(date)) + 1 AS duration_days
         |FROM seg GROUP BY user_id, segment_id""".stripMargin,
@@ -582,7 +583,8 @@ object EventQueries {
         |    sum(CASE WHEN p.y_true <> c.label AND p.y_pred = c.label THEN 1 ELSE 0 END) AS fp,
         |    sum(CASE WHEN p.y_true = c.label AND p.y_pred <> c.label THEN 1 ELSE 0 END) AS fn
         |  FROM cls c CROSS JOIN pred p GROUP BY c.label)
-        |SELECT label, tp, fp, fn,
+        |SELECT label, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn,
         |  round(CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
         |  round(CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END, 6) AS recall,
         |  round(CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)

@@ -100,7 +100,7 @@ object MlQueries {
       Tables.events(s, dir)
         .withColumn("pr", percent_rank().over(w))
         .withColumn("cd", cume_dist().over(w))
-        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
         .groupBy("event_type", "quartile")
         .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("v_avg"),
           round(max("pr"), 6).as("pr_max"), round(max("cd"), 6).as("cd_max"))
@@ -254,7 +254,7 @@ object MlQueries {
         |    sum(CASE WHEN event_type IN ('click','view') THEN 1 ELSE 0 END) AS n_a,
         |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_b
         |  FROM sh WHERE hour(shifted) < 10 GROUP BY 1)
-        |SELECT date, n_a, n_b,
+        |SELECT date, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
         |  CASE WHEN n_a > 0 AND n_b > 0 THEN 'normal'
         |       WHEN n_a = 0 AND n_b > 0 THEN 'sleepless'
         |       WHEN n_a = 0 AND n_b = 0 THEN 'sensor_missing'
@@ -282,7 +282,7 @@ object MlQueries {
         |  wa AS (PARTITION BY event_type))
         |SELECT event_type,
         |  round(max(abs(cum_a / CAST(n_a AS DOUBLE) - cum_b / CAST(n_b AS DOUBLE))), 6) AS ks_stat,
-        |  max(n_a) AS n_a, max(n_b) AS n_b
+        |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
         |FROM cum GROUP BY event_type""".stripMargin,
 
     "c1_parse_ts" ->
@@ -299,7 +299,7 @@ object MlQueries {
         |    try_strptime(ts_str, '%Y-%m-%d')) AS parsed
         |  FROM s)
         |SELECT event_type, count(parsed) AS n_parsed,
-        |  sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS n_failed,
+        |  CAST(sum(CASE WHEN parsed IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
         |  min(epoch_us(parsed) // 1000000) AS min_epoch,
         |  max(epoch_us(parsed) // 1000000) AS max_epoch
         |FROM p GROUP BY event_type""".stripMargin,
@@ -348,7 +348,7 @@ object MlQueries {
         |SELECT e.date, round(any_value(st.m), 6) AS v_mean,
         |  round(any_value(st.s), 6) AS v_std,
         |  any_value(st.n_events) AS n_events,
-        |  sum(CASE WHEN e.v > st.m + st.s THEN 1 ELSE 0 END) AS n_peaks,
+        |  CAST(sum(CASE WHEN e.v > st.m + st.s THEN 1 ELSE 0 END) AS BIGINT) AS n_peaks,
         |  round(sum(CASE WHEN e.v <= 10.0 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
         |    AS sedentary_ratio
         |FROM (SELECT CAST(ts AS DATE) AS date, value AS v FROM events) e
@@ -379,7 +379,8 @@ object MlQueries {
         |      OVER (PARTITION BY user_id ORDER BY date
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment_id
         |  FROM f)
-        |SELECT user_id, segment_id, min(date) AS seg_start, max(date) AS seg_end,
+        |SELECT user_id, CAST(segment_id AS BIGINT) AS segment_id,
+        |  min(date) AS seg_start, max(date) AS seg_end,
         |  count(*) AS n_days, arg_min(seg_reason, date) AS reason
         |FROM seg GROUP BY user_id, segment_id""".stripMargin,
 
@@ -393,7 +394,7 @@ object MlQueries {
         |        THEN 1 ELSE 0 END) AS type_unknown,
         |    count(*) AS n
         |  FROM events)
-        |SELECT rule, severity, n_violations, n AS n_rows,
+        |SELECT rule, severity, CAST(n_violations AS BIGINT) AS n_violations, n AS n_rows,
         |  round(n_violations * 100.0 / n, 6) AS violation_pct
         |FROM (
         |  SELECT 'value_range' AS rule, 'CRITICAL' AS severity, value_range AS n_violations, n FROM agg
@@ -450,8 +451,8 @@ object MlQueries {
         |  FROM wc),
         |a AS (SELECT cls, y_true, rmin + (cnt - 1) / 2.0 AS avgrank FROM r)
         |SELECT cls,
-        |  sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END) AS np,
-        |  sum(CASE WHEN y_true <> cls THEN 1 ELSE 0 END) AS nn,
+        |  CAST(sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END) AS BIGINT) AS np,
+        |  CAST(sum(CASE WHEN y_true <> cls THEN 1 ELSE 0 END) AS BIGINT) AS nn,
         |  round((sum(CASE WHEN y_true = cls THEN avgrank END)
         |      - sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END)
         |        * (sum(CASE WHEN y_true = cls THEN 1 ELSE 0 END) + 1) / 2.0)

@@ -226,8 +226,9 @@ object RelationalQueries {
         |b AS (SELECT date, v, NULL::BIGINT AS click_n, n AS purch_n
         |      FROM ($purchaseDailySql)),
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
-        |SELECT date, round(avg(v), 6) AS v_fused, sum(click_n) AS click_n_total,
-        |  sum(purch_n) AS purch_n_total, count(*) AS n_sources
+        |SELECT date, round(avg(v), 6) AS v_fused,
+        |  CAST(sum(click_n) AS BIGINT) AS click_n_total,
+        |  CAST(sum(purch_n) AS BIGINT) AS purch_n_total, count(*) AS n_sources
         |FROM u GROUP BY date""".stripMargin,
 
     "j6_coalesce_merge" ->
@@ -261,7 +262,7 @@ object RelationalQueries {
         |  FROM pre GROUP BY date)
         |SELECT o.date, o.v_mean, o.n,
         |  round(abs(o.v_mean - round(r.v_mean2, 6)), 6) AS mean_diff,
-        |  o.n - r.n2 AS n_diff
+        |  CAST(o.n - r.n2 AS BIGINT) AS n_diff
         |FROM official o JOIN recomputed r ON o.date = r.date""".stripMargin,
 
     "u2_date_diff" ->

@@ -101,7 +101,7 @@ object TextQueries {
     "c7_strings" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
-        length(col("text")).as("n_chars_calc"),
+        length(col("text")).cast("long").as("n_chars_calc"),
         when(col("text").contains("spark"), 1).otherwise(0).as("has_spark"),
         substring(sha2(col("text"), 256), 1, 8).as("sha8"),
         element_at(split(lower(col("text")), "\\s+"), 1).as("first_tok"))))
@@ -131,7 +131,7 @@ object TextQueries {
       },
 
       "dd4_simhash" ->
-        s"SELECT doc_id, ${Dedup.simhashSql("text", 16)} AS simhash16 FROM documents",
+        s"SELECT doc_id, CAST(${Dedup.simhashSql("text", 16)} AS BIGINT) AS simhash16 FROM documents",
 
       "dd5_ngram_jaccard" -> {
         val shExpr = Dedup.shinglesOverTkSql(2)

@@ -40,7 +40,7 @@ class CorpusPipelineSpec extends SparkTestBase {
     val rows = out.collect()
     val ids = rows.map(_.getAs[Long]("doc_id")).sorted.toSeq
     assert(!ids.contains(2L) && !ids.contains(5L))
-    assert(rows.forall(r => r.getAs[Int]("ws_tokens") > 0))
+    assert(rows.forall(r => r.getAs[Long]("ws_tokens") > 0))
     assert(rows.forall(r => r.getAs[String]("pred_lang").nonEmpty))
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("fp"))))
   }

@@ -59,6 +59,11 @@ def main(sf_dir: str, out_dir: str) -> int:
             failures += 1
             continue
         diffs = []
+        # dtype-exact: the driver's hash renders values per-dtype, so a
+        # float64-vs-int64 column hashes differently even when values agree
+        for c in e.columns:
+            if str(e[c].dtype) != str(g[c].dtype):
+                diffs.append(f"{c}: dtype oracle={e[c].dtype} spark={g[c].dtype}")
         for c in e.columns:
             if "float" in str(e[c].dtype) and "float" in str(g[c].dtype):
                 a, b = e[c].to_numpy(), g[c].to_numpy()
