@@ -312,6 +312,124 @@ object ReferencePipeline {
         coalesce(col("som_associations"), lit("")).as("som_associations"))
   }
 
+  // ---------------------------------------------------------------------
+  // Stage 2 full — the `DailyUnifier.unify_all` contract
+  // (`src/etl/stage_unify_daily.py:56-490`): per-domain vendor fusion
+  // (sleep prefer-by-date, cardio mean-merge + Apple-only HRV re-join,
+  // activity sum-merge, meds static-priority vendor, SoM pass-through),
+  // then a date spine over ALL five domains with chained left joins —
+  // including the med_*/som_* columns stage 5's F7 filter reads.
+  // ---------------------------------------------------------------------
+
+  private val HrCols = Seq("hr_mean", "hr_min", "hr_max", "hr_std", "hr_samples")
+  private val HrvCols = Seq("hrv_sdnn_mean", "hrv_sdnn_median", "hrv_sdnn_min",
+    "hrv_sdnn_max", "n_hrv_sdnn")
+
+  private def padMissing(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.filterNot(df.columns.contains).foldLeft(df)((d, c) =>
+      d.withColumn(c, lit(null).cast("double")))
+
+  /** `unify_sleep` (`stage_unify_daily.py:98-126`): Apple rows win, Zepp
+    * fills dates Apple lacks (J3 prefer-by-date), then the 3-column
+    * contract. Either side may be absent. */
+  def unifySleepDomains(apple: Option[DataFrame], zepp: Option[DataFrame]): Option[DataFrame] = {
+    val out = Seq("date", "sleep_hours", "sleep_quality_score")
+    val merged = (apple, zepp) match {
+      case (Some(a), Some(z)) => Some(Unify.preferByDate(
+        a.select(out.map(col): _*), z.select(out.map(col): _*)))
+      case (a, z) => a.orElse(z).map(_.select(out.map(col): _*))
+    }
+    merged.map(_.dropDuplicates("date"))
+  }
+
+  /** `unify_cardio` (`stage_unify_daily.py:127-197`): HR columns are
+    * vendor-averaged per date (both-present days), HRV is Apple-only and
+    * re-joined OUTER so HRV-only days survive; absent columns are
+    * null-padded for schema consistency. */
+  def unifyCardioDomains(apple: Option[DataFrame], zepp: Option[DataFrame]): Option[DataFrame] = {
+    def hrPart(df: DataFrame) =
+      df.select(("date" +: HrCols.filter(df.columns.contains)).map(col): _*)
+    val merged = (apple, zepp) match {
+      case (Some(a), Some(z)) =>
+        val combined = hrPart(a).unionByName(hrPart(z), allowMissingColumns = true)
+        // pandas builds agg_dict only from columns present in the concat
+        val present = HrCols.filter(combined.columns.contains)
+        val hr = combined.groupBy("date")
+          .agg(avg(present.head).as(present.head),
+            present.tail.map(c => avg(c).as(c)): _*)
+        val hrvPresent = HrvCols.filter(a.columns.contains)
+        val withHrv =
+          if (hrvPresent.nonEmpty)
+            hr.join(a.select(("date" +: hrvPresent).map(col): _*), Seq("date"), "full_outer")
+          else hr
+        Some(withHrv)
+      case (Some(a), None) =>
+        Some(a.select(("date" +: (HrCols ++ HrvCols).filter(a.columns.contains)).map(col): _*))
+      case (None, Some(z)) => Some(hrPart(z))
+      case _ => None
+    }
+    merged.map(padMissing(_, HrCols ++ HrvCols))
+  }
+
+  /** `unify_activity` (`stage_unify_daily.py:199-232`): both-present →
+    * concat + per-date SUM (pandas sum treats an all-NaN group as 0.0, so
+    * the merged branch coalesces); single vendor passes through. */
+  def unifyActivityDomains(apple: Option[DataFrame], zepp: Option[DataFrame]): Option[DataFrame] = {
+    val metrics = Seq("total_steps", "total_distance", "total_active_energy")
+    val out = "date" +: metrics
+    (apple, zepp) match {
+      case (Some(a), Some(z)) =>
+        Some(a.select(out.map(col): _*)
+          .unionByName(z.select(out.map(col): _*))
+          .groupBy("date")
+          .agg(coalesce(sum(metrics.head), lit(0.0)).as(metrics.head),
+            metrics.tail.map(c => coalesce(sum(c), lit(0.0)).as(c)): _*))
+      case (a, z) => a.orElse(z).map(_.select(out.map(col): _*))
+    }
+  }
+
+  /** `unify_meds` (`stage_unify_daily.py:272-357`): J7 static-priority
+    * vendor selection (apple_export > apple_autoexport > zepp_cloud,
+    * `source_prioritizer.py:29-35`), essential + present-optional columns,
+    * `med_vendor` provenance. Candidates are (vendorKey, frame) in any
+    * order; priority is imposed here. */
+  def unifyMedsDomain(candidates: Seq[(String, DataFrame)]): Option[DataFrame] = {
+    val priority = Seq("apple_export", "apple_autoexport", "zepp_cloud")
+    val ordered = priority.flatMap(p => candidates.find(_._1 == p))
+    Folds.firstNonEmpty(ordered).map { case (vendor, df) =>
+      val optional = Seq("med_dose_total", "med_names", "med_sources")
+        .filter(df.columns.contains)
+      df.select((Seq("date", "med_any", "med_event_count") ++ optional).map(col): _*)
+        .withColumn("med_vendor", lit(vendor))
+        .dropDuplicates("date")
+    }
+  }
+
+  /** `unify_som` (`stage_unify_daily.py:358-416`): essential +
+    * present-optional columns, vendor pinned to apple_autoexport (the only
+    * SoM source). */
+  def unifySomDomain(som: Option[DataFrame]): Option[DataFrame] =
+    som.filter(_.head(1).nonEmpty).map { df =>
+      val optional = Seq("som_kind_dominant", "som_labels", "som_associations")
+        .filter(df.columns.contains)
+      df.select((Seq("date", "som_mean_score", "som_last_score", "som_n_entries",
+        "som_category_3class") ++ optional).map(col): _*)
+        .withColumn("som_vendor", lit("apple_autoexport"))
+        .dropDuplicates("date")
+    }
+
+  /** `unify_all` (`stage_unify_daily.py:418-490`): date spine over EVERY
+    * domain's dates (meds + SoM included), chained left joins in the
+    * reference's merge order. NaN is preserved (no forward-fill, v4.1.5).
+    * Every join is a broadcast-friendly equi-join on the daily grain. */
+  def unifyAllDomains(sleep: Option[DataFrame], cardio: Option[DataFrame],
+                      activity: Option[DataFrame], meds: Option[DataFrame],
+                      som: Option[DataFrame]): DataFrame = {
+    val domains = Seq(sleep, cardio, activity, meds, som).flatten
+    require(domains.nonEmpty, "unifyAllDomains: no domain frames present")
+    Unify.unifyAll(domains)
+  }
+
   /** PBSI from an already-unified daily frame carrying the reference's
     * canonical feature names + segment_id + missing flags — the
     * `build_pbsi_labels` contract (`src/labels/build_pbsi.py:191-253`)

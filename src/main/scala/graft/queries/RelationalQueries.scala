@@ -122,6 +122,63 @@ object RelationalQueries {
           round(sum("c_acctbal"), 2).as("acctbal_sum"))
     }),
 
+    // J11: the FULL DailyUnifier.unify_all contract — five domains (sleep
+    // prefer-by-date, cardio mean-merge + HRV outer re-join + null padding,
+    // activity sum-merge, meds priority vendor, SoM) fused on a spine over
+    // ALL domain dates, meds + SoM included.
+    "j11_unify_domains" -> ((s, dir) => {
+      import graft.pipeline.ReferencePipeline
+      val ev = Tables.events(s, dir)
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("date"))
+      val appleSleep = daily("click")
+        .agg(round(avg("value") / 10.0, 6).as("sleep_hours"),
+          round(min("value"), 6).as("sleep_quality_score"))
+        .filter(dayofmonth(col("date")) % 2 === 1)
+      val zeppSleep = daily("view")
+        .agg(round(avg("value") / 12.0, 6).as("sleep_hours"),
+          round(min("value"), 6).as("sleep_quality_score"))
+      val appleCardio = daily("error")
+        .agg(round(avg("value"), 6).as("hr_mean"), round(min("value"), 6).as("hr_min"),
+          round(max("value"), 6).as("hr_max"), round(stddev_samp("value"), 6).as("hr_std"),
+          count(lit(1)).as("hr_samples"),
+          round(avg("value") * 0.5, 6).as("hrv_sdnn_mean"),
+          count(lit(1)).as("n_hrv_sdnn"))
+        .filter(dayofmonth(col("date")) <= 20)
+      val zeppCardio = daily("signup")
+        .agg(round(avg("value"), 6).as("hr_mean"), round(min("value"), 6).as("hr_min"),
+          round(max("value"), 6).as("hr_max"), round(stddev_samp("value"), 6).as("hr_std"),
+          count(lit(1)).as("hr_samples"))
+      val appleAct = daily("purchase")
+        .agg(round(sum("value"), 6).as("total_steps"),
+          round(sum("value") / 1000.0, 6).as("total_distance"),
+          round(sum("value") * 2.0, 6).as("total_active_energy"))
+      val zeppAct = daily("click")
+        .agg(round(sum("value"), 6).as("total_steps"),
+          round(sum("value") / 1000.0, 6).as("total_distance"),
+          round(sum("value") * 2.0, 6).as("total_active_energy"))
+      val meds = daily("signup")
+        .agg(count(lit(1)).as("med_event_count"),
+          round(sum("value"), 6).as("med_dose_total"))
+        .filter(dayofmonth(col("date")) % 3 =!= 0)
+        .select(col("date"), lit(1).as("med_any"), col("med_event_count"),
+          col("med_dose_total"))
+      val som = daily("view")
+        .agg(round(avg("value") / 200.0, 6).as("som_mean_score"),
+          round(max("value"), 6).as("som_last_score"),
+          count(lit(1)).as("som_n_entries"),
+          when(avg("value") / 200.0 >= 0.25, 1)
+            .when(avg("value") / 200.0 <= -0.25, -1)
+            .otherwise(0).as("som_category_3class"))
+        .filter(dayofmonth(col("date")) % 4 =!= 0)
+      ReferencePipeline.unifyAllDomains(
+        ReferencePipeline.unifySleepDomains(Some(appleSleep), Some(zeppSleep)),
+        ReferencePipeline.unifyCardioDomains(Some(appleCardio), Some(zeppCardio)),
+        ReferencePipeline.unifyActivityDomains(Some(appleAct), Some(zeppAct)),
+        ReferencePipeline.unifyMedsDomain(Seq("apple_autoexport" -> meds)),
+        ReferencePipeline.unifySomDomain(Some(som)))
+    }),
+
     // J10: QC re-aggregation consistency join — recompute daily stats two
     // ways and diff them (the reference's own oracle pattern, Q2).
     "j10_qc_consistency" -> ((s, dir) => {
@@ -249,6 +306,99 @@ object RelationalQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |  AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01')
         |GROUP BY n.n_name""".stripMargin,
+
+    "j11_unify_domains" ->
+      """WITH
+        |asleep AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value) / 10.0, 6) AS sleep_hours,
+        |    round(min(value), 6) AS sleep_quality_score
+        |  FROM events WHERE event_type = 'click' GROUP BY 1
+        |  HAVING day(CAST(ts AS DATE)) % 2 = 1),
+        |zsleep AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value) / 12.0, 6) AS sleep_hours,
+        |    round(min(value), 6) AS sleep_quality_score
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |sleep AS (
+        |  SELECT * FROM asleep UNION ALL
+        |  SELECT z.* FROM zsleep z LEFT JOIN asleep a ON z.date = a.date
+        |  WHERE a.date IS NULL),
+        |acard AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS hr_mean,
+        |    round(min(value), 6) AS hr_min, round(max(value), 6) AS hr_max,
+        |    round(stddev_samp(value), 6) AS hr_std, count(*) AS hr_samples,
+        |    round(avg(value) * 0.5, 6) AS hrv_sdnn_mean, count(*) AS n_hrv_sdnn
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |  HAVING day(CAST(ts AS DATE)) <= 20),
+        |zcard AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS hr_mean,
+        |    round(min(value), 6) AS hr_min, round(max(value), 6) AS hr_max,
+        |    round(stddev_samp(value), 6) AS hr_std, count(*) AS hr_samples
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |cardu AS (
+        |  SELECT date, hr_mean, hr_min, hr_max, hr_std, hr_samples FROM acard
+        |  UNION ALL
+        |  SELECT date, hr_mean, hr_min, hr_max, hr_std, hr_samples FROM zcard),
+        |cardhr AS (
+        |  SELECT date, avg(hr_mean) AS hr_mean, avg(hr_min) AS hr_min,
+        |    avg(hr_max) AS hr_max, avg(hr_std) AS hr_std,
+        |    avg(hr_samples) AS hr_samples
+        |  FROM cardu GROUP BY date),
+        |cardio AS (
+        |  SELECT COALESCE(h.date, v.date) AS date, h.hr_mean, h.hr_min, h.hr_max,
+        |    h.hr_std, h.hr_samples, v.hrv_sdnn_mean, NULL::DOUBLE AS hrv_sdnn_median,
+        |    NULL::DOUBLE AS hrv_sdnn_min, NULL::DOUBLE AS hrv_sdnn_max, v.n_hrv_sdnn
+        |  FROM cardhr h FULL OUTER JOIN
+        |    (SELECT date, hrv_sdnn_mean, n_hrv_sdnn FROM acard) v ON h.date = v.date),
+        |aact AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(sum(value), 6) AS total_steps,
+        |    round(sum(value) / 1000.0, 6) AS total_distance,
+        |    round(sum(value) * 2.0, 6) AS total_active_energy
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |zact AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(sum(value), 6) AS total_steps,
+        |    round(sum(value) / 1000.0, 6) AS total_distance,
+        |    round(sum(value) * 2.0, 6) AS total_active_energy
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |actu AS (SELECT * FROM aact UNION ALL SELECT * FROM zact),
+        |activity AS (
+        |  SELECT date, coalesce(sum(total_steps), 0.0) AS total_steps,
+        |    coalesce(sum(total_distance), 0.0) AS total_distance,
+        |    coalesce(sum(total_active_energy), 0.0) AS total_active_energy
+        |  FROM actu GROUP BY date),
+        |meds AS (
+        |  SELECT CAST(ts AS DATE) AS date, 1 AS med_any, count(*) AS med_event_count,
+        |    round(sum(value), 6) AS med_dose_total,
+        |    'apple_autoexport' AS med_vendor
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1
+        |  HAVING day(CAST(ts AS DATE)) % 3 <> 0),
+        |som AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    round(avg(value) / 200.0, 6) AS som_mean_score,
+        |    round(max(value), 6) AS som_last_score, count(*) AS som_n_entries,
+        |    CASE WHEN avg(value) / 200.0 >= 0.25 THEN 1
+        |         WHEN avg(value) / 200.0 <= -0.25 THEN -1 ELSE 0 END
+        |      AS som_category_3class,
+        |    'apple_autoexport' AS som_vendor
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |  HAVING day(CAST(ts AS DATE)) % 4 <> 0),
+        |spine AS (
+        |  SELECT date FROM sleep UNION SELECT date FROM cardio
+        |  UNION SELECT date FROM activity UNION SELECT date FROM meds
+        |  UNION SELECT date FROM som)
+        |SELECT sp.date, sl.sleep_hours, sl.sleep_quality_score,
+        |  c.hr_mean, c.hr_min, c.hr_max, c.hr_std, c.hr_samples,
+        |  c.hrv_sdnn_mean, c.hrv_sdnn_median, c.hrv_sdnn_min, c.hrv_sdnn_max,
+        |  c.n_hrv_sdnn,
+        |  a.total_steps, a.total_distance, a.total_active_energy,
+        |  m.med_any, m.med_event_count, m.med_dose_total, m.med_vendor,
+        |  so.som_mean_score, so.som_last_score, so.som_n_entries,
+        |  so.som_category_3class, so.som_vendor
+        |FROM spine sp
+        |LEFT JOIN sleep sl ON sp.date = sl.date
+        |LEFT JOIN cardio c ON sp.date = c.date
+        |LEFT JOIN activity a ON sp.date = a.date
+        |LEFT JOIN meds m ON sp.date = m.date
+        |LEFT JOIN som so ON sp.date = so.date""".stripMargin,
 
     "j10_qc_consistency" ->
       """WITH official AS (

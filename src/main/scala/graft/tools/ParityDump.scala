@@ -81,6 +81,31 @@ object ParityDump {
           "rem_min" -> Seq("REMTime", "rem_minutes")))
         ReferencePipeline.zeppSleepDaily(dailyCanon, read(napsPath), tz,
           Seq("naps"), Some(read(intervalsPath)))
+      case "unifyall" =>
+        // in = extracted dir laid out like the reference's canonical paths:
+        // <in>/apple/daily_{sleep,cardio,activity}.csv,
+        // <in>/zepp/daily_{sleep,cardio,activity}.csv,
+        // <in>/apple/daily_meds_autoexport.csv, <in>/apple/daily_som_autoexport.csv
+        def readOpt(p: String): Option[org.apache.spark.sql.DataFrame] = {
+          val f = new java.io.File(p)
+          if (f.exists())
+            Some(spark.read.option("header", "true")
+              .option("inferSchema", "true").option("nullValue", "").csv(p))
+          else None
+        }
+        val sleep = ReferencePipeline.unifySleepDomains(
+          readOpt(s"$in/apple/daily_sleep.csv"), readOpt(s"$in/zepp/daily_sleep.csv"))
+        val cardio = ReferencePipeline.unifyCardioDomains(
+          readOpt(s"$in/apple/daily_cardio.csv"), readOpt(s"$in/zepp/daily_cardio.csv"))
+        val activity = ReferencePipeline.unifyActivityDomains(
+          readOpt(s"$in/apple/daily_activity.csv"), readOpt(s"$in/zepp/daily_activity.csv"))
+        val meds = ReferencePipeline.unifyMedsDomain(Seq(
+          "apple_export" -> readOpt(s"$in/apple/daily_meds_apple.csv"),
+          "apple_autoexport" -> readOpt(s"$in/apple/daily_meds_autoexport.csv"))
+          .collect { case (v, Some(df)) => v -> df })
+        val som = ReferencePipeline.unifySomDomain(
+          readOpt(s"$in/apple/daily_som_autoexport.csv"))
+        ReferencePipeline.unifyAllDomains(sleep, cardio, activity, meds, som)
       case "instability" =>
         // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
         // variance-across-segment-means operator.

@@ -485,10 +485,103 @@ def applesleep_parity():
     return check("apple_sleep (AppleHealthAggregator.aggregate_sleep)", expected, got)
 
 
+def unifyall_parity():
+    """DailyUnifier.unify_all: the FULL stage-2 merge including meds + SoM."""
+    rng = np.random.default_rng(42)
+
+    def maybe(v, p=0.12):
+        return np.nan if rng.random() < p else v
+
+    ext = OUT / "extracted"
+    (ext / "apple").mkdir(parents=True, exist_ok=True)
+    (ext / "zepp").mkdir(parents=True, exist_ok=True)
+
+    def days(lo, hi):
+        return [f"2021-05-{d:02d}" for d in range(lo, hi)]
+
+    pd.DataFrame([{
+        "date": d,
+        "sleep_hours": maybe(round(float(rng.normal(7, 1)), 2)),
+        "sleep_quality_score": maybe(round(float(rng.uniform(40, 100)), 2)),
+    } for d in days(1, 18) if d != "2021-05-07"]).to_csv(
+        ext / "apple" / "daily_sleep.csv", index=False)
+    pd.DataFrame([{
+        "date": d,
+        "sleep_hours": maybe(round(float(rng.normal(6.5, 1)), 2)),
+        "sleep_quality_score": maybe(round(float(rng.uniform(40, 100)), 2)),
+    } for d in days(5, 24)]).to_csv(ext / "zepp" / "daily_sleep.csv", index=False)
+
+    pd.DataFrame([{
+        "date": d,
+        "hr_mean": maybe(round(float(rng.normal(66, 5)), 2)),
+        "hr_min": maybe(round(float(rng.normal(48, 4)), 2)),
+        "hr_max": maybe(round(float(rng.normal(150, 10)), 2)),
+        "hr_std": maybe(round(float(rng.uniform(4, 14)), 3)),
+        "hr_samples": float(int(rng.integers(500, 2000))),
+        "hrv_sdnn_mean": maybe(round(float(rng.normal(42, 9)), 2)),
+        "hrv_sdnn_median": maybe(round(float(rng.normal(40, 9)), 2)),
+        "hrv_sdnn_min": maybe(round(float(rng.normal(18, 4)), 2)),
+        "hrv_sdnn_max": maybe(round(float(rng.normal(90, 15)), 2)),
+        "n_hrv_sdnn": float(int(rng.integers(3, 40))),
+    } for d in days(1, 20) if d != "2021-05-11"]).to_csv(
+        ext / "apple" / "daily_cardio.csv", index=False)
+    pd.DataFrame([{
+        "date": d,
+        "hr_mean": maybe(round(float(rng.normal(68, 5)), 2)),
+        "hr_min": maybe(round(float(rng.normal(50, 4)), 2)),
+        "hr_max": maybe(round(float(rng.normal(148, 10)), 2)),
+        "hr_std": maybe(round(float(rng.uniform(4, 14)), 3)),
+        "hr_samples": float(int(rng.integers(800, 3000))),
+    } for d in days(3, 26)]).to_csv(ext / "zepp" / "daily_cardio.csv", index=False)
+
+    pd.DataFrame([{
+        "date": d,
+        "total_steps": maybe(float(int(rng.normal(9000, 2200)))),
+        "total_distance": maybe(round(float(rng.normal(6.4, 1.8)), 3)),
+        "total_active_energy": maybe(round(float(rng.normal(520, 130)), 1)),
+    } for d in days(1, 22)]).to_csv(ext / "apple" / "daily_activity.csv", index=False)
+    pd.DataFrame([{
+        "date": d,
+        "total_steps": maybe(float(int(rng.normal(8600, 2200)))),
+        "total_distance": maybe(round(float(rng.normal(6.0, 1.8)), 3)),
+        "total_active_energy": maybe(round(float(rng.normal(490, 130)), 1)),
+    } for d in days(2, 28)]).to_csv(ext / "zepp" / "daily_activity.csv", index=False)
+
+    pd.DataFrame([{
+        "date": d,
+        "med_any": 1,
+        "med_event_count": int(rng.integers(1, 5)),
+        "med_dose_total": round(float(rng.uniform(10, 80)), 1),
+        "med_names": "Methylphenidate, Sertraline",
+        "med_sources": "AutoExport",
+    } for d in days(2, 25) if d != "2021-05-09"]).to_csv(
+        ext / "apple" / "daily_meds_autoexport.csv", index=False)
+
+    pd.DataFrame([{
+        "date": d,
+        "som_mean_score": round(float(rng.uniform(-0.8, 0.8)), 4),
+        "som_last_score": round(float(rng.uniform(-1, 1)), 4),
+        "som_n_entries": int(rng.integers(1, 6)),
+        "som_category_3class": int(rng.integers(-1, 2)),
+        "som_kind_dominant": ["Daily Mood", "Momentary Emotion"][int(rng.integers(0, 2))],
+        "som_labels": "Calm, Focused",
+        "som_associations": "Work",
+    } for d in days(4, 30)]).to_csv(
+        ext / "apple" / "daily_som_autoexport.csv", index=False)
+
+    from src.etl.stage_unify_daily import DailyUnifier
+    expected = DailyUnifier(extracted_dir=str(ext)).unify_all()
+
+    out_csv = OUT / "engine_unifyall.csv"
+    run_engine("unifyall", str(ext), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("unify_all (DailyUnifier, meds+SoM fused)", expected, got)
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
           applehr_parity() & applehrv_parity() & applesleep_parity() &
-          appleactivity_parity())
+          appleactivity_parity() & unifyall_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
