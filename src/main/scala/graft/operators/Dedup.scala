@@ -102,6 +102,40 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact n-gram Jaccard verification of candidate pairs (id_a, id_b):
+    * joins each side back to its shingle set and keeps pairs with
+    * jaccard >= `minJaccard`. This is the 100-TB near-dup path — pairwise
+    * work only on LSH candidates, and both attach joins are plain
+    * equi-joins on the id (shuffle-distributed, no broadcast of the
+    * corpus). Returns (id_a, id_b, jaccard). */
+  def verifyPairsJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                         textCol: String, shingleK: Int,
+                         minJaccard: Double): DataFrame = {
+    // SHA-per-shingle is CPU-bound and the input may be a single split:
+    // spread rows first so set-building uses every core (cf.
+    // minhashSignature), for BOTH attach sides.
+    val sets = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        array_sort(array_distinct(transform(shingles(col(textCol), shingleK),
+          s => Hashing.sha28(s)))).as("sh"))
+    val withSets = pairs
+      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = graft.functions.SortedLongIntersectCount(col("sh_a"), col("sh_b"))
+    withSets
+      .select(col("id_a"), col("id_b"), inter.as("i"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
+      // aggregation boundary: keep the merge-walk evaluated once per pair
+      // (same reasoning as ngramJaccardPairs)
+      .groupBy("id_a", "id_b")
+      .agg(first("i").as("i"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
     * sets the bit (deterministic zero handling). */
@@ -129,14 +163,21 @@ object Dedup {
   /** Exact n-gram Jaccard similarity for pairs blocked by `blockCol`
     * (pairs are only formed within a block — at scale the block key is an
     * LSH band or a cluster id, never the whole corpus). */
-  /** @param broadcastBuild replicate the build side to every task
-    *        (correct only while the corpus-side shingle sets fit the
-    *        broadcast limit — right for bounded blocks / bench scale,
-    *        WRONG for an unbounded corpus: pass false there and the
-    *        blocked equi-join shuffles on the block key instead). */
+  /** @param broadcastBuild replicate the build side to every task.
+    *        Default FALSE — the safe plan for an unbounded corpus is the
+    *        blocked equi-join (one shuffle on the block key). Pass true
+    *        only when the build side is provably bounded (e.g. a fixed
+    *        query set).
+    *  @param saltBuckets fan out the blocked join when blocks are few and
+    *        large: the probe side is salted by `hash(id) % saltBuckets`,
+    *        the build side replicated to every salt — parallelism becomes
+    *        #blocks x saltBuckets at a bounded (x saltBuckets) shuffle
+    *        cost, with no broadcast of an unbounded side. 1 = plain
+    *        blocked join (right when blocks are many, e.g. LSH bands). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleK: Int, minJaccard: Double,
-                        broadcastBuild: Boolean = true): DataFrame = {
+                        broadcastBuild: Boolean = false,
+                        saltBuckets: Int = 1): DataFrame = {
     // intersect 64-bit shingle hashes, not strings: ~8x less shuffle bytes
     // and integer equality in the pairwise intersect hot loop. The SHA hash
     // is shared with the oracle, so the (collision-negligible) semantics
@@ -163,9 +204,21 @@ object Dedup {
     // CSE). With it, the merge walk runs exactly once per pair and only
     // (id, id, 3 ints) rows cross the exchange.
     val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
-    val rSide = if (broadcastBuild) broadcast(r) else r
-    l.join(rSide, col(s"l.$blockCol") === col(s"r.$blockCol") &&
-        col(s"l.$idCol") < col(s"r.$idCol"))
+    val blockCond = col(s"l.$blockCol") === col(s"r.$blockCol") &&
+      col(s"l.$idCol") < col(s"r.$idCol")
+    val joined =
+      if (broadcastBuild) l.join(broadcast(r), blockCond)
+      else if (saltBuckets <= 1) l.join(r, blockCond)
+      else {
+        // fragment-replicate: probe rows carry one salt, build rows all of
+        // them — each pair matches exactly once, on the probe's salt.
+        val ls = withSets.repartition(par)
+          .withColumn("salt", pmod(hash(col(idCol)), lit(saltBuckets))).as("l")
+        val rs = withSets.repartition(par)
+          .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*))).as("r")
+        ls.join(rs, blockCond && col("l.salt") === col("r.salt"))
+      }
+    joined
       .select(
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
         inter.as("i"), size(col("l.sh")).as("na"), size(col("r.sh")).as("nb"))

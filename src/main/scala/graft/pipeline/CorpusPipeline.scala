@@ -27,22 +27,9 @@ object CorpusPipeline {
                    minJaccard: Double): DataFrame = {
     val sig = Dedup.minhashSignature(docs, idCol, textCol, shingleK, numHashes)
     val candidates = Dedup.lshCandidates(sig, idCol, numHashes, rowsPerBand)
-    // verify candidates with exact jaccard: block = the candidate pair
-    val pairsWithText = candidates
-      .join(docs.select(col(idCol).as("id_a"), col(textCol).as("text_a")), Seq("id_a"))
-      .join(docs.select(col(idCol).as("id_b"), col(textCol).as("text_b")), Seq("id_b"))
-    val verify = pairsWithText.select(col("id_a"), col("id_b"),
-      (graft.functions.SortedLongIntersectCount(
-        array_sort(array_distinct(transform(Dedup.shingles(col("text_a"), shingleK),
-          s => graft.functions.Hashing.sha28(s)))),
-        array_sort(array_distinct(transform(Dedup.shingles(col("text_b"), shingleK),
-          s => graft.functions.Hashing.sha28(s))))))
-        .as("i"),
-      size(array_distinct(Dedup.shingles(col("text_a"), shingleK))).as("na"),
-      size(array_distinct(Dedup.shingles(col("text_b"), shingleK))).as("nb"))
-    val dupIds = verify
-      .filter(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= minJaccard)
-      .select(col("id_b").as(idCol)).distinct()
+    val verified = Dedup.verifyPairsJaccard(candidates, docs, idCol, textCol,
+      shingleK, minJaccard)
+    val dupIds = verified.select(col("id_b").as(idCol)).distinct()
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
 

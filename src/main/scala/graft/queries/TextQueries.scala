@@ -41,9 +41,21 @@ object TextQueries {
 
     // Exact n-gram Jaccard for pairs blocked by source (bigram shingles —
     // enough overlap in the synthetic corpus to produce matching pairs).
+    // Blocked SHUFFLE join (no broadcast of the corpus side); salt x4
+    // recovers parallelism lost to the low block cardinality.
     "dd5_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        "source", 2, 0.05)),
+        "source", 2, 0.05, saltBuckets = 8)),
+
+    // The composed 100-TB near-dup path: MinHash -> banded LSH candidates
+    // -> exact Jaccard verification, every stage an equi-join (no
+    // broadcast, no cross join).
+    "dd7_lsh_verified" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text", 2, 4)
+      val cand = Dedup.lshCandidates(sig, "doc_id", 4, 2)
+      Dedup.verifyPairsJaccard(cand, docs, "doc_id", "text", 2, 0.05)
+    }),
 
     // Embedding-cosine near-dup pairs blocked by label (0.3 ~ the p99 of
     // within-label cosine in the synthetic embeddings — nonempty output).
@@ -146,6 +158,32 @@ object TextQueries {
           |      AS jaccard
           |  FROM sets l JOIN sets r ON l.source = r.source AND l.doc_id < r.doc_id)
           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin
+      },
+
+      "dd7_lsh_verified" -> {
+        val sigCols = (0 until 4)
+          .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
+        val shExpr = Dedup.shinglesOverTkSql(2)
+        s"""WITH sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
+          |bands AS (
+          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          |  FROM bands l JOIN bands r
+          |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          |sets AS (
+          |  SELECT doc_id,
+          |    list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")}))) AS sh
+          |  FROM ${Dedup.tkSourceSql("text", "doc_id")}),
+          |verified AS (
+          |  SELECT c.id_a, c.id_b,
+          |    round(len(list_intersect(a.sh, b.sh)) /
+          |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+          |      AS jaccard
+          |  FROM cand c JOIN sets a ON c.id_a = a.doc_id
+          |              JOIN sets b ON c.id_b = b.doc_id)
+          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05""".stripMargin
       },
 
       "dd6_embed_dups" ->
