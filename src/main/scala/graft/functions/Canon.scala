@@ -34,7 +34,12 @@ object Canon {
     while (searchFrom > 0) {
       val i = out.lastIndexOf("round(", searchFrom - 1)
       if (i < 0) searchFrom = 0
-      else {
+      else if (i > 0 && (Character.isLetterOrDigit(out.charAt(i - 1)) ||
+          out.charAt(i - 1) == '_')) {
+        // identifier merely ENDING in "round" (e.g. around(...)) — not a
+        // round() call; skip without rewriting
+        searchFrom = i
+      } else {
         val open = i + "round(".length - 1
         var depth = 0
         var j = open
@@ -46,12 +51,13 @@ object Canon {
         val close = j - 1 // index of matching ')'
         val inner = out.substring(open + 1, close)
         val comma = lastTopLevelComma(inner)
-        if (comma >= 0) {
-          val scaleStr = inner.substring(comma + 1).trim
-          scaleStr.toIntOption.foreach { s =>
-            out.insert(open + 1 + comma, s" + ${eps(s)}")
-          }
-        }
+        val scale = if (comma >= 0) inner.substring(comma + 1).trim.toIntOption else None
+        // a round() whose scale isn't an integer literal would silently
+        // skip canonicalization and let the oracle drift — fail loudly
+        require(scale.nonEmpty,
+          s"epsifySql: round() without integer-literal scale in oracle SQL: " +
+            s"round(${inner.take(80)}...)")
+        scale.foreach(s => out.insert(open + 1 + comma, s" + ${eps(s)}"))
         searchFrom = i
       }
     }

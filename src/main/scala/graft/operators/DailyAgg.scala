@@ -32,8 +32,15 @@ object DailyAgg {
   /** A2 — daily stats over an event stream: mean/min/max/population-std/count.
     * Reference: `src/etl/stage_csv_aggregation.py:418-431`. */
   def dailyStats(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    dailyStatsBy(events, to_date(col(tsCol)), valueCol)
+
+  /** [[dailyStats]] grouped by an explicit date expression — the reference
+    * keeps LOCAL wall-clock dates for Apple XML records (offset preserved
+    * in the source, stripped before dating), so composed pipelines pass
+    * `col("wall_date")` instead of a UTC `to_date(ts)`. */
+  def dailyStatsBy(events: DataFrame, dateExpr: Column, valueCol: String): DataFrame =
     events
-      .groupBy(to_date(col(tsCol)).as("date"))
+      .groupBy(dateExpr.as("date"))
       .agg(
         avg(col(valueCol)).as("v_mean"),
         min(col(valueCol)).as("v_min"),
@@ -45,8 +52,13 @@ object DailyAgg {
     * Reference: `src/etl/stage_csv_aggregation.py:611-624`,
     * `src/domains/parse_zepp_export.py:103-108`. */
   def dailyPercentiles(events: DataFrame, tsCol: String, valueCol: String): DataFrame =
+    dailyPercentilesBy(events, to_date(col(tsCol)), valueCol)
+
+  /** [[dailyPercentiles]] grouped by an explicit date expression (see
+    * [[dailyStatsBy]] for why wall-clock dates matter). */
+  def dailyPercentilesBy(events: DataFrame, dateExpr: Column, valueCol: String): DataFrame =
     events
-      .groupBy(to_date(col(tsCol)).as("date"))
+      .groupBy(dateExpr.as("date"))
       .agg(
         avg(col(valueCol)).as("v_mean"),
         percentile(col(valueCol), lit(0.5)).as("v_median"),

@@ -79,7 +79,6 @@ object Dedup {
     * (id_a < id_b) candidate pairs. */
   def lshCandidates(sig: DataFrame, idCol: String, numHashes: Int,
                     rowsPerBand: Int): DataFrame = {
-    val numBands = numHashes / rowsPerBand
     // persist the signature table BEFORE splitting into bands: column
     // pruning would otherwise push each band's projection into the
     // signature pipeline, recomputing shingle+SHA hashing once per band
@@ -87,7 +86,27 @@ object Dedup {
     // NB: the cache is intentionally left registered (unpersisting before
     // the lazy result is consumed would defeat it); Spark evicts LRU, and
     // repeated calls with the same logical plan reuse the same entry.
+    // Callers that invoke this repeatedly over DIFFERENT inputs should use
+    // [[lshCandidatesEager]], which releases the cache deterministically.
+    bandJoin(sig.persist(), idCol, numHashes, rowsPerBand)
+  }
+
+  /** [[lshCandidates]] with deterministic cache lifetime: the candidate
+    * pairs are materialized eagerly (localCheckpoint severs the lineage,
+    * so downstream consumers never re-read the signature), then the
+    * signature cache is released. Use for repeated invocations over
+    * different inputs, where the lazy variant would accumulate cache
+    * entries until LRU pressure. */
+  def lshCandidatesEager(sig: DataFrame, idCol: String, numHashes: Int,
+                         rowsPerBand: Int): DataFrame = {
     val cached = sig.persist()
+    try bandJoin(cached, idCol, numHashes, rowsPerBand).localCheckpoint(eager = true)
+    finally cached.unpersist()
+  }
+
+  private def bandJoin(cached: DataFrame, idCol: String, numHashes: Int,
+                       rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
     val bands = (0 until numBands).map { b =>
       val key = concat_ws("_",
         lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)

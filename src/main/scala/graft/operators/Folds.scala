@@ -17,7 +17,10 @@ object Folds {
                     valDays: Int, nFolds: Int, stepDays: Int): DataFrame = {
     val spark = daily.sparkSession
     import spark.implicits._
-    val start = daily.agg(min(col(dateCol))).head().getDate(0).toLocalDate
+    val startRow = daily.agg(min(col(dateCol))).head()
+    require(!startRow.isNullAt(0),
+      s"calendarFolds: input has no non-null '$dateCol' rows — cannot anchor folds")
+    val start = startRow.getDate(0).toLocalDate
     val folds = (0 until nFolds).map { f =>
       val t0 = start.plusDays(f.toLong * stepDays)
       val v0 = t0.plusDays(trainDays.toLong)

@@ -71,6 +71,9 @@ object Labels {
     val row = df.agg(
       percentile(col(scoreCol), lit(loP)).as("lo"),
       percentile(col(scoreCol), lit(hiP)).as("hi")).head()
+    require(!row.isNullAt(0) && !row.isNullAt(1),
+      s"twoPassPercentileLabel: '$scoreCol' has no non-null values — " +
+        "percentile thresholds undefined")
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
     df.withColumn("label_3cls",
         when(col(scoreCol) >= hi, 1)

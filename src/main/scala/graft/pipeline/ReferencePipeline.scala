@@ -114,16 +114,18 @@ object ReferencePipeline {
     val records = XmlRecordScan.records(spark, xmlPath, Seq(HrType, HrvType))
       .withColumn("v", col("value").try_cast("double"))
       .filter(col("v").isNotNull)
-    val hr = DailyAgg.dailyStats(
+    // wall_date, not to_date(start_ts): the reference dates Apple XML
+    // records by LOCAL wall-clock (parity-pinned in appleHrDaily)
+    val hr = DailyAgg.dailyStatsBy(
       DailyAgg.outlierFilter(records.filter(col("record_type") === HrType), "v", 30, 220),
-      "start_ts", "v")
+      col("wall_date"), "v")
       .select(col("date"),
         round(col("v_mean"), 6).as("hr_mean"), col("v_min").as("hr_min"),
         col("v_max").as("hr_max"), round(col("v_std"), 6).as("hr_std"),
         col("n_samples").as("hr_samples"))
-    val hrv = DailyAgg.dailyPercentiles(
+    val hrv = DailyAgg.dailyPercentilesBy(
       DailyAgg.outlierFilter(records.filter(col("record_type") === HrvType), "v", 5, 300),
-      "start_ts", "v")
+      col("wall_date"), "v")
       .select(col("date"),
         round(col("v_mean"), 6).as("hrv_sdnn_mean"),
         round(col("v_median"), 6).as("hrv_sdnn_median"),
@@ -137,11 +139,14 @@ object ReferencePipeline {
     * Contract: date, sleep_hours, sleep_quality_score,
     * total_sleep_minutes (`src/etl/stage_csv_aggregation.py:162-215`). */
   def appleDailySleep(spark: SparkSession, xmlPath: String): DataFrame = {
+    // wall-clock dates, NO positive-duration filter — both per the
+    // reference (`aggregate_sleep` keeps zero/negative intervals and
+    // local dates; parity-pinned in appleSleepDailyExact)
     val iv = XmlRecordScan.records(spark, xmlPath, Seq(SleepType))
       .withColumn("mins",
         (unix_timestamp(col("end_ts")) - unix_timestamp(col("start_ts"))) / 60.0)
-      .filter(col("mins") > 0)
-    iv.groupBy(to_date(col("start_ts")).as("date"))
+      .filter(col("start_ts").isNotNull && col("end_ts").isNotNull)
+    iv.groupBy(col("wall_date").as("date"))
       .agg(
         round(sum(when(col("value").contains("Asleep"), col("mins")).otherwise(0.0)), 6)
           .as("asleep_min"),
@@ -162,7 +167,7 @@ object ReferencePipeline {
     XmlRecordScan.records(spark, xmlPath, Seq(StepsType, DistanceType, EnergyType))
       .withColumn("v", col("value").try_cast("double"))
       .filter(col("v").isNotNull)
-      .groupBy(to_date(col("start_ts")).as("date"))
+      .groupBy(col("wall_date").as("date"))
       .agg(
         round(sum(when(col("record_type") === StepsType, col("v")).otherwise(0.0)), 6)
           .as("total_steps"),
