@@ -140,6 +140,28 @@ object MlQueries {
           min_by(col("seg_reason"), col("date")).as("reason"))
     }),
 
+    // W9-full (columnar half): 3-signal delta rules with per-signal
+    // thresholds + density guard + gap recovery, priority-chained like the
+    // reference's rule order; sparsity synthesized deterministically so
+    // every rule is reachable. (The loop-exact reference semantics incl.
+    // temporal fallback + source mode are autoSegmentFull, parity-pinned.)
+    "w9_autoseg_multi" -> ((s, dir) => {
+      val sparse = dailyUser(s, dir).select(col("user_id"), col("date"),
+        when(dayofmonth(col("date")) % 5 === 0, lit(null).cast("double"))
+          .otherwise(col("f_mean")).as("s_hr"),
+        when(dayofmonth(col("date")) % 7 === 3, lit(null).cast("double"))
+          .otherwise(col("f_n")).as("s_hrv"),
+        when(dayofmonth(col("date")) % 4 === 1, lit(null).cast("double"))
+          .otherwise(col("f_purchase")).as("s_se"))
+        .withColumn("missing",
+          when(col("s_hr").isNull && col("s_se").isNull, 1).otherwise(0))
+      Segmentation.multiSignalSegments(sparse, "user_id", "date",
+        Seq(("s_hr", 3.0, "hr_shift"), ("s_hrv", 2.0, "hrv_shift"),
+          ("s_se", 30.0, "se_shift")),
+        k = 7, minDensity = 0.7, gapMin = 3, missingCol = "missing")
+        .select("user_id", "date", "seg_reason", "segment_id")
+    }),
+
     // Q1: single-pass audit rules over the events table.
     "q1_audit" -> ((s, dir) =>
       graft.qc.Audit.run(Tables.events(s, dir), Seq(
@@ -383,6 +405,53 @@ object MlQueries {
         |  min(date) AS seg_start, max(date) AS seg_end,
         |  count(*) AS n_days, arg_min(seg_reason, date) AS reason
         |FROM seg GROUP BY user_id, segment_id""".stripMargin,
+
+    "w9_autoseg_multi" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |sp AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN day(date) % 5 = 0 THEN NULL ELSE f_mean END AS s_hr,
+        |    CASE WHEN day(date) % 7 = 3 THEN NULL ELSE f_n END AS s_hrv,
+        |    CASE WHEN day(date) % 4 = 1 THEN NULL ELSE f_purchase END AS s_se
+        |  FROM daily),
+        |m AS (SELECT *,
+        |  CASE WHEN s_hr IS NULL AND s_se IS NULL THEN 1 ELSE 0 END AS missing
+        |  FROM sp),
+        |w AS (
+        |  SELECT user_id, date, missing,
+        |    row_number() OVER win AS rn,
+        |    lag(missing, 1) OVER win AS m1, lag(missing, 2) OVER win AS m2,
+        |    lag(missing, 3) OVER win AS m3,
+        |    count(s_hr) OVER wprev / 7.0 AS dp_hr, count(s_hr) OVER wcurr / 7.0 AS dc_hr,
+        |    avg(s_hr) OVER wprev AS ap_hr, avg(s_hr) OVER wcurr AS ac_hr,
+        |    count(s_hrv) OVER wprev / 7.0 AS dp_hrv, count(s_hrv) OVER wcurr / 7.0 AS dc_hrv,
+        |    avg(s_hrv) OVER wprev AS ap_hrv, avg(s_hrv) OVER wcurr AS ac_hrv,
+        |    count(s_se) OVER wprev / 7.0 AS dp_se, count(s_se) OVER wcurr / 7.0 AS dc_se,
+        |    avg(s_se) OVER wprev AS ap_se, avg(s_se) OVER wcurr AS ac_se
+        |  FROM m
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date),
+        |    wprev AS (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING),
+        |    wcurr AS (PARTITION BY user_id ORDER BY date
+        |      ROWS BETWEEN CURRENT ROW AND 6 FOLLOWING)),
+        |r AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN rn > 3 AND missing = 0 AND m1 = 1 AND m2 = 1 AND m3 = 1
+        |           THEN 'gap_recovery'
+        |         WHEN rn > 7 AND dp_hr >= 0.7 AND dc_hr >= 0.7
+        |           AND abs(ac_hr - ap_hr) >= 3.0 THEN 'hr_shift'
+        |         WHEN rn > 7 AND dp_hrv >= 0.7 AND dc_hrv >= 0.7
+        |           AND abs(ac_hrv - ap_hrv) >= 2.0 THEN 'hrv_shift'
+        |         WHEN rn > 7 AND dp_se >= 0.7 AND dc_se >= 0.7
+        |           AND abs(ac_se - ap_se) >= 30.0 THEN 'se_shift'
+        |    END AS seg_reason
+        |  FROM w)
+        |SELECT user_id, date, seg_reason,
+        |  CAST(sum(CASE WHEN seg_reason IS NOT NULL THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY date
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT)
+        |    AS segment_id
+        |FROM r""".stripMargin,
 
     "q1_audit" ->
       """WITH agg AS (

@@ -106,6 +106,14 @@ object ParityDump {
         val som = ReferencePipeline.unifySomDomain(
           readOpt(s"$in/apple/daily_som_autoexport.csv"))
         ReferencePipeline.unifyAllDomains(sleep, cardio, activity, meds, som)
+      case "autoseg" =>
+        // in = unified-frame CSV with date + biomarker/source/missing cols;
+        // the reference is single-participant so the key is a constant.
+        val csv = spark.read.option("header", "true")
+          .option("inferSchema", "true").option("nullValue", "").csv(in)
+          .withColumn("pid", org.apache.spark.sql.functions.lit("P1"))
+        graft.operators.Segmentation.autoSegmentFull(csv, "pid", "date")
+          .select("date", "segment_id", "reason", "metric")
       case "instability" =>
         // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
         // variance-across-segment-means operator.

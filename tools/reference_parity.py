@@ -485,6 +485,57 @@ def applesleep_parity():
     return check("apple_sleep (AppleHealthAggregator.aggregate_sleep)", expected, got)
 
 
+def autoseg_parity():
+    """generate_segments: the full multi-rule auto-segmentation loop."""
+    rng = np.random.default_rng(42)
+    n = 280  # quiet tail after day ~167 so temporal_fallback (60d) fires too
+    dates = pd.date_range("2021-03-01", periods=n)
+    hr = rng.normal(66, 2.0, n)
+    hr[60:] += 12.0        # HR delta-shift -> signal_change
+    hrv = rng.normal(40, 2.5, n)
+    hrv[120:] += 14.0      # HRV shift (HR quiet by then)
+    sleep_eff = rng.uniform(0.84, 0.94, n)
+    sleep_eff[160:] -= 0.12
+    # sprinkle NaNs (below the 30% density ceiling)
+    for arr in (hr, hrv, sleep_eff):
+        arr[rng.choice(n, 12, replace=False)] = np.nan
+    source = np.array(["apple"] * n, dtype=object)
+    source[90:110] = "zepp"  # sustained vendor flip -> source_change
+    missing_cardio = np.zeros(n, dtype=int)
+    missing_sleep = np.zeros(n, dtype=int)
+    missing_cardio[30:34] = 1  # 4-day double gap -> gap_recovery on day 34
+    missing_sleep[30:34] = 1
+    df = pd.DataFrame({
+        "date": dates.strftime("%Y-%m-%d"),
+        "hr_mean": np.round(hr, 2),
+        "hrv_rmssd": np.round(hrv, 2),
+        "sleep_efficiency": np.round(sleep_eff, 3),
+        "source_cardio": source,
+        "missing_cardio": missing_cardio,
+        "missing_sleep": missing_sleep,
+    })
+    fixture = OUT / "autoseg_unified.csv"
+    df.to_csv(fixture, index=False)
+
+    from src.labels.auto_segment import generate_segments
+    seg_df, decisions = generate_segments(df.copy())
+    expected = seg_df[["date", "segment_id"]].copy()
+    expected["date"] = pd.to_datetime(expected["date"]).dt.strftime("%Y-%m-%d")
+    dec = pd.DataFrame(decisions)
+    if len(dec) > 0:
+        dec["date"] = pd.to_datetime(dec["date"]).dt.strftime("%Y-%m-%d")
+        dec = dec[["date", "reason", "metric"]].replace("", np.nan)
+        expected = expected.merge(dec, on="date", how="left")
+    else:
+        expected["reason"] = np.nan
+        expected["metric"] = np.nan
+
+    out_csv = OUT / "engine_autoseg.csv"
+    run_engine("autoseg", str(fixture), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("auto_segment (generate_segments, all 4 rules)", expected, got)
+
+
 def unifyall_parity():
     """DailyUnifier.unify_all: the FULL stage-2 merge including meds + SoM."""
     rng = np.random.default_rng(42)
@@ -582,6 +633,6 @@ if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
           applehr_parity() & applehrv_parity() & applesleep_parity() &
-          appleactivity_parity() & unifyall_parity())
+          appleactivity_parity() & unifyall_parity() & autoseg_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
