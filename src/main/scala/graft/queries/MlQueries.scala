@@ -119,6 +119,24 @@ object MlQueries {
         .select(col("user_id"), col("date"), round(col("pv"), 6).as("pv"))
     }),
 
+    // M1 full: deterministic iterative ridge imputation (MICE option (a))
+    // over a sparse 2-feature user x date grid - 2 rounds, lambda=1.
+    "m1_iterative" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val spine = ev.select(to_date(col("ts")).as("date")).distinct()
+      val users = ev.select("user_id").distinct()
+      def feat(t: String, name: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("date"), col("user_id"))
+        .agg(round(avg("value"), 6).as(name))
+      val grid = spine.crossJoin(users)
+        .join(feat("purchase", "f1"), Seq("date", "user_id"), "left")
+        .join(feat("click", "f2"), Seq("date", "user_id"), "left")
+      Impute.iterativeRidgeImpute(grid, Seq("user_id"), Seq("f1", "f2"),
+          maxIter = 2, lambda = 1.0, minSegmentRows = 5)
+        .select(col("user_id"), col("date"),
+          round(col("f1"), 6).as("f1"), round(col("f2"), 6).as("f2"))
+    }),
+
     // M3: anti-leak standard scaling (fit on train fold only).
     "m3_scale" -> ((s, dir) =>
       Impute.scaleFitOnTrain(dailyUser(s, dir),
@@ -361,6 +379,63 @@ object MlQueries {
         |SELECT g.user_id, g.date,
         |  round(coalesce(g.pv, gm.med, am.gmed, 0.0), 6) AS pv
         |FROM grid g LEFT JOIN gm ON g.user_id = gm.user_id CROSS JOIN am""".stripMargin,
+
+    "m1_iterative" -> {
+      // one ridge step (lambda=1, intercept penalized): y ~ x over rows
+      // where y was originally observed; 2x2 normal equations in closed form
+      def step(src: String, tgt: String, y: String, x: String): String = {
+        val st = s"st_$tgt"
+        val cf = s"cf_$tgt"
+        val upd =
+          if (y == "f1")
+            s"""CASE WHEN NOT s.o_f1 AND c.b0 IS NOT NULL
+               |      THEN c.b0 + c.b1 * s.f2 ELSE s.f1 END AS f1, s.f2 AS f2"""
+              .stripMargin
+          else
+            s"""s.f1 AS f1, CASE WHEN NOT s.o_f2 AND c.b0 IS NOT NULL
+               |      THEN c.b0 + c.b1 * s.f1 ELSE s.f2 END AS f2""".stripMargin
+        s"""$st AS (
+           |  SELECT user_id, count(*) AS n, sum($x) AS sx, sum($x*$x) AS sxx,
+           |    sum($y) AS sy, sum($x*$y) AS sxy
+           |  FROM $src WHERE o_$y GROUP BY user_id),
+           |$cf AS (
+           |  SELECT user_id,
+           |    (sy*(sxx+1.0) - sxy*sx) / ((n+1.0)*(sxx+1.0) - sx*sx) AS b0,
+           |    (sxy*(n+1.0) - sy*sx) / ((n+1.0)*(sxx+1.0) - sx*sx) AS b1
+           |  FROM $st),
+           |$tgt AS (
+           |  SELECT s.user_id, s.date, s.o_f1, s.o_f2,
+           |    $upd
+           |  FROM $src s LEFT JOIN $cf c USING(user_id))""".stripMargin
+      }
+      s"""WITH spine AS (SELECT DISTINCT CAST(ts AS DATE) AS date FROM events),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |pf AS (SELECT user_id, CAST(ts AS DATE) AS date, round(avg(value), 6) AS v
+        |       FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |cf AS (SELECT user_id, CAST(ts AS DATE) AS date, round(avg(value), 6) AS v
+        |       FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT u.user_id, s.date, a.v AS f1r, b.v AS f2r
+        |  FROM spine s CROSS JOIN users u
+        |  LEFT JOIN pf a ON a.user_id = u.user_id AND a.date = s.date
+        |  LEFT JOIN cf b ON b.user_id = u.user_id AND b.date = s.date),
+        |med AS (SELECT user_id, quantile_cont(f1r, 0.5) AS m1,
+        |        quantile_cont(f2r, 0.5) AS m2 FROM grid GROUP BY user_id),
+        |gm AS (SELECT quantile_cont(f1r, 0.5) AS g1,
+        |       quantile_cont(f2r, 0.5) AS g2 FROM grid),
+        |s0 AS (
+        |  SELECT g.user_id, g.date,
+        |    g.f1r IS NOT NULL AS o_f1, g.f2r IS NOT NULL AS o_f2,
+        |    coalesce(g.f1r, m.m1, gm.g1, 0.0) AS f1,
+        |    coalesce(g.f2r, m.m2, gm.g2, 0.0) AS f2
+        |  FROM grid g LEFT JOIN med m USING(user_id) CROSS JOIN gm),
+        |${step("s0", "s1", "f1", "f2")},
+        |${step("s1", "s2", "f2", "f1")},
+        |${step("s2", "s3", "f1", "f2")},
+        |${step("s3", "s4", "f2", "f1")}
+        |SELECT user_id, date, round(f1, 6) AS f1, round(f2, 6) AS f2
+        |FROM s4""".stripMargin
+    },
 
     "a18_activity" ->
       """WITH stats AS (
