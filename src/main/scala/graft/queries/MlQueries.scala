@@ -188,6 +188,51 @@ object MlQueries {
         graft.qc.Audit.Rule("type_unknown", "CRITICAL",
           !col("event_type").isin("click", "error", "purchase", "signup", "view"))))),
 
+    // Q1 full: the per-domain audit suite over engine-shaped contract
+    // frames with deterministically planted violations, so every rule,
+    // threshold, and severity-escalation path is exercised.
+    "q1_domain_audits" -> ((s, dir) => {
+      import graft.qc.DomainAudits
+      val ev = Tables.events(s, dir)
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("date"))
+      val cardio = daily("error")
+        .agg(round(avg("value"), 6).as("hr_mean"), round(min("value"), 6).as("hr_min0"),
+          round(max("value"), 6).as("hr_max"),
+          round(stddev_samp("value"), 6).as("hr_std0"), count(lit(1)).as("hr_samples"))
+        .select(col("date"), col("hr_mean"),
+          when(dayofmonth(col("date")) % 4 === 0, col("hr_mean"))
+            .otherwise(col("hr_min0")).as("hr_min"),
+          col("hr_max"),
+          when(dayofmonth(col("date")) % 10 === 0, lit(0.0))
+            .otherwise(col("hr_std0")).as("hr_std"),
+          col("hr_samples"))
+      val sleep = daily("click")
+        .agg(round(avg("value") / 4.0, 6).as("sleep_hours"),
+          round(avg("value") / 150.0, 6).as("sleep_efficiency"))
+      val medsU = daily("signup")
+        .agg(count(lit(1)).as("med_event_count"),
+          round(sum("value"), 6).as("med_dose_total"))
+        .select(col("date"),
+          when(dayofmonth(col("date")) % 9 === 0, 2).otherwise(1).as("med_any"),
+          col("med_event_count"), col("med_dose_total"),
+          when(dayofmonth(col("date")) % 6 === 0, lit(""))
+            .otherwise(lit("Methylphenidate, Sertraline")).as("med_names"),
+          when(dayofmonth(col("date")) % 11 === 0, "weird")
+            .otherwise("apple_autoexport").as("med_vendor"))
+      val somU = daily("view")
+        .agg(round(avg("value") / 200.0, 6).as("som_mean_score"),
+          round(max("value"), 6).as("som_last_score"),
+          count(lit(1)).as("som_n_entries"))
+        .withColumn("som_category_3class",
+          when(dayofmonth(col("date")) % 8 === 0, 5).otherwise(0))
+        .withColumn("som_vendor", lit("apple_autoexport"))
+      DomainAudits.cardio(cardio)
+        .unionByName(DomainAudits.sleep(sleep, Some("sleep_efficiency")))
+        .unionByName(DomainAudits.meds(medsU))
+        .unionByName(DomainAudits.som(somU))
+    }),
+
     // M6 extended: accuracy, balanced accuracy, Cohen's kappa.
     "m6_extended" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -544,6 +589,108 @@ object MlQueries {
         |  SELECT 'value_range' AS rule, 'CRITICAL' AS severity, value_range AS n_violations, n FROM agg
         |  UNION ALL SELECT 'props_null', 'WARNING', props_null, n FROM agg
         |  UNION ALL SELECT 'type_unknown', 'CRITICAL', type_unknown, n FROM agg)""".stripMargin,
+
+    "q1_domain_audits" ->
+      """WITH cardio AS (
+        |  SELECT date, hr_mean,
+        |    CASE WHEN day(date) % 4 = 0 THEN hr_mean ELSE hr_min0 END AS hr_min,
+        |    hr_max,
+        |    CASE WHEN day(date) % 10 = 0 THEN 0.0 ELSE hr_std0 END AS hr_std,
+        |    hr_samples
+        |  FROM (SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS hr_mean,
+        |          round(min(value), 6) AS hr_min0, round(max(value), 6) AS hr_max,
+        |          round(stddev_samp(value), 6) AS hr_std0, count(*) AS hr_samples
+        |        FROM events WHERE event_type = 'error' GROUP BY 1)),
+        |cardio_agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN hr_mean IS NOT NULL AND hr_min = hr_mean
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_fab,
+        |    CAST(sum(CASE WHEN hr_mean IS NOT NULL AND hr_std = 0.0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_std,
+        |    CAST(sum(CASE WHEN hr_mean IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM cardio),
+        |sleepf AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value) / 4.0, 6) AS sleep_hours,
+        |    round(avg(value) / 150.0, 6) AS sleep_efficiency
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |sleep_agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN sleep_hours IS NOT NULL
+        |        AND (sleep_hours < 0 OR sleep_hours > 24) THEN 1 ELSE 0 END) AS BIGINT) AS v_h,
+        |    CAST(sum(CASE WHEN sleep_hours IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_h,
+        |    CAST(sum(CASE WHEN sleep_efficiency IS NOT NULL
+        |        AND (sleep_efficiency < 0 OR sleep_efficiency > 1) THEN 1 ELSE 0 END) AS BIGINT) AS v_e,
+        |    CAST(sum(CASE WHEN sleep_efficiency IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_e
+        |  FROM sleepf),
+        |medsf AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    CASE WHEN day(CAST(ts AS DATE)) % 9 = 0 THEN 2 ELSE 1 END AS med_any,
+        |    count(*) AS med_event_count, round(sum(value), 6) AS med_dose_total,
+        |    CASE WHEN day(CAST(ts AS DATE)) % 6 = 0 THEN ''
+        |         ELSE 'Methylphenidate, Sertraline' END AS med_names,
+        |    CASE WHEN day(CAST(ts AS DATE)) % 11 = 0 THEN 'weird'
+        |         ELSE 'apple_autoexport' END AS med_vendor
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |meds_agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN med_any NOT IN (0, 1) THEN 1 ELSE 0 END) AS BIGINT) AS v_any,
+        |    CAST(count(*) AS BIGINT) AS c_meds,
+        |    CAST(sum(CASE WHEN med_event_count < 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_cnt,
+        |    CAST(sum(CASE WHEN med_dose_total IS NOT NULL AND med_dose_total < 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_dose,
+        |    CAST(sum(CASE WHEN med_any = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c_any1,
+        |    CAST(sum(CASE WHEN med_any = 1 AND med_event_count <= 0
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_a1c,
+        |    CAST(sum(CASE WHEN med_any = 1 AND (med_names IS NULL OR trim(med_names) = '')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_nm,
+        |    CAST(sum(CASE WHEN med_vendor NOT IN ('apple_export', 'apple_autoexport', 'fallback')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_vnd
+        |  FROM medsf),
+        |somf AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value) / 200.0, 6) AS som_mean_score,
+        |    round(max(value), 6) AS som_last_score, count(*) AS som_n_entries,
+        |    CASE WHEN day(CAST(ts AS DATE)) % 8 = 0 THEN 5 ELSE 0 END AS som_category_3class,
+        |    'apple_autoexport' AS som_vendor
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |som_agg AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN som_category_3class NOT IN (-1, 0, 1)
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_cat,
+        |    CAST(count(*) AS BIGINT) AS c_som,
+        |    CAST(sum(CASE WHEN som_n_entries < 1 THEN 1 ELSE 0 END) AS BIGINT) AS v_ent,
+        |    CAST(sum(CASE WHEN som_vendor NOT IN ('apple_autoexport', 'fallback')
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_svnd,
+        |    CAST(sum(CASE WHEN som_mean_score < -1 OR som_mean_score > 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_ms,
+        |    CAST(sum(CASE WHEN som_mean_score IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ms,
+        |    CAST(sum(CASE WHEN som_last_score < -1 OR som_last_score > 1
+        |        THEN 1 ELSE 0 END) AS BIGINT) AS v_ls,
+        |    CAST(sum(CASE WHEN som_last_score IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_ls
+        |  FROM somf)
+        |SELECT 'cardio' AS domain, 'fabricated_min' AS "check", 'CRITICAL' AS severity,
+        |  v_fab AS n_violations, c AS n_checked, v_fab <= c * 0.10 AS passed FROM cardio_agg
+        |UNION ALL SELECT 'cardio', 'zero_std', 'CRITICAL', v_std, c, v_std <= c * 0.10 FROM cardio_agg
+        |UNION ALL SELECT 'cardio', 'schema_columns', 'CRITICAL', CAST(0 AS BIGINT), CAST(5 AS BIGINT), true
+        |UNION ALL SELECT 'sleep', 'sleep_hours_range', 'CRITICAL', v_h, c_h, v_h = 0 FROM sleep_agg
+        |UNION ALL SELECT 'sleep', 'efficiency_range', 'WARNING', v_e, c_e, v_e = 0 FROM sleep_agg
+        |UNION ALL SELECT 'meds', 'med_any_invalid',
+        |  CASE WHEN v_any * 100 > c_meds THEN 'CRITICAL' ELSE 'WARNING' END, v_any, c_meds, v_any = 0 FROM meds_agg
+        |UNION ALL SELECT 'meds', 'event_count_negative',
+        |  CASE WHEN v_cnt * 100 > c_meds THEN 'CRITICAL' ELSE 'WARNING' END, v_cnt, c_meds, v_cnt = 0 FROM meds_agg
+        |UNION ALL SELECT 'meds', 'dose_negative',
+        |  CASE WHEN v_dose * 100 > c_meds THEN 'CRITICAL' ELSE 'WARNING' END, v_dose, c_meds, v_dose = 0 FROM meds_agg
+        |UNION ALL SELECT 'meds', 'any1_count_nonpositive',
+        |  CASE WHEN v_a1c * 100 > c_any1 THEN 'CRITICAL' ELSE 'WARNING' END, v_a1c, c_any1, v_a1c = 0 FROM meds_agg
+        |UNION ALL SELECT 'meds', 'any1_names_empty',
+        |  CASE WHEN v_nm * 100 > c_any1 THEN 'CRITICAL' ELSE 'WARNING' END, v_nm, c_any1, v_nm = 0 FROM meds_agg
+        |UNION ALL SELECT 'meds', 'vendor_invalid', 'CRITICAL', v_vnd, c_meds, v_vnd = 0 FROM meds_agg
+        |UNION ALL SELECT 'som', 'category_invalid',
+        |  CASE WHEN v_cat * 100 > c_som THEN 'CRITICAL' ELSE 'WARNING' END, v_cat, c_som, v_cat = 0 FROM som_agg
+        |UNION ALL SELECT 'som', 'entries_lt1',
+        |  CASE WHEN v_ent * 100 > c_som THEN 'CRITICAL' ELSE 'WARNING' END, v_ent, c_som, v_ent = 0 FROM som_agg
+        |UNION ALL SELECT 'som', 'vendor_invalid', 'CRITICAL', v_svnd, c_som, v_svnd = 0 FROM som_agg
+        |UNION ALL SELECT 'som', 'range_som_mean_score', 'WARNING', v_ms, c_ms, v_ms = 0 FROM som_agg
+        |UNION ALL SELECT 'som', 'range_som_last_score', 'WARNING', v_ls, c_ls, v_ls = 0 FROM som_agg""".stripMargin,
 
     "m6_extended" ->
       """WITH pred AS (
