@@ -25,14 +25,20 @@ object Drift {
     * are handled by evaluating the CDF AFTER all duplicates of a value
     * (cume_dist semantics), matching the textbook statistic. */
   def ksTwoSample(df: DataFrame, groupCol: String, sampleCol: String,
-                  valueCol: String): DataFrame = {
-    val w = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+                  valueCol: String): DataFrame =
+    ksTwoSampleBy(df, Seq(groupCol), sampleCol, valueCol)
+
+  /** [[ksTwoSample]] with a composite group key. */
+  def ksTwoSampleBy(df: DataFrame, groupCols: Seq[String], sampleCol: String,
+                    valueCol: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val w = Window.partitionBy(gcols: _*).orderBy(col(valueCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val wAll = Window.partitionBy(col(groupCol))
+    val wAll = Window.partitionBy(gcols: _*)
     // count duplicates: process via value-level aggregation first so each
     // distinct value appears once with per-sample counts.
     val perValue = df
-      .groupBy(col(groupCol), col(valueCol))
+      .groupBy(gcols :+ col(valueCol): _*)
       .agg(
         sum(when(col(sampleCol) === "a", 1).otherwise(0)).as("ca"),
         sum(when(col(sampleCol) === "b", 1).otherwise(0)).as("cb"))
@@ -43,9 +49,79 @@ object Drift {
       .withColumn("n_b", sum("cb").over(wAll))
       .withColumn("gap",
         abs(col("cum_a") / col("n_a") - col("cum_b") / col("n_b")))
-      .groupBy(col(groupCol))
+      .groupBy(gcols: _*)
       .agg(round(max("gap"), 6).as("ks_stat"),
         max("n_a").as("n_a"), max("n_b").as("n_b"))
+  }
+
+  /** Asymptotic two-sided KS p-value (Kolmogorov distribution tail):
+    * p = 2 * sum_{k>=1} (-1)^(k-1) exp(-2 k^2 lambda^2) with
+    * lambda = (sqrt(en) + 0.12 + 0.11/sqrt(en)) * D, en = n*m/(n+m) —
+    * truncated at 100 terms, clamped to [0, 1]. The reference calls
+    * scipy `ks_2samp`, which switches to an EXACT small-sample method;
+    * the engine's contract is the asymptotic form (deterministic, both
+    * engines sum the identical series in the same order). */
+  def ksPValue(d: org.apache.spark.sql.Column, nA: org.apache.spark.sql.Column,
+               nB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val en = sqrt(nA.cast("double") * nB / (nA + nB))
+    val lam = (en + lit(0.12) + lit(0.11) / en) * d
+    val series = aggregate(
+      transform(sequence(lit(1), lit(100)),
+        k => pow(lit(-1.0), k - 1) * exp(lit(-2.0) * k * k * lam * lam)),
+      lit(0.0), (acc, t) => acc + t) * 2.0
+    least(greatest(series, lit(0.0)), lit(1.0))
+  }
+
+  /** D2-at-boundaries — the reference's segment-boundary drift scan
+    * (`src/etl/ml7_analysis.py:385-472`): for every segment except the
+    * first, compare each feature's distribution in the +-`windowDays`
+    * windows around the segment's start date (before = [b-w, b), after =
+    * [b, b+w)); windows with fewer than `minRows` frame rows — and
+    * features with fewer than `minRows` non-null values — are skipped.
+    * Output: (segment_id, boundary_date, feature, ks_stat, p_value,
+    * significant, n_before, n_after).
+    *
+    * Scale shape: the segment table is tiny -> broadcast range-attach of
+    * boundaries onto the daily frame, features unpivoted, then one
+    * KS pass per (boundary, feature) group via rank windows. */
+  def ksAtBoundaries(daily: DataFrame, segments: DataFrame, dateCol: String,
+                     features: Seq[String], windowDays: Int = 14,
+                     minRows: Int = 5): DataFrame = {
+    val firstRow = segments.agg(min(col("date_start"))).head()
+    require(!firstRow.isNullAt(0), "ksAtBoundaries: empty segment table")
+    val firstStart = firstRow.getDate(0)
+    val boundaries = segments
+      .filter(col("date_start") =!= lit(firstStart))
+      .select(col("segment_id"), col("date_start").as("boundary_date"))
+    val tagged = daily.join(broadcast(boundaries),
+      col(dateCol) >= date_sub(col("boundary_date"), windowDays) &&
+        col(dateCol) < date_add(col("boundary_date"), windowDays))
+      .withColumn("side",
+        when(col(dateCol) < col("boundary_date"), "a").otherwise("b"))
+    // reference gates on FRAME row counts (NaNs included) first
+    val eligible = tagged.groupBy("segment_id", "boundary_date")
+      .agg(sum(when(col("side") === "a", 1).otherwise(0)).as("rb"),
+        sum(when(col("side") === "b", 1).otherwise(0)).as("ra"))
+      .filter(col("rb") >= minRows && col("ra") >= minRows)
+      .select("segment_id", "boundary_date")
+    val unpivoted = tagged
+      .join(broadcast(eligible), Seq("segment_id", "boundary_date"))
+      .select(col("segment_id"), col("boundary_date"), col("side"),
+        explode(array(features.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("double").as("value"))): _*))
+          .as("fv"))
+      .select(col("segment_id"), col("boundary_date"),
+        col("fv.feature").as("feature"), col("side"), col("fv.value").as("value"))
+      .filter(col("value").isNotNull)
+    ksTwoSampleBy(unpivoted,
+        Seq("segment_id", "boundary_date", "feature"), "side", "value")
+      .filter(col("n_a") >= minRows && col("n_b") >= minRows)
+      .withColumn("p_value",
+        round(ksPValue(col("ks_stat"), col("n_a"), col("n_b")), 6))
+      .withColumn("significant", col("p_value") < 0.05)
+      .select(col("segment_id"), col("boundary_date"), col("feature"),
+        col("ks_stat"), col("p_value"), col("significant"),
+        col("n_a").as("n_before"), col("n_b").as("n_after"))
   }
 
   /** D1 — ADWIN-style adaptive-window change detection (δ-bounded mean

@@ -62,6 +62,22 @@ object MlQueries {
       Drift.ksTwoSample(labeled, "event_type", "s", "value")
     }),
 
+    // D2 at segment boundaries: +-7-day windows around each segment start
+    // (first segment skipped), per-feature KS + asymptotic p-value.
+    "d2_ks_boundaries" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(round(avg("value"), 6).as("f_mean"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 6).as("f_purchase"))
+      val segments = Seq((1L, "2024-01-01"), (2L, "2024-01-11"), (3L, "2024-01-21"))
+        .toDF("segment_id", "date_start")
+        .withColumn("date_start", col("date_start").cast("date"))
+      Drift.ksAtBoundaries(daily, segments, "date",
+        Seq("f_mean", "f_purchase"), windowDays = 7, minRows = 5)
+    }),
+
     // C1: multi-format timestamp parse chain over heterogeneous strings.
     "c1_parse_ts" -> ((s, dir) => {
       val stringified = Tables.events(s, dir).withColumn("ts_str",
@@ -369,6 +385,68 @@ object MlQueries {
         |  round(max(abs(cum_a / CAST(n_a AS DOUBLE) - cum_b / CAST(n_b AS DOUBLE))), 6) AS ks_stat,
         |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
         |FROM cum GROUP BY event_type""".stripMargin,
+
+    "d2_ks_boundaries" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS f_mean,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6)
+        |      AS f_purchase
+        |  FROM events GROUP BY 1),
+        |bnd AS (SELECT * FROM (VALUES (CAST(2 AS BIGINT), DATE '2024-01-11'),
+        |        (CAST(3 AS BIGINT), DATE '2024-01-21')) AS t(segment_id, boundary_date)),
+        |tagged AS (
+        |  SELECT b.segment_id, b.boundary_date, d.date, d.f_mean, d.f_purchase,
+        |    CASE WHEN d.date < b.boundary_date THEN 'a' ELSE 'b' END AS side
+        |  FROM daily d JOIN bnd b
+        |    ON d.date >= b.boundary_date - INTERVAL 7 DAY
+        |   AND d.date < b.boundary_date + INTERVAL 7 DAY),
+        |eligible AS (
+        |  SELECT segment_id, boundary_date FROM tagged GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) >= 5
+        |     AND sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) >= 5),
+        |unp AS (
+        |  SELECT t.segment_id, t.boundary_date, 'f_mean' AS feature, t.side,
+        |    t.f_mean AS value
+        |  FROM tagged t JOIN eligible e USING (segment_id, boundary_date)
+        |  WHERE t.f_mean IS NOT NULL
+        |  UNION ALL
+        |  SELECT t.segment_id, t.boundary_date, 'f_purchase', t.side, t.f_purchase
+        |  FROM tagged t JOIN eligible e USING (segment_id, boundary_date)
+        |  WHERE t.f_purchase IS NOT NULL),
+        |pv AS (
+        |  SELECT segment_id, boundary_date, feature, value,
+        |    sum(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM unp GROUP BY 1, 2, 3, 4),
+        |cum AS (
+        |  SELECT segment_id, boundary_date, feature,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY segment_id, boundary_date, feature ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wa AS (PARTITION BY segment_id, boundary_date, feature)),
+        |ks AS (
+        |  SELECT segment_id, boundary_date, feature,
+        |    round(max(abs(cum_a / CAST(n_a AS DOUBLE) - cum_b / CAST(n_b AS DOUBLE))), 6)
+        |      AS ks_stat,
+        |    CAST(max(n_a) AS BIGINT) AS n_before, CAST(max(n_b) AS BIGINT) AS n_after
+        |  FROM cum GROUP BY 1, 2, 3),
+        |lamt AS (
+        |  SELECT *,
+        |    (sqrt(n_before * CAST(n_after AS DOUBLE) / (n_before + n_after)) + 0.12
+        |      + 0.11 / sqrt(n_before * CAST(n_after AS DOUBLE) / (n_before + n_after)))
+        |      * ks_stat AS lam
+        |  FROM ks WHERE n_before >= 5 AND n_after >= 5),
+        |pval AS (
+        |  SELECT segment_id, boundary_date, feature, ks_stat, n_before, n_after,
+        |    round(least(greatest(2.0 * list_sum(list_transform(range(1, 101),
+        |      k -> power(-1.0, k - 1) * exp(-2.0 * k * k * lam * lam))), 0.0), 1.0), 6)
+        |      AS p_value
+        |  FROM lamt)
+        |SELECT segment_id, boundary_date, feature, ks_stat, p_value,
+        |  p_value < 0.05 AS significant, n_before, n_after
+        |FROM pval""".stripMargin,
 
     "c1_parse_ts" ->
       """WITH s AS (
