@@ -66,4 +66,141 @@ object XmlRecordScan {
         attr(col("value"), "activeEnergyBurned").cast("double").as("active_energy"),
         attr(col("value"), "appleExerciseTime").cast("double").as("exercise_min"),
         attr(col("value"), "appleStandHours").cast("double").as("stand_hours"))
+
+  /** Missing-attribute-safe extraction: empty string -> null before cast. */
+  private def attrOpt(line: Column, name: String): Column = {
+    val raw = attr(line, name)
+    when(raw === "", lit(null)).otherwise(raw)
+  }
+
+  /** S6 — the full `load_apple_daily` export.xml contract
+    * (`src/domains/activity/activity_from_extracted.py:123-280`):
+    * Record/Workout elements with activity-relevant types are routed by
+    * the reference's substring priority (Step > Distance > ActiveEnergy >
+    * ExerciseTime > Stand) and summed per LOCAL day (UTC -> `homeTz`,
+    * unlike HR records which keep wall-clock dates); ActivitySummary
+    * elements carry the kcal/exercise/stand totals, goals, and ring-close
+    * flags. Where a date has both, the summary ASSIGNMENT wins over the
+    * record-accumulated sum — the canonical export.xml layout puts
+    * ActivitySummary blocks after all Records, so the reference's loop
+    * overwrites; records after a summary would re-accumulate, a layout
+    * Apple exports do not produce.
+    * Steps add `int(value)` (truncation toward zero), distance stays
+    * meters. Checked 1:1 against the reference by
+    * tools/reference_parity.py. */
+  def appleActivityDaily(spark: SparkSession, path: String,
+                         homeTz: String): DataFrame = {
+    val lines = spark.read.text(path)
+
+    // ---- Record / Workout branch ----
+    val recs = lines
+      .filter(col("value").contains("<Record ") || col("value").contains("<Workout "))
+      .select(
+        attr(col("value"), "type").as("t"),
+        attrOpt(col("value"), "value").try_cast("double").as("v"),
+        coalesce(attrOpt(col("value"), "startDate"),
+          attrOpt(col("value"), "creationDate")).as("sdt"))
+      .filter(col("v").isNotNull && col("sdt").isNotNull)
+      .withColumn("date",
+        to_date(from_utc_timestamp(
+          to_timestamp(col("sdt"), "yyyy-MM-dd HH:mm:ss Z"), homeTz)))
+      .filter(col("date").isNotNull)
+    val isStep = col("t").contains("StepCount") || col("t").contains("stepCount") ||
+      col("t").contains("Step")
+    val isDist = col("t").contains("Distance")
+    val isKcal = col("t").contains("ActiveEnergy")
+    val isExer = col("t").contains("ExerciseTime") || col("t").contains("AppleExerciseTime")
+    val isStand = col("t").contains("StandHours") || col("t").contains("StandHour") ||
+      col("t").contains("Stand")
+    val cat = when(isStep, "steps").when(isDist, "dist").when(isKcal, "kcal")
+      .when(isExer, "exer").when(isStand, "stand")
+    val recDaily = recs
+      .withColumn("cat", cat).filter(col("cat").isNotNull)
+      .groupBy("date")
+      .agg(
+        sum(when(col("cat") === "steps",
+          col("v").cast("long").cast("double"))).as("rec_steps"),
+        sum(when(col("cat") === "dist", col("v"))).as("rec_dist"),
+        sum(when(col("cat") === "kcal", col("v"))).as("rec_kcal"),
+        sum(when(col("cat") === "exer", col("v"))).as("rec_exer"),
+        sum(when(col("cat") === "stand", col("v"))).as("rec_stand"))
+
+    // ---- ActivitySummary branch (assignment semantics: one value/date) ----
+    val ringClose = (c: Column) => when(c.isNull, lit(null))
+      .otherwise(when(c.isin("1", "true", "True"), 1).otherwise(0))
+    val sums = lines
+      .filter(col("value").contains("<ActivitySummary "))
+      .select(
+        to_date(coalesce(attrOpt(col("value"), "dateComponents"),
+          attrOpt(col("value"), "date"),
+          substring(attrOpt(col("value"), "startDate"), 1, 10))).as("date"),
+        attrOpt(col("value"), "activeEnergyBurned").cast("double").as("sum_kcal"),
+        attrOpt(col("value"), "appleExerciseTime").cast("double").as("sum_exer"),
+        attrOpt(col("value"), "appleStandHours").cast("double").as("sum_stand"),
+        attrOpt(col("value"), "activeEnergyBurnedGoal").cast("double")
+          .as("apple_move_goal_kcal"),
+        attrOpt(col("value"), "appleExerciseTimeGoal").cast("double")
+          .as("apple_exercise_goal_min"),
+        attrOpt(col("value"), "appleStandHoursGoal").cast("double")
+          .as("apple_stand_goal_hours"),
+        ringClose(attrOpt(col("value"), "move")).as("apple_rings_close_move"),
+        ringClose(attrOpt(col("value"), "exercise")).as("apple_rings_close_exercise"),
+        ringClose(attrOpt(col("value"), "stand")).as("apple_rings_close_stand"))
+      .filter(col("date").isNotNull)
+      .groupBy("date")
+      .agg(max("sum_kcal").as("sum_kcal"), max("sum_exer").as("sum_exer"),
+        max("sum_stand").as("sum_stand"),
+        max("apple_move_goal_kcal").as("apple_move_goal_kcal"),
+        max("apple_exercise_goal_min").as("apple_exercise_goal_min"),
+        max("apple_stand_goal_hours").as("apple_stand_goal_hours"),
+        max("apple_rings_close_move").as("apple_rings_close_move"),
+        max("apple_rings_close_exercise").as("apple_rings_close_exercise"),
+        max("apple_rings_close_stand").as("apple_rings_close_stand"))
+
+    recDaily.join(sums, Seq("date"), "full_outer")
+      .select(
+        col("date"),
+        col("rec_steps").as("apple_steps"),
+        col("rec_dist").as("apple_distance_m"),
+        coalesce(col("sum_kcal"), col("rec_kcal")).as("apple_active_kcal"),
+        coalesce(col("sum_exer"), col("rec_exer")).as("apple_exercise_min"),
+        coalesce(col("sum_stand"), col("rec_stand")).as("apple_stand_hours"),
+        col("apple_move_goal_kcal"), col("apple_exercise_goal_min"),
+        col("apple_stand_goal_hours"), col("apple_rings_close_move"),
+        col("apple_rings_close_exercise"), col("apple_rings_close_stand"))
+  }
+
+  /** S6 — Apple screen-time extraction
+    * (`src/domains/extract_screen_time.py:20-95`): Record elements whose
+    * type contains "screentime" (case-insensitive); seconds come from the
+    * value attribute with the reference's PER-RECORD ms heuristic
+    * (> 36 h -> /1000), falling back to end - start; days are the START
+    * timestamp's local date under the C2 timezone CUTOVER (target tz
+    * decided by the record's UTC date vs `cutover`). Output:
+    * (date, screen_time_min, source). Checked 1:1 against the reference
+    * by tools/reference_parity.py. */
+  def screenTimeDaily(spark: SparkSession, path: String, cutover: String,
+                      tzBefore: String, tzAfter: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val startUtc = to_timestamp(attrOpt(col("value"), "startDate"),
+      "yyyy-MM-dd HH:mm:ss Z")
+    val endUtc = to_timestamp(attrOpt(col("value"), "endDate"),
+      "yyyy-MM-dd HH:mm:ss Z")
+    val targetTz = when(to_date(startUtc) < lit(cutover).cast("date"), tzBefore)
+      .otherwise(tzAfter)
+    val rawSec = attrOpt(col("value"), "value").try_cast("double")
+    val valSec = when(rawSec > 36 * 3600, rawSec / 1000.0).otherwise(rawSec)
+    val spanSec = greatest(
+      (unix_timestamp(endUtc) - unix_timestamp(startUtc)).cast("double"), lit(0.0))
+    lines
+      .filter(col("value").contains("<Record ") &&
+        lower(attr(col("value"), "type")).contains("screentime"))
+      .select(startUtc.as("start_utc"),
+        coalesce(valSec, when(endUtc.isNotNull, spanSec)).as("seconds"),
+        targetTz.as("tz"))
+      .filter(col("start_utc").isNotNull && col("seconds").isNotNull)
+      .groupBy(to_date(from_utc_timestamp(col("start_utc"), col("tz"))).as("date"))
+      .agg((sum("seconds") / 60.0).as("screen_time_min"))
+      .withColumn("source", lit("AppleHealth"))
+  }
 }

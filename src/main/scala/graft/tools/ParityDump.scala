@@ -106,6 +106,14 @@ object ParityDump {
         val som = ReferencePipeline.unifySomDomain(
           readOpt(s"$in/apple/daily_som_autoexport.csv"))
         ReferencePipeline.unifyAllDomains(sleep, cardio, activity, meds, som)
+      case "appleactivityfull" =>
+        // in = "<xmlPath>,<homeTz>"
+        val Array(xml, tz) = in.split(",")
+        graft.ingest.XmlRecordScan.appleActivityDaily(spark, xml, tz)
+      case "screentime" =>
+        // in = "<xmlPath>,<cutover>,<tzBefore>,<tzAfter>"
+        val Array(xml, cut, tzB, tzA) = in.split(",")
+        graft.ingest.XmlRecordScan.screenTimeDaily(spark, xml, cut, tzB, tzA)
       case "autoseg" =>
         // in = unified-frame CSV with date + biomarker/source/missing cols;
         // the reference is single-participant so the key is a constant.

@@ -536,6 +536,101 @@ def autoseg_parity():
     return check("auto_segment (generate_segments, all 4 rules)", expected, got)
 
 
+def activity_xml_fixture():
+    """export.xml with Records + Workouts + ActivitySummary + screen time."""
+    rng = np.random.default_rng(42)
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>', "<HealthData>"]
+    types = [
+        "HKQuantityTypeIdentifierStepCount",
+        "HKQuantityTypeIdentifierDistanceWalkingRunning",
+        "HKQuantityTypeIdentifierActiveEnergyBurned",
+        "HKQuantityTypeIdentifierAppleExerciseTime",
+        "HKQuantityTypeIdentifierAppleStandHoursCount",
+        "HKQuantityTypeIdentifierHeartRate",  # filtered out (not activity)
+    ]
+    for i in range(600):
+        t = types[int(rng.integers(0, len(types)))]
+        day = 1 + int(rng.integers(0, 12))
+        hh = int(rng.integers(0, 24))
+        offset = ["+0000", "+0100", "-0500"][int(rng.integers(0, 3))]
+        v = round(float(rng.uniform(0.5, 900)), 2)
+        lines.append(
+            f'  <Record type="{t}" sourceName="iPhone" value="{v}" '
+            f'startDate="2024-01-{day:02d} {hh:02d}:15:00 {offset}" '
+            f'endDate="2024-01-{day:02d} {hh:02d}:20:00 {offset}"/>')
+    # a Workout element whose type matches the Distance substring route
+    lines.append(
+        '  <Workout type="DistanceCycling" value="1500.5" '
+        'startDate="2024-01-03 10:00:00 +0000" '
+        'endDate="2024-01-03 11:00:00 +0000"/>')
+    # a Record with creationDate only (startDate fallback path)
+    lines.append(
+        '  <Record type="HKQuantityTypeIdentifierStepCount" value="250.7" '
+        'creationDate="2024-01-04 09:00:00 +0000"/>')
+    # screen-time records: value-carrying, ms-odd, and span-fallback
+    for i in range(40):
+        day = 1 + int(rng.integers(0, 12))
+        hh = int(rng.integers(0, 24))
+        sec = round(float(rng.uniform(60, 7200)), 1)
+        lines.append(
+            f'  <Record type="HKCategoryTypeIdentifierScreenTime" value="{sec}" '
+            f'startDate="2024-01-{day:02d} {hh:02d}:00:00 +0000" '
+            f'endDate="2024-01-{day:02d} {hh:02d}:30:00 +0000"/>')
+    lines.append(  # ms-scaled value (> 36 h)
+        '  <Record type="HKCategoryTypeIdentifierScreenTime" value="180000000" '
+        'startDate="2024-01-06 12:00:00 +0000" endDate="2024-01-06 12:30:00 +0000"/>')
+    lines.append(  # no value -> end - start span
+        '  <Record type="HKCategoryTypeIdentifierScreenTime" '
+        'startDate="2024-01-07 20:00:00 +0000" endDate="2024-01-07 21:10:00 +0000"/>')
+    # ActivitySummary blocks LAST (the canonical export.xml layout)
+    for day in range(1, 13):
+        if day % 5 == 0:
+            continue  # some days rely on record sums only
+        lines.append(
+            f'  <ActivitySummary dateComponents="2024-01-{day:02d}" '
+            f'activeEnergyBurned="{400 + day}.5" appleExerciseTime="{30 + day}" '
+            f'appleStandHours="{8 + day % 4}" activeEnergyBurnedGoal="500" '
+            f'appleExerciseTimeGoal="30" appleStandHoursGoal="12" '
+            f'move="{1 if day % 2 == 0 else 0}" exercise="true" stand="0"/>')
+    lines.append("</HealthData>")
+    xml = OUT / "activity_export.xml"
+    xml.write_text("\n".join(lines))
+    return xml
+
+
+def appleactivityfull_parity():
+    xml = activity_xml_fixture()
+    from src.domains.activity.activity_from_extracted import load_apple_daily
+    expected = load_apple_daily([xml], home_tz="Europe/Dublin")
+    expected = expected.copy()
+    expected["date"] = pd.to_datetime(expected["date"]).dt.strftime("%Y-%m-%d")
+
+    out_csv = OUT / "engine_appleactivityfull.csv"
+    run_engine("appleactivityfull", f"{xml},Europe/Dublin", str(out_csv))
+    got = pd.read_csv(out_csv)
+    # engine emits the full fixed schema; pandas only columns that appeared
+    got = got[[c for c in got.columns if c in set(expected.columns)]]
+    return check("apple_activity_full (load_apple_daily, Records+Workout+Summary)",
+                 expected, got)
+
+
+def screentime_parity():
+    xml = activity_xml_fixture()
+    from src.domains.extract_screen_time import extract_apple_screen_time
+    expected = extract_apple_screen_time(
+        xml, OUT / "ref_screentime.csv", "2024-01-05",
+        "Europe/Dublin", "America/New_York")
+    expected = expected.copy()
+    expected["date"] = pd.to_datetime(expected["date"]).dt.strftime("%Y-%m-%d")
+
+    out_csv = OUT / "engine_screentime.csv"
+    run_engine("screentime",
+               f"{xml},2024-01-05,Europe/Dublin,America/New_York", str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("screen_time (extract_apple_screen_time, tz cutover + ms heuristic)",
+                 expected, got)
+
+
 def unifyall_parity():
     """DailyUnifier.unify_all: the FULL stage-2 merge including meds + SoM."""
     rng = np.random.default_rng(42)
@@ -633,6 +728,7 @@ if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
           applehr_parity() & applehrv_parity() & applesleep_parity() &
-          appleactivity_parity() & unifyall_parity() & autoseg_parity())
+          appleactivity_parity() & unifyall_parity() & autoseg_parity() &
+          appleactivityfull_parity() & screentime_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
