@@ -30,13 +30,17 @@ object Multimodal {
 
   /** ======== STUB ========
     * Deterministic fake decode: folds payload bytes into `dims` float
-    * features. Replace with a real codec (ImageIO / libsndfile / FFmpeg)
-    * behind the same (bytes -> float[]) signature. */
+    * features (feature j = sum of bytes at positions congruent j mod
+    * dims). Integer-valued accumulation — exact in float32 up to 2^24, so
+    * the result is bit-identical however it is recomputed (the DuckDB
+    * oracle recomputes it in SQL). Replace with a real codec (ImageIO /
+    * libsndfile / FFmpeg) behind the same (bytes -> float[]) signature;
+    * normalization belongs downstream. */
   def stubDecode(payload: Array[Byte], dims: Int): Array[Float] = {
     val out = new Array[Float](dims)
     var i = 0
     while (i < payload.length) {
-      out(i % dims) += (payload(i) & 0xff) / 255.0f
+      out(i % dims) += (payload(i) & 0xff).toFloat
       i += 1
     }
     out

@@ -109,6 +109,22 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))),
 
+    // Multimodal: binary-payload plumbing — documents' UTF-8 bytes as
+    // opaque payloads, stub-decoded (mapPartitions batch shape) into
+    // 4-dim byte-fold features + payload length/sha accounting.
+    "mm1_features" -> ((s, dir) => {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      graft.multimodal.Multimodal.extractFeatures(media, dims = 4)
+        .select(col("doc_id"),
+          length(col("payload")).cast("long").as("payload_len"),
+          substring(sha2(col("payload"), 256), 1, 16).as("sha16"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3"))
+    }),
+
     // C7/C10: string ops + crypto hash projection.
     "c7_strings" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -233,6 +249,21 @@ object TextQueries {
 
       "t4_fingerprint" ->
         s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+      "mm1_features" -> {
+        def fold(j: Int) =
+          s"""CAST(list_sum(list_transform(range(1, length(text) + 1),
+             |    i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1))
+             |              ELSE 0 END)) AS DOUBLE) AS f$j""".stripMargin
+        s"""SELECT doc_id,
+           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
+           |  substr(sha256(text), 1, 16) AS sha16,
+           |  ${fold(0)},
+           |  ${fold(1)},
+           |  ${fold(2)},
+           |  ${fold(3)}
+           |FROM documents""".stripMargin
+      },
 
       "c7_strings" ->
         """SELECT doc_id, length(text) AS n_chars_calc,
