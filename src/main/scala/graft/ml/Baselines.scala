@@ -1,0 +1,73 @@
+package graft.ml
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** M6/W8 — naive baselines (`src/etl/ml_metrics_extended.py:158-230`):
+  * majority-class and stratified-random predictors over a train/val
+  * split. (Persistence and modal baselines live in Enrich/MlQueries —
+  * w8_persistence / w8_modal.)
+  *
+  * Majority mirrors the reference exactly: most frequent train label,
+  * ties to the smallest label (np.unique sorts ascending; argmax takes
+  * the first).
+  *
+  * Stratified: the reference draws from `np.random.RandomState(42)`,
+  * which is not portable across engines. The engine's deterministic
+  * contract keeps the reference's INTENT — validation predictions follow
+  * the training class distribution — via largest-remainder quotas
+  * (floor(p_c * n) per class in label order, remainder to the largest
+  * fractional parts, ties to the smallest label) assigned to validation
+  * rows ranked by a portable SHA-256 of their id. Same distribution,
+  * reproducible anywhere, one broadcast range-join at any scale.
+  */
+object Baselines {
+
+  /** Most frequent training label; ties -> smallest label. */
+  def majorityClass(train: DataFrame, labelCol: String): String =
+    train.groupBy(labelCol).count()
+      .orderBy(col("count").desc, col(labelCol))
+      .head().get(0).toString
+
+  /** Validation frame + `y_pred` = the majority train class. */
+  def predictMajority(validation: DataFrame, train: DataFrame,
+                      labelCol: String): DataFrame =
+    validation.withColumn("y_pred", lit(majorityClass(train, labelCol)))
+
+  /** Largest-remainder quotas for `n` slots over the train distribution:
+    * (label, quota) in ascending label order. */
+  def stratifiedQuotas(train: DataFrame, labelCol: String, n: Long): Seq[(String, Long)] = {
+    val counts = train.groupBy(labelCol).count()
+      .collect().map(r => r.get(0).toString -> r.getAs[Long]("count"))
+      .sortBy(_._1)
+    val total = counts.map(_._2).sum.toDouble
+    val raw = counts.map { case (c, k) => (c, k / total * n) }
+    val base = raw.map { case (c, q) => (c, math.floor(q).toLong, q - math.floor(q)) }
+    var remainder = n - base.map(_._2).sum
+    // distribute by descending fractional part, ties to the smallest label
+    val order = base.sortBy { case (c, _, frac) => (-frac, c) }.map(_._1)
+    val bonus = scala.collection.mutable.Map(counts.map(_._1 -> 0L): _*)
+    for (c <- order if remainder > 0) { bonus(c) += 1L; remainder -= 1 }
+    base.map { case (c, q, _) => (c, q + bonus(c)) }
+  }
+
+  /** Validation frame + `y_pred` following the train class distribution:
+    * rows ranked by sha2(id) get the quota blocks in label order. */
+  def predictStratified(validation: DataFrame, train: DataFrame,
+                        labelCol: String, idCol: String): DataFrame = {
+    val spark = validation.sparkSession
+    import spark.implicits._
+    val n = validation.count()
+    val quotas = stratifiedQuotas(train, labelCol, n)
+    // cumulative (lo, hi] rank blocks in ascending label order
+    val blocks = quotas.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (c, q)) =>
+      (c, hi, hi + q)
+    }.drop(1).toDF("y_pred", "lo", "hi")
+    val w = Window.orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+    validation
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .join(broadcast(blocks), col("__rk") > col("lo") && col("__rk") <= col("hi"))
+      .drop("__rk", "lo", "hi")
+  }
+}

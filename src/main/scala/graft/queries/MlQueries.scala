@@ -204,6 +204,26 @@ object MlQueries {
         graft.qc.Audit.Rule("type_unknown", "CRITICAL",
           !col("event_type").isin("click", "error", "purchase", "signup", "view"))))),
 
+    // W8/M6: majority + stratified naive baselines over a calendar split,
+    // summarized per predicted class.
+    "w8_baselines" -> ((s, dir) => {
+      import graft.ml.Baselines
+      val ev = Tables.events(s, dir).withColumn("date", to_date(col("ts")))
+      val train = ev.filter(col("date") < lit("2024-01-20").cast("date"))
+      val valD = ev.filter(col("date") >= lit("2024-01-20").cast("date"))
+      def summarize(df: org.apache.spark.sql.DataFrame, name: String) =
+        df.groupBy("y_pred")
+          .agg(count(lit(1)).as("n_predictions"),
+            sum(when(col("event_type") === col("y_pred"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .withColumn("baseline", lit(name))
+      summarize(Baselines.predictMajority(valD, train, "event_type"), "majority")
+        .unionByName(summarize(
+          Baselines.predictStratified(valD, train, "event_type", "event_id"),
+          "stratified"))
+        .select("baseline", "y_pred", "n_predictions", "n_correct")
+    }),
+
     // Q1 full: the per-domain audit suite over engine-shaped contract
     // frames with deterministically planted violations, so every rule,
     // threshold, and severity-escalation path is exercised.
@@ -667,6 +687,54 @@ object MlQueries {
         |  SELECT 'value_range' AS rule, 'CRITICAL' AS severity, value_range AS n_violations, n FROM agg
         |  UNION ALL SELECT 'props_null', 'WARNING', props_null, n FROM agg
         |  UNION ALL SELECT 'type_unknown', 'CRITICAL', type_unknown, n FROM agg)""".stripMargin,
+
+    "w8_baselines" ->
+      """WITH ev AS (SELECT event_id, event_type, CAST(ts AS DATE) AS date FROM events),
+        |tr AS (SELECT * FROM ev WHERE date < DATE '2024-01-20'),
+        |vl AS (SELECT * FROM ev WHERE date >= DATE '2024-01-20'),
+        |tc AS (SELECT event_type AS label, count(*) AS k FROM tr GROUP BY 1),
+        |maj AS (SELECT label FROM tc ORDER BY k DESC, label LIMIT 1),
+        |majr AS (
+        |  SELECT 'majority' AS baseline, m.label AS y_pred,
+        |    CAST(count(*) AS BIGINT) AS n_predictions,
+        |    CAST(sum(CASE WHEN v.event_type = m.label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_correct
+        |  FROM vl v CROSS JOIN maj m GROUP BY m.label),
+        |nv AS (SELECT count(*) AS n FROM vl),
+        |quota1 AS (
+        |  SELECT label,
+        |    CAST(floor(k / CAST((SELECT sum(k) FROM tc) AS DOUBLE)
+        |      * (SELECT n FROM nv)) AS BIGINT) AS q,
+        |    k / CAST((SELECT sum(k) FROM tc) AS DOUBLE) * (SELECT n FROM nv)
+        |      - floor(k / CAST((SELECT sum(k) FROM tc) AS DOUBLE)
+        |        * (SELECT n FROM nv)) AS frac
+        |  FROM tc),
+        |rem AS (SELECT (SELECT n FROM nv) - sum(q) AS r FROM quota1),
+        |quota AS (
+        |  SELECT label, q + CASE WHEN row_number() OVER (ORDER BY frac DESC, label)
+        |      <= (SELECT r FROM rem) THEN 1 ELSE 0 END AS q
+        |  FROM quota1),
+        |blocks AS (
+        |  SELECT label AS y_pred,
+        |    coalesce(sum(q) OVER (ORDER BY label
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS lo,
+        |    sum(q) OVER (ORDER BY label
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hi
+        |  FROM quota),
+        |ranked AS (
+        |  SELECT event_type,
+        |    row_number() OVER (ORDER BY sha256(CAST(event_id AS VARCHAR)), event_id)
+        |      AS rk
+        |  FROM vl),
+        |assigned AS (
+        |  SELECT r.event_type, b.y_pred
+        |  FROM ranked r JOIN blocks b ON r.rk > b.lo AND r.rk <= b.hi)
+        |SELECT 'stratified' AS baseline, y_pred,
+        |  CAST(count(*) AS BIGINT) AS n_predictions,
+        |  CAST(sum(CASE WHEN event_type = y_pred THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_correct
+        |FROM assigned GROUP BY y_pred
+        |UNION ALL SELECT * FROM majr""".stripMargin,
 
     "q1_domain_audits" ->
       """WITH cardio AS (
