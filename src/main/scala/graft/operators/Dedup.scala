@@ -141,6 +141,9 @@ object Dedup {
     val withSets = pairs
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // size-ratio prune (jaccard <= min/max size) before the merge walk
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
+        lit(minJaccard - 1e-9) * greatest(size(col("sh_a")), size(col("sh_b"))))
     val inter = graft.functions.SortedLongIntersectCount(col("sh_a"), col("sh_b"))
     withSets
       .select(col("id_a"), col("id_b"), inter.as("i"),
@@ -203,9 +206,10 @@ object Dedup {
     // are identical in both engines. Arrays are sorted once per doc so the
     // per-pair intersection is an allocation-free codegen'd merge walk.
     val withSets = docs.select(
-      col(blockCol), col(idCol),
-      array_sort(array_distinct(transform(shingles(col(textCol), shingleK),
-        s => Hashing.sha28(s)))).as("sh"))
+        col(blockCol), col(idCol),
+        array_sort(array_distinct(transform(shingles(col(textCol), shingleK),
+          s => Hashing.sha28(s)))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
     // Round-robin spread of the probe side: the pairwise intersect loop is
     // the hot path and must use every core regardless of how few splits
     // the input scan produced. The build side stays broadcastable.
@@ -223,8 +227,16 @@ object Dedup {
     // CSE). With it, the merge walk runs exactly once per pair and only
     // (id, id, 3 ints) rows cross the exchange.
     val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
+    // size-ratio prune BEFORE the merge walk: jaccard <= min(|A|,|B|) /
+    // max(|A|,|B|), so pairs whose size ratio is already under the
+    // threshold can never qualify — reject them on two int compares
+    // instead of an O(|A|+|B|) intersect. (1e-9 slack keeps boundary
+    // pairs that post-round canonicalization could still admit.)
+    val sizePrune =
+      least(col("l.nsh"), col("r.nsh")).cast("double") >=
+        lit(minJaccard - 1e-9) * greatest(col("l.nsh"), col("r.nsh"))
     val blockCond = col(s"l.$blockCol") === col(s"r.$blockCol") &&
-      col(s"l.$idCol") < col(s"r.$idCol")
+      col(s"l.$idCol") < col(s"r.$idCol") && sizePrune
     val joined =
       if (broadcastBuild) l.join(broadcast(r), blockCond)
       else if (saltBuckets <= 1) l.join(r, blockCond)

@@ -37,15 +37,14 @@ object Audit {
       sum(when(r.violation, 1).otherwise(0)).as(r.name)) :+
       count(lit(1)).as("__n")
     val row = df.agg(aggs.head, aggs.tail: _*)
-    val long = rules.map { r =>
-      row.select(
-        lit(r.name).as("rule"),
-        lit(r.severity).as("severity"),
-        col(r.name).as("n_violations"),
-        col("__n").as("n_rows"))
-    }.reduce(_ union _)
-    long.withColumn("violation_pct",
-      round(col("n_violations") * 100.0 / col("n_rows"), 6))
+    // explode the single agg row rather than unioning per-rule selects:
+    // a union of N selects over the agg re-executes the scan N times
+    val structs = rules.map(r =>
+      struct(lit(r.name).as("rule"), lit(r.severity).as("severity"),
+        col(r.name).as("n_violations"), col("__n").as("n_rows")))
+    row.select(explode(array(structs: _*)).as("r")).select("r.*")
+      .withColumn("violation_pct",
+        round(col("n_violations") * 100.0 / col("n_rows"), 6))
   }
 
   /** PASS iff no CRITICAL rule has violations (reference exit-code rule). */
