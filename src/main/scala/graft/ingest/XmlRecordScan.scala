@@ -170,6 +170,49 @@ object XmlRecordScan {
         col("apple_rings_close_exercise"), col("apple_rings_close_stand"))
   }
 
+  /** S6 — CDA document probe (`src/domains/cda/parse_cda.py:26-120`):
+    * streaming counts of section elements, observation elements, and
+    * per-observation code counts (first `<code>` child's `code` attr,
+    * falling back to `displayName`, then "unknown"; observations with no
+    * code child count toward n_observation only).
+    *
+    * Distributed shape: the file is split on `<observation` boundaries
+    * (`lineSep` text read — byte-range splittable, so a multi-GB CDA
+    * export parallelizes), each chunk carrying one observation's subtree
+    * prefix. Tag-name continuations (`observationMedia`, `observationRange`)
+    * are excluded the same way the reference's endswith("observation")
+    * tag test excludes them. Returns (key, cnt) rows: n_section,
+    * n_observation, and code_<c> per code. Checked 1:1 against the
+    * reference by tools/reference_parity.py. */
+  def cdaProbe(spark: SparkSession, path: String): DataFrame = {
+    val chunks = spark.read.option("lineSep", "<observation").text(path)
+    val secPat = "(?i)<(?:\\w+:)?section[\\s/>]"
+    // a true <observation ...> split point resumes with whitespace, '>' or
+    // '/'; observationMedia/-Range resume with a letter; the preamble
+    // starts with '<'
+    val obs = chunks.filter(col("value").rlike("^[\\s/>]"))
+      .withColumn("own", substring_index(col("value"), "</observation", 1))
+      .withColumn("code_tag",
+        regexp_extract(col("own"), "(?i)(<(?:\\w+:)?code\\b[^>]*)", 1))
+    def nonEmpty(c: Column) = when(c === "", lit(null)).otherwise(c)
+    val withCode = obs.withColumn("code",
+      when(col("code_tag") === "", lit(null)).otherwise(
+        coalesce(
+          nonEmpty(regexp_extract(col("code_tag"), "\\scode=\"([^\"]*)\"", 1)),
+          nonEmpty(regexp_extract(col("code_tag"), "displayName=\"([^\"]*)\"", 1)),
+          lit("unknown"))))
+    val secRow = chunks
+      .agg(coalesce(sum(regexp_count(col("value"), lit(secPat))), lit(0L))
+        .cast("long").as("cnt"))
+      .select(lit("n_section").as("key"), col("cnt"))
+    val obsRow = withCode.agg(count(lit(1)).as("cnt"))
+      .select(lit("n_observation").as("key"), col("cnt"))
+    val codeRows = withCode.filter(col("code").isNotNull)
+      .groupBy("code").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("code_"), col("code")).as("key"), col("cnt"))
+    secRow.unionByName(obsRow).unionByName(codeRows)
+  }
+
   /** S6 — Apple screen-time extraction
     * (`src/domains/extract_screen_time.py:20-95`): Record elements whose
     * type contains "screentime" (case-insensitive); seconds come from the

@@ -114,6 +114,8 @@ object ParityDump {
         // in = "<xmlPath>,<cutover>,<tzBefore>,<tzAfter>"
         val Array(xml, cut, tzB, tzA) = in.split(",")
         graft.ingest.XmlRecordScan.screenTimeDaily(spark, xml, cut, tzB, tzA)
+      case "cdaprobe" =>
+        graft.ingest.XmlRecordScan.cdaProbe(spark, in)
       case "autoseg" =>
         // in = unified-frame CSV with date + biomarker/source/missing cols;
         // the reference is single-participant so the key is a constant.

@@ -631,6 +631,44 @@ def screentime_parity():
                  expected, got)
 
 
+def cdaprobe_parity():
+    """cda_probe: section/observation/code counts over a nested CDA doc."""
+    rng = np.random.default_rng(42)
+    codes = ["8867-4", "8480-6", "2708-6", None]
+    lines = ['<?xml version="1.0" encoding="UTF-8"?>',
+             '<ClinicalDocument xmlns="urn:hl7-org:v3">']
+    for s in range(6):
+        lines.append("  <component><section>")
+        lines.append(f"    <title>Section {s}</title>")
+        for o in range(int(rng.integers(3, 9))):
+            c = codes[int(rng.integers(0, len(codes)))]
+            lines.append('    <entry><observation classCode="OBS" moodCode="EVN">')
+            if c is not None:
+                lines.append(f'      <code code="{c}" codeSystem="2.16.840.1.113883.6.1"/>')
+            elif rng.random() < 0.5:
+                lines.append('      <code displayName="Unnamed metric"/>')
+            lines.append(f'      <value value="{round(float(rng.uniform(40, 180)), 1)}" unit="1/min"/>')
+            lines.append("    </observation></entry>")
+        # decoys the tag test must exclude
+        lines.append('    <observationMedia ID="m1"><value mediaType="image/png"/></observationMedia>')
+        lines.append("  </section></component>")
+    lines.append("</ClinicalDocument>")
+    xml = OUT / "export_cda.xml"
+    xml.write_text("\n".join(lines))
+
+    from src.domains.cda.parse_cda import cda_probe
+    summary = cda_probe(xml)
+    rows = [{"key": "n_section", "cnt": summary["n_section"]},
+            {"key": "n_observation", "cnt": summary["n_observation"]}]
+    rows += [{"key": f"code_{c}", "cnt": n} for c, n in summary["codes"].items()]
+    expected = pd.DataFrame(rows)
+
+    out_csv = OUT / "engine_cdaprobe.csv"
+    run_engine("cdaprobe", str(xml), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("cda_probe (sections/observations/codes)", expected, got)
+
+
 def unifyall_parity():
     """DailyUnifier.unify_all: the FULL stage-2 merge including meds + SoM."""
     rng = np.random.default_rng(42)
@@ -729,6 +767,6 @@ if __name__ == "__main__":
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
           applehr_parity() & applehrv_parity() & applesleep_parity() &
           appleactivity_parity() & unifyall_parity() & autoseg_parity() &
-          appleactivityfull_parity() & screentime_parity())
+          appleactivityfull_parity() & screentime_parity() & cdaprobe_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
