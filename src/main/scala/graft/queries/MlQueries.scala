@@ -204,6 +204,16 @@ object MlQueries {
         graft.qc.Audit.Rule("type_unknown", "CRITICAL",
           !col("event_type").isin("click", "error", "purchase", "signup", "view"))))),
 
+    // M4: deterministic best-config selection — per-config metrics, winner
+    // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
+    "m4_ablation_choice" -> ((s, dir) => {
+      val metrics = Tables.events(s, dir)
+        .groupBy(col("event_type").as("config"))
+        .agg(round(avg("value"), 6).as("metric"))
+      val best = graft.operators.Folds.bestConfig(metrics, "config", "metric")
+      metrics.withColumn("is_best", (col("config") === lit(best)).cast("int"))
+    }),
+
     // W8/M6: majority + stratified naive baselines over a calendar split,
     // summarized per predicted class.
     "w8_baselines" -> ((s, dir) => {
@@ -687,6 +697,15 @@ object MlQueries {
         |  SELECT 'value_range' AS rule, 'CRITICAL' AS severity, value_range AS n_violations, n FROM agg
         |  UNION ALL SELECT 'props_null', 'WARNING', props_null, n FROM agg
         |  UNION ALL SELECT 'type_unknown', 'CRITICAL', type_unknown, n FROM agg)""".stripMargin,
+
+    "m4_ablation_choice" ->
+      """WITH m AS (
+        |  SELECT event_type AS config, round(avg(value), 6) AS metric
+        |  FROM events GROUP BY 1)
+        |SELECT config, metric,
+        |  CASE WHEN row_number() OVER (ORDER BY metric DESC, config) = 1
+        |       THEN 1 ELSE 0 END AS is_best
+        |FROM m""".stripMargin,
 
     "w8_baselines" ->
       """WITH ev AS (SELECT event_id, event_type, CAST(ts AS DATE) AS date FROM events),

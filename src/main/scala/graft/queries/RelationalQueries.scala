@@ -179,6 +179,30 @@ object RelationalQueries {
         ReferencePipeline.unifySomDomain(Some(som)))
     }),
 
+    // A21: cross-device tolerance validation — two vendors' daily metrics
+    // compared under +-absTol OR relTol% rules, with planted drift so both
+    // branches of the tolerance fire.
+    "a21_cross_device" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def side = ev.groupBy(to_date(col("ts")).as("date"))
+        .agg(round(avg("value"), 6).as("hr_mean"),
+          count(lit(1)).cast("double").as("n"))
+      val b = side.withColumn("hr_mean",
+        round(col("hr_mean") +
+          when(dayofmonth(col("date")) % 3 === 0, 5.0).otherwise(0.001), 6))
+      graft.qc.Validators.crossDevice(side, b, "date", Seq("hr_mean", "n"),
+        absTol = 1.0, relTolPct = 0.5)
+    }),
+
+    // J7: static-priority vendor selection — the preferred vendor is empty,
+    // so the probe falls through to the next source; provenance recorded.
+    "j7_vendor_select" -> ((s, dir) => {
+      val apple = clickDaily(s, dir).filter(col("v") < -1) // empty by data
+      val zepp = purchaseDaily(s, dir)
+      graft.operators.Folds.firstNonEmpty(Seq(
+        "apple_export" -> apple, "apple_autoexport" -> zepp)).get._2
+    }),
+
     // J10: QC re-aggregation consistency join — recompute daily stats two
     // ways and diff them (the reference's own oracle pattern, Q2).
     "j10_qc_consistency" -> ((s, dir) => {
@@ -399,6 +423,40 @@ object RelationalQueries {
         |LEFT JOIN activity a ON sp.date = a.date
         |LEFT JOIN meds m ON sp.date = m.date
         |LEFT JOIN som so ON sp.date = so.date""".stripMargin,
+
+    "a21_cross_device" ->
+      """WITH a AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS hr_mean,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (
+        |  SELECT date,
+        |    round(hr_mean + CASE WHEN day(date) % 3 = 0 THEN 5.0 ELSE 0.001 END, 6)
+        |      AS hr_mean,
+        |    n
+        |  FROM a)
+        |SELECT a.date, a.hr_mean AS a_hr_mean, a.n AS a_n,
+        |  b.hr_mean AS b_hr_mean, b.n AS b_n,
+        |  round(abs(a.hr_mean - b.hr_mean), 6) AS diff_hr_mean,
+        |  CASE WHEN abs(a.hr_mean - b.hr_mean) <= 1.0
+        |         OR abs(a.hr_mean - b.hr_mean)
+        |            / greatest(abs(a.hr_mean), 1e-12) * 100.0 <= 0.5
+        |       THEN 1 ELSE 0 END AS ok_hr_mean,
+        |  round(abs(a.n - b.n), 6) AS diff_n,
+        |  CASE WHEN abs(a.n - b.n) <= 1.0
+        |         OR abs(a.n - b.n) / greatest(abs(a.n), 1e-12) * 100.0 <= 0.5
+        |       THEN 1 ELSE 0 END AS ok_n,
+        |  CASE WHEN (abs(a.hr_mean - b.hr_mean) <= 1.0
+        |         OR abs(a.hr_mean - b.hr_mean)
+        |            / greatest(abs(a.hr_mean), 1e-12) * 100.0 <= 0.5)
+        |        AND (abs(a.n - b.n) <= 1.0
+        |         OR abs(a.n - b.n) / greatest(abs(a.n), 1e-12) * 100.0 <= 0.5)
+        |       THEN 1 ELSE 0 END AS consistent
+        |FROM a JOIN b ON a.date = b.date""".stripMargin,
+
+    "j7_vendor_select" ->
+      s"""SELECT date, v, n, 'apple_autoexport' AS vendor
+        |FROM ($purchaseDailySql)""".stripMargin,
 
     "j10_qc_consistency" ->
       """WITH official AS (
