@@ -204,6 +204,28 @@ object MlQueries {
         graft.qc.Audit.Rule("type_unknown", "CRITICAL",
           !col("event_type").isin("click", "error", "purchase", "signup", "view"))))),
 
+    // D1: ADWIN change detection (rows-only: inherently sequential state,
+    // no SQL twin — DriftDedupSpec pins shift-detection semantics).
+    "d1_adwin" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+      Drift.adwin(daily, "user_id", "date", "f_mean", delta = 1e-8)
+        .filter(col("is_change") === 1)
+    }),
+
+    // M5: seeded MLlib logistic regression end-to-end on engine-prepped
+    // matrices (rows-only: sklearn-parity out of scope per SURVEY; the
+    // M6 metric aggregations over these predictions ARE oracle-checked).
+    "m5_logreg_predict" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+        .withColumn("label",
+          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
+      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
+      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
+      graft.ml.Models.logisticRegression(train, test,
+          Seq("f_mean", "f_n"), "label")
+        .groupBy("label", "y_pred").agg(count(lit(1)).as("n"))
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
