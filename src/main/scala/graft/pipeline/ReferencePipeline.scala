@@ -435,6 +435,27 @@ object ReferencePipeline {
     Unify.unifyAll(domains)
   }
 
+  /** Stage 5.1/5.2 — ML-prep gate over the (meds+SoM-fused) unified frame
+    * (`scripts/run_full_pipeline.py:806-880`): temporal cutoff
+    * (date >= `mlCutoff`, the pre-device-era exclusion), F7 SoM validity
+    * filter (som_category_3class non-null AND som_vendor ==
+    * apple_autoexport when the column exists), `som_binary` derivation
+    * (category == -1), then the F11 anti-leak drop of PBSI intermediates.
+    * The reference only WARNS below MIN_SOM_DAYS and proceeds — mirrored
+    * (no exception). */
+  def mlPrep(unified: DataFrame, mlCutoff: String): DataFrame = {
+    val temporal = unified.filter(col("date") >= lit(mlCutoff))
+    val vendorOk =
+      if (unified.columns.contains("som_vendor"))
+        col("som_vendor") === "apple_autoexport"
+      else lit(true)
+    val gated = temporal
+      .filter(col("som_category_3class").isNotNull && vendorOk)
+      .withColumn("som_binary", (col("som_category_3class") === -1).cast("int"))
+    Impute.antiLeakDrop(gated, Seq("pbsi_quality", "sleep_sub", "cardio_sub",
+      "activity_sub", "label_3cls", "label_2cls", "label_clinical"))
+  }
+
   /** PBSI from an already-unified daily frame carrying the reference's
     * canonical feature names + segment_id + missing flags — the
     * `build_pbsi_labels` contract (`src/labels/build_pbsi.py:191-253`)

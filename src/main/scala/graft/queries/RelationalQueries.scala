@@ -179,6 +179,32 @@ object RelationalQueries {
         ReferencePipeline.unifySomDomain(Some(som)))
     }),
 
+    // F7/5.1: the ML-prep gate over a meds+SoM-fused unified frame —
+    // temporal cutoff, SoM validity filter, som_binary, anti-leak drop.
+    "f7_som_gate" -> ((s, dir) => {
+      import graft.pipeline.ReferencePipeline
+      val ev = Tables.events(s, dir)
+      def daily(t: String) = ev.filter(col("event_type") === t)
+        .groupBy(to_date(col("ts")).as("date"))
+      val sleep = daily("click")
+        .agg(round(avg("value") / 10.0, 6).as("sleep_hours"),
+          round(min("value"), 6).as("sleep_quality_score"))
+      val som = daily("view")
+        .agg(round(avg("value") / 200.0, 6).as("som_mean_score"),
+          count(lit(1)).as("som_n_entries"),
+          // center so all three classes occur
+          when(avg("value") / 200.0 >= 0.52, 1)
+            .when(avg("value") / 200.0 <= 0.48, -1)
+            .otherwise(0).as("som_category_3class"))
+        .withColumn("som_last_score", col("som_mean_score"))
+        .filter(dayofmonth(col("date")) % 4 =!= 0)
+      val unified = ReferencePipeline.unifyAllDomains(
+        ReferencePipeline.unifySleepDomains(Some(sleep), None), None, None, None,
+        ReferencePipeline.unifySomDomain(Some(som)))
+        .withColumn("label_3cls", lit(0)) // planted anti-leak column
+      ReferencePipeline.mlPrep(unified, "2024-01-08")
+    }),
+
     // A21: cross-device tolerance validation — two vendors' daily metrics
     // compared under +-absTol OR relTol% rules, with planted drift so both
     // branches of the tolerance fire.
@@ -423,6 +449,36 @@ object RelationalQueries {
         |LEFT JOIN activity a ON sp.date = a.date
         |LEFT JOIN meds m ON sp.date = m.date
         |LEFT JOIN som so ON sp.date = so.date""".stripMargin,
+
+    "f7_som_gate" ->
+      """WITH sleep AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value) / 10.0, 6) AS sleep_hours,
+        |    round(min(value), 6) AS sleep_quality_score
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |som AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    round(avg(value) / 200.0, 6) AS som_mean_score,
+        |    round(avg(value) / 200.0, 6) AS som_last_score,
+        |    count(*) AS som_n_entries,
+        |    CASE WHEN avg(value) / 200.0 >= 0.52 THEN 1
+        |         WHEN avg(value) / 200.0 <= 0.48 THEN -1 ELSE 0 END
+        |      AS som_category_3class,
+        |    'apple_autoexport' AS som_vendor
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |  HAVING day(CAST(ts AS DATE)) % 4 <> 0),
+        |spine AS (SELECT date FROM sleep UNION SELECT date FROM som),
+        |unified AS (
+        |  SELECT sp.date, sl.sleep_hours, sl.sleep_quality_score,
+        |    so.som_mean_score, so.som_last_score, so.som_n_entries,
+        |    so.som_category_3class, so.som_vendor
+        |  FROM spine sp LEFT JOIN sleep sl ON sp.date = sl.date
+        |  LEFT JOIN som so ON sp.date = so.date)
+        |SELECT date, sleep_hours, sleep_quality_score, som_mean_score,
+        |  som_last_score, som_n_entries, som_category_3class, som_vendor,
+        |  CASE WHEN som_category_3class = -1 THEN 1 ELSE 0 END AS som_binary
+        |FROM unified
+        |WHERE date >= DATE '2024-01-08' AND som_category_3class IS NOT NULL
+        |  AND som_vendor = 'apple_autoexport'""".stripMargin,
 
     "a21_cross_device" ->
       """WITH a AS (
