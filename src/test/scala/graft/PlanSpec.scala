@@ -35,6 +35,40 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("LeftAnti"), "expected a left-anti join")
   }
 
+  test("j11: the five-domain unify chain stays broadcast on the daily grain") {
+    val plan = planOf("j11_unify_domains")
+    assert(plan.contains("BroadcastHashJoin"), "expected broadcast daily joins")
+    assert(!plan.contains("CartesianProduct"), "unify degenerated to a cartesian")
+  }
+
+  test("dd5: default n-gram Jaccard path has no FORCED corpus broadcast") {
+    // at tiny SF Catalyst may auto-broadcast by size — fine and adaptive;
+    // the 100-TB property is that nothing FORCES it: with the size-based
+    // rule off, the plan must degrade to a shuffle join, not a broadcast.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val plan = planOf("dd5_ngram_jaccard")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "corpus-side broadcast is forced (survives autoBroadcast=-1)")
+    } finally spark.conf.set(key, old)
+  }
+
+  test("w9 multi-signal: windows are hash-partitioned by the entity key") {
+    val plan = planOf("w9_autoseg_multi")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "window not partitioned by user_id")
+    assert(!plan.contains("SinglePartition") ||
+      !plan.contains("Window"), "global single-partition window in plan")
+  }
+
+  test("d2 boundaries: the segment table attaches via broadcast range join") {
+    val plan = planOf("d2_ks_boundaries")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "boundary attach not broadcast")
+  }
+
   test("scan prunes columns to the read schema") {
     val plan = planOf("f10_pushdown_scan")
     // only the needed lineitem columns should be read
