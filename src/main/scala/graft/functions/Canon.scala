@@ -51,13 +51,16 @@ object Canon {
         val close = j - 1 // index of matching ')'
         val inner = out.substring(open + 1, close)
         val comma = lastTopLevelComma(inner)
-        val scale = if (comma >= 0) inner.substring(comma + 1).trim.toIntOption else None
-        // a round() whose scale isn't an integer literal would silently
-        // skip canonicalization and let the oracle drift — fail loudly
-        require(scale.nonEmpty,
-          s"epsifySql: round() without integer-literal scale in oracle SQL: " +
-            s"round(${inner.take(80)}...)")
-        scale.foreach(s => out.insert(open + 1 + comma, s" + ${eps(s)}"))
+        // single-argument round(x) (integer rounding) legitimately takes no
+        // epsilon; but a two-argument round whose SCALE isn't an integer
+        // literal would silently skip canonicalization — fail loudly there
+        if (comma >= 0) {
+          val scale = inner.substring(comma + 1).trim.toIntOption
+          require(scale.nonEmpty,
+            s"epsifySql: round() scale is not an integer literal in oracle " +
+              s"SQL: round(${inner.take(80)}...)")
+          scale.foreach(s => out.insert(open + 1 + comma, s" + ${eps(s)}"))
+        }
         searchFrom = i
       }
     }

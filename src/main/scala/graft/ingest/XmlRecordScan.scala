@@ -73,6 +73,11 @@ object XmlRecordScan {
     when(raw === "", lit(null)).otherwise(raw)
   }
 
+  /** Aggregate: last NON-NULL value in `__ord` (document) order — pandas
+    * dict-assignment semantics for repeated per-date summaries. */
+  private def lastAssigned(c: String): Column =
+    max_by(col(c), when(col(c).isNotNull, col("__ord"))).as(c)
+
   /** S6 — the full `load_apple_daily` export.xml contract
     * (`src/domains/activity/activity_from_extracted.py:123-280`):
     * Record/Workout elements with activity-relevant types are routed by
@@ -90,7 +95,12 @@ object XmlRecordScan {
     * tools/reference_parity.py. */
   def appleActivityDaily(spark: SparkSession, path: String,
                          homeTz: String): DataFrame = {
+    // same multi-element-per-line guard as records() (SURVEY §7.5.7):
+    // lookahead-split so a line carrying several elements yields one row
+    // per element instead of silently dropping all but the first
     val lines = spark.read.text(path)
+      .select(explode(split(col("value"),
+        "(?=<Record )|(?=<Workout )|(?=<ActivitySummary )")).as("value"))
 
     // ---- Record / Workout branch ----
     val recs = lines
@@ -125,12 +135,16 @@ object XmlRecordScan {
         sum(when(col("cat") === "exer", col("v"))).as("rec_exer"),
         sum(when(col("cat") === "stand", col("v"))).as("rec_stand"))
 
-    // ---- ActivitySummary branch (assignment semantics: one value/date) ----
+    // ---- ActivitySummary branch ----
+    // the reference's dict ASSIGNMENT means the LAST summary in document
+    // order wins for a duplicated date; file position (split offset +
+    // row order) reproduces document order for a single export
     val ringClose = (c: Column) => when(c.isNull, lit(null))
       .otherwise(when(c.isin("1", "true", "True"), 1).otherwise(0))
     val sums = lines
       .filter(col("value").contains("<ActivitySummary "))
-      .select(
+      .withColumn("__ord", monotonically_increasing_id())
+      .select(col("__ord") +: Seq(
         to_date(coalesce(attrOpt(col("value"), "dateComponents"),
           attrOpt(col("value"), "date"),
           substring(attrOpt(col("value"), "startDate"), 1, 10))).as("date"),
@@ -145,17 +159,19 @@ object XmlRecordScan {
           .as("apple_stand_goal_hours"),
         ringClose(attrOpt(col("value"), "move")).as("apple_rings_close_move"),
         ringClose(attrOpt(col("value"), "exercise")).as("apple_rings_close_exercise"),
-        ringClose(attrOpt(col("value"), "stand")).as("apple_rings_close_stand"))
+        ringClose(attrOpt(col("value"), "stand")).as("apple_rings_close_stand")): _*)
       .filter(col("date").isNotNull)
       .groupBy("date")
-      .agg(max("sum_kcal").as("sum_kcal"), max("sum_exer").as("sum_exer"),
-        max("sum_stand").as("sum_stand"),
-        max("apple_move_goal_kcal").as("apple_move_goal_kcal"),
-        max("apple_exercise_goal_min").as("apple_exercise_goal_min"),
-        max("apple_stand_goal_hours").as("apple_stand_goal_hours"),
-        max("apple_rings_close_move").as("apple_rings_close_move"),
-        max("apple_rings_close_exercise").as("apple_rings_close_exercise"),
-        max("apple_rings_close_stand").as("apple_rings_close_stand"))
+      .agg(
+        // per-field LAST non-null assignment (dict overwrite semantics,
+        // skipping summaries that lack the attribute)
+        lastAssigned("sum_kcal"), lastAssigned("sum_exer"),
+        lastAssigned("sum_stand"), lastAssigned("apple_move_goal_kcal"),
+        lastAssigned("apple_exercise_goal_min"),
+        lastAssigned("apple_stand_goal_hours"),
+        lastAssigned("apple_rings_close_move"),
+        lastAssigned("apple_rings_close_exercise"),
+        lastAssigned("apple_rings_close_stand"))
 
     recDaily.join(sums, Seq("date"), "full_outer")
       .select(
@@ -185,13 +201,19 @@ object XmlRecordScan {
     * n_observation, and code_<c> per code. Checked 1:1 against the
     * reference by tools/reference_parity.py. */
   def cdaProbe(spark: SparkSession, path: String): DataFrame = {
+    // namespace-prefixed <v3:observation> tags survive the literal lineSep
+    // split; a secondary lookahead split catches them so both forms count
     val chunks = spark.read.option("lineSep", "<observation").text(path)
+      .select(explode(split(col("value"),
+        "(?=<\\w+:observation[\\s/>])")).as("value"))
     val secPat = "(?i)<(?:\\w+:)?section[\\s/>]"
     // a true <observation ...> split point resumes with whitespace, '>' or
-    // '/'; observationMedia/-Range resume with a letter; the preamble
-    // starts with '<'
-    val obs = chunks.filter(col("value").rlike("^[\\s/>]"))
-      .withColumn("own", substring_index(col("value"), "</observation", 1))
+    // '/' (lineSep form) or with the prefixed tag itself (secondary form);
+    // observationMedia/-Range resume with a letter; the preamble with '<'
+    val obs = chunks.filter(col("value").rlike("^[\\s/>]") ||
+        col("value").rlike("^<\\w+:observation[\\s/>]"))
+      .withColumn("own",
+        element_at(split(col("value"), "</(?:\\w+:)?observation"), 1))
       .withColumn("code_tag",
         regexp_extract(col("own"), "(?i)(<(?:\\w+:)?code\\b[^>]*)", 1))
     def nonEmpty(c: Column) = when(c === "", lit(null)).otherwise(c)
@@ -224,7 +246,9 @@ object XmlRecordScan {
     * by tools/reference_parity.py. */
   def screenTimeDaily(spark: SparkSession, path: String, cutover: String,
                       tzBefore: String, tzAfter: String): DataFrame = {
+    // multi-element-per-line guard, as in records()/appleActivityDaily
     val lines = spark.read.text(path)
+      .select(explode(split(col("value"), "(?=<Record )")).as("value"))
     val startUtc = to_timestamp(attrOpt(col("value"), "startDate"),
       "yyyy-MM-dd HH:mm:ss Z")
     val endUtc = to_timestamp(attrOpt(col("value"), "endDate"),

@@ -53,7 +53,12 @@ object Baselines {
   }
 
   /** Validation frame + `y_pred` following the train class distribution:
-    * rows ranked by sha2(id) get the quota blocks in label order. */
+    * rows ranked by sha2(id) get the quota blocks in label order.
+    *
+    * The global rank is computed two-phase so no single partition ever
+    * sorts the whole frame: range-repartition on the hash key (total
+    * order across partitions), local row_number per partition, plus
+    * driver-collected per-partition offsets (#partitions scalars). */
   def predictStratified(validation: DataFrame, train: DataFrame,
                         labelCol: String, idCol: String): DataFrame = {
     val spark = validation.sparkSession
@@ -64,10 +69,21 @@ object Baselines {
     val blocks = quotas.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (c, q)) =>
       (c, hi, hi + q)
     }.drop(1).toDF("y_pred", "lo", "hi")
-    val w = Window.orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
-    validation
-      .withColumn("__rk", row_number().over(w).cast("long"))
+    val keyed = validation
+      .withColumn("__k", sha2(col(idCol).cast("string"), 256))
+      .repartitionByRange(col("__k"), col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    val offsets = keyed.groupBy("__pid").count().collect()
+      .map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("count")).sortBy(_._1)
+      .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }
+      .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }
+      .toSeq.toDF("__pid", "__off")
+    val wLocal = Window.partitionBy(col("__pid"))
+      .orderBy(col("__k"), col(idCol))
+    keyed
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("__rk", row_number().over(wLocal).cast("long") + col("__off"))
       .join(broadcast(blocks), col("__rk") > col("lo") && col("__rk") <= col("hi"))
-      .drop("__rk", "lo", "hi")
+      .drop("__rk", "__k", "__pid", "__off", "lo", "hi")
   }
 }

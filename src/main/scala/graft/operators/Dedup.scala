@@ -135,28 +135,42 @@ object Dedup {
     // minhashSignature), for BOTH attach sides.
     val sets = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(idCol),
-        array_sort(array_distinct(transform(shingles(col(textCol), shingleK),
-          s => Hashing.sha28(s)))).as("sh"))
+      .select(col(idCol), hashedShingleSet(col(textCol), shingleK).as("sh"))
     val withSets = pairs
       .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      // size-ratio prune (jaccard <= min/max size) before the merge walk
-      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double") >=
-        lit(minJaccard - 1e-9) * greatest(size(col("sh_a")), size(col("sh_b"))))
+      .filter(sizeRatioPrune(size(col("sh_a")), size(col("sh_b")), minJaccard))
     val inter = graft.functions.SortedLongIntersectCount(col("sh_a"), col("sh_b"))
-    withSets
-      .select(col("id_a"), col("id_b"), inter.as("i"),
-        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb"))
-      // aggregation boundary: keep the merge-walk evaluated once per pair
-      // (same reasoning as ngramJaccardPairs)
+    jaccardTail(
+      withSets.select(col("id_a"), col("id_b"), inter.as("i"),
+        size(col("sh_a")).as("na"), size(col("sh_b")).as("nb")),
+      minJaccard)
+  }
+
+  /** Shared: sorted distinct 64-bit shingle-hash set of a document. */
+  private def hashedShingleSet(text: Column, shingleK: Int): Column =
+    array_sort(array_distinct(transform(shingles(text, shingleK),
+      s => Hashing.sha28(s))))
+
+  /** Shared: size-ratio prune — jaccard <= min(|A|,|B|)/max(|A|,|B|), so
+    * pairs under the threshold are rejected on two int compares before
+    * the O(|A|+|B|) merge walk. (1e-9 slack keeps boundary pairs that
+    * post-round canonicalization could still admit.) */
+  private def sizeRatioPrune(nA: Column, nB: Column, minJaccard: Double): Column =
+    least(nA, nB).cast("double") >= lit(minJaccard - 1e-9) * greatest(nA, nB)
+
+  /** Shared tail over (id_a, id_b, i, na, nb): the no-op aggregation
+    * boundary keeps the merge walk evaluated ONCE per pair (Catalyst
+    * would otherwise duplicate the intersect into the filter), then
+    * jaccard = i / (na + nb - i), rounded and thresholded. */
+  private def jaccardTail(pairRows: DataFrame, minJaccard: Double): DataFrame =
+    pairRows
       .groupBy("id_a", "id_b")
       .agg(first("i").as("i"), first("na").as("na"), first("nb").as("nb"))
       .select(col("id_a"), col("id_b"),
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
-  }
 
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
@@ -207,8 +221,7 @@ object Dedup {
     // per-pair intersection is an allocation-free codegen'd merge walk.
     val withSets = docs.select(
         col(blockCol), col(idCol),
-        array_sort(array_distinct(transform(shingles(col(textCol), shingleK),
-          s => Hashing.sha28(s)))).as("sh"))
+        hashedShingleSet(col(textCol), shingleK).as("sh"))
       .withColumn("nsh", size(col("sh")))
     // Round-robin spread of the probe side: the pairwise intersect loop is
     // the hot path and must use every core regardless of how few splits
@@ -227,16 +240,9 @@ object Dedup {
     // CSE). With it, the merge walk runs exactly once per pair and only
     // (id, id, 3 ints) rows cross the exchange.
     val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
-    // size-ratio prune BEFORE the merge walk: jaccard <= min(|A|,|B|) /
-    // max(|A|,|B|), so pairs whose size ratio is already under the
-    // threshold can never qualify — reject them on two int compares
-    // instead of an O(|A|+|B|) intersect. (1e-9 slack keeps boundary
-    // pairs that post-round canonicalization could still admit.)
-    val sizePrune =
-      least(col("l.nsh"), col("r.nsh")).cast("double") >=
-        lit(minJaccard - 1e-9) * greatest(col("l.nsh"), col("r.nsh"))
     val blockCond = col(s"l.$blockCol") === col(s"r.$blockCol") &&
-      col(s"l.$idCol") < col(s"r.$idCol") && sizePrune
+      col(s"l.$idCol") < col(s"r.$idCol") &&
+      sizeRatioPrune(col("l.nsh"), col("r.nsh"), minJaccard)
     val joined =
       if (broadcastBuild) l.join(broadcast(r), blockCond)
       else if (saltBuckets <= 1) l.join(r, blockCond)
@@ -249,15 +255,10 @@ object Dedup {
           .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*))).as("r")
         ls.join(rs, blockCond && col("l.salt") === col("r.salt"))
       }
-    joined
-      .select(
+    jaccardTail(
+      joined.select(
         col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        inter.as("i"), size(col("l.sh")).as("na"), size(col("r.sh")).as("nb"))
-      .groupBy("id_a", "id_b")
-      .agg(first("i").as("i"), first("na").as("na"), first("nb").as("nb"))
-      .select(col("id_a"), col("id_b"),
-        round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
-          .as("jaccard"))
-      .filter(col("jaccard") >= minJaccard)
+        inter.as("i"), size(col("l.sh")).as("na"), size(col("r.sh")).as("nb")),
+      minJaccard)
   }
 }

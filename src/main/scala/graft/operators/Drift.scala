@@ -69,7 +69,12 @@ object Drift {
       transform(sequence(lit(1), lit(100)),
         k => pow(lit(-1.0), k - 1) * exp(lit(-2.0) * k * k * lam * lam)),
       lit(0.0), (acc, t) => acc + t) * 2.0
-    least(greatest(series, lit(0.0)), lit(1.0))
+    // lambda -> 0 makes every term 1 and the truncated alternating sum 0,
+    // which would misreport IDENTICAL samples (D = 0) as p = 0; the true
+    // limit is p = 1 (scipy agrees). Below lambda ~ 0.3 the statistic
+    // carries no evidence against H0 at these window sizes.
+    when(lam < 1e-3, lit(1.0))
+      .otherwise(least(greatest(series, lit(0.0)), lit(1.0)))
   }
 
   /** D2-at-boundaries — the reference's segment-boundary drift scan

@@ -63,6 +63,8 @@ object Impute {
                            minSegmentRows: Int = 5): DataFrame = {
     require(features.size >= 2, "iterativeRidgeImpute needs >= 2 features")
     val spark = df.sparkSession
+    // control-char separator: an empty separator would collide distinct
+    // multi-column segments like ("a","bc") and ("ab","c") into one group
     val segKey = concat_ws("", segmentCols.map(c => col(c).cast("string")): _*)
 
     // originally-observed flags + median seed + segment-size eligibility

@@ -492,9 +492,10 @@ object MlQueries {
         |  FROM ks WHERE n_before >= 5 AND n_after >= 5),
         |pval AS (
         |  SELECT segment_id, boundary_date, feature, ks_stat, n_before, n_after,
-        |    round(least(greatest(2.0 * list_sum(list_transform(range(1, 101),
-        |      k -> power(-1.0, k - 1) * exp(-2.0 * k * k * lam * lam))), 0.0), 1.0), 6)
-        |      AS p_value
+        |    round(CASE WHEN lam < 1e-3 THEN 1.0
+        |      ELSE least(greatest(2.0 * list_sum(list_transform(range(1, 101),
+        |        k -> power(-1.0, k - 1) * exp(-2.0 * k * k * lam * lam))), 0.0), 1.0)
+        |      END, 6) AS p_value
         |  FROM lamt)
         |SELECT segment_id, boundary_date, feature, ks_stat, p_value,
         |  p_value < 0.05 AS significant, n_before, n_after

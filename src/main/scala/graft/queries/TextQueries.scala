@@ -113,8 +113,14 @@ object TextQueries {
     // opaque payloads, stub-decoded (mapPartitions batch shape) into
     // 4-dim byte-fold features + payload length/sha accounting.
     "mm1_features" -> ((s, dir) => {
+      // ASCII-sanitize first: the DuckDB twin folds codepoints via
+      // ord(substr(...)), which equals UTF-8 bytes only for ASCII — strip
+      // anything else on BOTH sides so the contract survives non-ASCII
+      // fixture regeneration
       val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "[^\\x00-\\x7F]", "")
+            .cast("binary").as("payload"))
       graft.multimodal.Multimodal.extractFeatures(media, dims = 4)
         .select(col("doc_id"),
           length(col("payload")).cast("long").as("payload_len"),
@@ -252,17 +258,20 @@ object TextQueries {
 
       "mm1_features" -> {
         def fold(j: Int) =
-          s"""CAST(list_sum(list_transform(range(1, length(text) + 1),
-             |    i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(text, i, 1))
+          s"""CAST(list_sum(list_transform(range(1, length(t) + 1),
+             |    i -> CASE WHEN (i - 1) % 4 = $j THEN ord(substr(t, i, 1))
              |              ELSE 0 END)) AS DOUBLE) AS f$j""".stripMargin
-        s"""SELECT doc_id,
-           |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_len,
-           |  substr(sha256(text), 1, 16) AS sha16,
+        s"""WITH src AS (
+           |  SELECT doc_id, regexp_replace(text, '[^\\x00-\\x7F]', '', 'g') AS t
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(octet_length(CAST(t AS BLOB)) AS BIGINT) AS payload_len,
+           |  substr(sha256(t), 1, 16) AS sha16,
            |  ${fold(0)},
            |  ${fold(1)},
            |  ${fold(2)},
            |  ${fold(3)}
-           |FROM documents""".stripMargin
+           |FROM src""".stripMargin
       },
 
       "c7_strings" ->

@@ -652,6 +652,16 @@ def cdaprobe_parity():
         # decoys the tag test must exclude
         lines.append('    <observationMedia ID="m1"><value mediaType="image/png"/></observationMedia>')
         lines.append("  </section></component>")
+    # namespace-prefixed elements (valid HL7 v3): tag endswith("observation")
+    # must still count them, prefixed decoys must not
+    lines.append('  <component><v3:section xmlns:v3="urn:hl7-org:v3">')
+    for c in ("8867-4", None):
+        lines.append('    <entry><v3:observation classCode="OBS">')
+        if c:
+            lines.append(f'      <v3:code code="{c}"/>')
+        lines.append("    </v3:observation></entry>")
+    lines.append('    <v3:observationMedia ID="m2"/>')
+    lines.append("  </v3:section></component>")
     lines.append("</ClinicalDocument>")
     xml = OUT / "export_cda.xml"
     xml.write_text("\n".join(lines))
