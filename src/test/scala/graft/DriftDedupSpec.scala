@@ -30,6 +30,24 @@ class DriftDedupSpec extends SparkTestBase {
     assert(ks1 === 1.0)
   }
 
+  test("D2 boundaries: identical windows give p = 1 (never p = 0), shifted give p < 0.05") {
+    val cal = (0 until 28).map(i =>
+      java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i.toLong)))
+    val daily = cal.zipWithIndex.map { case (d, i) =>
+      (d, 5.0, if (i < 14) 10.0 else 300.0) // f_const identical; f_shift jumps
+    }.toDF("date", "f_const", "f_shift")
+    val segments = Seq((1L, "2024-01-01"), (2L, "2024-01-15"))
+      .toDF("segment_id", "date_start")
+      .withColumn("date_start", col("date_start").cast("date"))
+    val out = Drift.ksAtBoundaries(daily, segments, "date",
+        Seq("f_const", "f_shift"), windowDays = 14, minRows = 5)
+      .collect().map(r => r.getAs[String]("feature") ->
+        ((r.getAs[Double]("p_value"), r.getAs[Boolean]("significant")))).toMap
+    assert(out("f_const")._1 == 1.0, s"identical windows: ${out("f_const")}")
+    assert(!out("f_const")._2)
+    assert(out("f_shift")._1 < 0.05 && out("f_shift")._2)
+  }
+
   test("dd1: exact dedup groups identical texts") {
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "unique text here")).toDF("doc_id", "text")

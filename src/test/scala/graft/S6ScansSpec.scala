@@ -37,6 +37,19 @@ class S6ScansSpec extends SparkTestBase {
     assert(out("2024-01-03").getAs[Double]("apple_steps") == 77.0) // creationDate fallback
   }
 
+  test("multiple elements on one physical line all count; duplicate summaries last-win") {
+    val xml = writeXml(Seq(
+      // two records + a summary crammed onto ONE line
+      """  <Record type="HKQuantityTypeIdentifierStepCount" value="10" startDate="2024-01-02 10:00:00 +0000"/><Record type="HKQuantityTypeIdentifierStepCount" value="20" startDate="2024-01-02 11:00:00 +0000"/><ActivitySummary dateComponents="2024-01-02" activeEnergyBurned="111.0"/>""",
+      // duplicate summary for the same date, later in the document: its
+      // PRESENT fields overwrite, absent fields keep the earlier value
+      """  <ActivitySummary dateComponents="2024-01-02" activeEnergyBurned="222.0"/>"""))
+    val out = XmlRecordScan.appleActivityDaily(spark, xml, "UTC").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Double]("apple_steps") == 30.0) // both records counted
+    assert(out.head.getAs[Double]("apple_active_kcal") == 222.0) // last assignment
+  }
+
   test("screen time: ms heuristic, span fallback, tz cutover by UTC date") {
     val xml = writeXml(Seq(
       """  <Record type="HKCategoryTypeIdentifierScreenTime" value="600" startDate="2024-01-02 10:00:00 +0000" endDate="2024-01-02 10:30:00 +0000"/>""",
