@@ -30,6 +30,18 @@ object StreamingDaily {
       .select(col("day.start").cast("date").as("date"), col(keyCol),
         col("v_mean"), col("v_min"), col("v_max"), col("n"))
 
+  /** Corpus exact-dedup on a stream: content-hash `dropDuplicates` with a
+    * watermark so the seen-hash state is evicted once the event-time
+    * horizon passes — continuous training-data ingest keeps only the
+    * first arrival of each document within the dedup horizon. State size
+    * is bounded by (docs per horizon), not the corpus. */
+  def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
+                          watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("text_sha", sha2(col(textCol), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("text_sha")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastEpoch: Long, count: Long, sum: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

@@ -84,6 +84,29 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming dedup: first arrival kept, later duplicates dropped across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingDaily.streamingExactDedup(df, "ts", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 08:00:00"), 1L, "alpha beta"),
+        (ts("2024-01-01 09:00:00"), 2L, "gamma delta"))
+      q.processAllAvailable()
+      // a duplicate of doc 1 in a LATER micro-batch must be dropped
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 3L, "alpha beta"),
+        (ts("2024-01-01 11:00:00"), 4L, "epsilon"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id FROM dedup_out ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(out == Seq(1L, 2L, 4L), s"got $out")
+    } finally q.stop()
+  }
+
   test("multimodal: stub decode is deterministic, null-safe, schema-stable") {
     val media = Seq(
       (1L, "image", "abcdef".getBytes("UTF-8"), 2, 3, 0, 0),
