@@ -24,7 +24,14 @@ object Bench {
     catch { case _: Throwable => () }
     // min of 2 runs per query: the first execution pays codegen/JIT
     // compilation; the min reflects steady-state engine throughput.
+    // Per-query state hygiene: drop any cache entries / localCheckpoint
+    // RDDs left by the previous query (the ContextCleaner frees
+    // checkpointed blocks once their handles are GC'd) and let the heap
+    // settle, so one query's storage/GC pressure can't bleed into the
+    // next query's timing.
     val results = SparkEntry.queries.map { case (name, fn) =>
+      spark.catalog.clearCache()
+      System.gc()
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {

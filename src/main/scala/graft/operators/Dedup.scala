@@ -59,6 +59,29 @@ object Dedup {
       .select(col(idCol) +: sigCols: _*)
   }
 
+  /** Scale-safe block key for blocked pairwise ops: one MinHash band of
+    * `numHashes` hash values, concatenated. Near-dups land in the same
+    * block with the usual LSH probability, and block cardinality grows
+    * with the corpus — pairs-per-block stays bounded, unlike a low-
+    * cardinality attribute key (source, language, ...) whose blocks grow
+    * O(n) and pair counts O(n²). Empty shingle sets hash to -1 so short
+    * docs still get a (shared, tiny) block. */
+  def minhashBandKey(text: Column, shingleK: Int, numHashes: Int): Column = {
+    val hashed = transform(shingles(text, shingleK), s => Hashing.sha28(s))
+    val parts = Hashing.minhashSeeds(numHashes).map { case (a, b) =>
+      coalesce(array_min(transform(hashed, h => (h * a + b) % Hashing.P)), lit(-1L))
+    }
+    concat_ws("_", parts: _*)
+  }
+
+  /** DuckDB twin of [[minhashBandKey]] (expects token-list column `tk`). */
+  def minhashBandKeySql(shingleK: Int, numHashes: Int): String = {
+    val parts = (0 until numHashes)
+      .map(i => s"coalesce(${minhashSql(shingleK, i)}, -1)")
+      .mkString(", ")
+    s"concat_ws('_', $parts)"
+  }
+
   /** DuckDB twin of one minhash column (expects token-list column `tk`). */
   def minhashSql(shingleK: Int, i: Int): String = {
     val (a, b) = Hashing.minhashSeeds(i + 1).last
@@ -171,6 +194,93 @@ object Dedup {
         round(col("i").cast("double") / (col("na") + col("nb") - col("i")), 6)
           .as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
+
+  /** Fused LSH-verified near-dup: MinHash signature -> banded candidate
+    * pairs -> exact Jaccard verification, with ONE shingle+SHA pass for
+    * the whole pipeline. The hashed shingle array is persisted and both
+    * the signature (minhash folds) and the verification sets (sorted
+    * distinct) derive from it — composing [[minhashSignature]] +
+    * [[lshCandidates]] + [[verifyPairsJaccard]] separately would hash
+    * the corpus three times. Cache lifetime is deterministic: the result
+    * is materialized (localCheckpoint) before the persist is released.
+    *
+    * 100-TB shape: every stage is an equi-join (band key, then id
+    * attach); no broadcast of the corpus, pairwise work only on LSH
+    * candidates. The persisted intermediate is (id, long array) — at
+    * cluster scale StorageLevel MEMORY_AND_DISK spills it rather than
+    * recomputing the hash pass. */
+  def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                       shingleK: Int, numHashes: Int, rowsPerBand: Int,
+                       minJaccard: Double): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val hashed = docs
+      .repartition(par)
+      .select(col(idCol),
+        transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
+      .persist()
+    try {
+      val sigCols = Hashing.minhashSeeds(numHashes).zipWithIndex.map {
+        case ((a, b), i) =>
+          array_min(transform(col("hsh"), h => (h * a + b) % Hashing.P)).as(s"mh$i")
+      }
+      val sig = hashed.select(col(idCol) +: sigCols: _*)
+      val cand = bandJoin(sig, idCol, numHashes, rowsPerBand)
+      val sets = hashed.select(col(idCol),
+        array_sort(array_distinct(col("hsh"))).as("sh"))
+      val withSets = cand
+        .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+        .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+        .filter(sizeRatioPrune(size(col("sh_a")), size(col("sh_b")), minJaccard))
+      val inter = graft.functions.SortedLongIntersectCount(col("sh_a"), col("sh_b"))
+      jaccardTail(
+        withSets.select(col("id_a"), col("id_b"), inter.as("i"),
+          size(col("sh_a")).as("na"), size(col("sh_b")).as("nb")),
+        minJaccard).localCheckpoint(eager = true)
+    } finally hashed.unpersist()
+  }
+
+  /** Exact n-gram Jaccard with MinHash-band blocking — the scale-safe
+    * default for corpus-wide near-dup: block cardinality grows with the
+    * corpus, so pairs-per-block stays bounded (vs an attribute block key
+    * whose pair count grows O(n²/k)).
+    *
+    * Plan shape: the hashed shingle array (`hsh`) is computed ONCE per
+    * row in its own projection; the band key and the sorted-distinct
+    * verification set both derive from that column. Catalyst's
+    * CollapseProject keeps expensive expressions unduplicated across
+    * projections, so the per-row cost is a single shingle+SHA pass —
+    * computing band key and set independently from the text would
+    * triple it. */
+  def ngramJaccardPairsBanded(docs: DataFrame, idCol: String, textCol: String,
+                              shingleK: Int, bandHashes: Int,
+                              minJaccard: Double): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // round-robin spread first: SHA-per-shingle is CPU-bound and the
+    // source may scan as a single split (cf. minhashSignature).
+    val hashed = docs
+      .repartition(par)
+      .select(col(idCol),
+        transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
+    val bandParts = Hashing.minhashSeeds(bandHashes).map { case (a, b) =>
+      coalesce(array_min(transform(col("hsh"), h => (h * a + b) % Hashing.P)), lit(-1L))
+    }
+    val withSets = hashed.select(
+        col(idCol),
+        concat_ws("_", bandParts: _*).as("block"),
+        array_sort(array_distinct(col("hsh"))).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+    val l = withSets.as("l")
+    val r = withSets.as("r")
+    val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
+    val cond = col("l.block") === col("r.block") &&
+      col(s"l.$idCol") < col(s"r.$idCol") &&
+      sizeRatioPrune(col("l.nsh"), col("r.nsh"), minJaccard)
+    jaccardTail(
+      l.join(r, cond).select(
+        col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        inter.as("i"), size(col("l.sh")).as("na"), size(col("r.sh")).as("nb")),
+      minJaccard)
+  }
 
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum

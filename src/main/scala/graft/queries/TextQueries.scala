@@ -28,10 +28,13 @@ object TextQueries {
       Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", K, MINHASHES)),
 
     // Banded LSH candidate pairs: bigram minhash, 2 bands x 2 rows —
-    // selective (0.02% of all pairs at sf0.1) but nonempty.
+    // selective (0.02% of all pairs at sf0.1) but nonempty. Eager variant:
+    // the signature cache is released deterministically after the band
+    // join, so repeated invocations (bench min-of-N) don't accumulate
+    // cache entries in the shared JVM.
     "dd3_lsh_candidates" -> ((s, dir) => {
       val sig = Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", 2, 4)
-      Dedup.lshCandidates(sig, "doc_id", 4, 2)
+      Dedup.lshCandidatesEager(sig, "doc_id", 4, 2)
     }),
 
     // SimHash (16-bit) signature per document.
@@ -39,23 +42,24 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash16"))),
 
-    // Exact n-gram Jaccard for pairs blocked by source (bigram shingles —
-    // enough overlap in the synthetic corpus to produce matching pairs).
-    // Blocked SHUFFLE join (no broadcast of the corpus side); salt x4
-    // recovers parallelism lost to the low block cardinality.
+    // Exact n-gram Jaccard for pairs blocked by a MinHash band key (bigram
+    // shingles). The band key is the scale-safe block: cardinality grows
+    // with the corpus, so pairs-per-block stays bounded — unlike the old
+    // `source` key (~5 values), whose pair count grew O(n²/5). Many small
+    // blocks also means the plain blocked shuffle join parallelizes
+    // without salting, and the banded operator shares one hashed-shingle
+    // pass between the band key and the verify set.
     "dd5_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(Tables.documents(s, dir), "doc_id", "text",
-        "source", 2, 0.05, saltBuckets = 8)),
+      Dedup.ngramJaccardPairsBanded(Tables.documents(s, dir),
+        "doc_id", "text", 2, 2, 0.05)),
 
     // The composed 100-TB near-dup path: MinHash -> banded LSH candidates
     // -> exact Jaccard verification, every stage an equi-join (no
-    // broadcast, no cross join).
-    "dd7_lsh_verified" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val sig = Dedup.minhashSignature(docs, "doc_id", "text", 2, 4)
-      val cand = Dedup.lshCandidates(sig, "doc_id", 4, 2)
-      Dedup.verifyPairsJaccard(cand, docs, "doc_id", "text", 2, 0.05)
-    }),
+    // broadcast, no cross join). Fused: one shingle+SHA pass feeds both
+    // the signature and the verification sets.
+    "dd7_lsh_verified" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+        2, 4, 2, 0.05)),
 
     // Embedding-cosine near-dup pairs blocked by label (0.3 ~ the p99 of
     // within-label cosine in the synthetic embeddings — nonempty output).
@@ -170,15 +174,16 @@ object TextQueries {
       "dd5_ngram_jaccard" -> {
         val shExpr = Dedup.shinglesOverTkSql(2)
         s"""WITH sets AS (
-          |  SELECT source, doc_id,
+          |  SELECT doc_id,
+          |    ${Dedup.minhashBandKeySql(2, 2)} AS block,
           |    list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")})) AS sh
-          |  FROM ${Dedup.tkSourceSql("text", "source", "doc_id")}),
+          |  FROM ${Dedup.tkSourceSql("text", "doc_id")}),
           |pairs AS (
           |  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
           |    round(len(list_intersect(l.sh, r.sh)) /
           |      CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6)
           |      AS jaccard
-          |  FROM sets l JOIN sets r ON l.source = r.source AND l.doc_id < r.doc_id)
+          |  FROM sets l JOIN sets r ON l.block = r.block AND l.doc_id < r.doc_id)
           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin
       },
 
