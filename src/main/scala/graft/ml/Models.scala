@@ -2,7 +2,7 @@ package graft.ml
 
 import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** M5/M6 — classical model training on the engine's ML-prep outputs
@@ -54,6 +54,64 @@ object Models {
       .fit(assemble(train, features))
     model.transform(assemble(test, features))
       .withColumnRenamed("prediction", "y_pred")
+  }
+
+  /** M5 with an exact cross-engine contract: deterministic batch
+    * gradient-descent logistic regression.
+    *
+    * MLlib's LBFGS fit ([[logisticRegression]]) is seeded but its
+    * treeAggregate sum order depends on partitioning, so its coefficients
+    * can't be replayed in SQL. This variant makes the whole training path
+    * reproducible by canonical rounding at every cross-engine boundary:
+    * standardization constants (mean / sample std of the train fold),
+    * then each iteration's gradient averages, are rounded to 8 dp
+    * (epsilon-shifted, [[graft.functions.Canon]]) — both engines land on
+    * the same decimal, hence bit-identical doubles, and the coefficient
+    * recurrence b_{k+1} = b_k - lr * g_k evolves identically. The oracle
+    * replays the iterations as unrolled CTEs.
+    *
+    * Distributed shape: per iteration one whole-stage-codegen'd
+    * aggregation over the train fold (sigmoid + centered products), a
+    * (p+1)-scalar collect, and a driver update broadcast back as
+    * literals — the A13/MICE two-phase pattern; driver state is O(p).
+    *
+    * Returns `test` + (`prob` rounded 6dp, `y_pred` 0/1 int). */
+  def logisticRegressionGD(train: DataFrame, test: DataFrame,
+                           features: Seq[String], labelCol: String,
+                           iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    import graft.functions.Canon
+    val statAggs = features.flatMap { f =>
+      Seq(Canon.round(avg(col(f)), 8).as(s"m_$f"),
+        Canon.round(stddev_samp(col(f)), 8).as(s"s_$f"))
+    }
+    val statRow = train.agg(statAggs.head, statAggs.tail: _*).head()
+    require(!statRow.isNullAt(0), "logisticRegressionGD: empty train fold")
+    val stats = features.indices.map { i =>
+      val m = statRow.getDouble(2 * i)
+      val s0 = if (statRow.isNullAt(2 * i + 1)) 0.0 else statRow.getDouble(2 * i + 1)
+      (m, if (s0 == 0.0 || s0.isNaN) 1.0 else s0)
+    }
+    def zCols(df: DataFrame): Seq[Column] =
+      features.zip(stats).map { case (f, (m, s)) => (col(f) - lit(m)) / lit(s) }
+    def margin(zs: Seq[Column], b: Array[Double]): Column =
+      zs.zipWithIndex.foldLeft(lit(b(0)): Column) { case (acc, (z, j)) =>
+        acc + lit(b(j + 1)) * z
+      }
+    val y = col(labelCol).cast("double")
+    var b = Array.fill(features.size + 1)(0.0)
+    (1 to iters).foreach { _ =>
+      val zs = zCols(train)
+      val p = lit(1.0) / (lit(1.0) + exp(-margin(zs, b)))
+      val gradAggs = Canon.round(avg(p - y), 8).as("g0") +:
+        zs.zipWithIndex.map { case (z, j) =>
+          Canon.round(avg((p - y) * z), 8).as(s"g${j + 1}")
+        }
+      val g = train.agg(gradAggs.head, gradAggs.tail: _*).head()
+      b = b.indices.map(j => b(j) - lr * g.getDouble(j)).toArray
+    }
+    val prob = Canon.round(lit(1.0) / (lit(1.0) + exp(-margin(zCols(test), b))), 6)
+    test.withColumn("prob", prob)
+      .withColumn("y_pred", (col("prob") >= 0.5).cast("int"))
   }
 
   /** M6 — per-class precision/recall/F1 + macro-F1 from (y_true, y_pred),

@@ -212,18 +212,22 @@ object MlQueries {
         .filter(col("is_change") === 1)
     }),
 
-    // M5: seeded MLlib logistic regression end-to-end on engine-prepped
-    // matrices (rows-only: sklearn-parity out of scope per SURVEY; the
-    // M6 metric aggregations over these predictions ARE oracle-checked).
+    // M5: deterministic GD logistic regression, hash-checked end-to-end —
+    // standardization constants and per-iteration gradient averages are
+    // canonically rounded in BOTH engines, so the coefficient recurrence
+    // is replayed exactly by the oracle's unrolled iteration CTEs. (The
+    // seeded MLlib LBFGS fit remains the operator-level path, spec-pinned
+    // in MlSpec — its treeAggregate sums aren't SQL-replayable.)
     "m5_logreg_predict" -> ((s, dir) => {
       val daily = dailyUser(s, dir)
         .withColumn("label",
           when(col("f_purchase") > 0, 1.0).otherwise(0.0))
       val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
       val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
-      graft.ml.Models.logisticRegression(train, test,
-          Seq("f_mean", "f_n"), "label")
-        .groupBy("label", "y_pred").agg(count(lit(1)).as("n"))
+      graft.ml.Models.logisticRegressionGD(train, test,
+          Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+        .select(col("user_id"), col("date"), col("label"), col("prob"),
+          col("y_pred"))
     }),
 
     // M4: deterministic best-config selection — per-config metrics, winner
@@ -369,7 +373,51 @@ object MlQueries {
         .select("user_id", "date", "label", "label_modal")
     }))
 
+  /** DuckDB replay of [[graft.ml.Models.logisticRegressionGD]]: the same
+    * canonical roundings at every cross-engine boundary make the unrolled
+    * iteration CTEs produce bit-identical coefficients. */
+  private def m5OracleSql(iters: Int): String = {
+    def p(b: String) = s"1/(1+exp(-($b.c0 + $b.c1*z1 + $b.c2*z2)))"
+    val iterCtes = (1 to iters).map { k =>
+      val prev = s"b${k - 1}"
+      s"""g$k AS (SELECT round(avg(${p(prev)} - y), 8) AS ga,
+         |  round(avg((${p(prev)} - y) * z1), 8) AS gb,
+         |  round(avg((${p(prev)} - y) * z2), 8) AS gc FROM tr, $prev),
+         |b$k AS (SELECT $prev.c0 - 0.5*ga AS c0, $prev.c1 - 0.5*gb AS c1,
+         |  $prev.c2 - 0.5*gc AS c2 FROM $prev, g$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS ($dailyUserSql),
+       |base AS (SELECT user_id, date, f_mean, f_n,
+       |  CASE WHEN f_purchase > 0 THEN 1.0 ELSE 0.0 END AS label FROM d),
+       |tr0 AS (SELECT * FROM base WHERE date < DATE '2024-01-20'),
+       |st AS (SELECT round(avg(f_mean), 8) AS m1, round(stddev_samp(f_mean), 8) AS s1r,
+       |  round(avg(f_n), 8) AS m2, round(stddev_samp(f_n), 8) AS s2r FROM tr0),
+       |stg AS (SELECT m1, CASE WHEN s1r IS NULL OR s1r = 0 THEN 1.0 ELSE s1r END AS s1,
+       |  m2, CASE WHEN s2r IS NULL OR s2r = 0 THEN 1.0 ELSE s2r END AS s2 FROM st),
+       |tr AS (SELECT label AS y, (f_mean - m1) / s1 AS z1, (f_n - m2) / s2 AS z2
+       |  FROM tr0, stg),
+       |b0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),
+       |$iterCtes,
+       |te AS (SELECT user_id, date, label, (f_mean - m1) / s1 AS z1,
+       |  (f_n - m2) / s2 AS z2 FROM base, stg WHERE date >= DATE '2024-01-20'),
+       |pred AS (SELECT user_id, date, label,
+       |  round(${p(s"b$iters")}, 6) AS prob FROM te, b$iters)
+       |SELECT user_id, date, label, prob,
+       |  CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS y_pred FROM pred""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "m5_logreg_predict" -> m5OracleSql(3),
+
+    // D1: ADWIN is sequential-state (no SQL formulation), so the gate is
+    // a pinned-expected-table comparison: the committed parquet is the
+    // engine's own deterministic output at sf0.01 (bit-identical across
+    // runs and CPU counts, DriftDedupSpec), regenerated via
+    // tools/pin_expected.py if fixtures or ADWIN parameters change. Valid
+    // for the driver's sf0.01 correctness run only.
+    "d1_adwin" ->
+      """SELECT user_id, date, value, is_change
+        |FROM read_parquet('/root/repo/src/test/resources/expected/d1_adwin_sf0.01.parquet')""".stripMargin,
     "a10_intervals" ->
       """WITH iv AS (
         |  SELECT ts AS start_ts, ts + CAST(floor(value) AS INT) * INTERVAL 1 SECOND AS end_ts

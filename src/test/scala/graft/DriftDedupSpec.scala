@@ -81,6 +81,47 @@ class DriftDedupSpec extends SparkTestBase {
     assert(ham(1L, 3L) > ham(1L, 2L))
   }
 
+  test("dd7 fused lshVerifiedPairs == composed signature->candidates->verify") {
+    val rnd = new scala.util.Random(11)
+    val vocab = (1 to 80).map(i => s"w$i")
+    // base/variant pairs: the variant swaps the last 3 tokens, so bigram
+    // shingles mostly agree -> high jaccard, likely band collision
+    val docs = (0L until 20L).flatMap { i =>
+      val base = rnd.shuffle(vocab).take(30)
+      Seq((2 * i, base.mkString(" ")),
+        (2 * i + 1, (base.take(27) ++ Seq(s"a$i", s"b$i", s"c$i")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val fused = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 2, 4, 2, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val sig = Dedup.minhashSignature(docs, "doc_id", "text", 2, 4)
+    val cand = Dedup.lshCandidatesEager(sig, "doc_id", 4, 2)
+    val composed = Dedup.verifyPairsJaccard(cand, docs, "doc_id", "text", 2, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fused === composed)
+    assert(fused.nonEmpty, "fixture should produce at least one verified pair")
+  }
+
+  test("dd5 banded: every reported pair's jaccard is exact; blocking only prunes") {
+    val rnd = new scala.util.Random(5)
+    val vocab = (1 to 60).map(i => s"w$i")
+    val docs = (0L until 15L).flatMap { i =>
+      val base = rnd.shuffle(vocab).take(25)
+      Seq((2 * i, base.mkString(" ")),
+        (2 * i + 1, (base.take(22) ++ Seq(s"u$i", s"v$i", s"x$i")).mkString(" ")))
+    }.toDF("doc_id", "text")
+    val banded = Dedup.ngramJaccardPairs(
+      docs.withColumn("all", lit(1)), "doc_id", "text", "all", 2, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val out = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", 2, 2, 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.nonEmpty, "banded blocking should keep at least one near-dup pair")
+    out.foreach { case (a, b, j) =>
+      assert(banded((a, b)) === j,
+        s"pair ($a,$b): banded jaccard $j != exact ${banded((a, b))}")
+      assert(j >= 0.05)
+    }
+  }
+
   test("SortedLongIntersectCount == size(array_intersect) on sorted distinct arrays") {
     val rnd = new scala.util.Random(42)
     val cases = (0 until 40).map { _ =>

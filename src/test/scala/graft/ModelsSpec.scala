@@ -30,6 +30,34 @@ class ModelsSpec extends SparkTestBase {
     assert(Models.macroF1(rf, "label") > 0.9)
   }
 
+  test("M5 GD: deterministic logreg separates separable data; partition-invariant") {
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 400).map { i =>
+      val label = i % 2
+      val f1 = label * 3.0 + rnd.nextGaussian() * 0.4
+      val f2 = -label * 2.0 + rnd.nextGaussian() * 0.4
+      (i, label.toDouble, f1, f2)
+    }
+    val df = rows.toDF("id", "label", "f1", "f2")
+    val train = df.filter(col("id") % 5 =!= 0)
+    val test = df.filter(col("id") % 5 === 0)
+    val pred = Models.logisticRegressionGD(train, test, Seq("f1", "f2"), "label",
+      iters = 10, lr = 0.5)
+    val acc = pred.agg(avg(when(col("y_pred") === col("label").cast("int"), 1.0)
+      .otherwise(0.0))).head().getDouble(0)
+    assert(acc > 0.95, s"GD logreg accuracy $acc")
+    val probs = pred.select("id", "prob").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(probs.values.forall(p => p >= 0.0 && p <= 1.0))
+    // canonical rounding at every boundary makes the fit bit-identical
+    // under a different partitioning (different partial-sum order)
+    val pred2 = Models.logisticRegressionGD(train.repartition(13), test,
+      Seq("f1", "f2"), "label", iters = 10, lr = 0.5)
+    val probs2 = pred2.select("id", "prob").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(probs2 === probs, "probabilities changed under repartition")
+  }
+
   test("S1/O3: deterministic ZIP selection by filename date <= snapshot") {
     val names = Seq(
       "HealthAutoExport-2025-10-01.zip",

@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Regenerate the pinned expected tables used by fixture-comparison
+oracles (currently d1_adwin). Dev tool (driver-side python), not part of
+the Spark engine.
+
+Run a fresh Verify dump first, then:
+    python3 tools/pin_expected.py /tmp/verify_out
+
+The pinned table is the engine's own deterministic output — the oracle
+entry turns the driver's rows-only check into a rows+schema+hash
+regression gate. Regenerate ONLY after deliberately changing ADWIN
+parameters or the sf0.01 fixtures, and eyeball the diff before
+committing.
+"""
+import sys
+
+import duckdb
+
+PINS = {
+    "d1_adwin": "src/test/resources/expected/d1_adwin_sf0.01.parquet",
+}
+
+
+def main(verify_out: str) -> int:
+    con = duckdb.connect()
+    for name, dest in PINS.items():
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{verify_out}/{name}/*.parquet') "
+            f"ORDER BY 1, 2) TO '{dest}' (FORMAT PARQUET)")
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{dest}')").fetchone()[0]
+        print(f"pinned {name} -> {dest} ({n} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/verify_out"))
