@@ -35,6 +35,26 @@ object Sinks {
     fs.delete(tmpDir, true)
   }
 
+  /** Atomic small-text artifact sink (cv_summary.json / RUN_REPORT.md —
+    * the stage 6-9 report contract, `scripts/run_full_pipeline.py:
+    * 1357-1359,2220-2228`): write a temp file, back up any previous
+    * target as `.prev`, rename into place. */
+  def atomicText(spark: org.apache.spark.sql.SparkSession, target: String,
+                 content: String): Unit = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(target + ".__tmp__")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val tgt = new Path(target)
+    if (fs.exists(tgt)) {
+      val prev = new Path(target + ".prev")
+      if (fs.exists(prev)) fs.delete(prev, false)
+      fs.rename(tgt, prev)
+    }
+    fs.rename(tmp, tgt)
+  }
+
   /** Scale-path sink: parquet partitioned by the given columns (snapshot /
     * participant / date become physical partitions => partition pruning). */
   def writePartitioned(df: DataFrame, target: String, partitionCols: Seq[String]): Unit =

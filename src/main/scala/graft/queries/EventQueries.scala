@@ -229,6 +229,22 @@ object EventQueries {
           min("date").as("fold_start"), max("date").as("fold_end"))
     }),
 
+    // M6/stage-6 artifact core: the per-fold metrics frame written into
+    // cv_summary.json's `folds` list — macro-F1, balanced accuracy and
+    // Cohen's kappa per calendar fold, with expanding n_train.
+    "m6_cv_folds" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val withDate = ev(s, dir).withColumn("date", to_date(col("ts")))
+      val minDate = withDate.agg(min("date")).head().getDate(0)
+      val pred = withDate
+        .withColumn("fold_id", floor(datediff(col("date"), lit(minDate)) / 5))
+        .withColumn("y_pred", element_at(typedLit(types),
+          (pmod(floor(col("value") / 40), lit(5)) + 1).cast("int")))
+        .withColumnRenamed("event_type", "y_true")
+      graft.pipeline.Reports.perFoldMetrics(pred, "fold_id", "y_true",
+        "y_pred", "date", types)
+    }),
+
     // M6: classification metrics as pure relational aggregation.
     "m6_metrics" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
@@ -569,6 +585,49 @@ object EventQueries {
         |  count(DISTINCT d.date) AS n_days, count(*) AS n_events,
         |  min(d.date) AS fold_start, max(d.date) AS fold_end
         |FROM d CROSS JOIN m GROUP BY 1""".stripMargin,
+
+    "m6_cv_folds" ->
+      """WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type AS y_true, value FROM events),
+        |m AS (SELECT min(date) AS d0 FROM d),
+        |pred AS (
+        |  SELECT CAST(floor(date_diff('day', m.d0, d.date) / 5) AS BIGINT) AS fold_id,
+        |    d.date, d.y_true,
+        |    ['click','error','purchase','signup','view']
+        |      [CAST(floor(value / 40) AS BIGINT) % 5 + 1] AS y_pred
+        |  FROM d CROSS JOIN m),
+        |cls AS (SELECT unnest(['click','error','purchase','signup','view']) AS label),
+        |counts AS (
+        |  SELECT p.fold_id, c.label,
+        |    sum(CASE WHEN p.y_true = c.label AND p.y_pred = c.label THEN 1 ELSE 0 END) AS tp,
+        |    sum(CASE WHEN p.y_true <> c.label AND p.y_pred = c.label THEN 1 ELSE 0 END) AS fp,
+        |    sum(CASE WHEN p.y_true = c.label AND p.y_pred <> c.label THEN 1 ELSE 0 END) AS fn
+        |  FROM cls c CROSS JOIN pred p GROUP BY 1, 2),
+        |pc AS (
+        |  SELECT fold_id, tp, fp, fn,
+        |    CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END AS p,
+        |    CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END AS r
+        |  FROM counts),
+        |fm AS (
+        |  SELECT fold_id,
+        |    avg(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END) AS f1_raw,
+        |    sum(CASE WHEN tp + fn > 0 THEN r END)
+        |      / sum(CASE WHEN tp + fn > 0 THEN 1 END) AS ba_raw,
+        |    sum(tp) AS agree, sum(tp + fn) AS n,
+        |    sum((tp + fn) * (tp + fp)) AS rtrp
+        |  FROM pc GROUP BY 1),
+        |spans AS (
+        |  SELECT fold_id, min(date) AS val_start, max(date) AS val_end,
+        |    count(*) AS n_val
+        |  FROM pred GROUP BY 1)
+        |SELECT s.fold_id, s.val_start, s.val_end,
+        |  CAST(coalesce(sum(s.n_val) OVER (ORDER BY s.fold_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_train,
+        |  CAST(s.n_val AS BIGINT) AS n_val,
+        |  round(f.f1_raw, 6) AS f1_macro,
+        |  round(f.ba_raw, 6) AS balanced_accuracy,
+        |  round((f.agree / CAST(f.n AS DOUBLE) - f.rtrp / (CAST(f.n AS DOUBLE) * f.n))
+        |    / (1.0 - f.rtrp / (CAST(f.n AS DOUBLE) * f.n)), 6) AS cohen_kappa
+        |FROM spans s JOIN fm f ON s.fold_id = f.fold_id""".stripMargin,
 
     "m6_metrics" ->
       """WITH pred AS (
