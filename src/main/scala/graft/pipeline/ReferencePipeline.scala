@@ -191,6 +191,84 @@ object ReferencePipeline {
         count(lit(1)).as("hr_samples"))
   }
 
+  /** `_maybe_col` (`src/domains/parse_zepp_export.py:96,218,246`): the
+    * first candidate name present in the frame's columns. */
+  def maybeCol(df: DataFrame, candidates: Seq[String]): Option[String] =
+    candidates.find(df.columns.contains)
+
+  private def emptyDaily(spark: org.apache.spark.sql.SparkSession,
+                         cols: Seq[String]): DataFrame =
+    spark.sql(("SELECT CAST(NULL AS DATE) AS date" +
+      cols.map(c => s", CAST(NULL AS DOUBLE) AS $c").mkString).trim).limit(0)
+
+  /** Zepp BODY daily (`parse_zepp_export.py:211-235`): first-present
+    * timestamp / weight / bodyfat candidates, local wall-clock date via
+    * the TZ cutover, daily means -> `zepp_weight_kg` /
+    * `zepp_bodyfat_pct`. Missing timestamp or both value columns yields
+    * the reference's empty default frame. */
+  def zeppBodyDaily(body: DataFrame, cutover: String, tzBefore: String,
+                    tzAfter: String): DataFrame = {
+    val ts = maybeCol(body, Seq("timestamp", "time", "dateTime", "measureTime",
+      "startTime", "date"))
+    val w = maybeCol(body, Seq("weight", "weight_kg", "body_weight"))
+    val bf = maybeCol(body, Seq("bodyfat", "body_fat", "bodyfat_pct", "fat_rate"))
+    if (ts.isEmpty || (w.isEmpty && bf.isEmpty))
+      emptyDaily(body.sparkSession, Seq("zepp_weight_kg", "zepp_bodyfat_pct"))
+    else {
+      val localDate = to_date(TimeParse.tzCutover(
+        TimeParse.parseTimestamp(col(ts.get).cast("string")), cutover, tzBefore, tzAfter))
+      val aggs =
+        w.map(c => avg(TimeParse.toNumeric(col(c))).as("zepp_weight_kg")).toSeq ++
+          bf.map(c => avg(TimeParse.toNumeric(col(c))).as("zepp_bodyfat_pct")).toSeq
+      body.groupBy(localDate.as("date")).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** Zepp HEALTH_DATA daily (`parse_zepp_export.py:237-291`): spo2 / temp
+    * / stress daily means (`zepp_spo2_mean`, `zepp_temp_mean`,
+    * `zepp_stress_mean`). The reference groups each present metric
+    * separately and outer-merges the pieces — over the same source rows
+    * that is exactly one grouped aggregation, so it is computed as one
+    * (absent metrics contribute no column, as in the reference). */
+  def zeppHealthDaily(hdata: DataFrame, cutover: String, tzBefore: String,
+                      tzAfter: String): DataFrame = {
+    val ts = maybeCol(hdata, Seq("timestamp", "time", "dateTime", "startTime",
+      "measureTime", "date"))
+    val metrics = Seq(
+      "zepp_spo2_mean" -> maybeCol(hdata,
+        Seq("spo2", "blood_oxygen", "oxygensaturation", "saturation")),
+      "zepp_temp_mean" -> maybeCol(hdata,
+        Seq("temp", "temperature", "skin_temp", "skin_temperature",
+          "body_temperature")),
+      "zepp_stress_mean" -> maybeCol(hdata,
+        Seq("stress", "stress_score", "mental_stress")))
+      .collect { case (out, Some(src)) => out -> src }
+    if (ts.isEmpty || metrics.isEmpty)
+      emptyDaily(hdata.sparkSession,
+        Seq("zepp_spo2_mean", "zepp_temp_mean", "zepp_stress_mean"))
+    else {
+      val localDate = to_date(TimeParse.tzCutover(
+        TimeParse.parseTimestamp(col(ts.get).cast("string")), cutover, tzBefore, tzAfter))
+      val aggs = metrics.map { case (out, src) =>
+        avg(TimeParse.toNumeric(col(src))).as(out)
+      }
+      hdata.groupBy(localDate.as("date")).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
+  /** The legacy Zepp consolidation (`parse_zepp_export.py:293-305`,
+    * `src/domains/zepp_join.py:33-44` `_merge_on_date`): progressive
+    * outer merge of the per-domain daily frames on `date` — HR, sleep,
+    * activity, BODY and HEALTH all fold here. Inputs are daily-unique
+    * (each is a groupBy-date aggregate), so the spine + left joins is
+    * exactly the reference's outer-merge + last-wins dedup. Empty frames
+    * are skipped as the reference does. */
+  def zeppDailyFeatures(frames: Seq[DataFrame]): DataFrame = {
+    val nonEmpty = frames.filter(_.head(1).nonEmpty)
+    require(nonEmpty.nonEmpty, "zeppDailyFeatures: no non-empty domain frames")
+    Unify.unifyAll(nonEmpty)
+  }
+
   /** Stage 2 — unify: date spine over domains, left joins, Apple>Zepp
     * cardio coalesce-merge with provenance, missing flags.
     * Contract shape: `features_daily_unified`

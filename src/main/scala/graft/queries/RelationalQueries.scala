@@ -179,6 +179,39 @@ object RelationalQueries {
         ReferencePipeline.unifySomDomain(Some(som)))
     }),
 
+    // J11 legacy fold: Zepp BODY (weight/bodyfat) + HEALTH_DATA
+    // (spo2/stress) daily loaders — first-present column candidates, TZ
+    // cutover local dates, daily means — folded with HR into the
+    // zepp_daily_features consolidation (_merge_on_date outer merge).
+    "j11_zepp_features" -> ((s, dir) => {
+      import graft.pipeline.ReferencePipeline
+      val ev = Tables.events(s, dir)
+      val hr = ev.filter(col("event_type") === "error")
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(round(avg("value"), 6).as("zepp_hr_mean"))
+        .filter(dayofmonth(col("date")) <= 25)
+      val bodyRaw = ev.filter(col("event_type") === "purchase")
+        .filter(dayofmonth(to_date(col("ts"))) % 2 === 0)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("measureTime"),
+          (col("value") / 2 + 50).as("weight"),
+          (col("value") / 10).as("fat_rate"))
+      val healthRaw = ev.filter(col("event_type") === "view")
+        .filter(dayofmonth(to_date(col("ts"))) % 3 =!= 0)
+        .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("time"),
+          (col("value") / 2).as("spo2"),
+          (col("value") / 10).as("stress"))
+      val body = ReferencePipeline.zeppBodyDaily(bodyRaw,
+        "2024-01-15", "Europe/Dublin", "America/New_York")
+      val health = ReferencePipeline.zeppHealthDaily(healthRaw,
+        "2024-01-15", "Europe/Dublin", "America/New_York")
+      ReferencePipeline.zeppDailyFeatures(Seq(hr, body, health))
+        .select(col("date"), col("zepp_hr_mean"),
+          round(col("zepp_weight_kg"), 6).as("zepp_weight_kg"),
+          round(col("zepp_bodyfat_pct"), 6).as("zepp_bodyfat_pct"),
+          round(col("zepp_spo2_mean"), 6).as("zepp_spo2_mean"),
+          round(col("zepp_stress_mean"), 6).as("zepp_stress_mean"))
+    }),
+
     // F7/5.1: the ML-prep gate over a meds+SoM-fused unified frame —
     // temporal cutoff, SoM validity filter, som_binary, anti-leak drop.
     "f7_som_gate" -> ((s, dir) => {
@@ -449,6 +482,47 @@ object RelationalQueries {
         |LEFT JOIN activity a ON sp.date = a.date
         |LEFT JOIN meds m ON sp.date = m.date
         |LEFT JOIN som so ON sp.date = so.date""".stripMargin,
+
+    "j11_zepp_features" ->
+      """WITH hr AS (
+        |  SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS zepp_hr_mean
+        |  FROM events WHERE event_type = 'error' GROUP BY 1
+        |  HAVING day(CAST(ts AS DATE)) <= 25),
+        |body0 AS (
+        |  SELECT date_trunc('second', ts) AS t, value / 2 + 50 AS weight,
+        |    value / 10 AS fat_rate
+        |  FROM events
+        |  WHERE event_type = 'purchase' AND day(CAST(ts AS DATE)) % 2 = 0),
+        |body AS (
+        |  SELECT CAST(CASE WHEN CAST(t AS DATE) < DATE '2024-01-15'
+        |      THEN (t AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Dublin'
+        |      ELSE (t AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' END
+        |      AS DATE) AS date,
+        |    round(avg(weight), 6) AS zepp_weight_kg,
+        |    round(avg(fat_rate), 6) AS zepp_bodyfat_pct
+        |  FROM body0 GROUP BY 1),
+        |health0 AS (
+        |  SELECT date_trunc('second', ts) AS t, value / 2 AS spo2,
+        |    value / 10 AS stress
+        |  FROM events
+        |  WHERE event_type = 'view' AND day(CAST(ts AS DATE)) % 3 <> 0),
+        |health AS (
+        |  SELECT CAST(CASE WHEN CAST(t AS DATE) < DATE '2024-01-15'
+        |      THEN (t AT TIME ZONE 'UTC') AT TIME ZONE 'Europe/Dublin'
+        |      ELSE (t AT TIME ZONE 'UTC') AT TIME ZONE 'America/New_York' END
+        |      AS DATE) AS date,
+        |    round(avg(spo2), 6) AS zepp_spo2_mean,
+        |    round(avg(stress), 6) AS zepp_stress_mean
+        |  FROM health0 GROUP BY 1),
+        |spine AS (
+        |  SELECT date FROM hr UNION SELECT date FROM body
+        |  UNION SELECT date FROM health)
+        |SELECT sp.date, h.zepp_hr_mean, b.zepp_weight_kg, b.zepp_bodyfat_pct,
+        |  he.zepp_spo2_mean, he.zepp_stress_mean
+        |FROM spine sp
+        |LEFT JOIN hr h ON sp.date = h.date
+        |LEFT JOIN body b ON sp.date = b.date
+        |LEFT JOIN health he ON sp.date = he.date""".stripMargin,
 
     "f7_som_gate" ->
       """WITH sleep AS (

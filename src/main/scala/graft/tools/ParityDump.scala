@@ -124,6 +124,13 @@ object ParityDump {
           .withColumn("pid", org.apache.spark.sql.functions.lit("P1"))
         graft.operators.Segmentation.autoSegmentFull(csv, "pid", "date")
           .select("date", "segment_id", "reason", "metric")
+      case "zeppjoin" =>
+        // in = comma-separated per-domain daily CSVs; the legacy
+        // zepp_daily_features consolidation (_merge_on_date).
+        val frames = in.split(",").toSeq.map(p =>
+          spark.read.option("header", "true").option("inferSchema", "true")
+            .option("nullValue", "").csv(p))
+        ReferencePipeline.zeppDailyFeatures(frames)
       case "instability" =>
         // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
         // variance-across-segment-means operator.

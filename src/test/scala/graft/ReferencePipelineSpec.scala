@@ -91,4 +91,47 @@ class ReferencePipelineSpec extends SparkTestBase {
     assert(segments.count() === 1) // contiguous May days, single segment
     assert(segments.head().getAs[Long]("count") === 13L)
   }
+
+  test("Zepp BODY/HEALTH daily: candidate sniffing, tz dates, empty defaults") {
+    // BODY with vendor-alias columns: measureTime + weight_kg + fat_rate;
+    // 23:30 UTC on Jan 1 is Jan 1 in Dublin (pre-cutover home tz)
+    val body = Seq(
+      ("2024-01-01 10:00:00", "70.0", "21.0"),
+      ("2024-01-01 23:30:00", "72.0", "23.0"),
+      ("2024-01-20 23:30:00", "74.0", "25.0")) // post-cutover: NY -> Jan 20
+      .toDF("measureTime", "weight_kg", "fat_rate")
+    val bd = ReferencePipeline.zeppBodyDaily(body, "2024-01-15",
+      "Europe/Dublin", "America/New_York").orderBy("date").collect()
+    assert(bd.length === 2)
+    assert(bd(0).getAs[java.sql.Date]("date").toString === "2024-01-01")
+    assert(bd(0).getAs[Double]("zepp_weight_kg") === 71.0)
+    assert(bd(0).getAs[Double]("zepp_bodyfat_pct") === 22.0)
+    assert(bd(1).getAs[java.sql.Date]("date").toString === "2024-01-20")
+
+    // missing timestamp column -> reference's empty default frame
+    val noTs = Seq(("70.0")).toDF("weight")
+    val empty = ReferencePipeline.zeppBodyDaily(noTs, "2024-01-15", "UTC", "UTC")
+    assert(empty.columns.toSeq === Seq("date", "zepp_weight_kg", "zepp_bodyfat_pct"))
+    assert(empty.count() === 0)
+
+    // HEALTH: only stress present -> only that metric column emitted
+    val health = Seq(("2024-01-02 12:00:00", "55.0"), ("2024-01-02 13:00:00", "65.0"))
+      .toDF("time", "stress_score")
+    val hd = ReferencePipeline.zeppHealthDaily(health, "2024-01-15",
+      "Europe/Dublin", "America/New_York").collect()
+    assert(hd.length === 1)
+    assert(hd(0).getAs[Double]("zepp_stress_mean") === 60.0)
+    assert(!hd(0).schema.fieldNames.contains("zepp_spo2_mean"))
+
+    // legacy fold: outer-merge on date keeps union of dates
+    val hr = Seq(("2024-01-01", 60.0), ("2024-01-03", 62.0))
+      .toDF("date", "zepp_hr_mean").withColumn("date", col("date").cast("date"))
+    val folded = ReferencePipeline.zeppDailyFeatures(Seq(
+      hr,
+      ReferencePipeline.zeppBodyDaily(body, "2024-01-15",
+        "Europe/Dublin", "America/New_York")))
+    assert(folded.count() === 3) // Jan 1 shared; Jan 3 hr-only; Jan 20 body-only
+    assert(folded.filter(col("date") === lit("2024-01-03").cast("date"))
+      .head().getAs[Any]("zepp_weight_kg") === null)
+  }
 }

@@ -772,11 +772,43 @@ def unifyall_parity():
     return check("unify_all (DailyUnifier, meds+SoM fused)", expected, got)
 
 
+def zeppjoin_parity():
+    """Legacy Zepp consolidation: HR + BODY + HEALTH daily frames through
+    the reference's _merge_on_date (zepp_join.py:33-44) vs the engine's
+    zeppDailyFeatures fold."""
+    rng = np.random.default_rng(42)
+
+    def mk(day_range, cols):
+        return pd.DataFrame([
+            {"date": f"2024-02-{d:02d}",
+             **{c: round(float(rng.normal(50, 10)), 3) for c in cols}}
+            for d in day_range])
+
+    hr = mk(range(1, 20), ["zepp_hr_mean", "zepp_hr_median"])
+    body = mk(range(5, 25), ["zepp_weight_kg", "zepp_bodyfat_pct"])
+    health = mk(range(1, 28, 2), ["zepp_spo2_mean", "zepp_stress_mean"])
+    paths = []
+    for name, df in [("hr", hr), ("body", body), ("health", health)]:
+        p = OUT / f"zj_{name}.csv"
+        df.to_csv(p, index=False)
+        paths.append(str(p))
+
+    from src.domains.zepp_join import _merge_on_date
+    expected = _merge_on_date([hr, body, health])
+
+    out_csv = OUT / "engine_zeppjoin.csv"
+    run_engine("zeppjoin", ",".join(paths), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("zepp_join (_merge_on_date: HR+BODY+HEALTH legacy fold)",
+                 expected, got)
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
           applehr_parity() & applehrv_parity() & applesleep_parity() &
           appleactivity_parity() & unifyall_parity() & autoseg_parity() &
-          appleactivityfull_parity() & screentime_parity() & cdaprobe_parity())
+          appleactivityfull_parity() & screentime_parity() & cdaprobe_parity() &
+          zeppjoin_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
