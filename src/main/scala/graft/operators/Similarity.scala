@@ -56,10 +56,12 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * sha28("p_d") mapped to [-1, 1). Reproducible anywhere. */
-  private def planeComponent(plane: Int, dim: Int): Double = {
+    * sha28("p_d") mapped to [-1, 1). Reproducible anywhere. Tables > 0
+    * seed an independent plane family ("t_p_d"). */
+  private def planeComponent(plane: Int, dim: Int, table: Int = 0): Double = {
+    val key = if (table == 0) s"${plane}_$dim" else s"${table}_${plane}_$dim"
     val hex = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(s"${plane}_$dim".getBytes("UTF-8"))
+      .digest(key.getBytes("UTF-8"))
       .take(4).map("%02x".format(_)).mkString
     val v = java.lang.Long.parseLong(hex, 16)
     v.toDouble / math.pow(2, 31) - 1.0
@@ -68,9 +70,9 @@ object Similarity {
   /** Sign-random-projection bucket key: `numPlanes` hyperplanes with
     * components derived from [[planeComponent]]; bit j = sign of dot with
     * plane j. Vectors in the same bucket are ANN candidates. */
-  def lshBucket(vec: Column, numPlanes: Int, dims: Int): Column = {
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int, table: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
-      val plane = (0 until dims).map(d => planeComponent(p, d))
+      val plane = (0 until dims).map(d => planeComponent(p, d, table))
       val dotExpr = aggregate(
         zip_with(vec, typedLit(plane), (x, w) => x.cast("double") * w),
         lit(0.0), (acc, v) => acc + v)
@@ -79,16 +81,35 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** All tables' bucket keys for a vector as (table, bucket) structs —
+    * the multi-table LSH layout: each table is an independent plane
+    * family, and a pair is a candidate if it collides in ANY table. */
+  private def lshBucketKeys(vec: Column, numPlanes: Int, dims: Int,
+                            numTables: Int): Column =
+    array((0 until numTables).map(t =>
+      struct(lit(t).as("t"), lshBucket(vec, numPlanes, dims, t).as("b"))): _*)
+
   /** LSH-bucketed ANN top-k: bucket both sides, equi-join on the bucket
     * key, then rank within query. Trades recall for turning the O(Q*N)
-    * cross join into a shuffle on bucket keys. */
+    * cross join into a shuffle on bucket keys.
+    *
+    * `numTables` independent hash tables union their candidates (the
+    * standard LSH recall lever: P[candidate] = 1-(1-p^planes)^tables).
+    * Each side explodes to `numTables` rows; the join stays a pure
+    * equi-join on (table, bucket) and candidates are deduped on
+    * (query, neighbor) before ranking, so cost scales linearly in
+    * tables, not quadratically. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numPlanes: Int, dims: Int): DataFrame = {
+              vecCol: String, k: Int, numPlanes: Int, dims: Int,
+              numTables: Int = 1): DataFrame = {
     val q = withNorm(queries, idCol, vecCol, "query_id", "qv", "qn")
-      .withColumn("bkt", lshBucket(col("qv"), numPlanes, dims))
+      .withColumn("tb", explode(lshBucketKeys(col("qv"), numPlanes, dims, numTables)))
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
-      .withColumn("bkt", lshBucket(col("cv"), numPlanes, dims))
-    val scored = q.join(c, Seq("bkt")).filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("tb", explode(lshBucketKeys(col("cv"), numPlanes, dims, numTables)))
+    val scored = q.join(c, Seq("tb")).filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id") // dedup multi-table collisions
+      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id"))
@@ -146,6 +167,29 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+  }
+
+  /** Recall summary of ANN results against the exact top-k baseline: per
+    * query, |approx ∩ exact| / |exact|; queries the ANN missed entirely
+    * count as recall 0. One row per method — (method, n_queries,
+    * mean_recall) — so ANN quality regressions surface in the
+    * correctness/bench artifacts, not only in specs. All joins are
+    * equi-joins on (query_id, neighbor_id); the per-method frames are
+    * per-query-small. */
+  def recallSummary(exact: DataFrame,
+                    approxes: Seq[(String, DataFrame)]): DataFrame = {
+    val e = exact.select(col("query_id"), col("neighbor_id"))
+    approxes.map { case (name, approx) =>
+      val a = approx.select(col("query_id"), col("neighbor_id"))
+        .withColumn("hit", lit(1))
+      e.join(a, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg((sum(coalesce(col("hit"), lit(0))).cast("double") / count(lit(1)))
+          .as("q_recall"))
+        .agg(count(lit(1)).as("n_queries"),
+          round(avg(col("q_recall")), 6).as("mean_recall"))
+        .select(lit(name).as("method"), col("n_queries"), col("mean_recall"))
+    }.reduce(_ unionByName _)
   }
 
   /** Near-duplicate pairs by embedding cosine within a blocking key. */

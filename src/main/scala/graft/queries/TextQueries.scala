@@ -75,11 +75,12 @@ object TextQueries {
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
-    // LSH-bucketed ANN (engine-only; approximate by design).
+    // LSH-bucketed ANN (engine-only; approximate by design). 8 tables x
+    // 6 planes: candidates ~12% of the corpus per query at sf0.01.
     "sim2_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 20), emb,
-          "vec_id", "embedding", 5, 8, 64)
+          "vec_id", "embedding", 5, 6, 64, numTables = 8)
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
@@ -89,6 +90,20 @@ object TextQueries {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
           "vec_id", "embedding", 5, numCells = 16, nProbe = 4)
         .select("query_id", "neighbor_id", "sim", "rk")
+    }),
+
+    // Recall-at-k of both ANN variants vs the exact baseline, as a
+    // first-class artifact row (rows-only: the ANN inputs are approximate
+    // by design; floors are pinned in DriftDedupSpec).
+    "sim_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", 5)
+      Similarity.recallSummary(exact, Seq(
+        "ann_lsh" -> Similarity.lshTopK(qs, emb, "vec_id", "embedding", 5, 6, 64,
+          numTables = 8),
+        "ann_ivf" -> Similarity.ivfTopK(qs, emb, "vec_id", "embedding", 5,
+          numCells = 16, nProbe = 4)))
     }),
 
     // Language-ID heuristic.
