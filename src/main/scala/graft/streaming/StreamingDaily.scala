@@ -50,33 +50,76 @@ object StreamingDaily {
   /** W4-on-a-stream: gap-based sessionization via per-key state
     * (`flatMapGroupsWithState`): events more than `gapSeconds` after the
     * previous one start a new session; a session is emitted when the gap
-    * CLOSES it. A key's final session stays open in state until a later
-    * event closes it — stop-time flushing would need a timeout policy
-    * (ProcessingTimeTimeout + hasTimedOut), deliberately not wired here
-    * to keep emission purely event-driven and deterministic in tests. */
-  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long)
-      : Dataset[SessionOut] = {
+    * CLOSES it.
+    *
+    * `idleTimeout`: with None, emission is purely event-driven — a key's
+    * final session stays open in state until a later event closes it
+    * (deterministic in tests). With Some(duration), a
+    * ProcessingTimeTimeout is armed after every update; if a key sees no
+    * data for that long, its open session is FLUSHED (`closed = false`,
+    * distinguishing timeout flushes from gap closes) and its state
+    * removed — so final sessions emit and idle-key state is reclaimed
+    * instead of living forever. */
+  /** Pure per-key transition: fold one micro-batch of a key's events into
+    * its session state, emitting every session CLOSED by a gap. Exposed
+    * so the state machine is testable deterministically (no wall clock);
+    * [[sessionize]] binds it to flatMapGroupsWithState. */
+  def sessionStep(uid: Long, events: Seq[SessionEvent],
+                  st0: Option[SessionState], gapSeconds: Long)
+      : (SessionState, Seq[SessionOut]) = {
+    val sorted = events.sortBy(e => (e.ts.getTime, e.value))
+    var st = st0.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    sorted.foreach { e =>
+      val epoch = e.ts.getTime / 1000
+      if (st.count > 0 && epoch - st.lastEpoch > gapSeconds) {
+        out += SessionOut(uid, st.sessionId, st.count, st.sum, closed = true)
+        st = SessionState(st.sessionId + 1, epoch, 1L, e.value)
+      } else {
+        st = SessionState(
+          if (st.count == 0) st.sessionId + 1 else st.sessionId,
+          epoch, st.count + 1, st.sum + e.value)
+      }
+    }
+    (st, out.toSeq)
+  }
+
+  /** Pure idle-flush: the open session emitted (closed = false —
+    * distinguishing timeout flushes from gap closes) when a key's state
+    * times out; None if the state holds no open session. */
+  def sessionFlush(uid: Long, st: SessionState): Option[SessionOut] =
+    if (st.count > 0)
+      Some(SessionOut(uid, st.sessionId, st.count, st.sum, closed = false))
+    else None
+
+  /** `idleTimeout`: with None, emission is purely event-driven — a key's
+    * final session stays open in state until a later event closes it
+    * (deterministic in tests). With Some(duration), a
+    * ProcessingTimeTimeout is armed after every update; if a key sees no
+    * data for that long, [[sessionFlush]] emits its open session and the
+    * state is removed — final sessions emit and idle-key state is
+    * reclaimed instead of living forever. The flush path's semantics are
+    * spec-pinned via the pure functions (a wall-clock-driven streaming
+    * test would be nondeterministic in CI). */
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
+                 idleTimeout: Option[String] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.value))
-          var st = state.getOption.getOrElse(SessionState(0L, Long.MinValue, 0L, 0.0))
-          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
-          sorted.foreach { e =>
-            val epoch = e.ts.getTime / 1000
-            if (st.count > 0 && epoch - st.lastEpoch > gapSeconds) {
-              out += SessionOut(uid, st.sessionId, st.count, st.sum, closed = true)
-              st = SessionState(st.sessionId + 1, epoch, 1L, e.value)
-            } else {
-              st = SessionState(
-                if (st.count == 0) st.sessionId + 1 else st.sessionId,
-                epoch, st.count + 1, st.sum + e.value)
-            }
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            sessionFlush(uid, st).iterator
+          } else {
+            val (st, out) = sessionStep(uid, rows.toSeq, state.getOption, gapSeconds)
+            state.update(st)
+            idleTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
         })
   }
 }

@@ -84,6 +84,26 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming W4: idle-timeout flush path — pure state machine") {
+    import StreamingDaily.{sessionFlush, sessionStep, SessionState}
+    // batch 1: two events 30min apart -> one open session, nothing emitted
+    val (st1, out1) = sessionStep(1L, Seq(
+      SessionEvent(1L, ts("2024-01-01 08:00:00"), 1.0),
+      SessionEvent(1L, ts("2024-01-01 08:30:00"), 2.0)), None, gapSeconds = 3600)
+    assert(out1.isEmpty)
+    assert(st1.count === 2 && st1.sum === 3.0)
+    // idle timeout fires -> the open session flushes with closed=false
+    val flushed = sessionFlush(1L, st1)
+    assert(flushed === Some(StreamingDaily.SessionOut(1L, 1L, 2L, 3.0, closed = false)))
+    // empty state (key seen but no events folded) flushes nothing
+    assert(sessionFlush(1L, SessionState(0L, Long.MinValue, 0L, 0.0)) === None)
+    // a later batch after a gap closes the session instead (closed=true)
+    val (st2, out2) = sessionStep(1L,
+      Seq(SessionEvent(1L, ts("2024-01-01 12:00:00"), 5.0)), Some(st1), 3600)
+    assert(out2 === Seq(StreamingDaily.SessionOut(1L, 1L, 2L, 3.0, closed = true)))
+    assert(st2.sessionId === 2L && st2.count === 1L)
+  }
+
   test("streaming dedup: first arrival kept, later duplicates dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
