@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+
+/** Exact two-sided two-sample Kolmogorov-Smirnov p-value.
+  *
+  * The reference calls scipy `ks_2samp` whose method='auto' selects the
+  * EXACT small-sample computation at the ±14-day boundary windows it uses
+  * (`/root/reference/src/etl/ml7_analysis.py:385-472` — n ≤ 14 per side),
+  * so the asymptotic series is a real divergence there. This implements
+  * the same no-ties exact model (Hodges 1958 / Drion path counting, the
+  * algorithm behind scipy's `_compute_prob_inside_method`):
+  *
+  *   P(D >= d) = 1 - (# monotone lattice paths (0,0) → (m,n) whose every
+  *               point satisfies |x·n/g - y·m/g| < h) / C(m+n, n),
+  *   h = round(d · m · n / g),  g = gcd(m, n).
+  *
+  * The DP is O(m·n) doubles per evaluated row — rows here are per
+  * (boundary, feature), and window sizes are tens. Raw path counts reach
+  * C(m+n, n), so the exact path is capped at m + n ≤ 1000 (counts ≤
+  * ~2.7e299, inside double range); above the cap callers use the
+  * asymptotic form, which is accurate there anyway. CodegenFallback: one
+  * scalar eval per group-level row — codegen would buy nothing.
+  */
+case class KsExactPValue(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (LongType, LongType, DoubleType) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"expected (bigint, bigint, double), got $other")
+    }
+
+  override def nullSafeEval(na: Any, nb: Any, d: Any): Any =
+    KsExactPValue.pValue(na.asInstanceOf[Long].toInt,
+      nb.asInstanceOf[Long].toInt, d.asInstanceOf[Double])
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object KsExactPValue {
+
+  /** Inputs above this total use the asymptotic form (double overflow
+    * bound for C(m+n, n); see class doc). */
+  val ExactLimit = 1000
+
+  def apply(nA: Column, nB: Column, d: Column): Column =
+    GraftShim.column(KsExactPValue(GraftShim.expression(nA),
+      GraftShim.expression(nB), GraftShim.expression(d)))
+
+  /** P(D >= d) for samples of sizes (m, n), no-ties model. */
+  def pValue(na: Int, nb: Int, d: Double): Double = {
+    require(na > 0 && nb > 0, s"ksExactPValue: empty sample ($na, $nb)")
+    require(na + nb <= ExactLimit,
+      s"ksExactPValue: m+n = ${na + nb} exceeds exact cap $ExactLimit")
+    val (m, n) = if (na >= nb) (na, nb) else (nb, na)
+    val g = BigInt(m).gcd(BigInt(n)).toInt
+    val mg = m / g
+    val ng = n / g
+    // d in integer units of 1/lcm(m,n); round() absorbs float noise in d
+    val h = math.round(d * m.toDouble * n.toDouble / g)
+    if (h <= 0) return 1.0 // d == 0: every ordering has D >= 0
+    def inside(x: Int, y: Int): Boolean =
+      math.abs(x.toLong * ng - y.toLong * mg) < h
+    // A(y) = #paths to (x, y) with every point inside; in-place column DP
+    val a = Array.ofDim[Double](n + 1)
+    a(0) = 1.0
+    var y = 1
+    while (y <= n) { a(y) = if (inside(0, y)) a(y - 1) else 0.0; y += 1 }
+    var x = 1
+    while (x <= m) {
+      a(0) = if (inside(x, 0)) a(0) else 0.0
+      y = 1
+      while (y <= n) {
+        a(y) = if (inside(x, y)) a(y) + a(y - 1) else 0.0
+        y += 1
+      }
+      x += 1
+    }
+    // C(m+n, n), interleaved multiply/divide keeps intermediates bounded
+    var total = 1.0
+    var i = 1
+    while (i <= n) { total = total * (m + i) / i; i += 1 }
+    math.min(1.0, math.max(0.0, 1.0 - a(n) / total))
+  }
+}

@@ -77,6 +77,18 @@ object Drift {
       .otherwise(least(greatest(series, lit(0.0)), lit(1.0)))
   }
 
+  /** scipy `ks_2samp` method='auto' selection: the exact small-sample
+    * p-value ([[graft.functions.KsExactPValue]], the Hodges path-count
+    * scipy uses) whenever the total sample fits the exact cap, else the
+    * asymptotic series. The reference's ±14-day boundary windows always
+    * take the exact branch, as scipy does. */
+  def ksPValueAuto(d: org.apache.spark.sql.Column,
+                   nA: org.apache.spark.sql.Column,
+                   nB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(nA + nB <= lit(graft.functions.KsExactPValue.ExactLimit),
+      graft.functions.KsExactPValue(nA, nB, d))
+      .otherwise(ksPValue(d, nA, nB))
+
   /** D2-at-boundaries — the reference's segment-boundary drift scan
     * (`src/etl/ml7_analysis.py:385-472`): for every segment except the
     * first, compare each feature's distribution in the +-`windowDays`
@@ -89,9 +101,14 @@ object Drift {
     * Scale shape: the segment table is tiny -> broadcast range-attach of
     * boundaries onto the daily frame, features unpivoted, then one
     * KS pass per (boundary, feature) group via rank windows. */
+  /** @param pMethod "auto" (default — exact p at small n, as the
+    *        reference's scipy call resolves to) or "asymptotic" (the
+    *        SQL-replayable series, kept for the DuckDB-twin oracle). */
   def ksAtBoundaries(daily: DataFrame, segments: DataFrame, dateCol: String,
                      features: Seq[String], windowDays: Int = 14,
-                     minRows: Int = 5): DataFrame = {
+                     minRows: Int = 5, pMethod: String = "auto"): DataFrame = {
+    require(pMethod == "auto" || pMethod == "asymptotic",
+      s"ksAtBoundaries: unknown pMethod '$pMethod'")
     val firstRow = segments.agg(min(col("date_start"))).head()
     require(!firstRow.isNullAt(0), "ksAtBoundaries: empty segment table")
     val firstStart = firstRow.getDate(0)
@@ -122,7 +139,9 @@ object Drift {
         Seq("segment_id", "boundary_date", "feature"), "side", "value")
       .filter(col("n_a") >= minRows && col("n_b") >= minRows)
       .withColumn("p_value",
-        round(ksPValue(col("ks_stat"), col("n_a"), col("n_b")), 6))
+        round(
+          if (pMethod == "auto") ksPValueAuto(col("ks_stat"), col("n_a"), col("n_b"))
+          else ksPValue(col("ks_stat"), col("n_a"), col("n_b")), 6))
       .withColumn("significant", col("p_value") < 0.05)
       .select(col("segment_id"), col("boundary_date"), col("feature"),
         col("ks_stat"), col("p_value"), col("significant"),

@@ -63,8 +63,29 @@ object MlQueries {
     }),
 
     // D2 at segment boundaries: +-7-day windows around each segment start
-    // (first segment skipped), per-feature KS + asymptotic p-value.
+    // (first segment skipped), per-feature KS + asymptotic p-value (the
+    // SQL-replayable form — the DuckDB twin sums the identical series).
     "d2_ks_boundaries" -> ((s, dir) => {
+      import s.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(round(avg("value"), 6).as("f_mean"),
+          round(sum(when(col("event_type") === "purchase", col("value"))
+            .otherwise(0.0)), 6).as("f_purchase"))
+      val segments = Seq((1L, "2024-01-01"), (2L, "2024-01-11"), (3L, "2024-01-21"))
+        .toDF("segment_id", "date_start")
+        .withColumn("date_start", col("date_start").cast("date"))
+      Drift.ksAtBoundaries(daily, segments, "date",
+        Seq("f_mean", "f_purchase"), windowDays = 7, minRows = 5,
+        pMethod = "asymptotic")
+    }),
+
+    // D2 exact: the same boundary scan with the DEFAULT auto p-method —
+    // at these window sizes that is the exact Hodges path-count p-value,
+    // matching what the reference's scipy call computes. No closed-form
+    // SQL twin exists (the DP isn't SQL-expressible), so the oracle is a
+    // pinned expected table (tools/pin_expected.py), like d1_adwin.
+    "d2_ks_exact" -> ((s, dir) => {
       import s.implicits._
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("date"))
@@ -418,6 +439,14 @@ object MlQueries {
     "d1_adwin" ->
       """SELECT user_id, date, value, is_change
         |FROM read_parquet('/root/repo/src/test/resources/expected/d1_adwin_sf0.01.parquet')""".stripMargin,
+
+    // D2 exact: pinned-expected gate (the path-count DP has no SQL twin);
+    // the p-value algorithm itself is brute-force-verified in
+    // DriftDedupSpec. Valid for the driver's sf0.01 run only.
+    "d2_ks_exact" ->
+      """SELECT segment_id, boundary_date, feature, ks_stat, p_value,
+        |  significant, n_before, n_after
+        |FROM read_parquet('/root/repo/src/test/resources/expected/d2_ks_exact_sf0.01.parquet')""".stripMargin,
     "a10_intervals" ->
       """WITH iv AS (
         |  SELECT ts AS start_ts, ts + CAST(floor(value) AS INT) * INTERVAL 1 SECOND AS end_ts

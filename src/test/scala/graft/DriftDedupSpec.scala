@@ -81,6 +81,41 @@ class DriftDedupSpec extends SparkTestBase {
     assert(ham(1L, 3L) > ham(1L, 2L))
   }
 
+  test("D2 exact KS p-value == brute-force enumeration of all orderings") {
+    import graft.functions.KsExactPValue
+    // ground truth for the no-ties model: enumerate every interleaving of
+    // the two samples, D in integer units of 1/lcm(m,n)
+    def brute(m: Int, n: Int, d: Double): Double = {
+      val g = BigInt(m).gcd(BigInt(n)).toInt
+      val mg = m / g
+      val ng = n / g
+      val h = math.round(d * m.toDouble * n.toDouble / g)
+      var outside = 0L
+      var total = 0L
+      def walk(x: Int, y: Int, maxDev: Long): Unit = {
+        val dev = math.max(maxDev, math.abs(x.toLong * ng - y.toLong * mg))
+        if (x == m && y == n) { total += 1; if (dev >= h) outside += 1 }
+        else {
+          if (x < m) walk(x + 1, y, dev)
+          if (y < n) walk(x, y + 1, dev)
+        }
+      }
+      walk(0, 0, 0L)
+      outside.toDouble / total
+    }
+    for ((m, n) <- Seq((4, 4), (5, 3), (7, 5), (6, 6), (14, 9)); k <- 1 to 6) {
+      val lcm = m * n / BigInt(m).gcd(BigInt(n)).toInt
+      val d = k.toDouble / lcm // attainable D values are multiples of 1/lcm
+      val dp = KsExactPValue.pValue(m, n, d)
+      val bf = brute(m, n, d)
+      assert(math.abs(dp - bf) < 1e-9, s"(m=$m, n=$n, d=$d): dp=$dp bf=$bf")
+    }
+    assert(KsExactPValue.pValue(10, 10, 0.0) === 1.0)
+    // complete separation: only the 2 fully-ordered interleavings reach D=1
+    val p1 = KsExactPValue.pValue(5, 5, 1.0)
+    assert(math.abs(p1 - 2.0 / 252.0) < 1e-12, s"p(D>=1)=$p1")
+  }
+
   test("dd7 fused lshVerifiedPairs == composed signature->candidates->verify") {
     val rnd = new scala.util.Random(11)
     val vocab = (1 to 80).map(i => s"w$i")

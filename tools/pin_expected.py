@@ -18,6 +18,7 @@ import duckdb
 
 PINS = {
     "d1_adwin": "src/test/resources/expected/d1_adwin_sf0.01.parquet",
+    "d2_ks_exact": "src/test/resources/expected/d2_ks_exact_sf0.01.parquet",
 }
 
 
