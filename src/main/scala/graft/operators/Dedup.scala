@@ -282,6 +282,93 @@ object Dedup {
       minJaccard)
   }
 
+  /** Duplicate clustering: connected components over an undirected
+    * near-dup pair list (e.g. [[lshVerifiedPairs]] output), via
+    * alternating large-star / small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14). Each round
+    * is a groupBy + equi-join on node id — plain hash shuffles, no
+    * driver-side graph state — and the round count is O(log n) on ANY
+    * graph shape. That is the property that survives a 100-TB edge list:
+    * naive min-label propagation needs diameter-many rounds (a duplicate
+    * CHAIN a-b-c-…​ is the common near-dup topology and has linear
+    * diameter), and a driver-side union-find doesn't distribute at all.
+    *
+    * Returns (id, cluster_id) for every node appearing in `pairs`,
+    * where cluster_id is the component's minimum member id — the same
+    * representative rule as [[exactDups]]. Unpaired documents are absent
+    * (they are their own implicit singleton clusters).
+    *
+    * @param maxRounds hard stop; convergence is typically < 10 rounds.
+    *        Non-convergence within the cap throws rather than returning
+    *        a partially-contracted (wrong) labeling. */
+  def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                  maxRounds: Int = 50): DataFrame = {
+    // canonical undirected edges (hi > lo), lineage cut per round — the
+    // iterated-plan pattern of Impute.iterativeRidgeImpute.
+    var edges = pairs
+      .select(greatest(col(idA), col(idB)).cast("long").as("hi"),
+        least(col(idA), col(idB)).cast("long").as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // large-star: for every node u, link each LARGER neighbor to the
+      // minimum of u's closed neighborhood. Processed over the symmetric
+      // adjacency; groupBy and join share the hash partitioning on u, so
+      // Catalyst reuses one exchange.
+      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
+        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
+      val mins = sym.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .filter(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star: for every node u, link each SMALLER neighbor (and u
+      // itself) to the minimum of u's smaller neighborhood. On canonical
+      // (hi, lo) edges the smaller neighborhood of hi is exactly its lo
+      // set, so no symmetric expansion is needed.
+      val minsS = large.groupBy("hi").agg(min("lo").as("m"))
+      val small = large.join(minsS, "hi")
+        .select(col("lo").as("v"), col("m"))
+        .union(minsS.select(col("hi").as("v"), col("m")))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("hi"), col("m").as("lo"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      // fixpoint = edge set unchanged. Two anti-join probes at small-star
+      // output size; at cluster scale the same check is a changed-row
+      // accumulator inside the round's own shuffle.
+      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      edges = small
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupClusters did not converge within $maxRounds rounds")
+    // at fixpoint the edge set is a disjoint union of stars rooted at
+    // component minima: members label from their star edge, roots from
+    // themselves.
+    edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
+      .distinct()
+  }
+
+  /** One-representative-per-cluster corpus filter: keeps the cluster
+    * minimum of every duplicate cluster plus all unclustered documents.
+    * Left-anti equi-join against the non-representative ids — the corpus
+    * is never broadcast or collected. Composes [[lshVerifiedPairs]] →
+    * [[dupClusters]] → this into the full 100-TB dedup path. */
+  def keepClusterRepresentatives(docs: DataFrame, idCol: String,
+                                 clusters: DataFrame): DataFrame =
+    docs.join(
+      clusters.filter(col("id") =!= col("cluster_id"))
+        .select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
     * sets the bit (deterministic zero handling). */
@@ -304,6 +391,91 @@ object Dedup {
       s"(CASE WHEN $contrib >= 0 THEN ${1L << j} ELSE 0 END)"
     }
     bitTerms.mkString("(", " + ", ")")
+  }
+
+  /** SimHash near-dup pairs: block by contiguous bit-slices of the
+    * signature (pigeonhole: if hamming(a,b) <= maxHamming and
+    * bands > maxHamming, at least one slice is identical — every
+    * qualifying pair is FOUND, the blocking loses nothing), then verify
+    * the exact Hamming distance with bit_count(xor). One equi-join on the
+    * slice key; candidate volume is governed by slice width, not corpus
+    * size. The cheap complement to MinHash-Jaccard: one long per doc, no
+    * shingle sets at pair time. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   bits: Int, bands: Int, maxHamming: Int): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole guarantee needs bands ($bands) > maxHamming ($maxHamming)")
+    require(bits % bands == 0, s"bits ($bits) must split evenly into $bands bands")
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sigs = docs.repartition(par)
+      .select(col(idCol), simhash(col(textCol), bits).as("sig"))
+    val banded = (0 until bands).map { j =>
+      sigs.select(col(idCol), col("sig"),
+        concat_ws("_", lit(j),
+          shiftright(col("sig"), j * bandBits).bitwiseAND(mask)).as("bk"))
+    }.reduce(_ union _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.bk") === col("r.bk") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col("l.sig").bitwiseXOR(col("r.sig"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** DuckDB twin of [[simhashPairs]]'s banded blocking + verify. */
+  def simhashPairsSql(bits: Int, bands: Int, maxHamming: Int): String = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
+    val bandSelects = (0 until bands).map { j =>
+      s"SELECT doc_id, sig, '${j}_' || ((sig >> ${j * bandBits}) & $mask) AS bk FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH sig AS (
+      |  SELECT doc_id, CAST(${simhashSql("text", bits)} AS BIGINT) AS sig
+      |  FROM documents),
+      |banded AS (
+      |  $bandSelects),
+      |pairs AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+      |    CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+      |  FROM banded l JOIN banded r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
+  }
+
+  /** Eval-set contamination scan — the decontamination gate of a training
+    * pipeline: for each corpus document, how many of its distinct word
+    * k-shingles appear in the benchmark (eval) document set. The benchmark
+    * shingle set is bounded by the eval suite's size, not the corpus, so
+    * it attaches with an explicit broadcast semi-join onto the corpus's
+    * exploded shingles; the per-doc rollup is one aggregation on the doc
+    * id. Returns (id, n_shingles, n_overlap, contamination) with
+    * contamination = n_overlap / n_shingles (0 for shingle-less docs). */
+  def contaminationScan(corpus: DataFrame, idCol: String, textCol: String,
+                        bench: DataFrame, benchTextCol: String,
+                        shingleK: Int): DataFrame = {
+    val par = corpus.sparkSession.sparkContext.defaultParallelism
+    val benchShingles = bench
+      .repartition(par)
+      .select(explode(shingles(col(benchTextCol), shingleK)).as("s"))
+      .distinct()
+    val corpusShingles = corpus
+      .repartition(par)
+      .select(col(idCol), explode_outer(
+        array_distinct(shingles(col(textCol), shingleK))).as("s"))
+    val counts = corpusShingles
+      .join(broadcast(benchShingles), Seq("s"), "left_semi")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    corpus.select(col(idCol),
+        size(array_distinct(shingles(col(textCol), shingleK))).cast("long")
+          .as("n_shingles"))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        when(col("n_shingles") > 0,
+          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles"), 6))
+          .otherwise(0.0).as("contamination"))
   }
 
   /** Exact n-gram Jaccard similarity for pairs blocked by `blockCol`

@@ -115,6 +115,68 @@ object TextAnalysis {
       .withColumn("re_tokens",
         size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))).cast("long"))
 
+  /** Corpus document frequencies: distinct terms per document, counted
+    * across the corpus. One explode (map-side) + one aggregation keyed by
+    * term — high-cardinality key, so the shuffle distributes evenly at
+    * any corpus size. */
+  def documentFrequencies(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+
+  /** Top-k salient terms per document by smoothed TF-IDF
+    * (idf = ln((N+1)/(df+1)) + 1, sklearn's smooth_idf form; score =
+    * raw term count × idf).
+    *
+    * Scale shape: term counts are one aggregation on (doc, term); the IDF
+    * table is vocabulary-sized — bounded by the language, not the corpus —
+    * so it re-attaches with an explicit broadcast join (no shuffle of the
+    * term-count side); top-k is one window partitioned by doc. N is a
+    * driver scalar (single count — the A13/class-weight two-phase
+    * pattern), not a per-row subquery. Ties rank by term for determinism.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
+                k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = docs.count()
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
+    val idf = documentFrequencies(docs, idCol, textCol)
+    val scored = tf.join(broadcast(idf), "term")
+      .withColumn("tfidf",
+        graft.functions.Canon.round(
+          col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("tfidf"), col("rk"))
+  }
+
+  /** Deterministic stratified corpus sample: within each stratum, rank
+    * rows by SHA-256 of the id (a portable, seedless "random" order that
+    * any engine reproduces) and keep ceil(frac × stratum size). The
+    * data-mixing primitive of a training-data pipeline — per-source /
+    * per-language quotas with bit-reproducible output.
+    *
+    * One window over the stratum key does both the rank and the stratum
+    * size; skewed strata are bounded by the stratum's own row count (no
+    * global sort, no driver state). */
+  def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
+                       frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val rk = row_number().over(
+      byStratum.orderBy(sha2(col(idCol).cast("string"), 256), col(idCol)))
+    val quota = ceil(lit(frac) * count(lit(1)).over(byStratum))
+    docs.withColumn("rk", rk).withColumn("quota", quota)
+      .filter(col("rk") <= col("quota"))
+      .drop("rk", "quota")
+  }
+
   /** Rolling polynomial fingerprint over per-token 28-bit hashes:
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
     * compact near-exact-dup document signature. */

@@ -61,6 +61,26 @@ object TextQueries {
       Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
         2, 4, 2, 0.05)),
 
+    // Near-dup clustering: connected components over the LSH-verified
+    // pairs via alternating large-star/small-star contraction (O(log n)
+    // rounds of pure equi-shuffles); cluster_id = min member id.
+    "dd8_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+        Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+          2, 4, 2, 0.05))),
+
+    // The complete corpus-dedup composition: signature -> banded LSH ->
+    // exact verify -> connected components -> keep one representative per
+    // cluster (plus every unpaired doc). What a user actually runs at
+    // 100 TB to produce a deduplicated training corpus.
+    "dd9_dedup_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", 2, 4, 2, 0.05))
+      Dedup.keepClusterRepresentatives(docs, "doc_id", clusters)
+        .select("doc_id", "lang", "source")
+    }),
+
     // Embedding-cosine near-dup pairs blocked by label (0.3 ~ the p99 of
     // within-label cosine in the synthetic embeddings — nonempty output).
     "dd6_embed_dups" -> ((s, dir) =>
@@ -150,6 +170,30 @@ object TextQueries {
           element_at(col("features"), 4).cast("double").as("f3"))
     }),
 
+    // SimHash near-dup pairs: 16-bit signature, 4 bit-slice bands
+    // (pigeonhole-complete for hamming <= 2), exact bit_count verify.
+    "dd10_simhash_dups" -> ((s, dir) =>
+      Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 16, 4, 2)),
+
+    // Decontamination gate: 3-shingle overlap of each corpus doc against
+    // the doc_id<20 "eval set", broadcast semi-join on the bench shingles.
+    "t7_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationScan(docs.filter(col("doc_id") >= 20), "doc_id", "text",
+        docs.filter(col("doc_id") < 20), "text", K)
+    }),
+
+    // Corpus TF-IDF: top-5 salient terms per document (smoothed idf;
+    // vocabulary-sized IDF table broadcast back onto term counts).
+    "t5_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfIdfTopK(Tables.documents(s, dir), "doc_id", "text", 5)),
+
+    // Deterministic stratified corpus sample: 25% per language, ranked by
+    // SHA-256 of the id — the portable seedless order both engines share.
+    "t6_stratified_sample" -> ((s, dir) =>
+      TextAnalysis.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang", 0.25)
+        .select("doc_id", "lang", "source")),
+
     // C7/C10: string ops + crypto hash projection.
     "c7_strings" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -158,6 +202,51 @@ object TextQueries {
         when(col("text").contains("spark"), 1).otherwise(0).as("has_spark"),
         substring(sha2(col("text"), 256), 1, 8).as("sha8"),
         element_at(split(lower(col("text")), "\\s+"), 1).as("first_tok"))))
+
+  /** Shared oracle CTE chain for the LSH-verified near-dup path (dd7 and
+    * the dd8/dd9 compositions): minhash sig → bands → candidate pairs →
+    * shingle sets → `verified` (id_a, id_b, jaccard) at the same
+    * (shingleK=2, 4 hashes, 2 rows/band, J>=0.05) parameters as the Spark
+    * side, plus `vpairs` filtered to the threshold. */
+  private lazy val lshVerifiedCtes: String = {
+    val sigCols = (0 until 4)
+      .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
+    val shExpr = Dedup.shinglesOverTkSql(2)
+    s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
+      |bands AS (
+      |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |  FROM bands l JOIN bands r
+      |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+      |sets AS (
+      |  SELECT doc_id,
+      |    list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")}))) AS sh
+      |  FROM ${Dedup.tkSourceSql("text", "doc_id")}),
+      |verified AS (
+      |  SELECT c.id_a, c.id_b,
+      |    round(len(list_intersect(a.sh, b.sh)) /
+      |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
+      |      AS jaccard
+      |  FROM cand c JOIN sets a ON c.id_a = a.doc_id
+      |              JOIN sets b ON c.id_b = b.doc_id),
+      |vpairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.05)""".stripMargin
+  }
+
+  /** Connected components over `vpairs` as a recursive transitive-closure
+    * CTE (`reach`: node → every node it can reach). The oracle twin of
+    * `Dedup.dupClusters` — exact min-label semantics; fine at oracle scale,
+    * where the Spark side's large-star/small-star contraction is the
+    * distributed formulation. */
+  private val componentCtes: String =
+    """edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM vpairs
+      |  UNION SELECT id_b, id_a FROM vpairs),
+      |reach AS (
+      |  SELECT u AS id, v AS r FROM edges
+      |  UNION
+      |  SELECT t.id, e.v AS r FROM reach t JOIN edges e ON t.r = e.u)""".stripMargin
 
   def oracles: Map[String, String] = {
     Map(
@@ -202,31 +291,22 @@ object TextQueries {
           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin
       },
 
-      "dd7_lsh_verified" -> {
-        val sigCols = (0 until 4)
-          .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
-        val shExpr = Dedup.shinglesOverTkSql(2)
-        s"""WITH sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
-          |bands AS (
-          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
-          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig),
-          |cand AS (
-          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          |  FROM bands l JOIN bands r
-          |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
-          |sets AS (
-          |  SELECT doc_id,
-          |    list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")}))) AS sh
-          |  FROM ${Dedup.tkSourceSql("text", "doc_id")}),
-          |verified AS (
-          |  SELECT c.id_a, c.id_b,
-          |    round(len(list_intersect(a.sh, b.sh)) /
-          |      CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)
-          |      AS jaccard
-          |  FROM cand c JOIN sets a ON c.id_a = a.doc_id
-          |              JOIN sets b ON c.id_b = b.doc_id)
-          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05""".stripMargin
-      },
+      "dd7_lsh_verified" ->
+        s"WITH $lshVerifiedCtes\nSELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05",
+
+      "dd8_dup_clusters" ->
+        s"""WITH RECURSIVE $lshVerifiedCtes,
+          |$componentCtes
+          |SELECT CAST(id AS BIGINT) AS id, CAST(least(id, min(r)) AS BIGINT) AS cluster_id
+          |FROM reach GROUP BY id""".stripMargin,
+
+      "dd9_dedup_corpus" ->
+        s"""WITH RECURSIVE $lshVerifiedCtes,
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+          |SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin,
 
       "dd6_embed_dups" ->
         """WITH v AS (
@@ -275,6 +355,54 @@ object TextQueries {
 
       "t4_fingerprint" ->
         s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+      "dd10_simhash_dups" -> Dedup.simhashPairsSql(16, 4, 2),
+
+      "t7_contamination" -> {
+        val shExpr = Dedup.shinglesOverTkSql(K)
+        s"""WITH sh AS (
+          |  SELECT doc_id, list_distinct($shExpr) AS sh
+          |  FROM ${Dedup.tkSourceSql("text", "doc_id")}),
+          |bench AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE doc_id < 20),
+          |corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id >= 20),
+          |ex AS (SELECT doc_id, unnest(sh) AS s FROM corpus),
+          |hits AS (
+          |  SELECT e.doc_id, count(*) AS n_overlap
+          |  FROM ex e JOIN bench b ON e.s = b.s GROUP BY 1)
+          |SELECT c.doc_id, CAST(len(c.sh) AS BIGINT) AS n_shingles,
+          |  coalesce(h.n_overlap, 0) AS n_overlap,
+          |  CASE WHEN len(c.sh) > 0
+          |    THEN round(coalesce(h.n_overlap, 0) / CAST(len(c.sh) AS DOUBLE), 6)
+          |    ELSE 0.0 END AS contamination
+          |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin
+      },
+
+      "t5_tfidf" ->
+        """WITH tk AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS tk FROM documents),
+          |terms AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+          |termf AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM termf GROUP BY 1, 2),
+          |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM termf GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |    round(tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+          |  FROM tf JOIN df USING (term) CROSS JOIN n),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+          |  FROM scored)
+          |SELECT doc_id, term, tf, df, tfidf, CAST(rk AS BIGINT) AS rk
+          |FROM ranked WHERE rk <= 5""".stripMargin,
+
+      "t6_stratified_sample" ->
+        """WITH ranked AS (
+          |  SELECT doc_id, lang, source,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+          |    count(*) OVER (PARTITION BY lang) AS n
+          |  FROM documents)
+          |SELECT doc_id, lang, source FROM ranked WHERE rk <= ceil(0.25 * n)""".stripMargin,
 
       "mm1_features" -> {
         def fold(j: Int) =

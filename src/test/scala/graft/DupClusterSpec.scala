@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+
+/** Connected-components duplicate clustering (large-star/small-star) and
+  * the keep-one-representative corpus filter. */
+class DupClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** In-test reference: sequential union-find with path compression. */
+  private def unionFindLabels(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are not guaranteed minimal under naive union-find; normalize
+    // by grouping members under their root and taking the group min.
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.groupBy(find).flatMap { case (_, members) =>
+      val m = members.min
+      members.map(_ -> m)
+    }
+  }
+
+  private def clusterMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.dupClusters(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("chain, triangle, singleton-pair components label to their minimum") {
+    // chain 1-2-3-4 (worst-case diameter), triangle 10-11-12, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    val got = clusterMap(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L)
+    assert(got === want)
+  }
+
+  test("long path converges (O(log n) rounds, not diameter) and labels exactly") {
+    // a 200-node path: naive propagation would need ~200 rounds; the
+    // star contraction must finish well inside the 50-round cap.
+    val pairs = (1L until 200L).map(i => (i, i + 1))
+    val got = clusterMap(pairs)
+    assert(got.size === 200 && got.values.forall(_ == 1L))
+  }
+
+  test("matches union-find on randomized graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 5) {
+      val n = 40
+      val pairs = (1 to 60).map { _ =>
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (a, b)
+      }.filter(p => p._1 != p._2)
+      assert(clusterMap(pairs) === unionFindLabels(pairs))
+    }
+  }
+
+  test("direction and duplication of input pairs don't matter") {
+    val got = clusterMap(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("simhashPairs: identical docs at hamming 0, unrelated docs absent") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // identical -> hamming 0
+      (3L, "totally different words entirely unrelated content here today"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 16, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L),
+      s"identical pair missing: ${pairs.mkString(",")}")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L),
+      s"unrelated doc paired: ${pairs.mkString(",")}")
+  }
+
+  test("simhashPairs banding finds every pair under the hamming cap (pigeonhole)") {
+    // brute-force cross-check on a small random corpus
+    val rnd = new scala.util.Random(7)
+    val words = Array("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val docs = (1L to 30L).map(i =>
+      (i, (0 until 12).map(_ => words(rnd.nextInt(words.length))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (for {
+      a <- sigs.keys; b <- sigs.keys if a < b
+      h = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if h <= 2
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", 16, 4, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+  }
+
+  test("keepClusterRepresentatives keeps cluster minima plus unpaired docs") {
+    val docs = Seq((1L, "a"), (2L, "a dup"), (3L, "a dup2"),
+      (7L, "unpaired"), (10L, "b"), (11L, "b dup")).toDF("doc_id", "text")
+    val clusters = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    val kept = Dedup.keepClusterRepresentatives(docs, "doc_id", clusters)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 7L, 10L))
+  }
+}

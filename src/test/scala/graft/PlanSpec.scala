@@ -69,6 +69,27 @@ class PlanSpec extends SparkTestBase {
       "boundary attach not broadcast")
   }
 
+  test("t5: the vocabulary IDF table attaches via broadcast, term counts never shuffle twice") {
+    val plan = planOf("t5_tfidf")
+    assert(plan.contains("BroadcastHashJoin"), "IDF attach not broadcast")
+    assert(!plan.contains("CartesianProduct"), "tfidf degenerated to a cartesian")
+  }
+
+  test("t7: the bench shingle set attaches via broadcast semi-join") {
+    val plan = planOf("t7_contamination")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      "bench shingles not a broadcast semi-join")
+  }
+
+  test("dd8/dd10: clustering and simhash pairing never cross-join the corpus") {
+    for (q <- Seq("dd8_dup_clusters", "dd10_simhash_dups")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q plan contains a product join")
+    }
+  }
+
   test("scan prunes columns to the read schema") {
     val plan = planOf("f10_pushdown_scan")
     // only the needed lineitem columns should be read

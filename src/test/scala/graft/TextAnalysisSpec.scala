@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TextAnalysis
+
+/** TF-IDF salient terms and deterministic stratified sampling. */
+class TextAnalysisSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("tfIdfTopK: corpus-unique terms outrank ubiquitous ones") {
+    val docs = Seq(
+      (1L, "the cat sat on a mat"),
+      (2L, "the dog sat on a log"),
+      (3L, "the bird flew over a rainbow")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 2)
+    // every term here has tf=1, so ranking is pure idf: the winner in
+    // each doc must be a corpus-unique term (df=1), never "the"/"a"
+    // (df=3) or "sat"/"on" (df=2).
+    val winners = top.filter(col("rk") === 1).select("df").as[Long].collect()
+    assert(winners.forall(_ == 1L), s"non-unique term won: ${winners.mkString(",")}")
+    // every doc gets exactly k rows when it has >= k distinct terms
+    assert(top.groupBy("doc_id").count().select("count").as[Long].collect()
+      .forall(_ == 2L))
+    // df is corpus-wide: "sat" is in docs 1 and 2
+    val dfSat = top.filter(col("term") === "sat").select("df").as[Long].collect()
+    assert(dfSat.forall(_ == 2L))
+  }
+
+  test("tfIdfTopK is deterministic across reruns") {
+    val docs = (1L to 50L).map(i =>
+      (i, s"alpha beta w$i w${i % 7} gamma")).toDF("doc_id", "text")
+    val a = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "rk").collect().toSeq
+    val b = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 3)
+      .orderBy("doc_id", "rk").collect().toSeq
+    assert(a === b)
+  }
+
+  test("contaminationScan: overlap counts, ratio, and zero for clean/short docs") {
+    val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the quick brown fox sleeps"),    // shares 2 of its 3 trigrams
+      (2L, "completely clean document text today"), // 0 overlap
+      (3L, "too short")).toDF("doc_id", "text")     // no trigrams at all
+    val got = graft.operators.Dedup
+      .contaminationScan(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // doc 1: trigrams {the quick brown, quick brown fox, brown fox sleeps};
+    // bench has the first two -> 2/3
+    assert(got(1L)._1 === 3L && got(1L)._2 === 2L)
+    assert(math.abs(got(1L)._3 - 0.666667) < 1e-6)
+    assert(got(2L) === ((3L, 0L, 0.0)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+  }
+
+  test("stratifiedSample: exact ceil quota per stratum, deterministic membership") {
+    val docs = ((1L to 40L).map((_, "en")) ++ (41L to 50L).map((_, "fr")))
+      .toDF("doc_id", "lang")
+    val s1 = TextAnalysis.stratifiedSample(docs, "doc_id", "lang", 0.25)
+    val counts = s1.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts === Map("en" -> 10L, "fr" -> 3L)) // ceil(0.25*40), ceil(0.25*10)
+    // same rows on rerun (SHA order, no RNG)
+    val ids1 = s1.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextAnalysis.stratifiedSample(docs, "doc_id", "lang", 0.25)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+    // schema passes through untouched
+    assert(s1.columns.toSeq === Seq("doc_id", "lang"))
+  }
+}
