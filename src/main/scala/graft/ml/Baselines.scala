@@ -69,10 +69,18 @@ object Baselines {
     val blocks = quotas.scanLeft(("", 0L, 0L)) { case ((_, _, hi), (c, q)) =>
       (c, hi, hi + q)
     }.drop(1).toDF("y_pred", "lo", "hi")
+    // materialize the range partitioning ONCE: RangePartitioning derives
+    // its bounds from a sample seeded by the RDD id, so two executions of
+    // the same plan may split ranges differently — and the per-partition
+    // offsets computed below are only valid against the exact partitioning
+    // the final join reads. Without this checkpoint the offsets job and
+    // the assignment job can see different boundaries, corrupting the
+    // global rank (observed as wrong quota blocks at sf0.1).
     val keyed = validation
       .withColumn("__k", sha2(col(idCol).cast("string"), 256))
       .repartitionByRange(col("__k"), col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(eager = true)
     val offsets = keyed.groupBy("__pid").count().collect()
       .map(r => r.getAs[Int]("__pid") -> r.getAs[Long]("count")).sortBy(_._1)
       .scanLeft((0, 0L)) { case ((_, acc), (pid, c)) => (pid, acc + c) }

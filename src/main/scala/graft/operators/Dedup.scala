@@ -339,14 +339,17 @@ object Dedup {
         .select(col("v").as("hi"), col("m").as("lo"))
         .distinct()
         .localCheckpoint(eager = true)
-      // fixpoint = edge set unchanged. Exact set equality in ONE
-      // aggregation: both sides are distinct, so equal sets make every
-      // (hi, lo) appear exactly twice in the union — any count != 2 is a
-      // difference. (At cluster scale the same check is a changed-row
-      // accumulator inside the round's own shuffle.)
-      converged = small.union(edges)
-        .groupBy("hi", "lo").count()
-        .filter(col("count") =!= 2).isEmpty
+      // fixpoint = edge set unchanged. Fast path: differing cardinality
+      // (a near-free count on the checkpointed frames) proves non-
+      // convergence without any shuffle; only equal counts pay the exact
+      // check — ONE aggregation: both sides are distinct, so equal sets
+      // make every (hi, lo) appear exactly twice in the union, and any
+      // count != 2 is a difference. (At cluster scale the same check is
+      // a changed-row accumulator inside the round's own shuffle.)
+      converged = small.count() == edges.count() &&
+        small.union(edges)
+          .groupBy("hi", "lo").count()
+          .filter(col("count") =!= 2).isEmpty
       edges = small
       round += 1
     }
