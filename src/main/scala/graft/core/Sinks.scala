@@ -20,19 +20,29 @@ object Sinks {
     * filesystem metadata operation — the visible file is never partial. */
   def atomicCsv(df: DataFrame, target: String): Unit = {
     val spark = df.sparkSession
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the fs FROM the target path (FileSystem.get would bind the
+    // default fs and silently fail cross-fs renames)
+    val tgt = new Path(target)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmpDir = new Path(target + ".__tmp__")
     df.coalesce(1).write.mode("overwrite")
       .option("header", "true").csv(tmpDir.toString)
     val part = fs.globStatus(new Path(tmpDir, "part-*"))(0).getPath
-    val tgt = new Path(target)
-    if (fs.exists(tgt)) {
-      val prev = new Path(target + ".prev")
-      if (fs.exists(prev)) fs.delete(prev, false)
-      fs.rename(tgt, prev)
-    }
-    fs.rename(part, tgt)
+    backupAndRename(fs, part, tgt)
     fs.delete(tmpDir, true)
+  }
+
+  /** Shared: back up any existing target as `.prev`, then rename the
+    * fresh file into place — CHECKING each rename (Hadoop rename reports
+    * failure by boolean, not exception; ignoring it can silently leave
+    * no target at all after the backup step moved the live file away). */
+  private def backupAndRename(fs: FileSystem, fresh: Path, tgt: Path): Unit = {
+    if (fs.exists(tgt)) {
+      val prev = new Path(tgt.toString + ".prev")
+      if (fs.exists(prev)) fs.delete(prev, false)
+      require(fs.rename(tgt, prev), s"backup rename failed: $tgt -> $prev")
+    }
+    require(fs.rename(fresh, tgt), s"rename failed: $fresh -> $tgt")
   }
 
   /** Atomic small-text artifact sink (cv_summary.json / RUN_REPORT.md —
@@ -41,18 +51,13 @@ object Sinks {
     * target as `.prev`, rename into place. */
   def atomicText(spark: org.apache.spark.sql.SparkSession, target: String,
                  content: String): Unit = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val tgt = new Path(target)
+    val fs = tgt.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(target + ".__tmp__")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val tgt = new Path(target)
-    if (fs.exists(tgt)) {
-      val prev = new Path(target + ".prev")
-      if (fs.exists(prev)) fs.delete(prev, false)
-      fs.rename(tgt, prev)
-    }
-    fs.rename(tmp, tgt)
+    backupAndRename(fs, tmp, tgt)
   }
 
   /** Scale-path sink: parquet partitioned by the given columns (snapshot /

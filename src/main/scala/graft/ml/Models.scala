@@ -87,6 +87,8 @@ object Models {
     val statRow = train.agg(statAggs.head, statAggs.tail: _*).head()
     require(!statRow.isNullAt(0), "logisticRegressionGD: empty train fold")
     val stats = features.indices.map { i =>
+      require(!statRow.isNullAt(2 * i),
+        s"logisticRegressionGD: feature ${features(i)} is all-null in the train fold")
       val m = statRow.getDouble(2 * i)
       val s0 = if (statRow.isNullAt(2 * i + 1)) 0.0 else statRow.getDouble(2 * i + 1)
       (m, if (s0 == 0.0 || s0.isNaN) 1.0 else s0)

@@ -303,11 +303,15 @@ object Dedup {
     *        a partially-contracted (wrong) labeling. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                   maxRounds: Int = 50): DataFrame = {
-    // canonical undirected edges (hi > lo), lineage cut per round — the
+    // canonical undirected edges (hi > lo) in the ids' NATIVE type — a
+    // cast to long would silently null out string/UUID ids and return an
+    // empty clustering; any orderable id type works for min-labeling.
+    // Null ids are dropped explicitly. Lineage cut per round — the
     // iterated-plan pattern of Impute.iterativeRidgeImpute.
     var edges = pairs
-      .select(greatest(col(idA), col(idB)).cast("long").as("hi"),
-        least(col(idA), col(idB)).cast("long").as("lo"))
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
+      .select(greatest(col(idA), col(idB)).as("hi"),
+        least(col(idA), col(idB)).as("lo"))
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(eager = true)
@@ -483,21 +487,22 @@ object Dedup {
       .repartition(par)
       .select(explode(shingles(col(benchTextCol), shingleK)).as("s"))
       .distinct()
-    val corpusShingles = corpus
+    // ONE shingle build over the corpus (the 100-TB side): explode_outer
+    // keeps shingle-less docs as a null row, the broadcast LEFT join
+    // marks bench hits (bench shingles are distinct, so no row
+    // multiplication), and a single aggregation counts both the doc's
+    // shingles (non-null s) and its overlaps (matched hits).
+    val exploded = corpus
       .repartition(par)
       .select(col(idCol), explode_outer(
         array_distinct(shingles(col(textCol), shingleK))).as("s"))
-    val counts = corpusShingles
-      .join(broadcast(benchShingles), Seq("s"), "left_semi")
-      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
-    corpus.select(col(idCol),
-        size(array_distinct(shingles(col(textCol), shingleK))).cast("long")
-          .as("n_shingles"))
-      .join(counts, Seq(idCol), "left")
-      .select(col(idCol), col("n_shingles"),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+    exploded
+      .join(broadcast(benchShingles.withColumn("__hit", lit(1))), Seq("s"), "left")
+      .groupBy(idCol)
+      .agg(count(col("s")).as("n_shingles"), count(col("__hit")).as("n_overlap"))
+      .select(col(idCol), col("n_shingles"), col("n_overlap"),
         when(col("n_shingles") > 0,
-          round(coalesce(col("n_overlap"), lit(0L)).cast("double") / col("n_shingles"), 6))
+          round(col("n_overlap").cast("double") / col("n_shingles"), 6))
           .otherwise(0.0).as("contamination"))
   }
 

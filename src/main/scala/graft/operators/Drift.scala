@@ -77,15 +77,16 @@ object Drift {
       .otherwise(least(greatest(series, lit(0.0)), lit(1.0)))
   }
 
-  /** scipy `ks_2samp` method='auto' selection: the exact small-sample
-    * p-value ([[graft.functions.KsExactPValue]], the Hodges path-count
-    * scipy uses) whenever the total sample fits the exact cap, else the
-    * asymptotic series. The reference's ±14-day boundary windows always
-    * take the exact branch, as scipy does. */
+  /** scipy `ks_2samp` method='auto' selection, replicated exactly: the
+    * exact p-value ([[graft.functions.KsExactPValue]], the Hodges
+    * path-count scipy uses) while max(n1, n2) <= 10000 (scipy's
+    * MAX_AUTO_N — the rescaled DP makes the whole range computable),
+    * else the asymptotic series. The reference's ±14-day boundary
+    * windows always take the exact branch, as scipy does. */
   def ksPValueAuto(d: org.apache.spark.sql.Column,
                    nA: org.apache.spark.sql.Column,
                    nB: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(nA + nB <= lit(graft.functions.KsExactPValue.ExactLimit),
+    when(greatest(nA, nB) <= lit(graft.functions.KsExactPValue.ExactLimit),
       graft.functions.KsExactPValue(nA, nB, d))
       .otherwise(ksPValue(d, nA, nB))
 

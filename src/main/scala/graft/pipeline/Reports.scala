@@ -88,10 +88,14 @@ object Reports {
     val spans = pred.groupBy(col(foldCol).as("fold_id"))
       .agg(min(col(dateCol)).as("val_start"), max(col(dateCol)).as("val_end"),
         count(lit(1)).as("n_val"))
-    val w = Window.orderBy("fold_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // n_train = all non-validation rows (run_full_pipeline.py:1265 builds
+    // train_idx = every index not in val_idx — NOT an expanding window),
+    // computed as total - n_val over the folds frame (folds tile the
+    // sample range, so the fold n_val sum is n_samples).
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     spans.join(metrics, Seq("fold_id"))
-      .withColumn("n_train", coalesce(sum(col("n_val")).over(w), lit(0L)))
+      .withColumn("n_train", sum(col("n_val")).over(wAll) - col("n_val"))
       .select(col("fold_id"), col("val_start"), col("val_end"),
         col("n_train"), col("n_val"),
         round(col("f1_macro_raw"), 6).as("f1_macro"),
@@ -346,8 +350,11 @@ object Reports {
       b += ""
       b += s"- **Days with meds data**: $medN / $nDays (${pct(medN, nDays)}%)"
       b += s"- **Days with med_any=1**: ${r.getAs[Long]("med_taken")}"
-      if (cols.contains("med_event_count"))
-        b += s"- **Total medication events**: ${r.getAs[Number]("med_events").longValue()}"
+      if (cols.contains("med_event_count")) {
+        // sum() over an all-null (or empty) column returns null
+        val me = Option(r.getAs[Number]("med_events")).fold(0L)(_.longValue())
+        b += s"- **Total medication events**: $me"
+      }
       b += ""
     }
     if (cols.contains("hrv_sdnn_mean")) {

@@ -231,7 +231,8 @@ object EventQueries {
 
     // M6/stage-6 artifact core: the per-fold metrics frame written into
     // cv_summary.json's `folds` list — macro-F1, balanced accuracy and
-    // Cohen's kappa per calendar fold, with expanding n_train.
+    // Cohen's kappa per calendar fold; n_train = all non-validation rows
+    // (run_full_pipeline.py:1265).
     "m6_cv_folds" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       val withDate = ev(s, dir).withColumn("date", to_date(col("ts")))
@@ -620,8 +621,7 @@ object EventQueries {
         |    count(*) AS n_val
         |  FROM pred GROUP BY 1)
         |SELECT s.fold_id, s.val_start, s.val_end,
-        |  CAST(coalesce(sum(s.n_val) OVER (ORDER BY s.fold_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_train,
+        |  CAST(sum(s.n_val) OVER () - s.n_val AS BIGINT) AS n_train,
         |  CAST(s.n_val AS BIGINT) AS n_val,
         |  round(f.f1_raw, 6) AS f1_macro,
         |  round(f.ba_raw, 6) AS balanced_accuracy,

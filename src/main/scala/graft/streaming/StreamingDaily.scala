@@ -92,6 +92,21 @@ object StreamingDaily {
       Some(SessionOut(uid, st.sessionId, st.count, st.sum, closed = false))
     else None
 
+  /** Pure timeout transition: (next state, emission). An open session
+    * flushes to a TOMBSTONE that preserves the session counter (count =
+    * 0) instead of removing state outright — removal would restart the
+    * per-key numbering at 1 and a resumed key would emit duplicate
+    * (user_id, session_id) rows. Only a second consecutive idle timeout
+    * (state already a tombstone: nothing left to flush) reclaims the
+    * state; a key silent for two idle periods restarts numbering, which
+    * is the documented bound of the id contract. */
+  def sessionTimeout(uid: Long, st: SessionState)
+      : (Option[SessionState], Option[SessionOut]) =
+    if (st.count > 0)
+      (Some(SessionState(st.sessionId, st.lastEpoch, 0L, 0.0)),
+        sessionFlush(uid, st))
+    else (None, None)
+
   /** `idleTimeout`: with None, emission is purely event-driven — a key's
     * final session stays open in state until a later event closes it
     * (deterministic in tests). With Some(duration), a
@@ -111,9 +126,14 @@ object StreamingDaily {
       .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
         (uid: Long, rows: Iterator[SessionEvent], state: GroupState[SessionState]) => {
           if (state.hasTimedOut) {
-            val st = state.get
-            state.remove()
-            sessionFlush(uid, st).iterator
+            val (next, out) = sessionTimeout(uid, state.get)
+            next match {
+              case Some(tomb) =>
+                state.update(tomb)
+                idleTimeout.foreach(state.setTimeoutDuration)
+              case None => state.remove()
+            }
+            out.iterator
           } else {
             val (st, out) = sessionStep(uid, rows.toSeq, state.getOption, gapSeconds)
             state.update(st)

@@ -116,6 +116,30 @@ class DriftDedupSpec extends SparkTestBase {
     assert(math.abs(p1 - 2.0 / 252.0) < 1e-12, s"p(D>=1)=$p1")
   }
 
+  test("D2 exact KS: rescaled large-sample branch is continuous with the raw branch") {
+    import graft.functions.KsExactPValue
+    // totals 1000 vs 1002 straddle the unscaled/rescaled branch switch;
+    // the p-value is continuous in n, so adjacent sizes must agree closely
+    for (d <- Seq(0.05, 0.08, 0.12)) {
+      val pSmall = KsExactPValue.pValue(500, 500, d) // raw path counts
+      val pBig = KsExactPValue.pValue(501, 501, d)   // rescaled DP
+      assert(math.abs(pSmall - pBig) < 5e-3, s"d=$d: $pSmall vs $pBig")
+    }
+    // mid-size windows (the scipy-auto region the asymptotic form used to
+    // take): exact and asymptotic agree to the series' accuracy there
+    val dMid = 0.06
+    val pExact = KsExactPValue.pValue(1500, 1500, dMid)
+    val lam = dMid * math.sqrt(1500.0 * 1500.0 / 3000.0)
+    val pAsym = 2.0 * (1 to 100).map(j =>
+      math.pow(-1.0, j - 1) * math.exp(-2.0 * j * j * lam * lam)).sum
+    assert(pExact > 0 && pExact < 1)
+    assert(math.abs(pExact - math.min(1.0, pAsym)) < 0.02,
+      s"exact=$pExact asym=$pAsym")
+    // degenerate large-sample cases stay exact
+    assert(KsExactPValue.pValue(2000, 2000, 0.0) === 1.0)
+    assert(KsExactPValue.pValue(1200, 1200, 1.0) < 1e-9)
+  }
+
   test("dd7 fused lshVerifiedPairs == composed signature->candidates->verify") {
     val rnd = new scala.util.Random(11)
     val vocab = (1 to 80).map(i => s"w$i")

@@ -62,6 +62,15 @@ class DupClusterSpec extends SparkTestBase {
     }
   }
 
+  test("string ids cluster in their native type (no silent null cast)") {
+    val got = Dedup.dupClusters(
+      Seq(("doc-b", "doc-a"), ("doc-b", "doc-c"), ("doc-x", "doc-y"))
+        .toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === Map("doc-a" -> "doc-a", "doc-b" -> "doc-a",
+      "doc-c" -> "doc-a", "doc-x" -> "doc-x", "doc-y" -> "doc-x"))
+  }
+
   test("direction and duplication of input pairs don't matter") {
     val got = clusterMap(Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 2L), (2L, 3L)))
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

@@ -80,10 +80,10 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "tfidf degenerated to a cartesian")
   }
 
-  test("t7: the bench shingle set attaches via broadcast semi-join") {
+  test("t7: the bench shingle set attaches via a broadcast join") {
     val plan = planOf("t7_contamination")
-    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
-      "bench shingles not a broadcast semi-join")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftOuter"),
+      "bench shingles not a broadcast left join")
   }
 
   test("dd10: the simhash band join is an equi-join, never a product") {

@@ -27,7 +27,7 @@ class ReportsSpec extends SparkTestBase {
     assert(f0.getAs[Double]("f1_macro") === 1.0)
     assert(f0.getAs[Double]("balanced_accuracy") === 1.0)
     assert(f0.getAs[Double]("cohen_kappa") === 1.0)
-    assert(f0.getAs[Long]("n_train") === 0L)
+    assert(f0.getAs[Long]("n_train") === 10L) // all non-val rows (20 - 10)
     assert(f0.getAs[Long]("n_val") === 10L)
     val f1 = out(1)
     // all-"a" predictions on a 50/50 split: recall a=1, b=0 -> BA=0.5;
@@ -35,7 +35,7 @@ class ReportsSpec extends SparkTestBase {
     assert(math.abs(f1.getAs[Double]("f1_macro") - 0.333333) <= 1e-6)
     assert(math.abs(f1.getAs[Double]("balanced_accuracy") - 0.5) <= 1e-6)
     assert(math.abs(f1.getAs[Double]("cohen_kappa")) <= 1e-6)
-    assert(f1.getAs[Long]("n_train") === 10L)
+    assert(f1.getAs[Long]("n_train") === 10L) // 20 - n_val
   }
 
   test("cv_summary.json: reference key set, deterministic rendering, mean/std") {

@@ -104,6 +104,23 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(st2.sessionId === 2L && st2.count === 1L)
   }
 
+  test("streaming W4: timeout tombstone preserves session numbering; second timeout reclaims") {
+    import StreamingDaily.{sessionStep, sessionTimeout, SessionState}
+    val (st1, _) = sessionStep(1L, Seq(
+      SessionEvent(1L, ts("2024-01-01 08:00:00"), 1.0)), None, gapSeconds = 3600)
+    assert(st1.sessionId === 1L)
+    // first timeout: session 1 flushes, counter survives in a tombstone
+    val (tomb, out) = sessionTimeout(1L, st1)
+    assert(out === Some(StreamingDaily.SessionOut(1L, 1L, 1L, 1.0, closed = false)))
+    assert(tomb.exists(t => t.sessionId === 1L && t.count === 0L))
+    // the key resumes: the next session is 2, NOT a duplicate 1
+    val (st2, out2) = sessionStep(1L,
+      Seq(SessionEvent(1L, ts("2024-01-01 12:00:00"), 5.0)), tomb, 3600)
+    assert(out2.isEmpty && st2.sessionId === 2L && st2.count === 1L)
+    // second consecutive timeout on a tombstone: nothing to flush, state dropped
+    assert(sessionTimeout(1L, tomb.get) === ((None, None)))
+  }
+
   test("streaming dedup: first arrival kept, later duplicates dropped across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long, String)]
