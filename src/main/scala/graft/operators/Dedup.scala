@@ -326,11 +326,13 @@ object Dedup {
         .union(edges.select(col("lo").as("u"), col("hi").as("v")))
       val mins = sym.groupBy("u").agg(min("v").as("mn"))
         .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // no distinct here: duplicate edges don't change small-star's min
+      // aggregation, and its own distinct dedupes the round's output —
+      // dropping the extra shuffle per round
       val large = sym.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("v").as("hi"), col("m").as("lo"))
         .filter(col("hi") =!= col("lo"))
-        .distinct()
       // small-star: for every node u, link each SMALLER neighbor (and u
       // itself) to the minimum of u's smaller neighborhood. On canonical
       // (hi, lo) edges the smaller neighborhood of hi is exactly its lo

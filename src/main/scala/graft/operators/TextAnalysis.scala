@@ -180,6 +180,43 @@ object TextAnalysis {
         col("tfidf"), col("rk"))
   }
 
+  /** Unigram language-model quality score — the degenerate (but honest)
+    * form of the ccnet-style LM filter an LLM data pipeline runs: score
+    * each document by the mean log-probability of its tokens under the
+    * corpus's own unigram distribution, add-one smoothed. Rare-garbage
+    * documents score low; in-distribution text scores high.
+    *
+    * Scale shape: token counts are one aggregation on the term key; the
+    * unigram table is vocabulary-sized and re-attaches broadcast onto the
+    * exploded corpus; the per-doc mean is one aggregation on the doc id.
+    * Smoothing keeps out-of-vocabulary tokens finite, so the model table
+    * can also be FIT on a sample and APPLIED to the full corpus.
+    * Returns (id, n_tokens, avg_logp) with avg_logp = mean over tokens of
+    * ln((count(token) + 1) / (total_tokens + vocab)), rounded; docs with
+    * no tokens get null avg_logp. */
+  def unigramLogProb(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val exploded = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val model = exploded.groupBy("term").agg(count(lit(1)).as("cnt"))
+    // two scalars (total token count, vocabulary size) — the A13-style
+    // two-phase pattern; both are single-row aggregates of the model
+    val totals = model.agg(sum("cnt"), count(lit(1))).head()
+    val total = totals.getLong(0)
+    val vocab = totals.getLong(1)
+    val scored = exploded.join(broadcast(model), "term")
+      .withColumn("logp",
+        log((col("cnt") + 1.0) / lit(total.toDouble + vocab)))
+    docs.select(col(idCol))
+      .join(scored.groupBy(idCol)
+          .agg(count(lit(1)).as("n_tokens"),
+            graft.functions.Canon.round(avg(col("logp")), 6).as("avg_logp")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logp"))
+  }
+
   /** Deterministic stratified corpus sample: within each stratum, rank
     * rows by SHA-256 of the id (a portable, seedless "random" order that
     * any engine reproduces) and keep ceil(frac × stratum size). The

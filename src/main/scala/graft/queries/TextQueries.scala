@@ -194,6 +194,11 @@ object TextQueries {
       TextAnalysis.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang", 0.25)
         .select("doc_id", "lang", "source")),
 
+    // Unigram-LM quality score: mean token log-prob under the corpus's
+    // own add-one-smoothed unigram model (broadcast vocabulary attach).
+    "t8_unigram_lm" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
     // C7/C10: string ops + crypto hash projection.
     "c7_strings" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -403,6 +408,22 @@ object TextQueries {
           |    count(*) OVER (PARTITION BY lang) AS n
           |  FROM documents)
           |SELECT doc_id, lang, source FROM ranked WHERE rk <= ceil(0.25 * n)""".stripMargin,
+
+      "t8_unigram_lm" ->
+        """WITH ex AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+          |  FROM documents),
+          |exf AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+          |model AS (SELECT term, count(*) AS cnt FROM exf GROUP BY 1),
+          |tot AS (SELECT sum(cnt) AS total, count(*) AS vocab FROM model),
+          |scored AS (
+          |  SELECT e.doc_id, ln((m.cnt + 1.0) / (t.total + t.vocab)) AS logp
+          |  FROM exf e JOIN model m USING (term) CROSS JOIN tot t),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logp
+          |  FROM scored GROUP BY 1)
+          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.avg_logp
+          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
       "mm1_features" -> {
         def fold(j: Int) =

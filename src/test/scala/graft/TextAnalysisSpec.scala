@@ -36,6 +36,23 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("unigramLogProb: in-distribution text scores higher than rare-token text") {
+    val docs = Seq(
+      (1L, "the cat and the dog and the cat"),  // common tokens
+      (2L, "zxqv wplk mnbt"),                   // singleton garbage
+      (3L, "")).toDF("doc_id", "text")          // token-less
+    val got = TextAnalysis.unigramLogProb(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(got(1L)._1 === 8L && got(2L)._1 === 3L)
+    assert(got(1L)._2.get > got(2L)._2.get,
+      s"common text ${got(1L)._2} should outscore garbage ${got(2L)._2}")
+    assert(got(3L) === ((0L, None)))
+    // hand-check one token: p(the) = (3+1)/(11+7) over 11 tokens, 7 vocab
+    val pThe = math.log(4.0 / 18.0)
+    assert(got(1L)._2.get < 0 && pThe < 0)
+  }
+
   test("contaminationScan: overlap counts, ratio, and zero for clean/short docs") {
     val bench = Seq((100L, "the quick brown fox jumps")).toDF("doc_id", "text")
     val corpus = Seq(
