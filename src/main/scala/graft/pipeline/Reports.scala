@@ -397,7 +397,13 @@ object Reports {
       }
       if (s.classDistribution.nonEmpty) {
         b += "**Class Distribution:**"
-        s.classDistribution.sortBy(_._1.toDouble).foreach { case (cls, cnt) =>
+        // numeric labels (the reference's som -1/0/1) sort by value;
+        // non-numeric labels fall back to lexical order instead of
+        // crashing the renderer
+        s.classDistribution.sortBy { case (cls, _) =>
+          scala.util.Try(cls.toDouble).toOption
+            .fold((1, 0.0, cls))(d => (0, d, cls))
+        }.foreach { case (cls, cnt) =>
           b += s"- Class $cls: $cnt"
         }
         b += ""
@@ -413,5 +419,62 @@ object Reports {
       }
     }
     b.result().mkString("\n") + "\n"
+  }
+
+  /** End-to-end stage 6-9 artifact writer — the reference's
+    * `run_full_pipeline` output contract in one call
+    * (run_full_pipeline.py:1334-1359, 2220-2228). Computes the per-fold /
+    * per-class metric frames from the fold predictions and writes
+    *
+    *   outDir/cv_summary.json
+    *   outDir/confusion_matrices/cm_<model>_<target>.json
+    *   outDir/metrics/per_class_<model>_<target>.csv
+    *   outDir/baseline_comparisons/baseline_comparison_<target>.csv (when
+    *     baseline perFoldMetrics frames are supplied; the model's own row
+    *     leads, as the reference writes it)
+    *   outDir/RUN_REPORT.md
+    *
+    * through the atomic `.prev`-backed text sink. Distributed discipline:
+    * every write collects only fold-count- or class-count-sized frames;
+    * the daily/prediction frames are aggregated in Spark first. Returns
+    * the CvSummary so callers can assert on the numbers without
+    * re-reading the JSON. */
+  def writeArtifacts(labeled: DataFrame, pred: DataFrame, foldCol: String,
+                     truthCol: String, predCol: String, dateCol: String,
+                     classes: Seq[String], model: String, featureSet: String,
+                     target: String, nFeatures: Int, participant: String,
+                     snapshot: String, stagesExecuted: String,
+                     generatedAt: String, outDir: String,
+                     ablationReference: String = "",
+                     baselines: Seq[(String, String, DataFrame)] = Nil,
+                     warnings: Seq[String] = Nil): CvSummary = {
+    val spark = pred.sparkSession
+    val perFold = perFoldMetrics(pred, foldCol, truthCol, predCol, dateCol, classes)
+    val dist = pred.groupBy(truthCol).count().orderBy(truthCol)
+      .collect().toSeq.map(r => r.get(0).toString -> r.getAs[Long]("count"))
+    val summary = CvSummary(model, featureSet, target,
+      targetType = if (classes.length > 2) "multiclass" else "binary",
+      nClasses = classes.length, classDistribution = dist,
+      nSamples = pred.count(), nFeatures = nFeatures,
+      folds = collectFolds(perFold),
+      ablationReference = ablationReference, warnings = warnings)
+    graft.core.Sinks.atomicText(spark, s"$outDir/cv_summary.json",
+      cvSummaryJson(summary))
+    graft.core.Sinks.atomicText(spark,
+      s"$outDir/confusion_matrices/cm_${model}_$target.json",
+      confusionMatricesJson(pred, foldCol, truthCol, predCol, classes,
+        model, target))
+    graft.core.Sinks.atomicText(spark,
+      s"$outDir/metrics/per_class_${model}_$target.csv",
+      perClassCsv(perFoldClassMetrics(pred, foldCol, truthCol, predCol,
+        classes), model, target))
+    if (baselines.nonEmpty)
+      graft.core.Sinks.atomicText(spark,
+        s"$outDir/baseline_comparisons/baseline_comparison_$target.csv",
+        baselineComparisonCsv((model, "model", perFold) +: baselines, target))
+    graft.core.Sinks.atomicText(spark, s"$outDir/RUN_REPORT.md",
+      runReportMd(labeled, participant, snapshot, stagesExecuted,
+        generatedAt, Some(summary)))
+    summary
   }
 }

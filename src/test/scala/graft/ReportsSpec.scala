@@ -126,6 +126,40 @@ class ReportsSpec extends SparkTestBase {
     assert(math.abs(vals(3).toDouble - (1.0 + 0.333333) / 2) < 1e-6)
   }
 
+  test("writeArtifacts: the full stage 6-9 tree lands, parseable, numbers consistent") {
+    val dir = java.nio.file.Files.createTempDirectory("artifacts").toString
+    val labeled = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 1, -0.5),
+      (java.sql.Date.valueOf("2024-01-02"), 0, 0.2))
+      .toDF("date", "som_class_3", "pbsi_score")
+    val perFoldBaseline = Reports.perFoldMetrics(foldedPreds, "fold_id",
+      "y_true", "y_pred", "date", Seq("a", "b"))
+    val summary = Reports.writeArtifacts(labeled, foldedPreds, "fold_id",
+      "y_true", "y_pred", "date", Seq("a", "b"), "LogisticRegression",
+      "FS-B (Baseline + HRV)", "som_3class", nFeatures = 7,
+      participant = "P000001", snapshot = "2025-12-09",
+      stagesExecuted = "1-9", generatedAt = "2025-12-09 00:00:00",
+      outDir = dir,
+      baselines = Seq(("majority", "baseline", perFoldBaseline)))
+    def read(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/$p")))
+    val cv = read("cv_summary.json")
+    assert(cv.contains("\"cv_type\": \"temporal_2fold\"") &&
+      cv.contains("\"n_samples\": 20") && cv.contains("\"n_features\": 7"))
+    // n_train = all non-val rows: both folds 20 - 10 = 10
+    assert(cv.contains("\"n_train\": 10"))
+    assert(read("confusion_matrices/cm_LogisticRegression_som_3class.json")
+      .contains("\"n_folds\": 2"))
+    assert(read("metrics/per_class_LogisticRegression_som_3class.csv")
+      .startsWith("model,target,class_label"))
+    val bc = read("baseline_comparisons/baseline_comparison_som_3class.csv")
+      .trim.split("\n")
+    assert(bc.length === 3 && bc(1).startsWith("LogisticRegression,model") &&
+      bc(2).startsWith("majority,baseline"))
+    assert(read("RUN_REPORT.md").contains("P000001"))
+    assert(summary.folds.length === 2 && summary.nSamples === 20L)
+  }
+
   test("atomicText sink: writes content, keeps .prev backup on overwrite") {
     val dir = java.nio.file.Files.createTempDirectory("reports").toString
     val target = s"$dir/cv_summary.json"
