@@ -238,6 +238,31 @@ object TextAnalysis {
       .drop("rk", "quota")
   }
 
+  /** Deterministic sequence packing: assign documents to fixed
+    * token-budget shards — the chunk/shard assignment step of a
+    * training-data pipeline. Within each stratum (shards are built
+    * per-language/per-source in practice, which is also what keeps the
+    * window partitioned instead of global), documents take the portable
+    * SHA-256 order, and a document's shard is its exclusive cumulative
+    * token offset divided by the budget. Documents larger than the
+    * budget still get the shard where their offset lands (greedy
+    * first-fit-in-order, the standard approximation).
+    * Returns docs + (n_tokens, shard_id). */
+  def packIntoShards(docs: DataFrame, idCol: String, textCol: String,
+                     stratumCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgetTokens > 0, s"packIntoShards: budget $budgetTokens <= 0")
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens",
+        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+      .withColumn("shard_id",
+        floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
+          lit(budgetTokens)))
+  }
+
   /** Rolling polynomial fingerprint over per-token 28-bit hashes:
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
     * compact near-exact-dup document signature. */

@@ -199,6 +199,13 @@ object TextQueries {
     "t8_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Deterministic sequence packing: per-language 2000-token shards in
+    // SHA order (the training-data chunk assignment).
+    "t9_pack_shards" -> ((s, dir) =>
+      TextAnalysis.packIntoShards(Tables.documents(s, dir), "doc_id", "text",
+        "lang", 2000L)
+        .select("doc_id", "lang", "n_tokens", "shard_id")),
+
     // C7/C10: string ops + crypto hash projection.
     "c7_strings" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -408,6 +415,21 @@ object TextQueries {
           |    count(*) OVER (PARTITION BY lang) AS n
           |  FROM documents)
           |SELECT doc_id, lang, source FROM ranked WHERE rk <= ceil(0.25 * n)""".stripMargin,
+
+      "t9_pack_shards" ->
+        """WITH toks AS (
+          |  SELECT doc_id, lang,
+          |    len(list_filter(string_split_regex(lower(text), '\s+'), t -> t <> ''))
+          |      AS n_tokens
+          |  FROM documents),
+          |packed AS (
+          |  SELECT doc_id, lang, n_tokens,
+          |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+          |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+          |      AS BIGINT) AS shard_id
+          |  FROM toks)
+          |SELECT doc_id, lang, n_tokens, shard_id FROM packed""".stripMargin,
 
       "t8_unigram_lm" ->
         """WITH ex AS (

@@ -71,6 +71,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(got(3L) === ((0L, 0L, 0.0)))
   }
 
+  test("packIntoShards: budget respected at boundaries, deterministic, per-stratum") {
+    val docs = (1L to 20L).map(i => (i, "en", ("w " * 10).trim)) ++
+      (21L to 25L).map(i => (i, "fr", ("w " * 10).trim))
+    val df = docs.toDF("doc_id", "lang", "text")
+    val packed = TextAnalysis.packIntoShards(df, "doc_id", "text", "lang", 25L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3), r.getLong(4)))
+    // every doc is 10 tokens; budget 25 -> offsets 0,10,20,30,... ->
+    // shards 0,0,0,1,1,2,2,2,3,... (offset/25): sizes follow the greedy rule
+    val en = packed.filter(_._2 == "en")
+    assert(en.map(_._4).distinct.sorted.toSeq === (0L to 7L), // 20 docs * 10 tok / 25
+      s"en shards: ${en.map(_._4).distinct.sorted.mkString(",")}")
+    // fr packs independently from shard 0
+    assert(packed.filter(_._2 == "fr").map(_._4).min === 0L)
+    // deterministic across reruns
+    val again = TextAnalysis.packIntoShards(df, "doc_id", "text", "lang", 25L)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).toMap
+    assert(packed.map(p => p._1 -> p._4).toMap === again)
+    // per-shard token sums never exceed budget + one doc (greedy bound)
+    val perShard = en.groupBy(_._4).values.map(_.map(_._3).sum)
+    assert(perShard.forall(s => s <= 25L + 10L))
+  }
+
   test("stratifiedSample: exact ceil quota per stratum, deterministic membership") {
     val docs = ((1L to 40L).map((_, "en")) ++ (41L to 50L).map((_, "fr")))
       .toDF("doc_id", "lang")
