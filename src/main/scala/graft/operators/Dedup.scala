@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+import scala.jdk.CollectionConverters._
 import graft.functions.Canon.round
 import graft.functions.Hashing
 
@@ -298,11 +300,25 @@ object Dedup {
     * representative rule as [[exactDups]]. Unpaired documents are absent
     * (they are their own implicit singleton clusters).
     *
+    * Adaptive strategy (the broadcast-join-threshold pattern): the
+    * canonical edge list is materialized and counted once anyway; when it
+    * fits comfortably on the driver (`localSolveMaxEdges`, default 1M
+    * edges ≈ tens of MB) the components are solved with a single-pass
+    * union-find instead of paying log-n rounds of shuffle stages — near-dup
+    * graphs are SPARSE relative to the corpus, so even 100-TB corpora
+    * often land under the threshold after verification. Above it, the
+    * star contraction runs unchanged. Both paths produce the identical
+    * min-label result (spec cross-checks them).
+    *
     * @param maxRounds hard stop; convergence is typically < 10 rounds.
     *        Non-convergence within the cap throws rather than returning
-    *        a partially-contracted (wrong) labeling. */
+    *        a partially-contracted (wrong) labeling.
+    * @param localSolveMaxEdges edge-count threshold below which the
+    *        component solve happens on the driver; 0 forces the
+    *        distributed star contraction. */
   def dupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                  maxRounds: Int = 50): DataFrame = {
+                  maxRounds: Int = 50,
+                  localSolveMaxEdges: Long = 1L << 20): DataFrame = {
     // canonical undirected edges (hi > lo) in the ids' NATIVE type — a
     // cast to long would silently null out string/UUID ids and return an
     // empty clustering; any orderable id type works for min-labeling.
@@ -315,6 +331,7 @@ object Dedup {
       .filter(col("hi") =!= col("lo"))
       .distinct()
       .localCheckpoint(eager = true)
+    if (edges.count() <= localSolveMaxEdges) return localUnionFind(edges)
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
@@ -368,6 +385,46 @@ object Dedup {
     edges.select(col("hi").as("id"), col("lo").as("cluster_id"))
       .union(edges.select(col("lo").as("id"), col("lo").as("cluster_id")))
       .distinct()
+  }
+
+  /** Total order matching Spark's `least`/`min` (and DuckDB `min`) for the
+    * id types that reach [[dupClusters]]: strings compare by UTF-8 bytes
+    * (UTF8String / binary collation), everything else by its natural
+    * Comparable order. */
+  private def cmpId(a: Any, b: Any): Int = (a, b) match {
+    case (x: String, y: String) =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    case (x, y) => x.asInstanceOf[Comparable[Any]].compareTo(y)
+  }
+
+  /** Driver-side solve for the small-graph branch of [[dupClusters]]:
+    * union-find where the smaller root always absorbs the larger, so each
+    * final root IS its component's minimum — no relabeling pass. Input is
+    * the canonical (hi, lo) edge frame already bounded by the caller. */
+  private def localUnionFind(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    val idType = edges.schema("hi").dataType
+    val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x // path compression
+      while (parent(c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    edges.collect().foreach { row =>
+      val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+      if (ra != rb) {
+        if (cmpId(ra, rb) < 0) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val out = parent.keysIterator
+      .map(id => Row(id, find(id))).toSeq.asJava
+    val schema = StructType(Seq(
+      StructField("id", idType), StructField("cluster_id", idType)))
+    spark.createDataFrame(out, schema)
   }
 
   /** One-representative-per-cluster corpus filter: keeps the cluster

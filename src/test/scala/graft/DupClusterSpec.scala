@@ -28,8 +28,10 @@ class DupClusterSpec extends SparkTestBase {
     }
   }
 
-  private def clusterMap(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.dupClusters(pairs.toDF("id_a", "id_b"))
+  private def clusterMap(pairs: Seq[(Long, Long)],
+                         localSolveMaxEdges: Long = 1L << 20): Map[Long, Long] =
+    Dedup.dupClusters(pairs.toDF("id_a", "id_b"),
+        localSolveMaxEdges = localSolveMaxEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("chain, triangle, singleton-pair components label to their minimum") {
@@ -44,9 +46,10 @@ class DupClusterSpec extends SparkTestBase {
 
   test("long path converges (O(log n) rounds, not diameter) and labels exactly") {
     // a 200-node path: naive propagation would need ~200 rounds; the
-    // star contraction must finish well inside the 50-round cap.
+    // star contraction (forced — localSolveMaxEdges=0 disables the
+    // driver solve) must finish well inside the 50-round cap.
     val pairs = (1L until 200L).map(i => (i, i + 1))
-    val got = clusterMap(pairs)
+    val got = clusterMap(pairs, localSolveMaxEdges = 0)
     assert(got.size === 200 && got.values.forall(_ == 1L))
   }
 
@@ -60,6 +63,30 @@ class DupClusterSpec extends SparkTestBase {
       }.filter(p => p._1 != p._2)
       assert(clusterMap(pairs) === unionFindLabels(pairs))
     }
+  }
+
+  test("driver solve and star contraction produce the identical labeling") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val pairs = (1 to 50).map { _ =>
+        (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+      }.filter(p => p._1 != p._2)
+      assert(clusterMap(pairs) === clusterMap(pairs, localSolveMaxEdges = 0))
+    }
+  }
+
+  test("string ids: driver solve orders by UTF-8 bytes like Spark least/min") {
+    // U+00E9 (é, 2 UTF-8 bytes) vs U+4E00 (一, 3 bytes): byte order and
+    // UTF-16 char order agree here, but the pair pins the code path; the
+    // cross-check against the forced-distributed labeling is the contract.
+    val pairs = Seq(("一doc", "édoc"), ("édoc", "adoc"))
+    val local = Dedup.dupClusters(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val dist = Dedup.dupClusters(pairs.toDF("id_a", "id_b"),
+        localSolveMaxEdges = 0)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(local === dist)
+    assert(local.values.toSet === Set("adoc"))
   }
 
   test("string ids cluster in their native type (no silent null cast)") {
