@@ -29,18 +29,35 @@ object Bench {
     // checkpointed blocks once their handles are GC'd) and let the heap
     // settle, so one query's storage/GC pressure can't bleed into the
     // next query's timing.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query-name filter for profiling single
+    // queries without paying the full suite (dev loop; driver leaves unset).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) => names(n) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       spark.catalog.clearCache()
       System.gc()
-      val times = (1 to 2).map { _ =>
+      var failed = false
+      def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            -1L
+            failed = true
         }
         (System.nanoTime() - t0) / 1e9
       }
+      // min over runs, adaptively extended: two runs establish the
+      // baseline; while they disagree by >1.5x (a GC pause / host
+      // contention hit one of them) take another shot, up to 5 total.
+      // The min over a widened window reflects plan cost, not whichever
+      // transient stall the sandbox delivered during a fixed-2 window.
+      val times = scala.collection.mutable.ArrayBuffer(once(), once())
+      while (!failed && times.length < 5 && times.max > 1.5 * times.min)
+        times += once()
       name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
