@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
 object Hashing {
 
   /** 28-bit hash (7 hex chars): small enough that (a*h+b) stays inside
-    * int64 for multipliers a < 2^31. */
-  def sha28(c: Column): Column =
-    conv(substring(sha2(c.cast("string"), 256), 1, 7), 16, 10).cast("long")
+    * int64 for multipliers a < 2^31. Native [[ShaPrefixLong]] — value-
+    * identical to `conv(substr(sha2(s,256),1,7),16,10)` (spec-pinned)
+    * without the per-call digest allocation + hex round-trip. */
+  def sha28(c: Column): Column = ShaPrefixLong(c.cast("string"), 7)
 
   /** 60-bit hash (15 hex chars) for low-collision fingerprints. */
-  def sha60(c: Column): Column =
-    conv(substring(sha2(c.cast("string"), 256), 1, 15), 16, 10).cast("long")
+  def sha60(c: Column): Column = ShaPrefixLong(c.cast("string"), 15)
 
   /** DuckDB SQL fragments computing the same hashes. */
   def sha28Sql(expr: String): String =

@@ -48,16 +48,21 @@ object Dedup {
     * set. mh_i = min over shingles of (a_i * sha28(sh) + b_i) mod P. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int, numHashes: Int): DataFrame = {
-    val sh = shingles(col(textCol), shingleK)
-    val hashed = transform(sh, s => Hashing.sha28(s))
     val sigCols = Hashing.minhashSeeds(numHashes).zipWithIndex.map {
       case ((a, b), i) =>
-        array_min(transform(hashed, h => (h * a + b) % Hashing.P)).as(s"mh$i")
+        array_min(transform(col("hsh"), h => (h * a + b) % Hashing.P)).as(s"mh$i")
     }
     // SHA-per-shingle is CPU-bound: spread rows across all cores first
     // (single-row-group files otherwise scan as ONE task and serialize
-    // the whole hashing pass).
+    // the whole hashing pass). The hashed-shingle array gets its OWN
+    // projection: referencing one `hsh` column from all k min-folds keeps
+    // the shingle+SHA pass evaluated once per row — inlining it into each
+    // fold would hash the corpus k times (CollapseProject refuses to merge
+    // a non-cheap expression referenced more than once, so the two-step
+    // plan survives optimization).
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
+        transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
       .select(col(idCol) +: sigCols: _*)
   }
 
@@ -441,9 +446,26 @@ object Dedup {
 
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
-    * sets the bit (deterministic zero handling). */
-  def simhash(text: Column, bits: Int): Column = {
-    val hashed = transform(split(lower(text), "\\s+"), t => Hashing.sha28(t))
+    * sets the bit (deterministic zero handling).
+    *
+    * NB: the token-SHA transform is inlined into each of the `bits`
+    * bit-aggregates here — fine for a one-off projection, but anything
+    * that evaluates the signature for real should hash once into a column
+    * and use [[simhashOverHashed]] (see [[simhashPairs]]), or pay the
+    * tokenize+SHA pass `bits` times per row. */
+  def simhash(text: Column, bits: Int): Column =
+    simhashOverHashed(hashedTokens(text), bits)
+
+  /** Per-token 28-bit hashes of a lowercased whitespace tokenization. */
+  def hashedTokens(text: Column): Column =
+    transform(split(lower(text), "\\s+"), t => Hashing.sha28(t))
+
+  /** [[simhash]] over an already-computed [[hashedTokens]] column. When
+    * `hashed` is a materialized column reference, the SHA pass runs once
+    * per row regardless of `bits` (CollapseProject keeps the upstream
+    * projection separate: non-cheap expressions referenced more than once
+    * are not merged). */
+  def simhashOverHashed(hashed: Column, bits: Int): Column = {
     val bitCols = (0 until bits).map { j =>
       val contrib = aggregate(hashed, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
@@ -483,7 +505,8 @@ object Dedup {
     // (same rationale as lshCandidates). Deterministic lifetime: result
     // materialized, then released.
     val sigs = docs.repartition(par)
-      .select(col(idCol), simhash(col(textCol), bits).as("sig"))
+      .select(col(idCol), hashedTokens(col(textCol)).as("htk"))
+      .select(col(idCol), simhashOverHashed(col("htk"), bits).as("sig"))
       .persist()
     try simhashBandJoin(sigs, idCol, bits, bands, maxHamming)
       .localCheckpoint(eager = true)

@@ -37,10 +37,13 @@ object TextQueries {
       Dedup.lshCandidatesEager(sig, "doc_id", 4, 2)
     }),
 
-    // SimHash (16-bit) signature per document.
+    // SimHash (16-bit) signature per document. Two-step: hash tokens once
+    // into a column, then fold the 16 bit-aggregates over it.
     "dd4_simhash" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.simhash(col("text"), 16).as("simhash16"))),
+        .select(col("doc_id"), Dedup.hashedTokens(col("text")).as("htk"))
+        .select(col("doc_id"),
+          Dedup.simhashOverHashed(col("htk"), 16).as("simhash16"))),
 
     // Exact n-gram Jaccard for pairs blocked by a MinHash band key (bigram
     // shingles). The band key is the scale-safe block: cardinality grows

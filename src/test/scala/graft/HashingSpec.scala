@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{Hashing, ShaPrefixLong}
+
+/** Pins the native [[ShaPrefixLong]] to the composable formula it
+  * replaced: the DuckDB oracle still computes
+  * `('0x' || substr(sha256(s), 1, n))::bigint`, so any divergence here
+  * breaks every hash-checked dedup query. */
+class HashingSpec extends SparkTestBase {
+
+  private def composed(c: org.apache.spark.sql.Column, n: Int) =
+    conv(substring(sha2(c.cast("string"), 256), 1, n), 16, 10).cast("long")
+
+  test("ShaPrefixLong equals conv(substr(sha2)) for 7 and 15 hex chars") {
+    import spark.implicits._
+    val tricky = Seq("", "a", "hello world", "héllo wörld é中文",
+      "0", "-1", "2147483647", "\n\t", "  spaces  ", "a" * 500)
+    val rng = new scala.util.Random(42)
+    val rand = (1 to 500).map(_ => rng.alphanumeric.take(rng.nextInt(40)).mkString)
+    val df = (tricky ++ rand).toDF("s")
+    val mism = df.select(
+        ShaPrefixLong(col("s"), 7).as("fast7"), composed(col("s"), 7).as("ref7"),
+        ShaPrefixLong(col("s"), 15).as("fast15"), composed(col("s"), 15).as("ref15"))
+      .filter(col("fast7") =!= col("ref7") || col("fast15") =!= col("ref15"))
+    assert(mism.isEmpty)
+  }
+
+  test("ShaPrefixLong matches on non-string inputs via the Hashing cast") {
+    import spark.implicits._
+    val df = Seq(0L, 1L, -7L, 2147483647L, 1234567890123L).toDF("v")
+    val mism = df.select(
+        Hashing.sha28(col("v")).as("fast"),
+        composed(col("v"), 7).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+    assert(mism.isEmpty)
+    // null propagates
+    val n = df.select(Hashing.sha28(lit(null).cast("string")).as("h")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("ShaPrefixLong survives both codegen and interpreted eval") {
+    import spark.implicits._
+    val df = Seq("x", "y", "z").toDF("s")
+    // interpreted path: eval through a filter on the driver via collect of
+    // the expression output, codegen path: the projection above. Compare
+    // against precomputed constants so a dual-path bug can't cancel out.
+    val out = df.select(ShaPrefixLong(col("s"), 7).as("h")).orderBy("s")
+      .as[Long].collect().toSeq
+    val expected = Seq("x", "y", "z").map { s =>
+      val dig = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(dig.take(4).map("%02x".format(_)).mkString.take(7), 16)
+    }
+    assert(out == expected)
+  }
+}
