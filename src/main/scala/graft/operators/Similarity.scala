@@ -55,31 +55,14 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * sha28("p_d") mapped to [-1, 1). Reproducible anywhere. Tables > 0
-    * seed an independent plane family ("t_p_d"). */
-  private def planeComponent(plane: Int, dim: Int, table: Int = 0): Double = {
-    val key = if (table == 0) s"${plane}_$dim" else s"${table}_${plane}_$dim"
-    val hex = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(key.getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    val v = java.lang.Long.parseLong(hex, 16)
-    v.toDouble / math.pow(2, 31) - 1.0
-  }
-
   /** Sign-random-projection bucket key: `numPlanes` hyperplanes with
-    * components derived from [[planeComponent]]; bit j = sign of dot with
-    * plane j. Vectors in the same bucket are ANN candidates. */
-  def lshBucket(vec: Column, numPlanes: Int, dims: Int, table: Int = 0): Column = {
-    val bits = (0 until numPlanes).map { p =>
-      val plane = (0 until dims).map(d => planeComponent(p, d, table))
-      val dotExpr = aggregate(
-        zip_with(vec, typedLit(plane), (x, w) => x.cast("double") * w),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotExpr >= 0, lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
+    * SHA-derived deterministic components; bit j = sign of dot with
+    * plane j. Vectors in the same bucket are ANN candidates. Native
+    * [[graft.functions.HyperplaneBucket]]: all plane dots in one
+    * codegen'd primitive loop instead of `numPlanes` interpreted
+    * higher-order-function trees per vector. */
+  def lshBucket(vec: Column, numPlanes: Int, dims: Int, table: Int = 0): Column =
+    graft.functions.HyperplaneBucket(vec, numPlanes, dims, table)
 
   /** All tables' bucket keys for a vector as (table, bucket) structs —
     * the multi-table LSH layout: each table is an independent plane
@@ -106,12 +89,17 @@ object Similarity {
       .withColumn("tb", explode(lshBucketKeys(col("qv"), numPlanes, dims, numTables)))
     val c = withNorm(corpus, idCol, vecCol, "neighbor_id", "cv", "cn")
       .withColumn("tb", explode(lshBucketKeys(col("cv"), numPlanes, dims, numTables)))
+    // score each collision map-side, THEN dedup multi-table collisions on
+    // (query, neighbor): a table-colliding pair recomputes its dot once
+    // per collision, but the dedup shuffle carries only scalar sims — not
+    // two vector payloads per row, which is what the wire cost is at
+    // cluster scale. Identical values: the rounded sim is deterministic,
+    // so first() over collisions equals the dedup-first formulation.
     val scored = q.join(c, Seq("tb")).filter(col("query_id") =!= col("neighbor_id"))
-      .groupBy("query_id", "neighbor_id") // dedup multi-table collisions
-      .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
-        first(col("cv")).as("cv"), first(col("cn")).as("cn"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(first(col("sim")).as("sim"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
@@ -133,7 +121,13 @@ object Similarity {
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("cv"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val km = new KMeans().setK(numCells).setSeed(42).setMaxIter(20)
+    // coarse-quantizer fit: random init + few iterations is the standard
+    // IVF practice — the quantizer only has to carve the space into
+    // roughly-balanced cells, and each MLlib init/iter round is a
+    // scheduled job (k-means|| alone is ~5 passes). Deterministic: seeded
+    // init over a deterministic input.
+    val km = new KMeans().setK(numCells).setSeed(42).setMaxIter(8)
+      .setInitMode("random").setTol(1e-4)
       .fit(corpusVec)
     val centers = km.clusterCenters
     val assigned = km.transform(corpusVec)

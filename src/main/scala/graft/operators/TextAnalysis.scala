@@ -276,4 +276,92 @@ object TextAnalysis {
     val hashed = s"list_transform($tk, t -> ${Hashing.sha28Sql("t")})"
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), $hashed), (a, b) -> (a * 31 + b) % ${Hashing.P})"
   }
+
+  /** Gopher-style repetition signals — the repetition-removal filter of a
+    * training-data pipeline (cf. Rae et al. 2021 §A1.1): per document,
+    * the duplicate-token fraction (1 - distinct/total) and the fraction
+    * of token bigrams taken by the single most frequent bigram. Boiler-
+    * plate and degenerate generations score high on both; clean prose
+    * scores low.
+    *
+    * Scale shape: per-row expressions for the token stats, and the
+    * top-bigram count is explode → count on (doc, bigram) → max on doc —
+    * all high-cardinality aggregation keys, no window over the corpus.
+    * Returns (id, n_tokens, n_distinct, dup_token_frac, top_bigram_frac);
+    * zero-guarded ratios (C9) are 0.0 for empty/one-token docs. */
+  def repetitionMetrics(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tk = filter(tokens(col(textCol)), t => t =!= "")
+    // bigram list guarded like Dedup.shingles: sequence(1, 0) DESCENDS
+    val bigrams = when(size(col("tk")) >= 2,
+      transform(sequence(lit(1), size(col("tk")) - 1),
+        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val base = docs.select(col(idCol), tk.as("tk"))
+      .select(col(idCol),
+        size(col("tk")).cast("long").as("n_tokens"),
+        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+        bigrams.as("bg"))
+    val topBigram = base
+      .select(col(idCol), explode(col("bg")).as("bigram"))
+      .groupBy(idCol, "bigram").agg(count(lit(1)).as("c"))
+      .groupBy(idCol).agg(max(col("c")).as("top_bigram_n"))
+    base.select(col(idCol), col("n_tokens"), col("n_distinct"))
+      .join(topBigram, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"), col("n_distinct"),
+        round(when(col("n_tokens") > 0,
+          lit(1.0) - col("n_distinct").cast("double") / col("n_tokens"))
+          .otherwise(0.0), 6).as("dup_token_frac"),
+        round(when(col("n_tokens") > 1,
+          coalesce(col("top_bigram_n"), lit(0L)).cast("double") /
+            (col("n_tokens") - 1))
+          .otherwise(0.0), 6).as("top_bigram_frac"))
+  }
+
+  /** PII patterns shared by the engine and the oracle twin: RE2-safe (no
+    * backreferences, no lookaround) so Java regex and DuckDB RE2 agree. */
+  val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val piiPhoneRe = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  val piiIpv4Re = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  /** PII scan + redaction — the scrubbing gate of a training-data
+    * pipeline: count email / phone / IPv4 matches per document and
+    * compute the redacted text with every match replaced by a
+    * placeholder. Redaction order (emails, then phones, then IPs) is
+    * fixed so overlapping matches resolve identically in both engines.
+    * Pure per-row regex expressions — no shuffle, no UDF. */
+  def piiColumns(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, piiEmailRe, "<PII>"),
+          piiPhoneRe, "<PII>"),
+        piiIpv4Re, "<PII>")
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(piiEmailRe), lit(0))).cast("long"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(t, lit(piiPhoneRe), lit(0))).cast("long"))
+      .withColumn("n_ipv4",
+        size(regexp_extract_all(t, lit(piiIpv4Re), lit(0))).cast("long"))
+      .withColumn("pii_total",
+        col("n_emails") + col("n_phones") + col("n_ipv4"))
+      .withColumn("redacted_text", redacted)
+  }
+
+  /** DuckDB twins for [[piiColumns]] (select-list fragments). DuckDB
+    * single-quoted strings don't process backslashes, so the Java regex
+    * strings embed verbatim. */
+  def piiSql(textExpr: String): Map[String, String] = {
+    val (e, p, i) = (piiEmailRe, piiPhoneRe, piiIpv4Re)
+    Map(
+      "n_emails" -> s"len(regexp_extract_all($textExpr, '$e'))",
+      "n_phones" -> s"len(regexp_extract_all($textExpr, '$p'))",
+      "n_ipv4" -> s"len(regexp_extract_all($textExpr, '$i'))",
+      "pii_total" -> (s"len(regexp_extract_all($textExpr, '$e')) + " +
+        s"len(regexp_extract_all($textExpr, '$p')) + " +
+        s"len(regexp_extract_all($textExpr, '$i'))"),
+      "redacted_text" ->
+        s"regexp_replace(regexp_replace(regexp_replace($textExpr, '$e', '<PII>', 'g'), '$p', '<PII>', 'g'), '$i', '<PII>', 'g')")
+  }
 }

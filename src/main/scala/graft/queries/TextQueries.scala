@@ -209,6 +209,21 @@ object TextQueries {
         "lang", 2000L)
         .select("doc_id", "lang", "n_tokens", "shard_id")),
 
+    // Gopher-style repetition signals: duplicate-token fraction and
+    // top-bigram fraction per document (the repetition-removal filter).
+    "t10_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionMetrics(Tables.documents(s, dir), "doc_id", "text")),
+
+    // PII scan + redaction: email/phone/IPv4 match counts and the
+    // placeholder-redacted text (the scrubbing gate; the synthetic corpus
+    // is PII-free, so counts are zero here — detection behavior is pinned
+    // on crafted fixtures in TextAnalysisSpec).
+    "t11_pii" -> ((s, dir) =>
+      TextAnalysis.piiColumns(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"),
+          col("n_ipv4"), col("pii_total"),
+          length(col("redacted_text")).cast("long").as("redacted_len"))),
+
     // C7/C10: string ops + crypto hash projection.
     "c7_strings" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -433,6 +448,36 @@ object TextQueries {
           |      AS BIGINT) AS shard_id
           |  FROM toks)
           |SELECT doc_id, lang, n_tokens, shard_id FROM packed""".stripMargin,
+
+      "t10_repetition" ->
+        """WITH tk AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+          |  FROM documents),
+          |b AS (
+          |  SELECT doc_id, len(tk) AS n_tokens, len(list_distinct(tk)) AS n_distinct,
+          |    [tk[i] || ' ' || tk[i + 1] for i in range(1, len(tk))] AS bg
+          |  FROM tk),
+          |e AS (SELECT doc_id, unnest(bg) AS bigram FROM b),
+          |c AS (SELECT doc_id, bigram, count(*) AS c FROM e GROUP BY 1, 2),
+          |t AS (SELECT doc_id, max(c) AS top_n FROM c GROUP BY 1)
+          |SELECT b.doc_id, n_tokens, n_distinct,
+          |  round(CASE WHEN n_tokens > 0
+          |    THEN 1.0 - n_distinct / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 6)
+          |    AS dup_token_frac,
+          |  round(CASE WHEN n_tokens > 1
+          |    THEN coalesce(top_n, 0) / CAST(n_tokens - 1 AS DOUBLE) ELSE 0.0 END, 6)
+          |    AS top_bigram_frac
+          |FROM b LEFT JOIN t USING (doc_id)""".stripMargin,
+
+      "t11_pii" -> {
+        val m = TextAnalysis.piiSql("text")
+        s"""SELECT doc_id, ${m("n_emails")} AS n_emails,
+           |  ${m("n_phones")} AS n_phones, ${m("n_ipv4")} AS n_ipv4,
+           |  ${m("pii_total")} AS pii_total,
+           |  length(${m("redacted_text")}) AS redacted_len
+           |FROM documents""".stripMargin
+      },
 
       "t8_unigram_lm" ->
         """WITH ex AS (

@@ -108,4 +108,43 @@ class TextAnalysisSpec extends SparkTestBase {
     // schema passes through untouched
     assert(s1.columns.toSeq === Seq("doc_id", "lang"))
   }
+
+  test("repetitionMetrics: hand-computed fractions, empty/one-token guards") {
+    val docs = Seq(
+      (1L, "a b a b a b"),       // 6 tokens, 2 distinct; top bigram "a b" x3 of 5
+      (2L, "u v w x y"),         // all distinct, every bigram unique
+      (3L, "solo"),              // one token: no bigrams
+      (4L, ""),                  // zero tokens
+      (5L, "z z z z")            // fully degenerate
+    ).toDF("doc_id", "text")
+    val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_tokens", "n_distinct", "dup_token_frac", "top_bigram_frac")
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-6
+    assert(m(0)._1 == 6L && m(0)._2 == 2L)
+    assert(approx(m(0)._3, 1 - 2.0 / 6) && approx(m(0)._4, 3.0 / 5))
+    assert(m(1)._3 == 0.0 && m(1)._4 == 0.25) // 5 tokens, 4 bigrams, top=1
+    assert(m(2) == ((1L, 1L, 0.0, 0.0)))
+    assert(m(3) == ((0L, 0L, 0.0, 0.0)))
+    assert(m(4)._3 == 0.75 && m(4)._4 == 1.0)
+  }
+
+  test("piiColumns: detects and redacts emails, phones, IPv4; clean text untouched") {
+    val docs = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
+      (2L, "server at 192.168.1.250 and 10.0.0.1 responded"),
+      (3L, "no pii here, just words and numbers like 42"),
+      (4L, "a@b.io mails a@b.io twice; phone 111 222 3333")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiColumns(docs, "text").orderBy("doc_id")
+      .select("n_emails", "n_phones", "n_ipv4", "pii_total", "redacted_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(out(0)._1 == 1L && out(0)._2 == 1L && out(0)._3 == 0L && out(0)._4 == 2L)
+    assert(out(0)._5 == "contact <PII> or <PII> now")
+    assert(out(1)._3 == 2L && out(1)._5 == "server at <PII> and <PII> responded")
+    assert(out(2)._4 == 0L && out(2)._5 == "no pii here, just words and numbers like 42")
+    assert(out(3)._1 == 2L && out(3)._2 == 1L)
+    assert(out(3)._5 == "<PII> mails <PII> twice; phone <PII>")
+  }
 }
