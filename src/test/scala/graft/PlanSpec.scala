@@ -111,4 +111,28 @@ class PlanSpec extends SparkTestBase {
     val read = plan.split("ReadSchema:")(1).takeWhile(_ != '\n')
     assert(!read.contains("l_orderkey"), s"pruning failed: $read")
   }
+
+  test("native expressions stay inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // a projection using ShaPrefixLong and HyperplaneBucket must compile
+    // into a WholeStageCodegen span — a silent fallback to interpreted
+    // eval (e.g. a doGenCode regression) would cost the hot hash loops
+    // their codegen without failing any value check.
+    // spark.range (not a local Seq): ConvertToLocalRelation would
+    // constant-fold a projection over a LocalRelation at optimization
+    // time and leave nothing to codegen.
+    val df = spark.range(4).select(
+      graft.functions.ShaPrefixLong(concat(lit("t"), col("id")), 7).as("h"),
+      graft.functions.HyperplaneBucket(
+        array(col("id").cast("float"), lit(0.5f)), 4, 2, 0).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix is the WholeStageCodegen marker in the simple
+    // plan string; an interpreted fallback loses it on the Project node.
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"native expressions fell out of codegen:\n$plan")
+    // and the generated code actually runs (no janino compile fallback):
+    val row = df.head()
+    assert(!row.isNullAt(0) && !row.isNullAt(1))
+  }
 }
