@@ -80,11 +80,17 @@ object Models {
                            features: Seq[String], labelCol: String,
                            iters: Int = 3, lr: Double = 0.5): DataFrame = {
     import graft.functions.Canon
+    // the fit is 1 + iters driver actions over the train fold; checkpoint
+    // it once so each action aggregates the (fold-sized, tiny) table
+    // instead of re-deriving it from the raw scan. Partitioning is
+    // preserved, so partial-aggregation sum order — and the rounded
+    // scalars — are unchanged.
+    val trainM = train.localCheckpoint(eager = true)
     val statAggs = features.flatMap { f =>
       Seq(Canon.round(avg(col(f)), 8).as(s"m_$f"),
         Canon.round(stddev_samp(col(f)), 8).as(s"s_$f"))
     }
-    val statRow = train.agg(statAggs.head, statAggs.tail: _*).head()
+    val statRow = trainM.agg(statAggs.head, statAggs.tail: _*).head()
     require(!statRow.isNullAt(0), "logisticRegressionGD: empty train fold")
     val stats = features.indices.map { i =>
       require(!statRow.isNullAt(2 * i),
@@ -102,13 +108,13 @@ object Models {
     val y = col(labelCol).cast("double")
     var b = Array.fill(features.size + 1)(0.0)
     (1 to iters).foreach { _ =>
-      val zs = zCols(train)
+      val zs = zCols(trainM)
       val p = lit(1.0) / (lit(1.0) + exp(-margin(zs, b)))
       val gradAggs = Canon.round(avg(p - y), 8).as("g0") +:
         zs.zipWithIndex.map { case (z, j) =>
           Canon.round(avg((p - y) * z), 8).as(s"g${j + 1}")
         }
-      val g = train.agg(gradAggs.head, gradAggs.tail: _*).head()
+      val g = trainM.agg(gradAggs.head, gradAggs.tail: _*).head()
       b = b.indices.map(j => b(j) - lr * g.getDouble(j)).toArray
     }
     val prob = Canon.round(lit(1.0) / (lit(1.0) + exp(-margin(zCols(test), b))), 6)
