@@ -58,7 +58,9 @@ object Bench {
       val times = scala.collection.mutable.ArrayBuffer(once(), once())
       while (!failed && times.length < 5 && times.max > 1.5 * times.min)
         times += once()
-      name -> times.min
+      // a failed query must not masquerade as a (near-zero) fast one:
+      // publish the -1 sentinel instead of the elapsed-until-exception.
+      name -> (if (failed) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -18,10 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, L
   * evaluate interpreted (boxed lambda per element), and a multi-table
   * layout multiplies the whole tree by the table count. This expression
   * evaluates all planes in one primitive loop over a precomputed
-  * `numPlanes x dims` matrix. Same left-to-right summation order, same
-  * null/length semantics (any missing element poisons the dot product to
-  * null, so the bucket contribution is 0 — here: bucket 0), identical
-  * bucket values.
+  * `numPlanes x dims` matrix. Same left-to-right summation order; null
+  * ELEMENTS and length mismatches map to bucket 0, matching the
+  * composable form's null-poisoned dot. One deliberate divergence: a NULL
+  * vector yields a NULL bucket (null-intolerant UnaryExpression), so the
+  * row drops out of the bucket equi-join entirely — the composable form
+  * sent null vectors to bucket 0, where they polluted that bucket's
+  * candidate set without ever producing a rankable similarity.
   *
   * Plane components are derived from SHA-256 of "(table_)plane_dim"
   * mapped to [-1, 1) — reproducible anywhere, no RNG state.

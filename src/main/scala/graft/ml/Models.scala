@@ -118,8 +118,12 @@ object Models {
       b = b.indices.map(j => b(j) - lr * g.getDouble(j)).toArray
     }
     val prob = Canon.round(lit(1.0) / (lit(1.0) + exp(-margin(zCols(test), b))), 6)
+    // a null feature propagates to a null prob; keep y_pred null too (the
+    // SQL twin's CASE WHEN would otherwise fall to ELSE 0 and silently
+    // diverge from the engine on nullable feature frames)
     test.withColumn("prob", prob)
-      .withColumn("y_pred", (col("prob") >= 0.5).cast("int"))
+      .withColumn("y_pred",
+        when(col("prob").isNotNull, (col("prob") >= 0.5).cast("int")))
   }
 
   /** M6 — per-class precision/recall/F1 + macro-F1 from (y_true, y_pred),

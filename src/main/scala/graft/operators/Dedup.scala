@@ -73,8 +73,14 @@ object Dedup {
     * cardinality attribute key (source, language, ...) whose blocks grow
     * O(n) and pair counts O(n²). Empty shingle sets hash to -1 so short
     * docs still get a (shared, tiny) block. */
-  def minhashBandKey(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val hashed = transform(shingles(text, shingleK), s => Hashing.sha28(s))
+  def minhashBandKey(text: Column, shingleK: Int, numHashes: Int): Column =
+    bandKeyOverHashed(
+      transform(shingles(text, shingleK), s => Hashing.sha28(s)), numHashes)
+
+  /** The band key over an already-hashed shingle array — the shared core
+    * of [[minhashBandKey]] and [[ngramJaccardPairsBanded]], kept in one
+    * place so the formula can't drift from [[minhashBandKeySql]]. */
+  def bandKeyOverHashed(hashed: Column, numHashes: Int): Column = {
     val parts = Hashing.minhashSeeds(numHashes).map { case (a, b) =>
       coalesce(array_min(transform(hashed, h => (h * a + b) % Hashing.P)), lit(-1L))
     }
@@ -268,12 +274,9 @@ object Dedup {
       .repartition(par)
       .select(col(idCol),
         transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
-    val bandParts = Hashing.minhashSeeds(bandHashes).map { case (a, b) =>
-      coalesce(array_min(transform(col("hsh"), h => (h * a + b) % Hashing.P)), lit(-1L))
-    }
     val withSets = hashed.select(
         col(idCol),
-        concat_ws("_", bandParts: _*).as("block"),
+        bandKeyOverHashed(col("hsh"), bandHashes).as("block"),
         array_sort(array_distinct(col("hsh"))).as("sh"))
       .withColumn("nsh", size(col("sh")))
     val l = withSets.as("l")

@@ -19,6 +19,11 @@ import graft.functions.Canon.round
   * (`run_full_pipeline.py:1292-1310`).
   */
 object Reports {
+  /** Locale-pinned decimal rendering: the f-interpolator delegates to the
+    * JVM default locale, which on comma-decimal locales would emit "0,75"
+    * — invalid JSON and nondeterministic markdown. */
+  private def fmt(pattern: String, d: Double): String =
+    String.format(java.util.Locale.ROOT, pattern, Double.box(d))
 
   /** Per-fold classification metrics frame — one row per fold with the
     * reference's fold-result fields (fold, val_start, val_end, n_train,
@@ -234,7 +239,7 @@ object Reports {
   def cvSummaryJson(s: CvSummary): String = {
     def jstr(v: String) = "\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     def jnum(d: Double) = if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15)
-      f"$d%.1f" else d.toString
+      fmt("%.1f", d) else d.toString
     val dist = s.classDistribution
       .map { case (k, v) => s"${jstr(k)}: $v" }.mkString("{", ", ", "}")
     val folds = s.folds.map { f =>
@@ -303,7 +308,7 @@ object Reports {
     val r = labeled.agg(aggs.head, aggs.tail: _*).head()
     val nDays = r.getAs[Long]("n_days")
     def pct(x: Long, of: Long): String =
-      if (of > 0) f"${100.0 * x / of}%.1f" else "0.0"
+      if (of > 0) fmt("%.1f", 100.0 * x / of) else "0.0"
     val b = Seq.newBuilder[String]
     b += "# RUN_REPORT.md - Pipeline Execution Summary (SoM-Centric)"
     b += ""
@@ -363,8 +368,9 @@ object Reports {
       b += ""
       b += s"- **Days with HRV data**: $hrvN / $nDays (${pct(hrvN, nDays)}%)"
       if (hrvN > 0)
-        b += f"- **HRV SDNN range**: ${r.getAs[Double]("hrv_min")}%.1f - " +
-          f"${r.getAs[Double]("hrv_max")}%.1f ms (mean=${r.getAs[Double]("hrv_mean")}%.1f)"
+        b += s"- **HRV SDNN range**: ${fmt("%.1f", r.getAs[Double]("hrv_min"))} - " +
+          s"${fmt("%.1f", r.getAs[Double]("hrv_max"))} ms " +
+          s"(mean=${fmt("%.1f", r.getAs[Double]("hrv_mean"))})"
       b += ""
     }
     if (cols.contains("label_3cls")) {
@@ -387,8 +393,8 @@ object Reports {
       b += s"- **N Samples**: ${s.nSamples}"
       b += s"- **N Features**: ${s.nFeatures}"
       b += s"- **CV Type**: temporal_${s.folds.length}fold"
-      b += f"- **Mean Macro-F1**: ${s.meanF1}%.4f ± ${s.stdF1}%.4f"
-      b += f"- **Mean Balanced Accuracy**: ${s.meanBa}%.4f"
+      b += s"- **Mean Macro-F1**: ${fmt("%.4f", s.meanF1)} ± ${fmt("%.4f", s.stdF1)}"
+      b += s"- **Mean Balanced Accuracy**: ${fmt("%.4f", s.meanBa)}"
       b += ""
       if (s.warnings.nonEmpty) {
         b += "**Warnings:**"
@@ -412,8 +418,9 @@ object Reports {
         b += "### Per-Fold Results"
         b += ""
         s.folds.foreach { f =>
-          b += f"- **Fold ${f.fold}** (${f.valStart} → ${f.valEnd}): " +
-            f"F1=${f.f1Macro}%.4f, BA=${f.balancedAccuracy}%.4f, κ=${f.cohenKappa}%.4f"
+          b += s"- **Fold ${f.fold}** (${f.valStart} → ${f.valEnd}): " +
+            s"F1=${fmt("%.4f", f.f1Macro)}, BA=${fmt("%.4f", f.balancedAccuracy)}, " +
+            s"κ=${fmt("%.4f", f.cohenKappa)}"
         }
         b += ""
       }
@@ -449,24 +456,29 @@ object Reports {
                      baselines: Seq[(String, String, DataFrame)] = Nil,
                      warnings: Seq[String] = Nil): CvSummary = {
     val spark = pred.sparkSession
-    val perFold = perFoldMetrics(pred, foldCol, truthCol, predCol, dateCol, classes)
-    val dist = pred.groupBy(truthCol).count().orderBy(truthCol)
+    // Materialize the prediction frame once: every artifact below
+    // re-aggregates it (per-fold metrics twice, confusion matrices,
+    // per-class counts, class distribution), and without this each pass
+    // would replay the full upstream plan.
+    val p = pred.localCheckpoint(true)
+    val perFold = perFoldMetrics(p, foldCol, truthCol, predCol, dateCol, classes)
+    val dist = p.groupBy(truthCol).count().orderBy(truthCol)
       .collect().toSeq.map(r => r.get(0).toString -> r.getAs[Long]("count"))
     val summary = CvSummary(model, featureSet, target,
       targetType = if (classes.length > 2) "multiclass" else "binary",
       nClasses = classes.length, classDistribution = dist,
-      nSamples = pred.count(), nFeatures = nFeatures,
+      nSamples = dist.map(_._2).sum, nFeatures = nFeatures,
       folds = collectFolds(perFold),
       ablationReference = ablationReference, warnings = warnings)
     graft.core.Sinks.atomicText(spark, s"$outDir/cv_summary.json",
       cvSummaryJson(summary))
     graft.core.Sinks.atomicText(spark,
       s"$outDir/confusion_matrices/cm_${model}_$target.json",
-      confusionMatricesJson(pred, foldCol, truthCol, predCol, classes,
+      confusionMatricesJson(p, foldCol, truthCol, predCol, classes,
         model, target))
     graft.core.Sinks.atomicText(spark,
       s"$outDir/metrics/per_class_${model}_$target.csv",
-      perClassCsv(perFoldClassMetrics(pred, foldCol, truthCol, predCol,
+      perClassCsv(perFoldClassMetrics(p, foldCol, truthCol, predCol,
         classes), model, target))
     if (baselines.nonEmpty)
       graft.core.Sinks.atomicText(spark,

@@ -424,7 +424,8 @@ object MlQueries {
        |pred AS (SELECT user_id, date, label,
        |  round(${p(s"b$iters")}, 6) AS prob FROM te, b$iters)
        |SELECT user_id, date, label, prob,
-       |  CASE WHEN prob >= 0.5 THEN 1 ELSE 0 END AS y_pred FROM pred""".stripMargin
+       |  CASE WHEN prob IS NULL THEN NULL
+       |       WHEN prob >= 0.5 THEN 1 ELSE 0 END AS y_pred FROM pred""".stripMargin
   }
 
   def oracles: Map[String, String] = Map(

@@ -58,6 +58,23 @@ class ModelsSpec extends SparkTestBase {
     assert(probs2 === probs, "probabilities changed under repartition")
   }
 
+  test("M5 GD: null feature yields null prob AND null y_pred") {
+    val train = Seq((0, 0.0, 1.0, 2.0), (1, 1.0, 3.0, -1.0), (2, 0.0, 0.5, 1.5),
+      (3, 1.0, 2.5, -0.5)).toDF("id", "label", "f1", "f2")
+    val test = Seq(
+      (10, 1.0, Some(2.0), Some(-1.0)),
+      (11, 0.0, None: Option[Double], Some(1.0)))
+      .toDF("id", "label", "f1", "f2")
+    val pred = Models.logisticRegressionGD(train, test, Seq("f1", "f2"), "label",
+      iters = 2, lr = 0.5)
+    val rows = pred.select("id", "prob", "y_pred").collect()
+      .map(r => r.getInt(0) -> (r.isNullAt(1), r.isNullAt(2))).toMap
+    assert(rows(10) === ((false, false)))
+    // null feature must null BOTH prob and y_pred (the oracle mirrors
+    // this; a 0 here would hash-diverge on nullable feature frames)
+    assert(rows(11) === ((true, true)))
+  }
+
   test("S1/O3: deterministic ZIP selection by filename date <= snapshot") {
     val names = Seq(
       "HealthAutoExport-2025-10-01.zip",

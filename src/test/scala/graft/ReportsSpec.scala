@@ -56,6 +56,21 @@ class ReportsSpec extends SparkTestBase {
     assert(json === Reports.cvSummaryJson(s), "rendering must be deterministic")
   }
 
+  test("cv_summary.json renders locale-independently (comma-decimal default locale)") {
+    val folds = Seq(FoldMetrics(0, "2024-01-01", "2024-01-05", 0, 10, 1.0, 1.0, 1.0))
+    val s = CvSummary("LogisticRegression", "FS-A", "som_3class", "som", 3,
+      Seq("0" -> 10L), 10, 7, folds, "", Nil)
+    val prev = java.util.Locale.getDefault
+    val json = try {
+      // de_DE formats 1.0 as "1,0" through the f-interpolator — the
+      // rendering must pin Locale.ROOT so the artifact stays valid JSON
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      Reports.cvSummaryJson(s)
+    } finally java.util.Locale.setDefault(prev)
+    assert(json.contains("\"mean_f1_macro\": 1.0"), json)
+    assert(!json.contains("1,0"), s"comma-decimal leaked into JSON:\n$json")
+  }
+
   test("RUN_REPORT.md: coverage sections + ML6 block; absent columns skipped") {
     val labeled = Seq(
       (java.sql.Date.valueOf("2024-01-01"), Some(1), Some(1), Some(3L), Some(45.0), Some(1)),

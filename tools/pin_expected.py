@@ -26,8 +26,11 @@ def main(verify_out: str) -> int:
     con = duckdb.connect()
     for name, dest in PINS.items():
         con.execute(
+            # ORDER BY ALL: (col1, col2) is not a total order for
+            # d2_ks_exact (two feature rows per boundary), and a partial
+            # order makes regeneration byte-nondeterministic
             f"COPY (SELECT * FROM read_parquet('{verify_out}/{name}/*.parquet') "
-            f"ORDER BY 1, 2) TO '{dest}' (FORMAT PARQUET)")
+            f"ORDER BY ALL) TO '{dest}' (FORMAT PARQUET)")
         n = con.execute(f"SELECT count(*) FROM read_parquet('{dest}')").fetchone()[0]
         print(f"pinned {name} -> {dest} ({n} rows)")
     return 0
