@@ -447,6 +447,30 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Quality-aware representative selection: keep, per near-dup cluster,
+    * the member maximizing `score` (ties: smallest id) — the retention
+    * policy a real corpus pipeline wants, where
+    * [[keepClusterRepresentatives]]' min-id keep is arbitrary with
+    * respect to document quality. Unclustered documents (absent from
+    * `clusters`) form singleton clusters and always survive.
+    *
+    * `docs` must already carry the columns `score` reads (e.g.
+    * [[TextAnalysis.qualityColumns]]' quality_score). One left equi-join
+    * to attach cluster ids plus one window keyed by cluster id; cluster
+    * sizes are near-dup group sizes (tiny), so the window never skews. */
+  def keepBestRepresentatives(docs: DataFrame, idCol: String,
+                              clusters: DataFrame, score: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withCid = docs
+      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+        Seq(idCol), "left")
+      .withColumn("cid", coalesce(col("cluster_id"), col(idCol)))
+    val w = Window.partitionBy(col("cid")).orderBy(score.desc, col(idCol))
+    withCid.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .drop("rk", "cid", "cluster_id")
+  }
+
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
     * sets the bit (deterministic zero handling).

@@ -261,6 +261,74 @@ object TextAnalysis {
           lit(budgetTokens)))
   }
 
+  /** Deterministic token-budget corpus mixing — the data-mixture step of
+    * training-corpus assembly: the sampled corpus keeps `frac` of the
+    * total token count, split across groups (language, source, domain)
+    * by `weights`. Each group admits documents in the portable SHA order
+    * (the same seedless order as [[stratifiedSample]] / [[packIntoShards]])
+    * while its admitted-token prefix is under
+    * `floor(frac * total_tokens * weight)`; groups absent from `weights`
+    * are dropped. The greedy prefix rule admits the document that crosses
+    * the budget (its predecessor prefix is still under), so small groups
+    * are never starved by one long document.
+    *
+    * Distributed shape: one token-count projection, a 1-row total
+    * broadcast back via cross join, and one window per group key — no
+    * driver loop, no collect. Scale caveat shared with every
+    * window-by-group op here: a single group must fit one task's sort
+    * spill budget, which holds for realistic mixture keys (languages,
+    * sources, domains — tens to thousands of groups). */
+  def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
+                    groupCol: String, weights: Map[String, Double],
+                    frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(frac > 0.0 && frac <= 1.0, s"mixtureSample: frac $frac not in (0, 1]")
+    require(weights.nonEmpty, "mixtureSample: empty weight map")
+    val weightExpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (g, wt)) =>
+        when(col(groupCol) === g, lit(wt)).otherwise(acc)
+      }
+    val counted = docs.withColumn("n_tokens",
+      size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+    val total = counted.agg(sum(col("n_tokens")).as("total_tokens"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted.crossJoin(broadcast(total))
+      .withColumn("budget_tokens",
+        floor(lit(frac) * col("total_tokens").cast("double") * weightExpr)
+          .cast("long"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("budget_tokens"))
+  }
+
+  /** DuckDB twin of [[mixtureSample]] over `documents` (same SHA
+    * admission order, same budget arithmetic — multiplication order
+    * matters for float identity, keep `(frac * total) * weight`). */
+  def mixtureSampleSql(idCol: String, textExpr: String, groupCol: String,
+                       weights: Map[String, Double], frac: Double): String = {
+    val wCase = weights.toSeq.sortBy(_._1)
+      .map { case (g, wt) => s"WHEN '$g' THEN $wt" }
+      .mkString("CASE " + groupCol + " ", " ", " ELSE 0.0 END")
+    s"""WITH toks AS (
+       |  SELECT $idCol, $groupCol,
+       |    CAST(len(list_filter(string_split_regex(lower($textExpr), '\\s+'),
+       |      t -> t <> '')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM toks),
+       |cum AS (
+       |  SELECT $idCol, $groupCol, n_tokens,
+       |    CAST(floor($frac * CAST(total_tokens AS DOUBLE) * ($wCase)) AS BIGINT)
+       |      AS budget_tokens,
+       |    coalesce(sum(n_tokens) OVER (PARTITION BY $groupCol
+       |      ORDER BY sha256(CAST($idCol AS VARCHAR)), $idCol
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM toks, tot)
+       |SELECT $idCol, $groupCol, n_tokens, budget_tokens
+       |FROM cum WHERE cum_before < budget_tokens""".stripMargin
+  }
+
   /** Rolling polynomial fingerprint over per-token 28-bit hashes:
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
     * compact near-exact-dup document signature. */

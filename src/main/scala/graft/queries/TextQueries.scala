@@ -17,6 +17,9 @@ import graft.operators.{Dedup, Similarity, TextAnalysis}
 object TextQueries {
   private val K = 3 // word-shingle size for near-dup ops
   private val MINHASHES = 6
+  // t12 target mixture over the language key (sums to 1.0)
+  private val mixtureWeights = Map(
+    "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup by content hash.
@@ -208,6 +211,25 @@ object TextQueries {
       TextAnalysis.packIntoShards(Tables.documents(s, dir), "doc_id", "text",
         "lang", 2000L)
         .select("doc_id", "lang", "n_tokens", "shard_id")),
+
+    // Token-budget corpus mixing: keep 50% of corpus tokens, split across
+    // languages by the target weights, admitting docs in portable SHA
+    // order per language (the data-mixture step of corpus assembly).
+    "t12_mixture" -> ((s, dir) =>
+      TextAnalysis.mixtureSample(Tables.documents(s, dir), "doc_id", "text",
+        "lang", mixtureWeights, 0.5)),
+
+    // Quality-aware near-dup retention: per LSH-verified cluster keep the
+    // highest-quality member (not the arbitrary min id), singletons
+    // always survive.
+    "dd11_best_rep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityColumns(docs, "text")
+      val clusters = Dedup.dupClusters(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", 2, 4, 2, 0.05))
+      Dedup.keepBestRepresentatives(q, "doc_id", clusters, col("quality_score"))
+        .select("doc_id", "lang", "source", "quality_score")
+    }),
 
     // Gopher-style repetition signals: duplicate-token fraction and
     // top-bigram fraction per document (the repetition-removal filter).
@@ -448,6 +470,24 @@ object TextQueries {
           |      AS BIGINT) AS shard_id
           |  FROM toks)
           |SELECT doc_id, lang, n_tokens, shard_id FROM packed""".stripMargin,
+
+      "t12_mixture" -> TextAnalysis.mixtureSampleSql("doc_id", "text", "lang",
+        mixtureWeights, 0.5),
+
+      "dd11_best_rep" ->
+        s"""WITH RECURSIVE $lshVerifiedCtes,
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+          |q AS (SELECT doc_id, lang, source,
+          |  ${TextAnalysis.qualitySql("text")("quality_score")} AS quality_score
+          |  FROM documents),
+          |a AS (SELECT q.*, coalesce(c.cid, q.doc_id) AS cluster_key
+          |  FROM q LEFT JOIN clusters c ON q.doc_id = c.id),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_key
+          |    ORDER BY quality_score DESC, doc_id) AS rk FROM a)
+          |SELECT doc_id, lang, source, quality_score
+          |FROM ranked WHERE rk = 1""".stripMargin,
 
       "t10_repetition" ->
         """WITH tk AS (

@@ -144,4 +144,17 @@ class DupClusterSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(1L, 7L, 10L))
   }
+
+  test("keepBestRepresentatives keeps the highest-quality member, min id on ties") {
+    val docs = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 and 3 tie on quality
+      (7L, 0.1),                       // unpaired singleton survives
+      (10L, 0.5), (11L, 0.4))          // cluster {10,11}: 10 wins
+      .toDF("doc_id", "q")
+    val clusters = Dedup.dupClusters(
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b"))
+    val kept = Dedup.keepBestRepresentatives(docs, "doc_id", clusters, col("q"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 7L, 10L))
+  }
 }

@@ -109,6 +109,30 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(s1.columns.toSeq === Seq("doc_id", "lang"))
   }
 
+  test("mixtureSample: per-group token budgets honored, weight-0 group dropped") {
+    // 30 docs x 10 tokens = 300 total; frac 0.5 -> 150 sampled tokens:
+    // en budget floor(150*0.6)=90 -> 9 docs admitted (10th prefix = 90,
+    // not < 90), fr budget floor(150*0.4)=60 -> 6 docs, de weight absent
+    // -> budget 0 -> dropped entirely
+    val docs = ((1L to 15L).map((_, "en")) ++ (16L to 25L).map((_, "fr")) ++
+      (26L to 30L).map((_, "de")))
+      .map { case (i, l) => (i, l, ("w " * 10).trim) }
+      .toDF("doc_id", "lang", "text")
+    val out = TextAnalysis.mixtureSample(docs, "doc_id", "text", "lang",
+      Map("en" -> 0.6, "fr" -> 0.4), 0.5)
+    val byLang = out.collect()
+      .groupBy(_.getString(1)).map { case (l, rs) => l -> rs.length }
+    assert(byLang === Map("en" -> 9, "fr" -> 6))
+    assert(out.select("budget_tokens").distinct().collect()
+      .map(_.getLong(0)).sorted.toSeq === Seq(60L, 90L))
+    // deterministic membership across reruns (SHA order, no RNG)
+    val ids1 = out.select("doc_id").as[Long].collect().sorted.toSeq
+    val ids2 = TextAnalysis.mixtureSample(docs, "doc_id", "text", "lang",
+      Map("en" -> 0.6, "fr" -> 0.4), 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(ids1 === ids2)
+  }
+
   test("repetitionMetrics: hand-computed fractions, empty/one-token guards") {
     val docs = Seq(
       (1L, "a b a b a b"),       // 6 tokens, 2 distinct; top bigram "a b" x3 of 5
