@@ -41,6 +41,16 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "unify degenerated to a cartesian")
   }
 
+  test("t12: the 1-row token total attaches via broadcast, windows keyed by group") {
+    val plan = planOf("t12_mixture")
+    assert(plan.contains("BroadcastExchange"),
+      "corpus-total attach is not a broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "total attach degenerated to a shuffled join")
+    assert(plan.contains("hashpartitioning(lang"),
+      "window not hash-partitioned by the group key")
+  }
+
   test("dd5: default n-gram Jaccard path has no FORCED corpus broadcast") {
     // at tiny SF Catalyst may auto-broadcast by size — fine and adaptive;
     // the 100-TB property is that nothing FORCES it: with the size-based
