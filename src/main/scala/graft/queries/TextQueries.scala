@@ -118,6 +118,20 @@ object TextQueries {
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
+    // int8 embedding quantization + reconstruction-quality audit (the
+    // 4x-memory ANN storage path). Emits the scale, the first 4 quantized
+    // components, and the original-vs-dequantized cosine.
+    "sim4_quantize" -> ((s, dir) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, dir), "vec_id", "embedding")
+        .select(col("vec_id"),
+          round(col("scale"), 6).as("scale6"),
+          size(col("qvec")).cast("long").as("n_dims"),
+          element_at(col("qvec"), 1).as("q0"),
+          element_at(col("qvec"), 2).as("q1"),
+          element_at(col("qvec"), 3).as("q2"),
+          element_at(col("qvec"), 4).as("q3"),
+          col("recon_cos"))),
+
     // Recall-at-k of both ANN variants vs the exact baseline, as a
     // first-class artifact row (rows-only: the ANN inputs are approximate
     // by design; floors are pinned in DriftDedupSpec).
@@ -385,6 +399,32 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
           |  FROM scored)
           |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      "sim4_quantize" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |s AS (
+          |  SELECT vec_id, e,
+          |    CASE WHEN m = 0 THEN 1.0 ELSE m / 127.0 END AS scale
+          |  FROM (SELECT vec_id, e,
+          |    list_max(list_transform(e, x -> abs(x))) AS m FROM v)),
+          |q AS (
+          |  SELECT vec_id, e, scale,
+          |    list_transform(e, x ->
+          |      CAST(sign(x) * floor(abs(x) / scale + 0.5) AS INT)) AS qv
+          |  FROM s),
+          |d AS (
+          |  SELECT vec_id, e, scale, qv,
+          |    list_transform(qv, qi -> qi * scale) AS deq
+          |  FROM q)
+          |SELECT vec_id, round(scale, 6) AS scale6,
+          |  CAST(len(qv) AS BIGINT) AS n_dims,
+          |  qv[1] AS q0, qv[2] AS q1, qv[3] AS q2, qv[4] AS q3,
+          |  round(list_inner_product(e, deq) /
+          |    (sqrt(list_inner_product(e, e)) * sqrt(list_inner_product(deq, deq))), 6)
+          |    AS recon_cos
+          |FROM d""".stripMargin,
 
       "t1_langid" ->
         s"SELECT doc_id, lang, ${TextAnalysis.langIdSql("text")} AS pred_lang FROM documents",

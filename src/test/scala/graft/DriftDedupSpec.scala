@@ -231,6 +231,23 @@ class DriftDedupSpec extends SparkTestBase {
     }
   }
 
+  test("sim4: int8 quantization — exact integers, faithful reconstruction, zero-vector null") {
+    val vecs = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f, 0.27f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(vecs, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+    // scale = 1/127; |x|/scale = 127, 63.5, 0, 34.29 -> half-away 127, -64, 0, 34
+    assert(out(0).getAs[Seq[Int]]("qvec") === Seq(127, -64, 0, 34))
+    assert(math.abs(out(0).getAs[Double]("scale") - 1.0 / 127) < 1e-12)
+    assert(out(0).getAs[Double]("recon_cos") > 0.9999)
+    // zero vector: scale pinned to 1, all-zero ints, NULL (not NaN) cosine
+    assert(out(1).getAs[Seq[Int]]("qvec") === Seq(0, 0, 0, 0))
+    assert(out(1).getAs[Double]("scale") === 1.0)
+    assert(out(1).isNullAt(out(1).fieldIndex("recon_cos")))
+  }
+
   test("ANN IVF recall: kmeans-cell probing finds most true neighbors") {
     val vecs = (0 until 200).map { i =>
       val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))
