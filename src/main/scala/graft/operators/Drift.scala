@@ -116,11 +116,16 @@ object Drift {
     val boundaries = segments
       .filter(col("date_start") =!= lit(firstStart))
       .select(col("segment_id"), col("date_start").as("boundary_date"))
+    // materialize the window-tagged slice once: it is consumed twice
+    // (eligibility gate + unpivot), and each consumption would otherwise
+    // replay the caller's full daily aggregation. The slice is bounded by
+    // boundaries x 2*windowDays rows — tiny at any corpus scale.
     val tagged = daily.join(broadcast(boundaries),
       col(dateCol) >= date_sub(col("boundary_date"), windowDays) &&
         col(dateCol) < date_add(col("boundary_date"), windowDays))
       .withColumn("side",
         when(col(dateCol) < col("boundary_date"), "a").otherwise("b"))
+      .localCheckpoint(true)
     // reference gates on FRAME row counts (NaNs included) first
     val eligible = tagged.groupBy("segment_id", "boundary_date")
       .agg(sum(when(col("side") === "a", 1).otherwise(0)).as("rb"),

@@ -68,14 +68,18 @@ object Labels {
     * pandas `quantile`. Reference: `src/labels/build_pbsi.py:224-253`. */
   def twoPassPercentileLabel(df: DataFrame, scoreCol: String,
                              loP: Double, hiP: Double): DataFrame = {
-    val row = df.agg(
+    // materialize the (daily-grain, bounded) frame once: the threshold
+    // action below and the labeled result would otherwise each replay
+    // the caller's full upstream chain.
+    val snap = df.localCheckpoint(true)
+    val row = snap.agg(
       percentile(col(scoreCol), lit(loP)).as("lo"),
       percentile(col(scoreCol), lit(hiP)).as("hi")).head()
     require(!row.isNullAt(0) && !row.isNullAt(1),
       s"twoPassPercentileLabel: '$scoreCol' has no non-null values — " +
         "percentile thresholds undefined")
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-    df.withColumn("label_3cls",
+    snap.withColumn("label_3cls",
         when(col(scoreCol) >= hi, 1)
           .when(col(scoreCol) <= lo, -1)
           .otherwise(0))
