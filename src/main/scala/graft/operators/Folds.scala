@@ -34,6 +34,73 @@ object Folds {
       .drop("train_start", "val_start", "val_end")
   }
 
+  /** M2 exact — the reference's month-based calendar folds
+    * (`src/etl/ml7_analysis.py:148-235`), semantics mirrored field by
+    * field:
+    *
+    *  - anchor scan: the fold timeline starts at the first date (in date
+    *    order) whose next-`anchorWindowRows`-ROW window contains >= 2
+    *    distinct labels (>=2 distinct == windowed min != max, no distinct
+    *    count needed); falls back to the global minimum date;
+    *  - boundaries by CALENDAR months with end-of-month clamping, and
+    *    composed sequentially (start +6mo, then +4mo, then +2mo — NOT
+    *    +10mo/+12mo from the anchor: composition changes the clamped day,
+    *    and pandas DateOffset, java.time and SQL intervals all agree on
+    *    the composed form);
+    *  - folds starting at/after the max date stop the schedule; folds
+    *    with an empty train or val split, or fewer than 2 distinct train
+    *    labels, are skipped WITHOUT renumbering.
+    *
+    * Returns one summary row per surviving fold: (fold_id, train_start,
+    * train_end, val_start, val_end, n_train, n_val). Distributed shape:
+    * one bounded single-partition window for the anchor scan (daily
+    * grain — same rationale as the reference's sequential scan), one
+    * 3-scalar agg, then a broadcast range-join + per-fold aggregation. */
+  def calendarFoldsMonthly(daily: DataFrame, dateCol: String, labelCol: String,
+                           nFolds: Int = 6, trainMonths: Int = 4,
+                           valMonths: Int = 2,
+                           anchorWindowRows: Int = 180): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = daily.sparkSession
+    import spark.implicits._
+    val wf = Window.orderBy(col("d"))
+      .rowsBetween(Window.currentRow, anchorWindowRows - 1)
+    val flagged = daily
+      .select(col(dateCol).cast("date").as("d"), col(labelCol).as("lbl"))
+      .withColumn("has2", min(col("lbl")).over(wf) =!= max(col("lbl")).over(wf))
+    val a = flagged.agg(
+      min(when(col("has2"), col("d"))).as("anchor"),
+      min(col("d")).as("dmin"), max(col("d")).as("dmax")).head()
+    require(!a.isNullAt(1),
+      s"calendarFoldsMonthly: input has no non-null '$dateCol' rows")
+    val anchor = (if (a.isNullAt(0)) a.getDate(1) else a.getDate(0)).toLocalDate
+    val dmax = a.getDate(2).toLocalDate
+    val spec = (0 until nFolds).map { f =>
+      val t0 = anchor.plusMonths(f.toLong * (trainMonths + valMonths))
+      val t1 = t0.plusMonths(trainMonths.toLong)
+      val v1 = t1.plusMonths(valMonths.toLong)
+      (f, java.sql.Date.valueOf(t0), java.sql.Date.valueOf(t1),
+        java.sql.Date.valueOf(v1))
+    }.filter { case (_, t0, _, _) => t0.toLocalDate.isBefore(dmax) }
+      .toDF("fold_id", "train_start", "val_start_b", "val_end")
+    daily
+      .join(broadcast(spec),
+        col(dateCol) >= col("train_start") && col(dateCol) < col("val_end"))
+      .withColumn("role",
+        when(col(dateCol) < col("val_start_b"), "train").otherwise("val"))
+      .groupBy("fold_id", "train_start", "val_start_b", "val_end")
+      .agg(
+        sum(when(col("role") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("role") === "val", 1L).otherwise(0L)).as("n_val"),
+        countDistinct(when(col("role") === "train", col(labelCol)))
+          .as("n_train_classes"))
+      .filter(col("n_train") > 0 && col("n_val") > 0 &&
+        col("n_train_classes") >= 2)
+      .select(col("fold_id"), col("train_start"),
+        col("val_start_b").as("train_end"), col("val_start_b").as("val_start"),
+        col("val_end"), col("n_train"), col("n_val"))
+  }
+
   /** M2 guard — keep only folds whose TRAIN split has at least
     * `minClasses` distinct labels (the reference's min-2-classes scan). */
   def foldsWithEnoughClasses(folded: DataFrame, labelCol: String,

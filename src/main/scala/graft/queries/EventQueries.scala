@@ -229,6 +229,29 @@ object EventQueries {
           min("date").as("fold_start"), max("date").as("fold_end"))
     }),
 
+    // M2 exact: the reference's month-based calendar folds with the
+    // >=2-class anchor scan, end-of-month-clamped month arithmetic, and
+    // empty/one-class fold skipping. The daily frame spreads events over
+    // a synthetic 420-day span anchored at a month-END date (2023-10-31)
+    // so the clamping composition (Oct 31 +6mo -> Apr 30, +4mo -> Aug 30)
+    // is actually exercised; a single-class prefix before 2023-12-01
+    // forces the anchor scan to move.
+    "m2_folds_monthly" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .withColumn("date",
+          date_add(lit("2023-10-31").cast("date"),
+            pmod(col("event_id"), lit(420)).cast("int")))
+        .groupBy("date").agg(count(lit(1)).as("n"))
+        .withColumn("label_3cls",
+          when(col("date") < lit("2023-12-01").cast("date"), 0)
+            .otherwise(pmod(dayofmonth(col("date")), lit(3)) - 1))
+      graft.operators.Folds.calendarFoldsMonthly(daily, "date", "label_3cls",
+          nFolds = 6, trainMonths = 4, valMonths = 2, anchorWindowRows = 30)
+        .select(col("fold_id").cast("long").as("fold_id"),
+          col("train_start"), col("train_end"), col("val_start"),
+          col("val_end"), col("n_train"), col("n_val"))
+    }),
+
     // M6/stage-6 artifact core: the per-fold metrics frame written into
     // cv_summary.json's `folds` list — macro-F1, balanced accuracy and
     // Cohen's kappa per calendar fold; n_train = all non-validation rows
@@ -586,6 +609,45 @@ object EventQueries {
         |  count(DISTINCT d.date) AS n_days, count(*) AS n_events,
         |  min(d.date) AS fold_start, max(d.date) AS fold_end
         |FROM d CROSS JOIN m GROUP BY 1""".stripMargin,
+
+    "m2_folds_monthly" ->
+      """WITH daily AS (
+        |  SELECT DATE '2023-10-31' + CAST(event_id % 420 AS INT) AS date
+        |  FROM events GROUP BY 1),
+        |lab AS (
+        |  SELECT date, CASE WHEN date < DATE '2023-12-01' THEN 0
+        |    ELSE (day(date) % 3) - 1 END AS lbl FROM daily),
+        |flagged AS (
+        |  SELECT date, lbl, min(lbl) OVER w <> max(lbl) OVER w AS has2
+        |  FROM lab
+        |  WINDOW w AS (ORDER BY date ROWS BETWEEN CURRENT ROW AND 29 FOLLOWING)),
+        |anc AS (
+        |  SELECT coalesce(min(date) FILTER (WHERE has2), min(date)) AS anchor,
+        |    max(date) AS dmax
+        |  FROM flagged),
+        |spec AS (
+        |  SELECT f.range AS fold_id,
+        |    CAST(anchor + (6 * f.range) * INTERVAL 1 MONTH AS DATE) AS t0,
+        |    CAST((anchor + (6 * f.range) * INTERVAL 1 MONTH)
+        |      + 4 * INTERVAL 1 MONTH AS DATE) AS t1,
+        |    CAST(((anchor + (6 * f.range) * INTERVAL 1 MONTH)
+        |      + 4 * INTERVAL 1 MONTH) + 2 * INTERVAL 1 MONTH AS DATE) AS v1,
+        |    dmax
+        |  FROM range(6) f, anc),
+        |tagged AS (
+        |  SELECT s.fold_id, s.t0, s.t1, s.v1,
+        |    CASE WHEN b.date < s.t1 THEN 'train' ELSE 'val' END AS role, b.lbl
+        |  FROM spec s JOIN lab b ON b.date >= s.t0 AND b.date < s.v1
+        |  WHERE s.t0 < s.dmax),
+        |aggd AS (
+        |  SELECT fold_id, t0, t1, v1,
+        |    CAST(sum(CASE WHEN role = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN role = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val,
+        |    count(DISTINCT CASE WHEN role = 'train' THEN lbl END) AS n_cls
+        |  FROM tagged GROUP BY 1, 2, 3, 4)
+        |SELECT fold_id, t0 AS train_start, t1 AS train_end, t1 AS val_start,
+        |  v1 AS val_end, n_train, n_val
+        |FROM aggd WHERE n_train > 0 AND n_val > 0 AND n_cls >= 2""".stripMargin,
 
     "m6_cv_folds" ->
       """WITH d AS (SELECT CAST(ts AS DATE) AS date, event_type AS y_true, value FROM events),

@@ -131,6 +131,17 @@ object ParityDump {
           spark.read.option("header", "true").option("inferSchema", "true")
             .option("nullValue", "").csv(p))
         ReferencePipeline.zeppDailyFeatures(frames)
+      case "folds" =>
+        // in = labeled-daily CSV (date, label_3cls); M2 exact — the
+        // reference's month-based create_calendar_folds summary.
+        val csv = spark.read.option("header", "true")
+          .option("inferSchema", "true").option("nullValue", "").csv(in)
+          .withColumn("date", col("date").cast("date"))
+        graft.operators.Folds.calendarFoldsMonthly(csv, "date", "label_3cls",
+            nFolds = 6, trainMonths = 4, valMonths = 2, anchorWindowRows = 180)
+          .select(col("fold_id"), col("train_start").cast("string"),
+            col("train_end").cast("string"), col("val_start").cast("string"),
+            col("val_end").cast("string"), col("n_train"), col("n_val"))
       case "instability" =>
         // in = "<featuresCsv>,<segmentsCsv>"; A15 via range-attach + the
         // variance-across-segment-means operator.

@@ -60,6 +60,38 @@ class PipelineSpec extends SparkTestBase {
     assert(keptFolds.contains(2))
   }
 
+  test("M2 exact: month-end clamping, anchor scan, and fold skip rules") {
+    // 600 days from a month-END anchor; labels mix immediately, so the
+    // anchor stays at 2023-10-31 and every month-add clamps:
+    // +4mo -> 2024-02-29 (leap), +2mo -> 2024-04-29, fold 1 start
+    // 2024-04-30 (+6mo composed) — parity-verified vs the reference
+    val daily = (0 until 600).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2023, 10, 31).plusDays(i)),
+        i % 3 - 1)
+    }.toDF("date", "label_3cls")
+    val out = Folds.calendarFoldsMonthly(daily, "date", "label_3cls")
+      .orderBy("fold_id").collect()
+    assert(out.map(_.getInt(0)).toSeq === Seq(0, 1, 2))
+    assert(out(0).getDate(1).toString === "2023-10-31")
+    assert(out(0).getDate(2).toString === "2024-02-29") // clamped leap day
+    assert(out(0).getDate(4).toString === "2024-04-29")
+    assert(out(1).getDate(1).toString === "2024-04-30") // composed clamp
+    // 200-day single-class prefix: anchor scan (180-row window) advances
+    // to the first row whose window reaches the mixed region
+    val prefixed = (0 until 600).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2023, 10, 31).plusDays(i)),
+        if (i < 200) 0 else i % 3 - 1)
+    }.toDF("date", "label_3cls")
+    val anchored = Folds.calendarFoldsMonthly(prefixed, "date", "label_3cls")
+      .orderBy("fold_id").collect()
+    // anchor = row 21 (2023-11-21): first 180-row window reaching the
+    // mixed region. Fold 0's train (anchor..+4mo) is still single-class
+    // -> skipped WITHOUT renumbering; the survivor is fold 1 at
+    // anchor+6mo (parity-verified against the reference's skip log).
+    assert(anchored.map(_.getInt(0)).toSeq === Seq(1, 2))
+    assert(anchored(0).getDate(1).toString === "2024-05-21")
+  }
+
   test("M4: ablation projects feature sets; best config is deterministic") {
     val df = Seq((1, 1.0, 2.0, 3.0)).toDF("k", "f1", "f2", "f3")
     val sets = Folds.ablation(df, Seq("k"),

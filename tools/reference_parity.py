@@ -803,12 +803,46 @@ def zeppjoin_parity():
                  expected, got)
 
 
+def folds_parity():
+    """M2 exact: the reference's month-based create_calendar_folds —
+    anchor scan, end-of-month-clamped month arithmetic, skip rules."""
+    from etl.ml7_analysis import create_calendar_folds
+
+    def scenario(name, labels):
+        dates = pd.date_range("2023-10-31", periods=600, freq="D")
+        df = pd.DataFrame({"date": dates.strftime("%Y-%m-%d"),
+                           "label_3cls": labels})
+        ref = create_calendar_folds(df, n_folds=6, train_months=4,
+                                    val_months=2)
+        expected = pd.DataFrame([{
+            "fold_id": f["fold"], "train_start": f["train_start"],
+            "train_end": f["train_end"], "val_start": f["val_start"],
+            "val_end": f["val_end"], "n_train": f["n_train"],
+            "n_val": f["n_val"]} for f in ref])
+        in_csv = OUT / f"folds_{name}_in.csv"
+        out_csv = OUT / f"folds_{name}_out.csv"
+        df.to_csv(in_csv, index=False)
+        run_engine("folds", str(in_csv), str(out_csv))
+        got = pd.read_csv(out_csv)
+        return check(f"calendar_folds_monthly ({name})", expected, got)
+
+    # month-END anchor: 2023-10-31 + 4mo clamps to 2024-02-29 and the
+    # composed +6mo/+4mo/+2mo chain keeps re-clamping — the arithmetic
+    # edge the engine must mirror
+    mixed = [(i % 3) - 1 for i in range(600)]
+    # 200-day single-class prefix: the >=2-class window scan must advance
+    # the anchor off the global minimum date
+    prefix = [0] * 200 + [(i % 3) - 1 for i in range(400)]
+    return (scenario("month_end_anchor", mixed) &
+            scenario("anchor_scan", prefix))
+
+
 if __name__ == "__main__":
     ok = (meds_parity() & pbsi_parity() & som_parity() & unify_parity() &
           instability_parity() & zeppsleep_parity() & zepphr_parity() &
           applehr_parity() & applehrv_parity() & applesleep_parity() &
           appleactivity_parity() & unifyall_parity() & autoseg_parity() &
           appleactivityfull_parity() & screentime_parity() & cdaprobe_parity() &
-          zeppjoin_parity())
+          zeppjoin_parity() & folds_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
