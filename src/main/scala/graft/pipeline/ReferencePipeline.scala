@@ -534,6 +534,31 @@ object ReferencePipeline {
       "activity_sub", "label_3cls", "label_2cls", "label_clinical"))
   }
 
+  /** The reference's ML7 z-scored feature set and prohibited-predictor
+    * list (`src/etl/ml7_analysis.py:79-98`). */
+  val ml7FeatureCols: Seq[String] = Seq(
+    "z_sleep_total_h", "z_sleep_efficiency", "z_hr_mean", "z_hrv_rmssd",
+    "z_hr_max", "z_steps", "z_exercise_min")
+  val ml7AntiLeakCols: Seq[String] = Seq(
+    "pbsi_score", "pbsi_quality", "sleep_sub", "cardio_sub", "activity_sub",
+    "label_2cls", "label_clinical")
+
+  /** ML7 dataset preparation (`src/etl/ml7_analysis.py:101-146`): keep
+    * (date, the 7 segment-z-scored canonical features, label_3cls) —
+    * label_3cls is the TARGET and survives; every pbsi/subscore/derived-
+    * label column is excluded. Fails fast when a required z-feature is
+    * missing, and asserts the anti-leak exclusion on the output (the
+    * reference's LEAK DETECTED assert). */
+  def ml7Features(labeled: DataFrame): DataFrame = {
+    val missing = ml7FeatureCols.filterNot(labeled.columns.contains)
+    require(missing.isEmpty,
+      s"ml7Features: missing required z-features: ${missing.mkString(", ")}")
+    val out = labeled.select(("date" +: ml7FeatureCols :+ "label_3cls").map(col): _*)
+    val leaked = ml7AntiLeakCols.filter(out.columns.contains)
+    require(leaked.isEmpty, s"LEAK DETECTED: ${leaked.mkString(", ")}")
+    out
+  }
+
   /** PBSI from an already-unified daily frame carrying the reference's
     * canonical feature names + segment_id + missing flags — the
     * `build_pbsi_labels` contract (`src/labels/build_pbsi.py:191-253`)

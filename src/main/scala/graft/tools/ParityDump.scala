@@ -131,6 +131,12 @@ object ParityDump {
           spark.read.option("header", "true").option("inferSchema", "true")
             .option("nullValue", "").csv(p))
         ReferencePipeline.zeppDailyFeatures(frames)
+      case "ml7prep" =>
+        // in = labeled-daily CSV with z-features + pbsi/label extras;
+        // the ML7 z-feature selection + anti-leak exclusion.
+        val csv = spark.read.option("header", "true")
+          .option("inferSchema", "true").option("nullValue", "").csv(in)
+        ReferencePipeline.ml7Features(csv)
       case "folds" =>
         // in = labeled-daily CSV (date, label_3cls); M2 exact — the
         // reference's month-based create_calendar_folds summary.

@@ -803,6 +803,34 @@ def zeppjoin_parity():
                  expected, got)
 
 
+def ml7prep_parity():
+    """ML7 dataset prep: z-feature selection, target kept, anti-leak
+    columns excluded — run the actual prepare_ml7_features."""
+    from etl.ml7_analysis import prepare_ml7_features
+
+    rng = np.random.default_rng(7)
+    n = 60
+    zcols = ["z_sleep_total_h", "z_sleep_efficiency", "z_hr_mean",
+             "z_hrv_rmssd", "z_hr_max", "z_steps", "z_exercise_min"]
+    df = pd.DataFrame({"date": pd.date_range("2024-01-01", periods=n,
+                                             freq="D").strftime("%Y-%m-%d")})
+    for c in zcols:
+        df[c] = np.round(rng.normal(size=n), 6)
+    df["label_3cls"] = rng.integers(-1, 2, size=n)
+    # anti-leak + raw columns that MUST NOT survive selection
+    df["pbsi_score"] = rng.normal(size=n)
+    df["sleep_sub"] = rng.normal(size=n)
+    df["label_2cls"] = (df["label_3cls"] == 1).astype(int)
+    df["hr_mean"] = rng.normal(70, 5, size=n)
+    expected = prepare_ml7_features(df).copy()
+    in_csv = OUT / "ml7prep_in.csv"
+    out_csv = OUT / "ml7prep_out.csv"
+    df.to_csv(in_csv, index=False)
+    run_engine("ml7prep", str(in_csv), str(out_csv))
+    got = pd.read_csv(out_csv)
+    return check("ml7_prepare_features (selection + anti-leak)", expected, got)
+
+
 def folds_parity():
     """M2 exact: the reference's month-based create_calendar_folds —
     anchor scan, end-of-month-clamped month arithmetic, skip rules."""
@@ -843,6 +871,6 @@ if __name__ == "__main__":
           applehr_parity() & applehrv_parity() & applesleep_parity() &
           appleactivity_parity() & unifyall_parity() & autoseg_parity() &
           appleactivityfull_parity() & screentime_parity() & cdaprobe_parity() &
-          zeppjoin_parity() & folds_parity())
+          zeppjoin_parity() & folds_parity() & ml7prep_parity())
     print("reference parity:", "ALL PASS" if ok else "FAILURES")
     sys.exit(0 if ok else 1)
