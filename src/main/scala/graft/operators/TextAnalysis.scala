@@ -303,6 +303,65 @@ object TextAnalysis {
       .select(col(idCol), col(groupCol), col("n_tokens"), col("budget_tokens"))
   }
 
+  /** Overlapping token-window chunking — the context-window preparation
+    * step for long documents ([[packIntoShards]] assigns whole documents
+    * to shards; this SPLITS a document into windows of `chunkTokens`
+    * advancing by `chunkTokens - overlapTokens`). Chunk k covers token
+    * offsets [k*stride, k*stride + chunkTokens); the last chunk may be
+    * short; empty documents produce no chunks. Emits a portable SHA-256
+    * prefix of each chunk's joined text so chunk-level dedup can run
+    * downstream without re-tokenizing. Pure per-row generate + project —
+    * no shuffle. */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunkDocuments: need 0 <= overlap ($overlapTokens) < chunk ($chunkTokens)")
+    val stride = chunkTokens - overlapTokens
+    val toks = docs.select(col(idCol),
+      filter(tokens(col(textCol)), t => t =!= "").as("tok"))
+      .withColumn("n_tokens", size(col("tok")).cast("long"))
+    // sequence(a, b) DESCENDS when b < a, so the empty doc must be
+    // guarded to an empty index array, not sequence(0, -1)
+    toks
+      .withColumn("idx",
+        when(col("n_tokens") === 0, array().cast("array<long>"))
+          .otherwise(sequence(lit(0L),
+            floor((col("n_tokens") - 1) / stride).cast("long"))))
+      .select(col(idCol), col("n_tokens"), explode(col("idx")).as("chunk_id"),
+        col("tok"))
+      .withColumn("start_tok", col("chunk_id") * stride)
+      .withColumn("chunk",
+        slice(col("tok"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
+      .select(col(idCol), col("chunk_id"), col("start_tok"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        substring(sha2(concat_ws(" ", col("chunk")), 256), 1, 16).as("chunk_sha"))
+  }
+
+  /** DuckDB twin of [[chunkDocuments]] over `documents`. */
+  def chunkDocumentsSql(idCol: String, textExpr: String, chunkTokens: Int,
+                        overlapTokens: Int): String = {
+    val stride = chunkTokens - overlapTokens
+    s"""WITH toks AS (
+       |  SELECT $idCol,
+       |    list_filter(string_split_regex(lower($textExpr), '\\s+'),
+       |      t -> t <> '') AS tok
+       |  FROM documents),
+       |ex AS (
+       |  SELECT $idCol, tok, CAST(len(tok) AS BIGINT) AS n_tokens,
+       |    unnest(range(0, CAST(floor((len(tok) - 1) / $stride) AS BIGINT) + 1))
+       |      AS chunk_id
+       |  FROM toks WHERE len(tok) > 0),
+       |ch AS (
+       |  SELECT $idCol, chunk_id, chunk_id * $stride AS start_tok,
+       |    list_slice(tok, chunk_id * $stride + 1,
+       |      chunk_id * $stride + $chunkTokens) AS chunk
+       |  FROM ex)
+       |SELECT $idCol, chunk_id, start_tok,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |  substr(sha256(array_to_string(chunk, ' ')), 1, 16) AS chunk_sha
+       |FROM ch""".stripMargin
+  }
+
   /** DuckDB twin of [[mixtureSample]] over `documents` (same SHA
     * admission order, same budget arithmetic — multiplication order
     * matters for float identity, keep `(frac * total) * weight`). */

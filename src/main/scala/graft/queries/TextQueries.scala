@@ -245,6 +245,13 @@ object TextQueries {
         .select("doc_id", "lang", "source", "quality_score")
     }),
 
+    // Overlapping token-window chunking (30-token windows, 5-token
+    // overlap): the context-window prep that splits long documents, with
+    // a portable chunk SHA for downstream chunk-level dedup.
+    "t13_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+        30, 5)),
+
     // Gopher-style repetition signals: duplicate-token fraction and
     // top-bigram fraction per document (the repetition-removal filter).
     "t10_repetition" -> ((s, dir) =>
@@ -513,6 +520,8 @@ object TextQueries {
 
       "t12_mixture" -> TextAnalysis.mixtureSampleSql("doc_id", "text", "lang",
         mixtureWeights, 0.5),
+
+      "t13_chunks" -> TextAnalysis.chunkDocumentsSql("doc_id", "text", 30, 5),
 
       "dd11_best_rep" ->
         s"""WITH RECURSIVE $lshVerifiedCtes,

@@ -109,6 +109,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(s1.columns.toSeq === Seq("doc_id", "lang"))
   }
 
+  test("chunkDocuments: offsets, overlap, short tail, empty/short-doc edges") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 tokens
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, ""))                                       // no chunks at all
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
+        chunkTokens = 10, overlapTokens = 3)
+      .orderBy("doc_id", "chunk_id").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    // stride 7: starts 0,7,14,21 — last chunk holds the 4-token tail
+    assert(d1.toSeq === Seq((0L, 0L, 10L), (1L, 7L, 10L), (2L, 14L, 10L),
+      (3L, 21L, 4L)))
+    // consecutive chunks share `overlap` tokens: same text joined, so the
+    // shas of full chunks differ while the doc-2 single short chunk stands
+    assert(out.filter(_.getLong(0) == 2L).map(r =>
+      (r.getLong(1), r.getLong(3))).toSeq === Seq((0L, 3L)))
+    assert(!out.exists(_.getLong(0) == 3L))
+    // deterministic: the chunk sha is stable across reruns
+    val again = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 10, 3)
+      .orderBy("doc_id", "chunk_id").collect().map(_.getString(4)).toSeq
+    assert(again === out.map(_.getString(4)).toSeq)
+  }
+
   test("mixtureSample: per-group token budgets honored, weight-0 group dropped") {
     // 30 docs x 10 tokens = 300 total; frac 0.5 -> 150 sampled tokens:
     // en budget floor(150*0.6)=90 -> 9 docs admitted (10th prefix = 90,
