@@ -26,5 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // the 100+-query bench JVM compiles a fresh set of Janino codegen
+  // classes per query; the JDK default 240m code cache fills late in the
+  // suite and the JIT silently stops compiling, leaving CPU-bound
+  // expression loops interpreted (observed as late-suite 5-10x
+  // per-query inflation). Size it for the whole suite + keep flushing.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
 )
