@@ -68,18 +68,27 @@ object TextAnalysis {
     * ratio, stopword ratio, and a composite quality score in [0, 100].
     * Mirrors the reference's clipped-ratio style (A1/F9). */
   def qualityColumns(df: DataFrame, textCol: String): DataFrame = {
+    // two-step: materialize the scalar ingredients once — inlining the
+    // token array into every output column would re-tokenize (and re-run
+    // the stopword filter) once per column, since CollapseProject refuses
+    // to merge only CHEAP expressions referenced more than once
     val t = col(textCol)
     val tk = tokens(t)
-    val nChars = length(t)
-    val nWords = size(tk)
-    val punct = nChars - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", ""))
-    val stops = size(filter(tk, x => array_contains(typedLit(qualityStopwords), x)))
+    val staged = df
+      .withColumn("_nw", size(tk))
+      .withColumn("_nc", length(t))
+      .withColumn("_punct",
+        col("_nc") - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+      .withColumn("_stops",
+        size(filter(tk, x => array_contains(typedLit(qualityStopwords), x))))
     // raw (unrounded) ratios feed the composite; only outputs are rounded —
     // the oracle must round in the same places, not earlier.
-    val punctRatio = punct.cast("double") / nChars
-    val stopRatio = stops.cast("double") / nWords
-    df.withColumn("n_words", nWords.cast("long"))
-      .withColumn("mean_word_len", round(nChars.cast("double") / nWords, 6))
+    val nWords = col("_nw")
+    val punctRatio = col("_punct").cast("double") / col("_nc")
+    val stopRatio = col("_stops").cast("double") / nWords
+    staged
+      .withColumn("n_words", nWords.cast("long"))
+      .withColumn("mean_word_len", round(col("_nc").cast("double") / nWords, 6))
       .withColumn("punct_ratio", round(punctRatio, 6))
       .withColumn("stopword_ratio", round(stopRatio, 6))
       .withColumn("quality_score", round(
@@ -89,6 +98,7 @@ object TextAnalysis {
             + stopRatio * 100.0
             - punctRatio * 200.0,
           lit(0.0)), lit(100.0)), 6))
+      .drop("_nw", "_nc", "_punct", "_stops")
   }
 
   /** DuckDB twins for [[qualityColumns]] (select-list fragments). */
