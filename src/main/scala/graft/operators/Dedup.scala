@@ -461,14 +461,16 @@ object Dedup {
   def keepBestRepresentatives(docs: DataFrame, idCol: String,
                               clusters: DataFrame, score: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // unique temp names: docs may itself carry cluster_id/cid/rk columns
+    // (e.g. the output of a prior clustering pass)
     val withCid = docs
-      .join(clusters.select(col("id").as(idCol), col("cluster_id")),
+      .join(clusters.select(col("id").as(idCol), col("cluster_id").as("__kbr_cid0")),
         Seq(idCol), "left")
-      .withColumn("cid", coalesce(col("cluster_id"), col(idCol)))
-    val w = Window.partitionBy(col("cid")).orderBy(score.desc, col(idCol))
-    withCid.withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .drop("rk", "cid", "cluster_id")
+      .withColumn("__kbr_cid", coalesce(col("__kbr_cid0"), col(idCol)))
+    val w = Window.partitionBy(col("__kbr_cid")).orderBy(score.desc, col(idCol))
+    withCid.withColumn("__kbr_rk", row_number().over(w))
+      .filter(col("__kbr_rk") === 1)
+      .drop("__kbr_rk", "__kbr_cid", "__kbr_cid0")
   }
 
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of

@@ -65,9 +65,15 @@ object Folds {
     import spark.implicits._
     val wf = Window.orderBy(col("d"))
       .rowsBetween(Window.currentRow, anchorWindowRows - 1)
+    // pandas .unique() counts NaN as a class, so a window of {0, null}
+    // HAS two classes: windowed min != max (ignores nulls) OR the window
+    // mixes null and non-null labels
     val flagged = daily
       .select(col(dateCol).cast("date").as("d"), col(labelCol).as("lbl"))
-      .withColumn("has2", min(col("lbl")).over(wf) =!= max(col("lbl")).over(wf))
+      .withColumn("has2",
+        (min(col("lbl")).over(wf) =!= max(col("lbl")).over(wf)) ||
+          (max(col("lbl").isNull.cast("int")).over(wf) === 1 &&
+            max(col("lbl").isNotNull.cast("int")).over(wf) === 1))
     val a = flagged.agg(
       min(when(col("has2"), col("d"))).as("anchor"),
       min(col("d")).as("dmin"), max(col("d")).as("dmax")).head()
@@ -92,8 +98,12 @@ object Folds {
       .agg(
         sum(when(col("role") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("role") === "val", 1L).otherwise(0L)).as("n_val"),
-        countDistinct(when(col("role") === "train", col(labelCol)))
-          .as("n_train_classes"))
+        (countDistinct(when(col("role") === "train", col(labelCol))) +
+          // count a null train label as one more class (pandas .unique()
+          // keeps NaN); the when() must carry an is-null marker because
+          // both "val row" and "null train label" map to CASE null
+          max(when(col("role") === "train" && col(labelCol).isNull, 1)
+            .otherwise(0))).as("n_train_classes"))
       .filter(col("n_train") > 0 && col("n_val") > 0 &&
         col("n_train_classes") >= 2)
       .select(col("fold_id"), col("train_start"),

@@ -68,18 +68,18 @@ object Labels {
     * pandas `quantile`. Reference: `src/labels/build_pbsi.py:224-253`. */
   def twoPassPercentileLabel(df: DataFrame, scoreCol: String,
                              loP: Double, hiP: Double): DataFrame = {
-    // materialize the (daily-grain, bounded) frame once: the threshold
-    // action below and the labeled result would otherwise each replay
-    // the caller's full upstream chain.
-    val snap = df.localCheckpoint(true)
-    val row = snap.agg(
+    // deliberately NOT checkpointed: the threshold pass reads only
+    // scoreCol (column pruning), so materializing the full frame here
+    // costs more than the pruned rescan on wide frames and would pin the
+    // result to non-replicated executor-local storage
+    val row = df.agg(
       percentile(col(scoreCol), lit(loP)).as("lo"),
       percentile(col(scoreCol), lit(hiP)).as("hi")).head()
     require(!row.isNullAt(0) && !row.isNullAt(1),
       s"twoPassPercentileLabel: '$scoreCol' has no non-null values — " +
         "percentile thresholds undefined")
     val (lo, hi) = (row.getDouble(0), row.getDouble(1))
-    snap.withColumn("label_3cls",
+    df.withColumn("label_3cls",
         when(col(scoreCol) >= hi, 1)
           .when(col(scoreCol) <= lo, -1)
           .otherwise(0))

@@ -75,20 +75,20 @@ object TextAnalysis {
     val t = col(textCol)
     val tk = tokens(t)
     val staged = df
-      .withColumn("_nw", size(tk))
-      .withColumn("_nc", length(t))
-      .withColumn("_punct",
-        col("_nc") - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
-      .withColumn("_stops",
+      .withColumn("__q_nw", size(tk))
+      .withColumn("__q_nc", length(t))
+      .withColumn("__q_punct",
+        col("__q_nc") - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+      .withColumn("__q_stops",
         size(filter(tk, x => array_contains(typedLit(qualityStopwords), x))))
     // raw (unrounded) ratios feed the composite; only outputs are rounded —
     // the oracle must round in the same places, not earlier.
-    val nWords = col("_nw")
-    val punctRatio = col("_punct").cast("double") / col("_nc")
-    val stopRatio = col("_stops").cast("double") / nWords
+    val nWords = col("__q_nw")
+    val punctRatio = col("__q_punct").cast("double") / col("__q_nc")
+    val stopRatio = col("__q_stops").cast("double") / nWords
     staged
       .withColumn("n_words", nWords.cast("long"))
-      .withColumn("mean_word_len", round(col("_nc").cast("double") / nWords, 6))
+      .withColumn("mean_word_len", round(col("__q_nc").cast("double") / nWords, 6))
       .withColumn("punct_ratio", round(punctRatio, 6))
       .withColumn("stopword_ratio", round(stopRatio, 6))
       .withColumn("quality_score", round(
@@ -98,7 +98,7 @@ object TextAnalysis {
             + stopRatio * 100.0
             - punctRatio * 200.0,
           lit(0.0)), lit(100.0)), 6))
-      .drop("_nw", "_nc", "_punct", "_stops")
+      .drop("__q_nw", "__q_nc", "__q_punct", "__q_stops")
   }
 
   /** DuckDB twins for [[qualityColumns]] (select-list fragments). */
@@ -330,13 +330,18 @@ object TextAnalysis {
     val toks = docs.select(col(idCol),
       filter(tokens(col(textCol)), t => t =!= "").as("tok"))
       .withColumn("n_tokens", size(col("tok")).cast("long"))
-    // sequence(a, b) DESCENDS when b < a, so the empty doc must be
-    // guarded to an empty index array, not sequence(0, -1)
+    // last chunk index: the first start whose window reaches the end —
+    // greatest(ceil((n - chunk) / stride), 0). The naive floor((n-1)/stride)
+    // would emit degenerate trailing chunks fully contained in their
+    // predecessor (n=8, chunk=10, stride=7 -> a second 1-token chunk that
+    // is a subset of chunk 0). sequence(a, b) DESCENDS when b < a, so the
+    // empty doc must be guarded to an empty index array, not sequence(0,-1)
+    val lastIdx = greatest(
+      floor((col("n_tokens") - chunkTokens + stride - 1) / stride), lit(0L))
     toks
       .withColumn("idx",
         when(col("n_tokens") === 0, array().cast("array<long>"))
-          .otherwise(sequence(lit(0L),
-            floor((col("n_tokens") - 1) / stride).cast("long"))))
+          .otherwise(sequence(lit(0L), lastIdx.cast("long"))))
       .select(col(idCol), col("n_tokens"), explode(col("idx")).as("chunk_id"),
         col("tok"))
       .withColumn("start_tok", col("chunk_id") * stride)
@@ -358,8 +363,9 @@ object TextAnalysis {
        |  FROM documents),
        |ex AS (
        |  SELECT $idCol, tok, CAST(len(tok) AS BIGINT) AS n_tokens,
-       |    unnest(range(0, CAST(floor((len(tok) - 1) / $stride) AS BIGINT) + 1))
-       |      AS chunk_id
+       |    unnest(range(0, greatest(CAST(floor(
+       |      (len(tok) - $chunkTokens + $stride - 1) / $stride) AS BIGINT),
+       |      0) + 1)) AS chunk_id
        |  FROM toks WHERE len(tok) > 0),
        |ch AS (
        |  SELECT $idCol, chunk_id, chunk_id * $stride AS start_tok,
@@ -378,7 +384,7 @@ object TextAnalysis {
   def mixtureSampleSql(idCol: String, textExpr: String, groupCol: String,
                        weights: Map[String, Double], frac: Double): String = {
     val wCase = weights.toSeq.sortBy(_._1)
-      .map { case (g, wt) => s"WHEN '$g' THEN $wt" }
+      .map { case (g, wt) => s"WHEN '${g.replace("'", "''")}' THEN $wt" }
       .mkString("CASE " + groupCol + " ", " ", " ELSE 0.0 END")
     s"""WITH toks AS (
        |  SELECT $idCol, $groupCol,

@@ -90,6 +90,20 @@ class PipelineSpec extends SparkTestBase {
     // anchor+6mo (parity-verified against the reference's skip log).
     assert(anchored.map(_.getInt(0)).toSeq === Seq(1, 2))
     assert(anchored(0).getDate(1).toString === "2024-05-21")
+    // pandas .unique() counts NaN as a class: a {0, null} window/train
+    // split has TWO classes. Nulls start at day 100, so the very first
+    // 180-row window already mixes 0 and null (anchor stays at the
+    // minimum date) and fold 0's train (days 0..121) mixes them too —
+    // both checks must treat null as a class for the fold to survive.
+    val withNulls = (0 until 600).map { i =>
+      (java.sql.Date.valueOf(java.time.LocalDate.of(2023, 10, 31).plusDays(i)),
+        if (i < 100) Some(0) else None)
+    }.toDF("date", "label_3cls")
+    val nf = Folds.calendarFoldsMonthly(withNulls, "date", "label_3cls")
+      .orderBy("fold_id").collect()
+    // folds 1/2 train all-null -> single class -> skipped
+    assert(nf.map(_.getInt(0)).toSeq === Seq(0))
+    assert(nf(0).getDate(1).toString === "2023-10-31")
   }
 
   test("M4: ablation projects feature sets; best config is deterministic") {

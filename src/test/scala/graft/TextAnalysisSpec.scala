@@ -113,7 +113,9 @@ class TextAnalysisSpec extends SparkTestBase {
     val docs = Seq(
       (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 tokens
       (2L, "a b c"),                                  // shorter than one chunk
-      (3L, ""))                                       // no chunks at all
+      (3L, ""),                                       // no chunks at all
+      (4L, (1 to 8).map(i => s"w$i").mkString(" ")),  // < chunk but > stride
+      (5L, (1 to 22).map(i => s"w$i").mkString(" "))) // start 21 would be a subset
       .toDF("doc_id", "text")
     val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text",
         chunkTokens = 10, overlapTokens = 3)
@@ -128,6 +130,14 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out.filter(_.getLong(0) == 2L).map(r =>
       (r.getLong(1), r.getLong(3))).toSeq === Seq((0L, 3L)))
     assert(!out.exists(_.getLong(0) == 3L))
+    // no degenerate trailing chunks that are strict subsets of their
+    // predecessor: 8 tokens fit one chunk (no 1-token tail at start 7);
+    // 22 tokens end at start 14 (a start-21 chunk would add no new token)
+    assert(out.filter(_.getLong(0) == 4L).map(r =>
+      (r.getLong(1), r.getLong(3))).toSeq === Seq((0L, 8L)))
+    assert(out.filter(_.getLong(0) == 5L).map(r =>
+      (r.getLong(1), r.getLong(3))).toSeq ===
+      Seq((0L, 10L), (1L, 10L), (2L, 8L)))
     // deterministic: the chunk sha is stable across reruns
     val again = TextAnalysis.chunkDocuments(docs, "doc_id", "text", 10, 3)
       .orderBy("doc_id", "chunk_id").collect().map(_.getString(4)).toSeq

@@ -861,8 +861,12 @@ def folds_parity():
     # 200-day single-class prefix: the >=2-class window scan must advance
     # the anchor off the global minimum date
     prefix = [0] * 200 + [(i % 3) - 1 for i in range(400)]
+    # pandas .unique() counts NaN as a class: {0, NaN} windows/train
+    # splits have two classes, all-NaN folds have one
+    nulls = [0] * 100 + [None] * 500
     return (scenario("month_end_anchor", mixed) &
-            scenario("anchor_scan", prefix))
+            scenario("anchor_scan", prefix) &
+            scenario("null_labels", nulls))
 
 
 if __name__ == "__main__":
