@@ -51,6 +51,13 @@ class PlanSpec extends SparkTestBase {
       "window not hash-partitioned by the group key")
   }
 
+  test("t13: chunking is a pure per-row generate — no shuffle at all") {
+    val plan = planOf("t13_chunks")
+    assert(!plan.contains("Exchange"),
+      s"chunking introduced a shuffle:\n${plan.take(600)}")
+    assert(plan.contains("Generate"), "expected a Generate (explode) node")
+  }
+
   test("dd5: default n-gram Jaccard path has no FORCED corpus broadcast") {
     // at tiny SF Catalyst may auto-broadcast by size — fine and adaptive;
     // the 100-TB property is that nothing FORCES it: with the size-based
