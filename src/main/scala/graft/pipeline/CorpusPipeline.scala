@@ -50,4 +50,30 @@ object CorpusPipeline {
         idCol, textCol, shingleK = 3, numHashes = 6, rowsPerBand = 3,
         minJaccard = 0.7),
       textCol, minQuality = 30.0)
+
+  /** Training-set assembly over a prepared corpus: token-budget mixture
+    * across `groupCol` (language/source weights), then overlapping
+    * context-window chunking, then chunk-level exact dedup by chunk SHA
+    * (consecutive chunks of near-identical surviving docs collapse here).
+    * Returns one row per training chunk:
+    * (idCol, groupCol, chunk_id, start_tok, n_chunk_tokens, chunk_sha). */
+  def assembleTraining(prepared: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, weights: Map[String, Double],
+                       frac: Double, chunkTokens: Int,
+                       overlapTokens: Int): DataFrame = {
+    val sampled = prepared.join(
+      TextAnalysis.mixtureSample(prepared, idCol, textCol, groupCol,
+        weights, frac).select(idCol),
+      Seq(idCol), "left_semi")
+    val chunks = TextAnalysis.chunkDocuments(sampled, idCol, textCol,
+      chunkTokens, overlapTokens)
+    // chunk-level exact dedup: keep the (min doc, min chunk) owner of
+    // each distinct chunk text — one hash-shuffle on the SHA key
+    val keep = chunks.groupBy("chunk_sha")
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("k"))
+      .select(col("k").getField(idCol).as(idCol),
+        col("k.chunk_id").as("chunk_id"))
+    chunks.join(keep, Seq(idCol, "chunk_id"), "left_semi")
+      .join(sampled.select(col(idCol), col(groupCol)), Seq(idCol), "left")
+  }
 }

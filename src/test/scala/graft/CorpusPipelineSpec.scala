@@ -44,4 +44,31 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(rows.forall(r => r.getAs[String]("pred_lang").nonEmpty))
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("fp"))))
   }
+
+  test("assembleTraining: mixture gate, chunking, chunk-level dedup") {
+    // two language groups; doc 11/12 share identical text so their chunks
+    // collapse to one owner at the chunk-dedup stage
+    val shared = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (10L, "en", (1 to 40).map(i => s"en$i").mkString(" ")),
+      (11L, "en", shared),
+      (12L, "en", shared),
+      (20L, "fr", (1 to 40).map(i => s"fr$i").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val out = CorpusPipeline.assembleTraining(corpus, "doc_id", "text",
+      "lang", Map("en" -> 0.7, "fr" -> 0.3), frac = 1.0,
+      chunkTokens = 20, overlapTokens = 5)
+    val rows = out.collect()
+    // every chunk_sha appears exactly once (chunk-level dedup)
+    val shas = rows.map(_.getAs[String]("chunk_sha"))
+    assert(shas.distinct.length === shas.length)
+    // doc 11 and 12 are identical: only ONE of them owns chunks
+    val owners = rows.map(_.getAs[Long]("doc_id")).distinct.sorted.toSeq
+    assert(!(owners.contains(11L) && owners.contains(12L)))
+    // chunks carry the group key and cover their doc with the stride rule
+    assert(rows.forall(r => Seq("en", "fr").contains(r.getAs[String]("lang"))))
+    // 40 tokens, chunk 20, stride 15 -> starts 0/15/30 (ceil((40-20)/15)+1)
+    assert(rows.filter(_.getAs[Long]("doc_id") == 10L)
+      .map(_.getAs[Long]("chunk_id")).sorted.toSeq === Seq(0L, 1L, 2L))
+  }
 }

@@ -144,6 +144,34 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming corpus ops: quality gate + chunking run stateless on a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    // per-row corpus ops compose on a streaming frame unchanged: quality
+    // filter then overlapping chunking (both shuffle-free projections)
+    val chunked = graft.operators.TextAnalysis.chunkDocuments(
+      graft.operators.TextAnalysis.qualityColumns(df, "text")
+        .filter(col("quality_score") >= 30.0),
+      "doc_id", "text", chunkTokens = 10, overlapTokens = 3)
+    val q = chunked.writeStream.outputMode("append")
+      .format("memory").queryName("chunk_out").start()
+    try {
+      input.addData(
+        (1L, (1 to 25).map(i => s"tok$i").mkString(" ")),
+        (2L, "!!! ??? ;;; ###")) // junk: filtered before chunking
+      q.processAllAvailable()
+      input.addData((3L, (1 to 8).map(i => s"w$i").mkString(" ")))
+      q.processAllAvailable()
+      val out = spark.sql(
+          "SELECT doc_id, chunk_id FROM chunk_out ORDER BY doc_id, chunk_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // doc 1: starts 0/7/14/21 (25 tokens); doc 2 gone; doc 3 one chunk
+      assert(out === Seq((1L, 0L), (1L, 1L), (1L, 2L), (1L, 3L), (3L, 0L)),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("multimodal: stub decode is deterministic, null-safe, schema-stable") {
     val media = Seq(
       (1L, "image", "abcdef".getBytes("UTF-8"), 2, 3, 0, 0),
