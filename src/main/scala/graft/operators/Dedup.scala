@@ -447,6 +447,76 @@ object Dedup {
         .select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Incremental corpus dedup — the daily-ingest path: deduplicate an
+    * `incoming` batch against an already-deduplicated `existing` corpus
+    * WITHOUT re-processing the corpus. Three stages, each an equi-join
+    * keyed on something precomputable for `existing`:
+    *
+    *  1. exact: drop incoming docs whose content SHA already exists
+    *     (anti-join on the digest);
+    *  2. near vs existing: minhash-band candidates between incoming and
+    *     existing signatures, exact-Jaccard verified; matched incoming
+    *     docs drop. At scale the existing side's signatures/bands are
+    *     precomputed once and stored — only the incoming batch hashes;
+    *  3. within-batch: the usual [[lshVerifiedPairs]] + min-id keep over
+    *     the (small) incoming remainder.
+    *
+    * Returns the surviving incoming rows (schema preserved). */
+  def incrementalDedup(existing: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String, shingleK: Int,
+                       numHashes: Int, rowsPerBand: Int,
+                       minJaccard: Double): DataFrame = {
+    // 1. exact against the corpus
+    val existingSha = existing.select(sha2(col(textCol), 256).as("__inc_sha"))
+      .distinct()
+    val exactNew = incoming
+      .withColumn("__inc_sha", sha2(col(textCol), 256))
+      .join(existingSha, Seq("__inc_sha"), "left_anti")
+      .drop("__inc_sha")
+    // 2. near-dup against the corpus: band-key candidates across the two
+    // signature sets, then exact verification on the pair's texts
+    val exSig = minhashSignature(existing, idCol, textCol, shingleK, numHashes)
+    val inSig = minhashSignature(exactNew, idCol, textCol, shingleK, numHashes)
+    def bands(sig: DataFrame, as: String) = {
+      val numBands = numHashes / rowsPerBand
+      val keys = (0 until numBands).map { b =>
+        concat_ws("_", lit(b) +:
+          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
+      }
+      sig.select(col(idCol).as(as), explode(array(keys: _*)).as("band_key"))
+    }
+    val cand = bands(inSig, "id_a")
+      .join(bands(exSig, "id_b"), Seq("band_key"))
+      .select("id_a", "id_b").distinct()
+    val verified = verifyPairsAcross(cand, exactNew, existing, idCol, textCol,
+      shingleK, minJaccard)
+    val nearNew = exactNew.join(
+      verified.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+    // 3. within-batch dedup of the remainder
+    val batchClusters = dupClusters(
+      lshVerifiedPairs(nearNew, idCol, textCol, shingleK, numHashes,
+        rowsPerBand, minJaccard))
+    keepClusterRepresentatives(nearNew, idCol, batchClusters)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs whose sides live in
+    * two DIFFERENT frames (incoming `id_a` vs corpus `id_b`). */
+  private def verifyPairsAcross(cand: DataFrame, left: DataFrame,
+                                right: DataFrame, idCol: String,
+                                textCol: String, shingleK: Int,
+                                minJaccard: Double): DataFrame = {
+    def sets(df: DataFrame, as: String) = df.select(col(idCol).as(as),
+      hashedShingleSet(col(textCol), shingleK).as(s"sh_$as"))
+    val inter = graft.functions.SortedLongIntersectCount(
+      col("sh_id_a"), col("sh_id_b"))
+    jaccardTail(
+      cand.join(sets(left, "id_a"), Seq("id_a"))
+        .join(sets(right, "id_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), inter.as("i"),
+          size(col("sh_id_a")).as("na"), size(col("sh_id_b")).as("nb")),
+      minJaccard)
+  }
+
   /** Quality-aware representative selection: keep, per near-dup cluster,
     * the member maximizing `score` (ties: smallest id) — the retention
     * policy a real corpus pipeline wants, where

@@ -45,6 +45,32 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("fp"))))
   }
 
+  test("incrementalDedup: new batch deduped against corpus + within itself") {
+    import graft.operators.Dedup
+    val corpusText = (1 to 50).map(i => s"alpha$i").mkString(" ")
+    val existing = Seq(
+      (1L, corpusText),
+      (2L, (100 to 150).map(i => s"beta$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val nearOfCorpus =
+      ((1 to 48).map(i => s"alpha$i") ++ Seq("x", "y")).mkString(" ")
+    val freshText = (200 to 240).map(i => s"gamma$i").mkString(" ")
+    val incoming = Seq(
+      (10L, corpusText),    // exact dup of corpus doc 1 -> dropped
+      (11L, nearOfCorpus),  // near dup of corpus doc 1 -> dropped
+      (12L, freshText),     // genuinely new -> kept
+      (13L, freshText),     // exact within-batch dup of 12 -> dropped
+      (14L, ((200 to 238).map(i => s"gamma$i") :+ "z").mkString(" ")))
+      .toDF("doc_id", "text") // near within-batch dup of 12 -> dropped
+    val kept = Dedup.incrementalDedup(existing, incoming, "doc_id", "text",
+        shingleK = 2, numHashes = 6, rowsPerBand = 1, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept === Seq(12L))
+    // an empty incoming batch survives the pipeline
+    assert(Dedup.incrementalDedup(existing, incoming.limit(0), "doc_id",
+      "text", 2, 6, 1, 0.5).count() === 0L)
+  }
+
   test("assembleTraining: mixture gate, chunking, chunk-level dedup") {
     // two language groups; doc 11/12 share identical text so their chunks
     // collapse to one owner at the chunk-dedup stage
