@@ -140,15 +140,20 @@ object Dedup {
     finally cached.unpersist()
   }
 
+  /** One band-key expression per band over mh0..mh{numHashes-1}. */
+  private def bandKeyExprs(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
+    val numBands = numHashes / rowsPerBand
+    (0 until numBands).map { b =>
+      concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }
+  }
+
   private def bandJoin(cached: DataFrame, idCol: String, numHashes: Int,
                        rowsPerBand: Int): DataFrame = {
-    val numBands = numHashes / rowsPerBand
-    val bands = (0 until numBands).map { b =>
-      val key = concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
-      cached.select(col(idCol), key.as("band_key"))
-    }
-    val exploded = bands.reduce(_ union _)
+    val exploded = bandKeyExprs(numHashes, rowsPerBand)
+      .map(key => cached.select(col(idCol), key.as("band_key")))
+      .reduce(_ union _)
     val l = exploded.as("l")
     val r = exploded.as("r")
     l.join(r, col("l.band_key") === col("r.band_key") &&
@@ -165,16 +170,29 @@ object Dedup {
     * corpus). Returns (id_a, id_b, jaccard). */
   def verifyPairsJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
                          textCol: String, shingleK: Int,
-                         minJaccard: Double): DataFrame = {
+                         minJaccard: Double): DataFrame =
+    verifyPairsJaccardAcross(pairs, docs, docs, idCol, textCol, shingleK,
+      minJaccard)
+
+  /** [[verifyPairsJaccard]] with the pair's sides resolved from two
+    * DIFFERENT frames (id_a from `leftDocs`, id_b from `rightDocs`) —
+    * the incremental-ingest shape, where the left side is a new batch
+    * and the right side the existing corpus. */
+  def verifyPairsJaccardAcross(pairs: DataFrame, leftDocs: DataFrame,
+                               rightDocs: DataFrame, idCol: String,
+                               textCol: String, shingleK: Int,
+                               minJaccard: Double): DataFrame = {
     // SHA-per-shingle is CPU-bound and the input may be a single split:
     // spread rows first so set-building uses every core (cf.
     // minhashSignature), for BOTH attach sides.
-    val sets = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    def sets(df: DataFrame) = df
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), hashedShingleSet(col(textCol), shingleK).as("sh"))
+    val setsL = sets(leftDocs)
+    val setsR = if (rightDocs eq leftDocs) setsL else sets(rightDocs)
     val withSets = pairs
-      .join(sets.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sets.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(setsL.select(col(idCol).as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(setsR.select(col(idCol).as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .filter(sizeRatioPrune(size(col("sh_a")), size(col("sh_b")), minJaccard))
     val inter = graft.functions.SortedLongIntersectCount(col("sh_a"), col("sh_b"))
     jaccardTail(
@@ -477,19 +495,13 @@ object Dedup {
     // signature sets, then exact verification on the pair's texts
     val exSig = minhashSignature(existing, idCol, textCol, shingleK, numHashes)
     val inSig = minhashSignature(exactNew, idCol, textCol, shingleK, numHashes)
-    def bands(sig: DataFrame, as: String) = {
-      val numBands = numHashes / rowsPerBand
-      val keys = (0 until numBands).map { b =>
-        concat_ws("_", lit(b) +:
-          (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh$i")): _*)
-      }
-      sig.select(col(idCol).as(as), explode(array(keys: _*)).as("band_key"))
-    }
+    def bands(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
+      explode(array(bandKeyExprs(numHashes, rowsPerBand): _*)).as("band_key"))
     val cand = bands(inSig, "id_a")
       .join(bands(exSig, "id_b"), Seq("band_key"))
       .select("id_a", "id_b").distinct()
-    val verified = verifyPairsAcross(cand, exactNew, existing, idCol, textCol,
-      shingleK, minJaccard)
+    val verified = verifyPairsJaccardAcross(cand, exactNew, existing, idCol,
+      textCol, shingleK, minJaccard)
     val nearNew = exactNew.join(
       verified.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
     // 3. within-batch dedup of the remainder
@@ -497,24 +509,6 @@ object Dedup {
       lshVerifiedPairs(nearNew, idCol, textCol, shingleK, numHashes,
         rowsPerBand, minJaccard))
     keepClusterRepresentatives(nearNew, idCol, batchClusters)
-  }
-
-  /** Exact-Jaccard verification of candidate pairs whose sides live in
-    * two DIFFERENT frames (incoming `id_a` vs corpus `id_b`). */
-  private def verifyPairsAcross(cand: DataFrame, left: DataFrame,
-                                right: DataFrame, idCol: String,
-                                textCol: String, shingleK: Int,
-                                minJaccard: Double): DataFrame = {
-    def sets(df: DataFrame, as: String) = df.select(col(idCol).as(as),
-      hashedShingleSet(col(textCol), shingleK).as(s"sh_$as"))
-    val inter = graft.functions.SortedLongIntersectCount(
-      col("sh_id_a"), col("sh_id_b"))
-    jaccardTail(
-      cand.join(sets(left, "id_a"), Seq("id_a"))
-        .join(sets(right, "id_b"), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), inter.as("i"),
-          size(col("sh_id_a")).as("na"), size(col("sh_id_b")).as("nb")),
-      minJaccard)
   }
 
   /** Quality-aware representative selection: keep, per near-dup cluster,

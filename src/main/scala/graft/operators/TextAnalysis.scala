@@ -342,8 +342,7 @@ object TextAnalysis {
       .withColumn("idx",
         when(col("n_tokens") === 0, array().cast("array<long>"))
           .otherwise(sequence(lit(0L), lastIdx.cast("long"))))
-      .select(col(idCol), col("n_tokens"), explode(col("idx")).as("chunk_id"),
-        col("tok"))
+      .select(col(idCol), explode(col("idx")).as("chunk_id"), col("tok"))
       .withColumn("start_tok", col("chunk_id") * stride)
       .withColumn("chunk",
         slice(col("tok"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
