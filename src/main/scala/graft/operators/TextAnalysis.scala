@@ -403,6 +403,18 @@ object TextAnalysis {
        |FROM cum WHERE cum_before < budget_tokens""".stripMargin
   }
 
+  /** C4-style text normalization for near-exact dedup: lowercase, strip
+    * non-alphanumerics, collapse whitespace runs, trim. Two documents
+    * differing only in case/punctuation/spacing normalize identically,
+    * so exact dedup over the normalized text catches them. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** DuckDB twin of [[normalizeForDedup]]. */
+  def normalizeForDedupSql(expr: String): String =
+    s"""trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"""
+
   /** Rolling polynomial fingerprint over per-token 28-bit hashes:
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
     * compact near-exact-dup document signature. */

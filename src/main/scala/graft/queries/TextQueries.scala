@@ -87,6 +87,15 @@ object TextQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // Normalized exact dedup (C4-style): case/punctuation/whitespace
+    // differences collapse before hashing, so near-exact variants group.
+    "dd12_norm_dedup" -> ((s, dir) =>
+      Dedup.exactDups(
+        Tables.documents(s, dir).withColumn("norm_text",
+          TextAnalysis.normalizeForDedup(col("text"))),
+        "doc_id", "norm_text")
+        .withColumnRenamed("text_sha", "norm_sha")),
+
     // Embedding-cosine near-dup pairs blocked by label (0.3 ~ the p99 of
     // within-label cosine in the synthetic embeddings — nonempty output).
     "dd6_embed_dups" -> ((s, dir) =>
@@ -325,6 +334,11 @@ object TextQueries {
     Map(
       "dd1_exact_dedup" ->
         """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY 1""".stripMargin,
+
+      "dd12_norm_dedup" ->
+        s"""SELECT sha256(${TextAnalysis.normalizeForDedupSql("text")}) AS norm_sha,
+          |  min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
 
       "dd2_minhash_sig" -> {

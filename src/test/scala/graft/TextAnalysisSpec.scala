@@ -109,6 +109,21 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(s1.columns.toSeq === Seq("doc_id", "lang"))
   }
 
+  test("normalizeForDedup: case/punctuation/whitespace variants collapse") {
+    val docs = Seq(
+      (1L, "Hello,  World!"),
+      (2L, "hello world"),
+      (3L, "HELLO ... world\t"),
+      (4L, "goodbye world"))
+      .toDF("doc_id", "text")
+    val dups = graft.operators.Dedup.exactDups(
+      docs.withColumn("norm_text",
+        TextAnalysis.normalizeForDedup(col("text"))),
+      "doc_id", "norm_text")
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(dups === Map(1L -> 3L, 4L -> 1L)) // 1/2/3 collapse; 4 alone
+  }
+
   test("chunkDocuments: offsets, overlap, short tail, empty/short-doc edges") {
     val docs = Seq(
       (1L, (1 to 25).map(i => s"w$i").mkString(" ")), // 25 tokens
