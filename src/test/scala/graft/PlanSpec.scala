@@ -51,6 +51,22 @@ class PlanSpec extends SparkTestBase {
       "window not hash-partitioned by the group key")
   }
 
+  test("incremental dedup: every stage an equi-join, no cartesian, no forced broadcast") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, dir)
+    val plan = graft.operators.Dedup.incrementalDedup(
+        docs.filter(col("doc_id") < 40), docs.filter(col("doc_id") >= 40),
+        "doc_id", "text", shingleK = 2, numHashes = 4, rowsPerBand = 2,
+        minJaccard = 0.5)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"),
+      "incremental dedup degenerated to a cartesian")
+    // Catalyst may auto-broadcast tiny sides at this SF; what must NOT
+    // appear is an explicit broadcast hint of either corpus side
+    assert(!plan.contains("ResolvedHint"), "unexpected forced broadcast")
+  }
+
   test("t13: chunking is a pure per-row generate — no shuffle at all") {
     val plan = planOf("t13_chunks")
     assert(!plan.contains("Exchange"),
