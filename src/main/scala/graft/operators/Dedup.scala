@@ -475,7 +475,11 @@ object Dedup {
     *  2. near vs existing: minhash-band candidates between incoming and
     *     existing signatures, exact-Jaccard verified; matched incoming
     *     docs drop. At scale the existing side's signatures/bands are
-    *     precomputed once and stored — only the incoming batch hashes;
+    *     precomputed once and stored; verification re-hashes only the
+    *     corpus docs that banded with the batch (candidate semi-join),
+    *     never the whole corpus. (The incoming batch — small by
+    *     definition — is shingled per stage rather than threading one
+    *     hashed pass through all three.);
     *  3. within-batch: the usual [[lshVerifiedPairs]] + min-id keep over
     *     the (small) incoming remainder.
     *
@@ -500,7 +504,12 @@ object Dedup {
     val cand = bands(inSig, "id_a")
       .join(bands(exSig, "id_b"), Seq("band_key"))
       .select("id_a", "id_b").distinct()
-    val verified = verifyPairsJaccardAcross(cand, exactNew, existing, idCol,
+    // verification must NOT shingle-hash the whole corpus: prune the
+    // existing side to the candidate ids first (batch-sized), so only
+    // corpus docs that actually banded with the batch are re-hashed
+    val candCorpus = existing.join(
+      cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
+    val verified = verifyPairsJaccardAcross(cand, exactNew, candCorpus, idCol,
       textCol, shingleK, minJaccard)
     val nearNew = exactNew.join(
       verified.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")

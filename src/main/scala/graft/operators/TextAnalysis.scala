@@ -348,7 +348,10 @@ object TextAnalysis {
         slice(col("tok"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
       .select(col(idCol), col("chunk_id"), col("start_tok"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
-        substring(sha2(concat_ws(" ", col("chunk")), 256), 1, 16).as("chunk_sha"))
+        // full-width SHA-256: this is a DEDUP KEY — a truncated 64-bit
+        // prefix would silently collapse distinct chunks by collision at
+        // 10^11+-chunk corpus scale
+        sha2(concat_ws(" ", col("chunk")), 256).as("chunk_sha"))
   }
 
   /** DuckDB twin of [[chunkDocuments]] over `documents`. */
@@ -373,7 +376,7 @@ object TextAnalysis {
        |  FROM ex)
        |SELECT $idCol, chunk_id, start_tok,
        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-       |  substr(sha256(array_to_string(chunk, ' ')), 1, 16) AS chunk_sha
+       |  sha256(array_to_string(chunk, ' ')) AS chunk_sha
        |FROM ch""".stripMargin
   }
 
@@ -404,16 +407,28 @@ object TextAnalysis {
   }
 
   /** C4-style text normalization for near-exact dedup: lowercase, strip
-    * non-alphanumerics, collapse whitespace runs, trim. Two documents
+    * punctuation/symbols, collapse whitespace runs, trim. Two documents
     * differing only in case/punctuation/spacing normalize identically,
-    * so exact dedup over the normalized text catches them. */
+    * so exact dedup over the normalized text catches them. Unicode-aware
+    * (`\p{L}\p{N}`): non-Latin scripts and accented letters survive —
+    * an ASCII-only class would normalize every non-Latin document to ""
+    * and merge them all into one bogus duplicate cluster. The whitespace
+    * class is written out explicitly because Java's `\s` includes
+    * vertical tab while RE2's does not — the twins must agree. */
+  private val WsClass = " \\t\\n\\x0B\\f\\r"
   def normalizeForDedup(text: Column): Column =
     trim(regexp_replace(
-      regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+      regexp_replace(lower(text), s"[^\\p{L}\\p{N}$WsClass]", ""),
+      s"[$WsClass]+", " "))
 
   /** DuckDB twin of [[normalizeForDedup]]. */
-  def normalizeForDedupSql(expr: String): String =
-    s"""trim(regexp_replace(regexp_replace(lower($expr), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))"""
+  def normalizeForDedupSql(expr: String): String = {
+    // `ws` is a plain triple-quoted literal (no escape processing), so
+    // its single backslashes reach RE2 verbatim; the s-interpolated
+    // template below DOES process escapes, hence the doubled \\p
+    val ws = """ \t\n\x0B\f\r"""
+    s"""trim(regexp_replace(regexp_replace(lower($expr), '[^\\p{L}\\p{N}$ws]', '', 'g'), '[$ws]+', ' ', 'g'))"""
+  }
 
   /** Rolling polynomial fingerprint over per-token 28-bit hashes:
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a

@@ -61,10 +61,13 @@ object CorpusPipeline {
                        groupCol: String, weights: Map[String, Double],
                        frac: Double, chunkTokens: Int,
                        overlapTokens: Int): DataFrame = {
-    val sampled = prepared.join(
-      TextAnalysis.mixtureSample(prepared, idCol, textCol, groupCol,
-        weights, frac).select(idCol),
-      Seq(idCol), "left_semi")
+    // one mixture pass, materialized: its (id, group) output gates the
+    // chunk input AND attaches the group at the end — without the
+    // checkpoint both uses would replay the tokenize+window lineage
+    val mixKeys = TextAnalysis.mixtureSample(prepared, idCol, textCol,
+        groupCol, weights, frac)
+      .select(col(idCol), col(groupCol)).localCheckpoint(true)
+    val sampled = prepared.join(mixKeys.select(idCol), Seq(idCol), "left_semi")
     val chunks = TextAnalysis.chunkDocuments(sampled, idCol, textCol,
       chunkTokens, overlapTokens)
     // chunk-level exact dedup: keep the (min doc, min chunk) owner of
@@ -74,6 +77,6 @@ object CorpusPipeline {
       .select(col("k").getField(idCol).as(idCol),
         col("k.chunk_id").as("chunk_id"))
     chunks.join(keep, Seq(idCol, "chunk_id"), "left_semi")
-      .join(sampled.select(col(idCol), col(groupCol)), Seq(idCol), "left")
+      .join(mixKeys, Seq(idCol), "left")
   }
 }

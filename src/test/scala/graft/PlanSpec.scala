@@ -53,18 +53,25 @@ class PlanSpec extends SparkTestBase {
 
   test("incremental dedup: every stage an equi-join, no cartesian, no forced broadcast") {
     import org.apache.spark.sql.functions.col
-    val docs = graft.core.Tables.documents(spark, dir)
-    val plan = graft.operators.Dedup.incrementalDedup(
-        docs.filter(col("doc_id") < 40), docs.filter(col("doc_id") >= 40),
-        "doc_id", "text", shingleK = 2, numHashes = 4, rowsPerBand = 2,
-        minJaccard = 0.5)
-      .queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!plan.contains("CartesianProduct"),
-      "incremental dedup degenerated to a cartesian")
-    // Catalyst may auto-broadcast tiny sides at this SF; what must NOT
-    // appear is an explicit broadcast hint of either corpus side
-    assert(!plan.contains("ResolvedHint"), "unexpected forced broadcast")
+    // same discipline as the dd5 test: with size-based auto-broadcast
+    // off, a FORCED broadcast would still show — the plan must degrade
+    // to shuffle joins only
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val docs = graft.core.Tables.documents(spark, dir)
+      val plan = graft.operators.Dedup.incrementalDedup(
+          docs.filter(col("doc_id") < 40), docs.filter(col("doc_id") >= 40),
+          "doc_id", "text", shingleK = 2, numHashes = 4, rowsPerBand = 2,
+          minJaccard = 0.5)
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(!plan.contains("CartesianProduct"),
+        "incremental dedup degenerated to a cartesian")
+      assert(!plan.contains("BroadcastHashJoin"),
+        "corpus-side broadcast is forced (survives autoBroadcast=-1)")
+    } finally spark.conf.set(key, old)
   }
 
   test("t13: chunking is a pure per-row generate — no shuffle at all") {

@@ -122,6 +122,16 @@ class TextAnalysisSpec extends SparkTestBase {
       "doc_id", "norm_text")
       .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
     assert(dups === Map(1L -> 3L, 4L -> 1L)) // 1/2/3 collapse; 4 alone
+    // Unicode-aware: distinct non-Latin docs must NOT collapse to "",
+    // and accented letters survive instead of being stripped
+    val uni = Seq((1L, "日本語のテキスト"), (2L, "中文文本"), (3L, "café!"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.normalizeForDedup(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(uni(1L) !== uni(2L))
+    assert(uni(1L).nonEmpty && uni(2L).nonEmpty)
+    assert(uni(3L) === "café")
   }
 
   test("chunkDocuments: offsets, overlap, short tail, empty/short-doc edges") {
