@@ -169,6 +169,43 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again === out.map(_.getString(4)).toSeq)
   }
 
+  test("chunkDocuments invariants: full token coverage, exact overlap, no subset chunks") {
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 20).map { i =>
+      val n = rnd.nextInt(120) // 0..119 tokens
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "))
+    }
+    val docs = cases.toDF("doc_id", "text")
+    val chunk = 16
+    val overlap = 5
+    val out = TextAnalysis.chunkDocuments(docs, "doc_id", "text", chunk, overlap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    val nTokens = cases.map { case (id, t) =>
+      id -> t.split("\\s+").count(_.nonEmpty) }.toMap
+    nTokens.foreach { case (id, n) =>
+      val chunks = out.getOrElse(id, Array.empty).sortBy(_._2)
+      if (n == 0) assert(chunks.isEmpty)
+      else {
+        // chunk ids are contiguous from 0 and starts follow the stride
+        assert(chunks.map(_._2).toSeq === chunks.indices.map(_.toLong))
+        chunks.foreach { case (_, cid, start, len) =>
+          assert(start === cid * (chunk - overlap))
+          assert(len === math.min(chunk.toLong, n - start))
+        }
+        // full coverage: the last chunk reaches the final token
+        val (_, _, lastStart, lastLen) = chunks.last
+        assert(lastStart + lastLen === n.toLong)
+        // no chunk is a subset of its predecessor
+        chunks.sliding(2).foreach {
+          case Array((_, _, s0, l0), (_, _, s1, l1)) =>
+            assert(s1 + l1 > s0 + l0, s"doc $id: subset chunk at start $s1")
+          case _ =>
+        }
+      }
+    }
+  }
+
   test("mixtureSample: per-group token budgets honored, weight-0 group dropped") {
     // 30 docs x 10 tokens = 300 total; frac 0.5 -> 150 sampled tokens:
     // en budget floor(150*0.6)=90 -> 9 docs admitted (10th prefix = 90,
