@@ -225,17 +225,64 @@ object TextAnalysis {
         col("avg_logp"))
   }
 
+  /** SHA-prefix bucket id: the numeric value of the first `hexLen` hex
+    * chars of sha256(id). Because the bucket is a PREFIX of the
+    * (sha, id) sort key, ordering by (bucket, sha, id) is identical to
+    * ordering by (sha, id): rows in a lower bucket sort strictly before
+    * every row of a higher bucket, and within a bucket the shared prefix
+    * cancels. That is what lets the stratum-ordered ops below window
+    * within (stratum, bucket) — bounding any one task's sort to
+    * ~stratum/16^hexLen rows — and recover the global order with a
+    * broadcast of per-bucket starting offsets. */
+  private def shaBucket(sha: Column, hexLen: Int): Column =
+    conv(substring(sha, 1, hexLen), 16, 10).cast("long")
+
   /** Deterministic stratified corpus sample: within each stratum, rank
     * rows by SHA-256 of the id (a portable, seedless "random" order that
     * any engine reproduces) and keep ceil(frac × stratum size). The
     * data-mixing primitive of a training-data pipeline — per-source /
     * per-language quotas with bit-reproducible output.
     *
-    * One window over the stratum key does both the rank and the stratum
-    * size; skewed strata are bounded by the stratum's own row count (no
-    * global sort, no driver state). */
+    * Scale shape (hierarchical prefix sum): strata are languages/sources
+    * — a handful of values — so a single window per stratum would sort
+    * 40% of a 100-TB corpus in one task. Instead each stratum is split
+    * into 16^bucketHexLen SHA-prefix buckets; a tiny per-(stratum,
+    * bucket) count aggregate yields every bucket's starting rank (an
+    * exclusive prefix sum over ≤ strata × 16^hexLen rows) and the
+    * stratum total, broadcast back; the expensive window then runs
+    * within (stratum, bucket) only. Identical output to the
+    * single-window form ([[stratifiedSamplePlain]], equality pinned in
+    * ScaleSpec) because the bucket is a prefix of the sort key. */
   def stratifiedSample(docs: DataFrame, idCol: String, stratumCol: String,
-                       frac: Double): DataFrame = {
+                       frac: Double, bucketHexLen: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bucketHexLen >= 1 && bucketHexLen <= 8,
+      s"stratifiedSample: bucketHexLen $bucketHexLen not in [1, 8]")
+    val tagged = docs
+      .withColumn("__g_sha", sha2(col(idCol).cast("string"), 256))
+      .withColumn("__g_bkt", shaBucket(col("__g_sha"), bucketHexLen))
+    val byStratum = Window.partitionBy(col(stratumCol))
+    val offsets = tagged.groupBy(col(stratumCol), col("__g_bkt"))
+      .agg(count(lit(1)).as("__g_cnt"))
+      .withColumn("__g_off", coalesce(sum(col("__g_cnt")).over(
+        byStratum.orderBy(col("__g_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__g_quota",
+        ceil(lit(frac) * sum(col("__g_cnt")).over(byStratum)))
+      .drop("__g_cnt")
+    val wInBucket = Window.partitionBy(col(stratumCol), col("__g_bkt"))
+      .orderBy(col("__g_sha"), col(idCol))
+    tagged.join(broadcast(offsets), Seq(stratumCol, "__g_bkt"))
+      .withColumn("__g_rk", col("__g_off") + row_number().over(wInBucket))
+      .filter(col("__g_rk") <= col("__g_quota"))
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Single-window form of [[stratifiedSample]] — the reference shape the
+    * bucketed plan must reproduce bit-for-bit (ScaleSpec). Not for 100-TB
+    * use: one task sorts an entire stratum. */
+  private[graft] def stratifiedSamplePlain(docs: DataFrame, idCol: String,
+      stratumCol: String, frac: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byStratum = Window.partitionBy(col(stratumCol))
     val rk = row_number().over(
@@ -249,17 +296,51 @@ object TextAnalysis {
   /** Deterministic sequence packing: assign documents to fixed
     * token-budget shards — the chunk/shard assignment step of a
     * training-data pipeline. Within each stratum (shards are built
-    * per-language/per-source in practice, which is also what keeps the
-    * window partitioned instead of global), documents take the portable
+    * per-language/per-source in practice), documents take the portable
     * SHA-256 order, and a document's shard is its exclusive cumulative
     * token offset divided by the budget. Documents larger than the
     * budget still get the shard where their offset lands (greedy
     * first-fit-in-order, the standard approximation).
     * Returns docs + (n_tokens, shard_id). */
   def packIntoShards(docs: DataFrame, idCol: String, textCol: String,
-                     stratumCol: String, budgetTokens: Long): DataFrame = {
+                     stratumCol: String, budgetTokens: Long,
+                     bucketHexLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(budgetTokens > 0, s"packIntoShards: budget $budgetTokens <= 0")
+    require(bucketHexLen >= 1 && bucketHexLen <= 8,
+      s"packIntoShards: bucketHexLen $bucketHexLen not in [1, 8]")
+    // Hierarchical prefix sum (see shaBucket): the exclusive cumulative
+    // token count decomposes into (tokens in all lower SHA-prefix buckets
+    // of the stratum) + (exclusive cumsum within this bucket). The first
+    // term is a tiny aggregate broadcast back; the second is a window
+    // bounded by the bucket, so no task ever sorts a whole stratum.
+    val counted = docs
+      .withColumn("n_tokens",
+        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+      .withColumn("__g_sha", sha2(col(idCol).cast("string"), 256))
+      .withColumn("__g_bkt", shaBucket(col("__g_sha"), bucketHexLen))
+    val offsets = counted.groupBy(col(stratumCol), col("__g_bkt"))
+      .agg(sum(col("n_tokens")).as("__g_btok"))
+      .withColumn("__g_off", coalesce(sum(col("__g_btok")).over(
+        Window.partitionBy(col(stratumCol)).orderBy(col("__g_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__g_btok")
+    val wInBucket = Window.partitionBy(col(stratumCol), col("__g_bkt"))
+      .orderBy(col("__g_sha"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted.join(broadcast(offsets), Seq(stratumCol, "__g_bkt"))
+      .withColumn("shard_id",
+        floor((col("__g_off") +
+          coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L))) /
+          lit(budgetTokens)))
+      .select((docs.columns.toIndexedSeq ++ Seq("n_tokens", "shard_id"))
+        .map(col): _*)
+  }
+
+  /** Single-window form of [[packIntoShards]] — ScaleSpec reference shape. */
+  private[graft] def packIntoShardsPlain(docs: DataFrame, idCol: String,
+      textCol: String, stratumCol: String, budgetTokens: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(stratumCol))
       .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -282,18 +363,61 @@ object TextAnalysis {
     * the budget (its predecessor prefix is still under), so small groups
     * are never starved by one long document.
     *
-    * Distributed shape: one token-count projection, a 1-row total
-    * broadcast back via cross join, and one window per group key — no
-    * driver loop, no collect. Scale caveat shared with every
-    * window-by-group op here: a single group must fit one task's sort
-    * spill budget, which holds for realistic mixture keys (languages,
-    * sources, domains — tens to thousands of groups). */
+    * Distributed shape (hierarchical prefix sum — mixture keys are
+    * LANGUAGES, ~5 values, so `en`=0.4 would otherwise put 40% of a
+    * 100-TB corpus through one task's sort): one token-count projection;
+    * a tiny per-(group, SHA-prefix-bucket) token aggregate whose
+    * exclusive prefix sum over bucket order gives every bucket's
+    * starting token offset AND, summed, the corpus total — both
+    * broadcast back; then the admission window runs within (group,
+    * bucket) only. Output is identical to the single-window form
+    * ([[mixtureSamplePlain]], ScaleSpec-pinned) because the bucket is a
+    * prefix of the (sha, id) admission order. No driver loop, no
+    * collect. */
   def mixtureSample(docs: DataFrame, idCol: String, textCol: String,
                     groupCol: String, weights: Map[String, Double],
-                    frac: Double): DataFrame = {
+                    frac: Double, bucketHexLen: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(frac > 0.0 && frac <= 1.0, s"mixtureSample: frac $frac not in (0, 1]")
     require(weights.nonEmpty, "mixtureSample: empty weight map")
+    require(bucketHexLen >= 1 && bucketHexLen <= 8,
+      s"mixtureSample: bucketHexLen $bucketHexLen not in [1, 8]")
+    val weightExpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (g, wt)) =>
+        when(col(groupCol) === g, lit(wt)).otherwise(acc)
+      }
+    val counted = docs
+      .withColumn("n_tokens",
+        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+      .withColumn("__g_sha", sha2(col(idCol).cast("string"), 256))
+      .withColumn("__g_bkt", shaBucket(col("__g_sha"), bucketHexLen))
+    val perBucket = counted.groupBy(col(groupCol), col("__g_bkt"))
+      .agg(sum(col("n_tokens")).as("__g_btok"))
+    val offsets = perBucket
+      .withColumn("__g_off", coalesce(sum(col("__g_btok")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__g_bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__g_btok")
+    val total = perBucket.agg(sum(col("__g_btok")).as("total_tokens"))
+    val wInBucket = Window.partitionBy(col(groupCol), col("__g_bkt"))
+      .orderBy(col("__g_sha"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counted.join(broadcast(offsets), Seq(groupCol, "__g_bkt"))
+      .crossJoin(broadcast(total))
+      .withColumn("budget_tokens",
+        floor(lit(frac) * col("total_tokens").cast("double") * weightExpr)
+          .cast("long"))
+      .withColumn("cum_before",
+        col("__g_off") + coalesce(sum(col("n_tokens")).over(wInBucket), lit(0L)))
+      .filter(col("cum_before") < col("budget_tokens"))
+      .select(col(idCol), col(groupCol), col("n_tokens"), col("budget_tokens"))
+  }
+
+  /** Single-window form of [[mixtureSample]] — ScaleSpec reference shape. */
+  private[graft] def mixtureSamplePlain(docs: DataFrame, idCol: String,
+      textCol: String, groupCol: String, weights: Map[String, Double],
+      frac: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val weightExpr = weights.toSeq.sortBy(_._1)
       .foldLeft(lit(0.0)) { case (acc, (g, wt)) =>
         when(col(groupCol) === g, lit(wt)).otherwise(acc)

@@ -41,14 +41,21 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), "unify degenerated to a cartesian")
   }
 
-  test("t12: the 1-row token total attaches via broadcast, windows keyed by group") {
-    val plan = planOf("t12_mixture")
-    assert(plan.contains("BroadcastExchange"),
-      "corpus-total attach is not a broadcast")
-    assert(!plan.contains("SortMergeJoin"),
-      "total attach degenerated to a shuffled join")
-    assert(plan.contains("hashpartitioning(lang"),
-      "window not hash-partitioned by the group key")
+  test("t6/t9/t12: stratum windows are SHA-prefix bucketed — no task sorts a whole stratum") {
+    // The expensive window must partition by (stratum, __g_bkt), never by
+    // the stratum alone: mixture/stratum keys are languages (~5 values),
+    // so a stratum-only sort is a one-task bottleneck at 100 TB. The
+    // bucketed partitioning prints as hashpartitioning(lang#N, __g_bkt#M.
+    val bucketed = """hashpartitioning\(lang#\d+, __g_bkt#\d+""".r
+    for (q <- Seq("t6_stratified_sample", "t9_pack_shards", "t12_mixture")) {
+      val plan = planOf(q)
+      assert(bucketed.findFirstIn(plan).isDefined,
+        s"$q: window not partitioned by (stratum, SHA-prefix bucket)")
+      assert(plan.contains("BroadcastExchange"),
+        s"$q: per-bucket offset attach is not a broadcast")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$q: offset/total attach degenerated to a shuffled join")
+    }
   }
 
   test("incremental dedup: every stage an equi-join, no cartesian, no forced broadcast") {

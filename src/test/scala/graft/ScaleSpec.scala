@@ -52,6 +52,34 @@ class ScaleSpec extends SparkTestBase {
     assert(salted === plain)
   }
 
+  test("bucketed stratum ops equal their single-window forms bit-for-bit") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toIndexedSeq
+    // hexLen 1 -> only 16 buckets, so both the per-bucket offset math and
+    // the within-bucket window see real multi-row work at this SF
+    for (hexLen <- Seq(1, 2)) {
+      assert(rows(TextAnalysis.stratifiedSample(docs, "doc_id", "lang", 0.25,
+          bucketHexLen = hexLen)) ===
+        rows(TextAnalysis.stratifiedSamplePlain(docs, "doc_id", "lang", 0.25)),
+        s"stratifiedSample hexLen=$hexLen diverged from single-window form")
+      assert(rows(TextAnalysis.packIntoShards(docs, "doc_id", "text", "lang",
+          2000L, bucketHexLen = hexLen)
+          .select("doc_id", "lang", "n_tokens", "shard_id")) ===
+        rows(TextAnalysis.packIntoShardsPlain(docs, "doc_id", "text", "lang",
+          2000L).select("doc_id", "lang", "n_tokens", "shard_id")),
+        s"packIntoShards hexLen=$hexLen diverged from single-window form")
+      val weights = Map(
+        "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
+      assert(rows(TextAnalysis.mixtureSample(docs, "doc_id", "text", "lang",
+          weights, 0.5, bucketHexLen = hexLen)) ===
+        rows(TextAnalysis.mixtureSamplePlain(docs, "doc_id", "text", "lang",
+          weights, 0.5)),
+        s"mixtureSample hexLen=$hexLen diverged from single-window form")
+    }
+  }
+
   test("bucketed tables join without an exchange on the bucketed key") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
