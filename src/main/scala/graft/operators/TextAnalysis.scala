@@ -147,22 +147,33 @@ object TextAnalysis {
     * pattern), not a per-row subquery. Ties rank by term for determinism.
     */
   def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String,
-                k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                k: Int, broadcastVocabLimit: Long = 1000000L): DataFrame = {
     // Two lazy branches over the corpus scan (term counts for the probe,
     // documentFrequencies for the broadcast IDF) beat persisting the
     // (doc, term) table: that intermediate is LARGER than the compressed
     // columnar scan it would save, at bench scale (measured 2x slower
     // persisted) and at 100 TB alike. Parquet re-scan is the cheap side.
-    tfIdfTopKPlan(docs, idCol, textCol, k)
+    tfIdfTopKPlan(docs, idCol, textCol, k, broadcastVocabLimit)
   }
 
   /** The lazy two-branch plan behind [[tfIdfTopK]]; also what PlanSpec
-    * asserts the broadcast-IDF join shape on. */
+    * asserts the broadcast-IDF join shape on.
+    *
+    * The IDF attach broadcasts only while the measured vocabulary fits
+    * `broadcastVocabLimit` — vocabulary grows with the corpus (Heaps'
+    * law), so at 100 TB of multilingual web text it can exceed any
+    * broadcast budget; past the limit the attach stays a plain shuffled
+    * equi-join on the high-cardinality term key (even split, no driver
+    * pressure). The vocab count is a driver scalar — the same two-phase
+    * pattern as N — and its pass is over the already-partial-aggregated
+    * term key. */
   def tfIdfTopKPlan(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int): DataFrame =
-    scoreAndRank(termCounts(docs, idCol, textCol),
-      documentFrequencies(docs, idCol, textCol), idCol, docs.count(), k)
+                    k: Int, broadcastVocabLimit: Long = 1000000L): DataFrame = {
+    val idf = documentFrequencies(docs, idCol, textCol)
+    val idfSide = if (idf.count() <= broadcastVocabLimit) broadcast(idf) else idf
+    scoreAndRank(termCounts(docs, idCol, textCol), idfSide, idCol,
+      docs.count(), k)
+  }
 
   private def termCounts(docs: DataFrame, idCol: String,
                          textCol: String): DataFrame =
@@ -171,12 +182,13 @@ object TextAnalysis {
       .groupBy(idCol, "term").agg(count(lit(1)).as("tf"))
 
   /** df stays an AGGREGATION on term (partial aggregation absorbs
-    * stopword skew; a window over term would not), then re-attaches
-    * broadcast onto the term counts. */
+    * stopword skew; a window over term would not), then re-attaches onto
+    * the term counts (hinted broadcast or plain equi-join — the caller
+    * decides by measured vocabulary size). */
   private def scoreAndRank(tf: DataFrame, idf: DataFrame, idCol: String,
                            n: Long, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = tf.join(broadcast(idf), "term")
+    val scored = tf.join(idf, "term")
       .withColumn("tfidf",
         graft.functions.Canon.round(
           col("tf") * (log((lit(n) + 1.0) / (col("df") + 1.0)) + 1.0), 6))
@@ -195,25 +207,31 @@ object TextAnalysis {
     * documents score low; in-distribution text scores high.
     *
     * Scale shape: token counts are one aggregation on the term key; the
-    * unigram table is vocabulary-sized and re-attaches broadcast onto the
-    * exploded corpus; the per-doc mean is one aggregation on the doc id.
-    * Smoothing keeps out-of-vocabulary tokens finite, so the model table
-    * can also be FIT on a sample and APPLIED to the full corpus.
+    * unigram table is vocabulary-sized and re-attaches onto the exploded
+    * corpus — hinted broadcast while the measured vocabulary fits
+    * `broadcastVocabLimit`, a plain shuffled equi-join on the
+    * high-cardinality term key past it (Heaps' law: vocabulary grows
+    * with the corpus, so 100-TB multilingual text can exceed any
+    * broadcast budget); the per-doc mean is one aggregation on the doc
+    * id. Smoothing keeps out-of-vocabulary tokens finite, so the model
+    * table can also be FIT on a sample and APPLIED to the full corpus.
     * Returns (id, n_tokens, avg_logp) with avg_logp = mean over tokens of
     * ln((count(token) + 1) / (total_tokens + vocab)), rounded; docs with
     * no tokens get null avg_logp. */
-  def unigramLogProb(docs: DataFrame, idCol: String,
-                     textCol: String): DataFrame = {
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     broadcastVocabLimit: Long = 1000000L): DataFrame = {
     val exploded = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
     val model = exploded.groupBy("term").agg(count(lit(1)).as("cnt"))
     // two scalars (total token count, vocabulary size) — the A13-style
-    // two-phase pattern; both are single-row aggregates of the model
+    // two-phase pattern; both are single-row aggregates of the model.
+    // The vocab scalar doubles as the broadcast-vs-shuffle decision.
     val totals = model.agg(sum("cnt"), count(lit(1))).head()
     val total = totals.getLong(0)
     val vocab = totals.getLong(1)
-    val scored = exploded.join(broadcast(model), "term")
+    val modelSide = if (vocab <= broadcastVocabLimit) broadcast(model) else model
+    val scored = exploded.join(modelSide, "term")
       .withColumn("logp",
         log((col("cnt") + 1.0) / lit(total.toDouble + vocab)))
     docs.select(col(idCol))

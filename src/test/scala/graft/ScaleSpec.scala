@@ -80,6 +80,32 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("vocabulary attach past the broadcast budget: shuffled equi-join, same rows") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toIndexedSeq
+    val tfidfSmall = rows(TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5))
+    val lmSmall = rows(TextAnalysis.unigramLogProb(docs, "doc_id", "text"))
+    // limit 0 drops the hint; disabling auto-broadcast makes the planner's
+    // fallback deterministic so the test really runs the shuffle path
+    val prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val tfidf = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 5,
+        broadcastVocabLimit = 0L)
+      val lm = TextAnalysis.unigramLogProb(docs, "doc_id", "text",
+        broadcastVocabLimit = 0L)
+      for ((df, name) <- Seq(tfidf -> "tfIdfTopK", lm -> "unigramLogProb")) {
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("BroadcastHashJoin"),
+          s"$name: vocab attach still broadcast past the budget")
+      }
+      assert(rows(tfidf) === tfidfSmall, "tfIdfTopK diverged on the shuffle path")
+      assert(rows(lm) === lmSmall, "unigramLogProb diverged on the shuffle path")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+  }
+
   test("bucketed tables join without an exchange on the bucketed key") {
     val a = (1L to 1000L).map(i => (i, i * 2.0)).toDF("id", "x")
     val b = (1L to 1000L).map(i => (i, s"n$i")).toDF("id", "name")
