@@ -129,46 +129,60 @@ object RelationalQueries {
     "j11_unify_domains" -> ((s, dir) => {
       import graft.pipeline.ReferencePipeline
       val ev = Tables.events(s, dir)
-      def daily(t: String) = ev.filter(col("event_type") === t)
-        .groupBy(to_date(col("ts")).as("date"))
-      val appleSleep = daily("click")
-        .agg(round(avg("value") / 10.0, 6).as("sleep_hours"),
-          round(min("value"), 6).as("sleep_quality_score"))
+      // ONE shared scan+aggregate on (date, event_type) feeds all eight
+      // domain frames. The base must be persisted: each domain's
+      // event_type/date predicate is on a grouping column, so Catalyst
+      // would push it below the aggregate and split the plan back into
+      // eight scans; the InMemoryRelation is the materialization point
+      // that keeps it one. Daily grain × 5 types — a few hundred rows —
+      // and Bench clears the cache per query, so no residue. Rounding
+      // happens in the domain projections, on the exact aggregates.
+      val base = ev
+        .groupBy(to_date(col("ts")).as("date"), col("event_type"))
+        .agg(avg("value").as("v_avg"), min("value").as("v_min"),
+          max("value").as("v_max"), stddev_samp("value").as("v_std"),
+          sum("value").as("v_sum"), count(lit(1)).as("v_cnt"))
+        .persist()
+      def dom(t: String) = base.filter(col("event_type") === t)
+        .drop("event_type")
+      val appleSleep = dom("click")
+        .select(col("date"), round(col("v_avg") / 10.0, 6).as("sleep_hours"),
+          round(col("v_min"), 6).as("sleep_quality_score"))
         .filter(dayofmonth(col("date")) % 2 === 1)
-      val zeppSleep = daily("view")
-        .agg(round(avg("value") / 12.0, 6).as("sleep_hours"),
-          round(min("value"), 6).as("sleep_quality_score"))
-      val appleCardio = daily("error")
-        .agg(round(avg("value"), 6).as("hr_mean"), round(min("value"), 6).as("hr_min"),
-          round(max("value"), 6).as("hr_max"), round(stddev_samp("value"), 6).as("hr_std"),
-          count(lit(1)).as("hr_samples"),
-          round(avg("value") * 0.5, 6).as("hrv_sdnn_mean"),
-          count(lit(1)).as("n_hrv_sdnn"))
+      val zeppSleep = dom("view")
+        .select(col("date"), round(col("v_avg") / 12.0, 6).as("sleep_hours"),
+          round(col("v_min"), 6).as("sleep_quality_score"))
+      val appleCardio = dom("error")
+        .select(col("date"), round(col("v_avg"), 6).as("hr_mean"),
+          round(col("v_min"), 6).as("hr_min"), round(col("v_max"), 6).as("hr_max"),
+          round(col("v_std"), 6).as("hr_std"), col("v_cnt").as("hr_samples"),
+          round(col("v_avg") * 0.5, 6).as("hrv_sdnn_mean"),
+          col("v_cnt").as("n_hrv_sdnn"))
         .filter(dayofmonth(col("date")) <= 20)
-      val zeppCardio = daily("signup")
-        .agg(round(avg("value"), 6).as("hr_mean"), round(min("value"), 6).as("hr_min"),
-          round(max("value"), 6).as("hr_max"), round(stddev_samp("value"), 6).as("hr_std"),
-          count(lit(1)).as("hr_samples"))
-      val appleAct = daily("purchase")
-        .agg(round(sum("value"), 6).as("total_steps"),
-          round(sum("value") / 1000.0, 6).as("total_distance"),
-          round(sum("value") * 2.0, 6).as("total_active_energy"))
-      val zeppAct = daily("click")
-        .agg(round(sum("value"), 6).as("total_steps"),
-          round(sum("value") / 1000.0, 6).as("total_distance"),
-          round(sum("value") * 2.0, 6).as("total_active_energy"))
-      val meds = daily("signup")
-        .agg(count(lit(1)).as("med_event_count"),
-          round(sum("value"), 6).as("med_dose_total"))
+      val zeppCardio = dom("signup")
+        .select(col("date"), round(col("v_avg"), 6).as("hr_mean"),
+          round(col("v_min"), 6).as("hr_min"), round(col("v_max"), 6).as("hr_max"),
+          round(col("v_std"), 6).as("hr_std"), col("v_cnt").as("hr_samples"))
+      val appleAct = dom("purchase")
+        .select(col("date"), round(col("v_sum"), 6).as("total_steps"),
+          round(col("v_sum") / 1000.0, 6).as("total_distance"),
+          round(col("v_sum") * 2.0, 6).as("total_active_energy"))
+      val zeppAct = dom("click")
+        .select(col("date"), round(col("v_sum"), 6).as("total_steps"),
+          round(col("v_sum") / 1000.0, 6).as("total_distance"),
+          round(col("v_sum") * 2.0, 6).as("total_active_energy"))
+      val meds = dom("signup")
         .filter(dayofmonth(col("date")) % 3 =!= 0)
-        .select(col("date"), lit(1).as("med_any"), col("med_event_count"),
-          col("med_dose_total"))
-      val som = daily("view")
-        .agg(round(avg("value") / 200.0, 6).as("som_mean_score"),
-          round(max("value"), 6).as("som_last_score"),
-          count(lit(1)).as("som_n_entries"),
-          when(avg("value") / 200.0 >= 0.25, 1)
-            .when(avg("value") / 200.0 <= -0.25, -1)
+        .select(col("date"), lit(1).as("med_any"),
+          col("v_cnt").as("med_event_count"),
+          round(col("v_sum"), 6).as("med_dose_total"))
+      val som = dom("view")
+        .select(col("date"),
+          round(col("v_avg") / 200.0, 6).as("som_mean_score"),
+          round(col("v_max"), 6).as("som_last_score"),
+          col("v_cnt").as("som_n_entries"),
+          when(col("v_avg") / 200.0 >= 0.25, 1)
+            .when(col("v_avg") / 200.0 <= -0.25, -1)
             .otherwise(0).as("som_category_3class"))
         .filter(dayofmonth(col("date")) % 4 =!= 0)
       ReferencePipeline.unifyAllDomains(
