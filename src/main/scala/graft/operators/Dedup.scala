@@ -103,10 +103,16 @@ object Dedup {
   }
 
   /** DuckDB subquery exposing (extraCols..., tk) over `documents`. */
-  def tkSourceSql(textExpr: String, extraCols: String*): String = {
+  def tkSourceSql(textExpr: String, extraCols: String*): String =
+    tkSourceSqlFrom("documents", textExpr, extraCols: _*)
+
+  /** [[tkSourceSql]] over an arbitrary table/CTE name (the incremental
+    * oracle tokenizes the existing/incoming splits separately). */
+  def tkSourceSqlFrom(table: String, textExpr: String,
+                      extraCols: String*): String = {
     val cols = (extraCols :+ s"string_split_regex(lower($textExpr), '\\s+') AS tk")
       .mkString(", ")
-    s"(SELECT $cols FROM documents)"
+    s"(SELECT $cols FROM $table)"
   }
 
   /** Banded-LSH candidate pairs: split the signature into bands of
@@ -483,21 +489,49 @@ object Dedup {
     *  3. within-batch: the usual [[lshVerifiedPairs]] + min-id keep over
     *     the (small) incoming remainder.
     *
-    * Returns the surviving incoming rows (schema preserved). */
+    * Returns the surviving incoming rows (schema preserved).
+    *
+    * This convenience form recomputes the existing side's digests and
+    * signatures per call; the daily-ingest path at scale stores them
+    * alongside the corpus and passes them to the overload below, so each
+    * batch reads two precomputed tables instead of re-hashing 100 TB. */
   def incrementalDedup(existing: DataFrame, incoming: DataFrame,
                        idCol: String, textCol: String, shingleK: Int,
                        numHashes: Int, rowsPerBand: Int,
+                       minJaccard: Double): DataFrame =
+    incrementalDedup(existing, contentDigests(existing, textCol),
+      minhashSignature(existing, idCol, textCol, shingleK, numHashes),
+      incoming, idCol, textCol, shingleK, numHashes, rowsPerBand, minJaccard)
+
+  /** Distinct content SHA-256 digests of a corpus — the stage-1 exact
+    * index [[incrementalDedup]] anti-joins each batch against. Write this
+    * (and [[minhashSignature]]'s output) once when the corpus snapshot is
+    * built; both are per-row projections + one distinct/agg, and both are
+    * incrementally maintainable (union the surviving batch's rows in). */
+  def contentDigests(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(sha2(col(textCol), 256).as("content_sha")).distinct()
+
+  /** [[incrementalDedup]] with the existing side's digest and signature
+    * tables passed in precomputed — the at-scale daily-ingest shape. The
+    * full `existing` frame is still required, but only candidate-pruned
+    * rows of it are ever re-shingled (semi-join on banded ids);
+    * `existingDigests` must have [[contentDigests]]' schema
+    * (content_sha), `existingSignatures` [[minhashSignature]]'s (id +
+    * mh0..mh{n-1}) at the same (shingleK, numHashes). */
+  def incrementalDedup(existing: DataFrame, existingDigests: DataFrame,
+                       existingSignatures: DataFrame, incoming: DataFrame,
+                       idCol: String, textCol: String, shingleK: Int,
+                       numHashes: Int, rowsPerBand: Int,
                        minJaccard: Double): DataFrame = {
-    // 1. exact against the corpus
-    val existingSha = existing.select(sha2(col(textCol), 256).as("__inc_sha"))
-      .distinct()
+    // 1. exact against the corpus digest index
     val exactNew = incoming
       .withColumn("__inc_sha", sha2(col(textCol), 256))
-      .join(existingSha, Seq("__inc_sha"), "left_anti")
+      .join(existingDigests.select(col("content_sha").as("__inc_sha")),
+        Seq("__inc_sha"), "left_anti")
       .drop("__inc_sha")
     // 2. near-dup against the corpus: band-key candidates across the two
     // signature sets, then exact verification on the pair's texts
-    val exSig = minhashSignature(existing, idCol, textCol, shingleK, numHashes)
+    val exSig = existingSignatures
     val inSig = minhashSignature(exactNew, idCol, textCol, shingleK, numHashes)
     def bands(sig: DataFrame, as: String) = sig.select(col(idCol).as(as),
       explode(array(bandKeyExprs(numHashes, rowsPerBand): _*)).as("band_key"))

@@ -204,6 +204,22 @@ object TextQueries {
     "dd10_simhash_dups" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 16, 4, 2)),
 
+    // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
+    // deduped against the 80% corpus THROUGH the precomputed digest +
+    // signature tables (the at-scale overload — the corpus is never
+    // re-hashed wholesale), then within itself. Same LSH parameters as
+    // the dd7 family.
+    "dd13_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.incrementalDedup(existing,
+        Dedup.contentDigests(existing, "text"),
+        Dedup.minhashSignature(existing, "doc_id", "text", 2, 4),
+        incoming, "doc_id", "text", 2, 4, 2, 0.05)
+        .select("doc_id", "lang", "source")
+    }),
+
     // Decontamination gate: 3-shingle overlap of each corpus doc against
     // the doc_id<20 "eval set", broadcast semi-join on the bench shingles.
     "t7_contamination" -> ((s, dir) => {
@@ -394,6 +410,63 @@ object TextQueries {
           |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
           |SELECT doc_id, lang, source FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin,
+
+      "dd13_incremental" -> {
+        // Twin of the three-stage incremental path at (K=2, 4 hashes,
+        // 2 rows/band, J>=0.05): exact SHA anti-join, cross-frame banded
+        // candidates + jaccard verify, then within-batch LSH dedup of the
+        // remainder (bands reuse sig_in — signatures are per-document).
+        val sigCols = (0 until 4)
+          .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
+        val shExpr = Dedup.shinglesOverTkSql(2)
+        val setExpr =
+          s"list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")})))"
+        val jac = """round(len(list_intersect(a.sh, b.sh)) /
+          |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)""".stripMargin
+        s"""WITH RECURSIVE
+          |ex AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+          |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+          |exsha AS (SELECT DISTINCT sha256(text) AS sha FROM ex),
+          |exact_new AS (
+          |  SELECT * FROM inc WHERE sha256(text) NOT IN (SELECT sha FROM exsha)),
+          |sig_ex AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom("ex", "text", "doc_id")}),
+          |sig_in AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom("exact_new", "text", "doc_id")}),
+          |bands_ex AS (
+          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig_ex
+          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig_ex),
+          |bands_in AS (
+          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig_in
+          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig_in),
+          |sets_in AS (SELECT doc_id, $setExpr AS sh
+          |  FROM ${Dedup.tkSourceSqlFrom("exact_new", "text", "doc_id")}),
+          |sets_ex AS (SELECT doc_id, $setExpr AS sh
+          |  FROM ${Dedup.tkSourceSqlFrom("ex", "text", "doc_id")}),
+          |xdrop AS (
+          |  SELECT DISTINCT c.id_a FROM (
+          |    SELECT DISTINCT i.doc_id AS id_a, e.doc_id AS id_b
+          |    FROM bands_in i JOIN bands_ex e ON i.band_key = e.band_key) c
+          |  JOIN sets_in a ON c.id_a = a.doc_id
+          |  JOIN sets_ex b ON c.id_b = b.doc_id
+          |  WHERE $jac >= 0.05),
+          |near_new AS (
+          |  SELECT * FROM exact_new WHERE doc_id NOT IN (SELECT id_a FROM xdrop)),
+          |bands_nn AS (
+          |  SELECT * FROM bands_in
+          |  WHERE doc_id IN (SELECT doc_id FROM near_new)),
+          |vpairs AS (
+          |  SELECT c.id_a, c.id_b FROM (
+          |    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          |    FROM bands_nn l JOIN bands_nn r
+          |      ON l.band_key = r.band_key AND l.doc_id < r.doc_id) c
+          |  JOIN sets_in a ON c.id_a = a.doc_id
+          |  JOIN sets_in b ON c.id_b = b.doc_id
+          |  WHERE $jac >= 0.05),
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+          |SELECT doc_id, lang, source FROM near_new
+          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin
+      },
 
       "dd6_embed_dups" ->
         """WITH v AS (

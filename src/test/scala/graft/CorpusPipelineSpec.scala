@@ -69,6 +69,20 @@ class CorpusPipelineSpec extends SparkTestBase {
     // an empty incoming batch survives the pipeline
     assert(Dedup.incrementalDedup(existing, incoming.limit(0), "doc_id",
       "text", 2, 6, 1, 0.5).count() === 0L)
+    // the at-scale overload with stored-and-reloaded digest/signature
+    // tables (round-tripped through parquet, as a daily-ingest job would
+    // read them) matches the convenience form
+    val stateDir = java.nio.file.Files.createTempDirectory("graft-ddstate")
+    Dedup.contentDigests(existing, "text")
+      .write.mode("overwrite").parquet(s"$stateDir/digests")
+    Dedup.minhashSignature(existing, "doc_id", "text", 2, 6)
+      .write.mode("overwrite").parquet(s"$stateDir/sigs")
+    val keptPre = Dedup.incrementalDedup(existing,
+        spark.read.parquet(s"$stateDir/digests"),
+        spark.read.parquet(s"$stateDir/sigs"),
+        incoming, "doc_id", "text", 2, 6, 1, 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(keptPre === Seq(12L))
   }
 
   test("assembleTraining: mixture gate, chunking, chunk-level dedup") {
