@@ -1,6 +1,7 @@
 package graft.ml
 
-import org.apache.spark.ml.classification.{LogisticRegression, RandomForestClassifier}
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.classification.{GBTClassifier, LinearSVC, LogisticRegression, OneVsRest, RandomForestClassifier}
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -124,6 +125,92 @@ object Models {
     test.withColumn("prob", prob)
       .withColumn("y_pred",
         when(col("prob").isNotNull, (col("prob") >= 0.5).cast("int")))
+  }
+
+  /** Deterministic sorted distinct labels of the train fold — the shared
+    * index encoding for the binary-only margin learners below. */
+  private def distinctLabels(train: DataFrame, labelCol: String): Seq[Any] =
+    train.select(col(labelCol)).na.drop().distinct().collect()
+      .map(_.get(0)).sortBy(_.toString).toIndexedSeq
+
+  private def encodeLabel(labels: Seq[Any], labelCol: String): Column =
+    labels.zipWithIndex.foldLeft(lit(null).cast("double")) {
+      case (acc, (v, i)) => when(col(labelCol) === lit(v), lit(i.toDouble)).otherwise(acc)
+    }
+
+  /** Decode the MLlib prediction index back to the original label values
+    * as `y_pred` and drop the MLlib plumbing columns. */
+  private def decodePrediction(pred: DataFrame, labels: Seq[Any]): DataFrame = {
+    val dec = labels.zipWithIndex.foldLeft(lit(null): Column) {
+      case (acc, (v, i)) => when(col("prediction") === lit(i.toDouble), lit(v)).otherwise(acc)
+    }
+    pred.withColumn("y_pred", dec)
+      .drop("prediction", "rawPrediction", "probability", "__lbl", "features")
+  }
+
+  /** Fit `base` on index-encoded labels — directly when binary, wrapped
+    * in one-vs-rest when multiclass (the decomposition sklearn applies to
+    * margin learners; MLlib's GBT/LinearSVC are binary-only) — and return
+    * `test` + decoded `y_pred`. */
+  private def fitMarginLearner(train: DataFrame, test: DataFrame,
+      features: Seq[String], labelCol: String,
+      base: org.apache.spark.ml.classification.Classifier[_, _, _],
+      weightCol: Option[String]): DataFrame = {
+    val labels = distinctLabels(train, labelCol)
+    require(labels.size >= 2, s"fit: train fold has ${labels.size} classes")
+    val trainA = assemble(
+      train.withColumn("__lbl", encodeLabel(labels, labelCol)), features)
+    val testA = assemble(
+      test.withColumn("__lbl", encodeLabel(labels, labelCol)), features)
+    base.setLabelCol("__lbl")
+    base.setFeaturesCol("features")
+    val model: Transformer =
+      if (labels.size == 2) base.fit(trainA).asInstanceOf[Transformer]
+      else {
+        val ovr = new OneVsRest().setClassifier(base)
+          .setLabelCol("__lbl").setFeaturesCol("features")
+        weightCol.foreach(ovr.setWeightCol)
+        ovr.fit(trainA)
+      }
+    decodePrediction(model.transform(testA), labels)
+  }
+
+  /** Gradient-boosted trees — the MLlib analog of the reference's
+    * ML6-extended XGBoost (max_depth 4, learning_rate 0.05,
+    * subsample 0.8, seed 42; `src/models/ml6_extended.py:115-123`; its
+    * n_estimators 200 maps to maxIter). Multiclass trains one-vs-rest.
+    * Labels may be any values (the reference's {-1,0,+1} included) —
+    * index-encoded deterministically and decoded back into `y_pred`. */
+  def gbt(train: DataFrame, test: DataFrame, features: Seq[String],
+          labelCol: String, maxIter: Int = 200, maxDepth: Int = 4,
+          stepSize: Double = 0.05): DataFrame =
+    fitMarginLearner(train, test, features, labelCol,
+      new GBTClassifier()
+        .setMaxIter(maxIter).setMaxDepth(maxDepth).setStepSize(stepSize)
+        .setSubsamplingRate(0.8).setSeed(42),
+      weightCol = None)
+
+  /** Linear SVM — the MLlib analog of the reference's ML6-extended
+    * SVC(C=1.0, class_weight="balanced", random_state=42)
+    * (`src/models/ml6_extended.py:379-388`; the RBF kernel has no
+    * distributed MLlib form — the linear margin learner is the in-scope
+    * analog). Class-balanced instance weights mirror sklearn's
+    * "balanced": w_c = n / (k * n_c). Multiclass trains one-vs-rest. */
+  def linearSvc(train: DataFrame, test: DataFrame, features: Seq[String],
+                labelCol: String, maxIter: Int = 100,
+                regParam: Double = 0.01): DataFrame = {
+    val counts = train.groupBy(col(labelCol)).count().collect()
+      .map(r => r.get(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    val k = counts.size.toDouble
+    val weightExpr = counts.foldLeft(lit(1.0)) { case (acc, (label, c)) =>
+      when(col(labelCol) === label, lit(n / (k * c))).otherwise(acc)
+    }
+    fitMarginLearner(train.withColumn("w", weightExpr),
+      test.withColumn("w", lit(1.0)), features, labelCol,
+      new LinearSVC().setMaxIter(maxIter).setRegParam(regParam)
+        .setWeightCol("w"),
+      weightCol = Some("w"))
   }
 
   /** M6 — per-class precision/recall/F1 + macro-F1 from (y_true, y_pred),

@@ -351,6 +351,54 @@ object MlQueries {
         round((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
     }),
 
+    // M5/M6 extended: the reference's ML6-extended four-family CV
+    // (LogReg / RF / XGB->GBT / SVM->LinearSVC, ml6_extended.py) through
+    // the engine's fold + metrics path — per-(model, fold) macro-F1 /
+    // balanced accuracy / kappa rows, 3-class labels so the binary-only
+    // margin learners exercise their one-vs-rest path. Gated against a
+    // pinned-expected snapshot (model fits are seeded-deterministic but
+    // not SQL-replayable, same class as d1_adwin/d2_ks_exact).
+    "m6_model_families" -> ((s, dir) => {
+      import graft.ml.Models
+      import graft.pipeline.Reports
+      val daily = dailyUser(s, dir).withColumn("label",
+        when(col("f_mean") >= 105, 2.0).when(col("f_mean") <= 95, 0.0)
+          .otherwise(1.0))
+      val feats = Seq("f_mean", "f_n", "f_purchase")
+      val folds = Seq(
+        (0, "2024-01-15", "2024-01-22"),
+        (1, "2024-01-22", "2024-02-01"))
+      val families: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
+        "logreg" -> ((tr, va) => Models.logisticRegression(tr, va, feats, "label")),
+        "rf" -> ((tr, va) => Models.randomForest(tr, va, feats, "label",
+          numTrees = 20, maxDepth = 5)),
+        "gbt" -> ((tr, va) => Models.gbt(tr, va, feats, "label",
+          maxIter = 8, maxDepth = 3)),
+        "svc" -> ((tr, va) => Models.linearSvc(tr, va, feats, "label",
+          maxIter = 15)))
+      val preds = for {
+        (fid, vs, ve) <- folds
+        (name, fit) <- families
+      } yield {
+        val train = daily.filter(col("date") < lit(vs).cast("date"))
+        val valD = daily.filter(col("date") >= lit(vs).cast("date") &&
+          col("date") < lit(ve).cast("date"))
+        fit(train, valD).select(lit(name).as("model"),
+          lit(fid).as("fold_id"),
+          col("label").cast("int").cast("string").as("y_true"),
+          col("y_pred").cast("int").cast("string").as("y_pred_s"),
+          col("date"))
+      }
+      val all = preds.reduce(_ unionByName _)
+      families.map { case (name, _) =>
+        Reports.perFoldMetrics(all.filter(col("model") === name),
+            "fold_id", "y_true", "y_pred_s", "date", Seq("0", "1", "2"))
+          .withColumn("model", lit(name))
+      }.reduce(_ unionByName _)
+        .select("model", "fold_id", "val_start", "val_end", "n_train",
+          "n_val", "f1_macro", "balanced_accuracy", "cohen_kappa")
+    }),
+
     // M6: AUROC one-vs-rest per class via tie-safe average ranks
     // (rank-sum / Mann-Whitney formulation — pure relational math).
     "m6_auc" -> ((s, dir) => {
@@ -440,6 +488,14 @@ object MlQueries {
     "d1_adwin" ->
       """SELECT user_id, date, value, is_change
         |FROM read_parquet('/root/repo/src/test/resources/expected/d1_adwin_sf0.01.parquet')""".stripMargin,
+
+    // Pinned-expected gate (seeded MLlib fits aren't SQL-replayable);
+    // determinism across independent Verify runs checked when pinned.
+    // Valid for the driver's sf0.01 run only.
+    "m6_model_families" ->
+      """SELECT model, fold_id, val_start, val_end, n_train, n_val,
+        |  f1_macro, balanced_accuracy, cohen_kappa
+        |FROM read_parquet('/root/repo/src/test/resources/expected/m6_model_families_sf0.01.parquet')""".stripMargin,
 
     // D2 exact: pinned-expected gate (the path-count DP has no SQL twin);
     // the p-value algorithm itself is brute-force-verified in

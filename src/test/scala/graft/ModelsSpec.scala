@@ -75,6 +75,55 @@ class ModelsSpec extends SparkTestBase {
     assert(rows(11) === ((true, true)))
   }
 
+  test("M5 extended: GBT + LinearSVC separate 3-class data, decode {-1,0,1} labels") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 300).map { i =>
+      val label = i % 3 - 1 // the reference's {-1, 0, +1} label space
+      val f1 = label * 2.0 + rnd.nextGaussian() * 0.3
+      val f2 = -label * 1.5 + rnd.nextGaussian() * 0.3
+      (i, label.toDouble, f1, f2)
+    }
+    val df = rows.toDF("id", "label", "f1", "f2")
+    val train = df.filter(col("id") % 5 =!= 0)
+    val test = df.filter(col("id") % 5 === 0)
+    val gbt = Models.gbt(train, test, Seq("f1", "f2"), "label",
+      maxIter = 8, maxDepth = 3)
+    // y_pred decodes back into the ORIGINAL label space
+    val gbtLabels = gbt.select("y_pred").distinct().collect()
+      .map(_.getDouble(0)).toSet
+    assert(gbtLabels.subsetOf(Set(-1.0, 0.0, 1.0)))
+    assert(Models.macroF1(gbt, "label") > 0.9)
+    val svc = Models.linearSvc(train, test, Seq("f1", "f2"), "label",
+      maxIter = 20)
+    assert(Models.macroF1(svc, "label") > 0.9)
+  }
+
+  test("M5 extended: GBT and LinearSVC fits are deterministic across reruns") {
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 240).map { i =>
+      val label = i % 3
+      (i, label.toDouble,
+        label * 1.2 + rnd.nextGaussian() * 0.8,
+        -label * 0.9 + rnd.nextGaussian() * 0.8)
+    }
+    val df = rows.toDF("id", "label", "f1", "f2")
+    val train = df.filter(col("id") % 4 =!= 0)
+    val test = df.filter(col("id") % 4 === 0)
+    def predMap(p: org.apache.spark.sql.DataFrame): Map[Int, Double] =
+      p.select("id", "y_pred").collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val g1 = predMap(Models.gbt(train, test, Seq("f1", "f2"), "label",
+      maxIter = 6, maxDepth = 3))
+    val g2 = predMap(Models.gbt(train, test, Seq("f1", "f2"), "label",
+      maxIter = 6, maxDepth = 3))
+    assert(g1 === g2, "GBT predictions changed across reruns")
+    val s1 = predMap(Models.linearSvc(train, test, Seq("f1", "f2"), "label",
+      maxIter = 15))
+    val s2 = predMap(Models.linearSvc(train, test, Seq("f1", "f2"), "label",
+      maxIter = 15))
+    assert(s1 === s2, "LinearSVC predictions changed across reruns")
+  }
+
   test("S1/O3: deterministic ZIP selection by filename date <= snapshot") {
     val names = Seq(
       "HealthAutoExport-2025-10-01.zip",
