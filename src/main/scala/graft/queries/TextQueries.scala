@@ -204,6 +204,35 @@ object TextQueries {
     "dd10_simhash_dups" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 16, 4, 2)),
 
+    // Multimodal REAL decode: each document gets a genuine PNG or JPEG
+    // payload (encoded executor-side through the JDK's ImageIO codec at
+    // dimensions that are pure functions of doc_id), and the pure-byte
+    // container-header parser recovers format/width/height/channels in
+    // the same mapPartitions batch shape as mm1. The oracle recomputes
+    // the decoded columns from the dimension formulas — so a codec bug,
+    // offset slip, or endianness mistake hash-diverges.
+    "mm2_decode" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val fmt = if (id % 3 == 0) "jpg" else "png"
+          val w = (id % 13 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, fmt, w, h))
+        }
+      }(enc)
+      Multimodal.decodeHeaders(withPayload, "payload")
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("channels"))
+    }),
+
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
     // deduped against the 80% corpus THROUGH the precomputed digest +
     // signature tables (the at-scale overload — the corpus is never
@@ -694,6 +723,17 @@ object TextQueries {
           |  CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END AS has_spark,
           |  substr(sha256(text), 1, 8) AS sha8,
           |  (string_split_regex(lower(text), '\s+'))[1] AS first_tok
+          |FROM documents""".stripMargin,
+
+      // The decoded header columns are pure functions of doc_id (the
+      // Spark side round-trips them through a REAL ImageIO encode + byte
+      // parse; both encoders emit 3-component color for TYPE_INT_RGB).
+      "mm2_decode" ->
+        """SELECT doc_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'jpeg' ELSE 'png' END AS format,
+          |  CAST(doc_id % 13 + 1 AS INTEGER) AS width,
+          |  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
+          |  CAST(3 AS INTEGER) AS channels
           |FROM documents""".stripMargin)
   }
 }

@@ -205,4 +205,45 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(out.length === 5)
     assert(out.toSeq === Seq(1.0f, 2.0f, 3.0f, 1.0f, 2.0f))
   }
+
+  test("multimodal REAL decode: PNG/JPEG/GIF headers from genuine codec bytes") {
+    import graft.multimodal.Multimodal.{decodeImageHeader, encodeTestImage, ImageHeader}
+    // genuine PNG/JPEG bytes from the JDK encoder, at asymmetric dims so
+    // a width/height swap would be caught
+    assert(decodeImageHeader(encodeTestImage(5L, "png", 17, 9))
+      === Some(ImageHeader("png", 17, 9, 3)))
+    assert(decodeImageHeader(encodeTestImage(6L, "jpg", 31, 2))
+      === Some(ImageHeader("jpeg", 31, 2, 3)))
+    assert(decodeImageHeader(encodeTestImage(7L, "gif", 12, 4))
+      === Some(ImageHeader("gif", 12, 4, 3)))
+    // grayscale PNG -> 1 channel (colour type 0)
+    val grey = new java.awt.image.BufferedImage(5, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(grey, "png", out)
+    assert(decodeImageHeader(out.toByteArray) === Some(ImageHeader("png", 5, 6, 1)))
+    // garbage / truncation / null never throw
+    assert(decodeImageHeader(null) === None)
+    assert(decodeImageHeader(Array[Byte]()) === None)
+    assert(decodeImageHeader("not an image at all".getBytes("UTF-8")) === None)
+    assert(decodeImageHeader(encodeTestImage(5L, "png", 17, 9).take(12)) === None)
+    assert(decodeImageHeader(encodeTestImage(6L, "jpg", 31, 2).take(4)) === None)
+  }
+
+  test("multimodal REAL decode: decodeHeaders null-pads unparseable payloads") {
+    import graft.multimodal.Multimodal
+    val media = Seq(
+      (1L, Multimodal.encodeTestImage(1L, "png", 8, 3)),
+      (2L, "junk".getBytes("UTF-8")),
+      (3L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val rows = Multimodal.decodeHeaders(media, "payload")
+      .orderBy("media_id").collect()
+    assert(rows(0).getAs[String]("format") === "png")
+    assert(rows(0).getAs[Int]("width") === 8)
+    assert(rows(0).getAs[Int]("height") === 3)
+    assert(rows(0).getAs[Int]("channels") === 3)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("format")))
+    assert(rows(2).isNullAt(rows(2).fieldIndex("width")))
+  }
 }
