@@ -29,7 +29,8 @@ object Models {
     * Class weights mirror sklearn's class_weight="balanced":
     * w_c = n / (k * n_c). */
   def logisticRegression(train: DataFrame, test: DataFrame,
-                         features: Seq[String], labelCol: String): DataFrame = {
+                         features: Seq[String], labelCol: String,
+                         maxIter: Int = 100): DataFrame = {
     val counts = train.groupBy(col(labelCol)).count().collect()
       .map(r => r.get(0) -> r.getLong(1)).toMap
     val n = counts.values.sum.toDouble
@@ -40,7 +41,7 @@ object Models {
     val trainA = assemble(train, features).withColumn("w", weightExpr)
     val model = new LogisticRegression()
       .setLabelCol(labelCol).setFeaturesCol("features").setWeightCol("w")
-      .setMaxIter(100).setRegParam(0.01)
+      .setMaxIter(maxIter).setRegParam(0.01)
       .fit(trainA)
     model.transform(assemble(test, features))
       .withColumnRenamed("prediction", "y_pred")

@@ -110,9 +110,16 @@ object Similarity {
     * nearest centroids and ranks only those cells' vectors. Candidate
     * generation is an equi-join on cell id — the classic inverted-file
     * layout, where `lists` becomes the shuffle key at scale.
-    * Recall/cost is tuned by (numCells, nProbe). */
+    * Recall/cost is tuned by (numCells, nProbe).
+    *
+    * Quantizer defaults are random init + 8 iterations (changed in r3
+    * from k-means|| / 20 iters — same recall floor, ~3x fewer scheduled
+    * jobs; output CHANGES across this knob, which is why sim3 is gated by
+    * the pinned recall floor, not a value oracle). `initMode`/`maxIter`
+    * are exposed so a caller can reproduce either fit. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
-              vecCol: String, k: Int, numCells: Int, nProbe: Int): DataFrame = {
+              vecCol: String, k: Int, numCells: Int, nProbe: Int,
+              initMode: String = "random", maxIter: Int = 8): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     import org.apache.spark.ml.linalg.Vector
@@ -126,8 +133,8 @@ object Similarity {
     // roughly-balanced cells, and each MLlib init/iter round is a
     // scheduled job (k-means|| alone is ~5 passes). Deterministic: seeded
     // init over a deterministic input.
-    val km = new KMeans().setK(numCells).setSeed(42).setMaxIter(8)
-      .setInitMode("random").setTol(1e-4)
+    val km = new KMeans().setK(numCells).setSeed(42).setMaxIter(maxIter)
+      .setInitMode(initMode).setTol(1e-4)
       .fit(corpusVec)
     val centers = km.clusterCenters
     val assigned = km.transform(corpusVec)

@@ -610,6 +610,12 @@ object EventQueries {
         |  min(d.date) AS fold_start, max(d.date) AS fold_end
         |FROM d CROSS JOIN m GROUP BY 1""".stripMargin,
 
+    // NB: this twin's has2/n_cls use plain min/max-over-window and
+    // count(DISTINCT), which OMIT the reference's NaN-counts-as-a-class
+    // rule (pandas .unique()). That is sound HERE because this synthetic
+    // fixture's labels are non-null by construction (the CASE below always
+    // produces a value); if the fixture ever gains null labels, mirror
+    // Folds.calendarFoldsMonthly's null-mix condition in both CTEs.
     "m2_folds_monthly" ->
       """WITH daily AS (
         |  SELECT DATE '2023-10-31' + CAST(event_id % 420 AS INT) AS date

@@ -361,21 +361,31 @@ object MlQueries {
     "m6_model_families" -> ((s, dir) => {
       import graft.ml.Models
       import graft.pipeline.Reports
+      // The daily frame feeds 8 fits x (train+val): checkpoint it once so
+      // the events scan+agg doesn't replay 16 times. One partition in a
+      // DETERMINISTIC row order — the fits' treeAggregate sums then no
+      // longer depend on cluster layout or shuffle fetch order (which is
+      // what lets this query be gated by a pinned snapshot), and MLlib's
+      // many per-iteration jobs stop paying 32-partition scheduling
+      // overhead for a few thousand rows.
       val daily = dailyUser(s, dir).withColumn("label",
-        when(col("f_mean") >= 105, 2.0).when(col("f_mean") <= 95, 0.0)
-          .otherwise(1.0))
+          when(col("f_mean") >= 105, 2.0).when(col("f_mean") <= 95, 0.0)
+            .otherwise(1.0))
+        .repartition(1).sortWithinPartitions("user_id", "date")
+        .localCheckpoint(true)
       val feats = Seq("f_mean", "f_n", "f_purchase")
       val folds = Seq(
         (0, "2024-01-15", "2024-01-22"),
         (1, "2024-01-22", "2024-02-01"))
       val families: Seq[(String, (DataFrame, DataFrame) => DataFrame)] = Seq(
-        "logreg" -> ((tr, va) => Models.logisticRegression(tr, va, feats, "label")),
+        "logreg" -> ((tr, va) => Models.logisticRegression(tr, va, feats,
+          "label", maxIter = 25)),
         "rf" -> ((tr, va) => Models.randomForest(tr, va, feats, "label",
-          numTrees = 20, maxDepth = 5)),
+          numTrees = 10, maxDepth = 4)),
         "gbt" -> ((tr, va) => Models.gbt(tr, va, feats, "label",
-          maxIter = 8, maxDepth = 3)),
+          maxIter = 5, maxDepth = 3)),
         "svc" -> ((tr, va) => Models.linearSvc(tr, va, feats, "label",
-          maxIter = 15)))
+          maxIter = 10)))
       val preds = for {
         (fid, vs, ve) <- folds
         (name, fit) <- families
