@@ -523,12 +523,17 @@ object Dedup {
                        idCol: String, textCol: String, shingleK: Int,
                        numHashes: Int, rowsPerBand: Int,
                        minJaccard: Double): DataFrame = {
-    // 1. exact against the corpus digest index
+    // 1. exact against the corpus digest index. The surviving batch is
+    // consumed by every later stage (signature, verify sets, within-batch
+    // dedup) — materialize it once (batch-sized by definition) so the
+    // SHA + anti-join doesn't replay per consumer. The corpus side stays
+    // lazy/pruned.
     val exactNew = incoming
       .withColumn("__inc_sha", sha2(col(textCol), 256))
       .join(existingDigests.select(col("content_sha").as("__inc_sha")),
         Seq("__inc_sha"), "left_anti")
       .drop("__inc_sha")
+      .localCheckpoint(true)
     // 2. near-dup against the corpus: band-key candidates across the two
     // signature sets, then exact verification on the pair's texts
     val exSig = existingSignatures
@@ -545,8 +550,11 @@ object Dedup {
       cand.select(col("id_b").as(idCol)).distinct(), Seq(idCol), "left_semi")
     val verified = verifyPairsJaccardAcross(cand, exactNew, candCorpus, idCol,
       textCol, shingleK, minJaccard)
+    // the remainder feeds both the within-batch LSH pass (signature +
+    // verify sets) and the final representative filter — materialize once
     val nearNew = exactNew.join(
       verified.select(col("id_a").as(idCol)).distinct(), Seq(idCol), "left_anti")
+      .localCheckpoint(true)
     // 3. within-batch dedup of the remainder
     val batchClusters = dupClusters(
       lshVerifiedPairs(nearNew, idCol, textCol, shingleK, numHashes,
