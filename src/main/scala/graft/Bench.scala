@@ -78,6 +78,21 @@ object Bench {
         times += once()
       // a failed query must not masquerade as a (near-zero) fast one:
       // publish the -1 sentinel instead of the elapsed-until-exception.
+      // JVM-state gauge after each query (stderr diagnostic, not part of
+      // the published JSON): JIT code-cache fill is the r3-proven failure
+      // mode where late-suite queries silently run interpreted.
+      locally {
+        import scala.jdk.CollectionConverters._
+        val pools = java.lang.management.ManagementFactory
+          .getMemoryPoolMXBeans.asScala
+          .filter(_.getName.toLowerCase.contains("code"))
+        val cc = pools.map(p => s"${p.getName}=${p.getUsage.getUsed / (1 << 20)}M")
+          .mkString(" ")
+        val heap = java.lang.management.ManagementFactory.getMemoryMXBean
+          .getHeapMemoryUsage
+        System.err.println(f"[bench-gauge] $name%-28s ${times.min}%7.2f " +
+          f"runs=${times.length} heap=${heap.getUsed / (1 << 20)}%dM $cc")
+      }
       name -> (if (failed) -1.0 else times.min, times.length)
     }
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
