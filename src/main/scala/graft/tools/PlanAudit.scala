@@ -76,7 +76,7 @@ object PlanAudit {
     * every following line until indentation drops BELOW the marker —
     * section contents print at the marker's own depth, and the only
     * same-depth sibling, `== Final Plan ==`, precedes it). */
-  private def stripInitialPlans(plan: String): String = {
+  private[graft] def stripInitialPlans(plan: String): String = {
     var skipDepth = -1
     plan.linesIterator.filter { line =>
       val d = depth(line)
