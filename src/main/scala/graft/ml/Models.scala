@@ -168,7 +168,11 @@ object Models {
     val model: Transformer =
       if (labels.size == 2) base.fit(trainA).asInstanceOf[Transformer]
       else {
+        // fit the k binary models concurrently: they are independent
+        // seeded fits whose outputs land in fixed model slots, so the
+        // ensemble is bit-identical to the sequential fit
         val ovr = new OneVsRest().setClassifier(base)
+          .setParallelism(labels.size)
           .setLabelCol("__lbl").setFeaturesCol("features")
         weightCol.foreach(ovr.setWeightCol)
         ovr.fit(trainA)

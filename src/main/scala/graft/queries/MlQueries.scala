@@ -386,10 +386,19 @@ object MlQueries {
           maxIter = 5, maxDepth = 3)),
         "svc" -> ((tr, va) => Models.linearSvc(tr, va, feats, "label",
           maxIter = 10)))
-      val preds = for {
+      // The 8 (family x fold) fits are independent seeded estimators over
+      // the same checkpointed frame: run them CONCURRENTLY (the design
+      // MLlib's own CrossValidator ships as `parallelism`). Each fit is
+      // dominated by per-iteration job-scheduling latency, not compute —
+      // overlapping them collapses the wall time while the outputs stay
+      // bit-identical (per-fit determinism is unaffected by sibling jobs).
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val preds = Await.result(Future.sequence(for {
         (fid, vs, ve) <- folds
         (name, fit) <- families
-      } yield {
+      } yield Future {
         val train = daily.filter(col("date") < lit(vs).cast("date"))
         val valD = daily.filter(col("date") >= lit(vs).cast("date") &&
           col("date") < lit(ve).cast("date"))
@@ -398,7 +407,7 @@ object MlQueries {
           col("label").cast("int").cast("string").as("y_true"),
           col("y_pred").cast("int").cast("string").as("y_pred_s"),
           col("date"))
-      }
+      }), Duration.Inf)
       val all = preds.reduce(_ unionByName _)
       families.map { case (name, _) =>
         Reports.perFoldMetrics(all.filter(col("model") === name),
