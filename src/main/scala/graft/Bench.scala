@@ -8,6 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Even with the UI off, the SQL status listener retains completed
+      // executions — plan graphs included — in driver memory (default
+      // 1000). Over 100+ queries x multiple actions x adaptive reruns
+      // that store is pure suite-state heap aging the later queries pay
+      // for in GC time. Keep only a handful.
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "50")
+      .config("spark.ui.retainedTasks", "500")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm up the session (codegen, file listing, parquet footers) so the
