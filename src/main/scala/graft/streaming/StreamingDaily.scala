@@ -42,6 +42,31 @@ object StreamingDaily {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("text_sha")
 
+  /** Corpus NEAR-dup dedup on a stream — the stream-safe approximation:
+    * documents collapsing to the same `bits`-bit SimHash signature
+    * (near-identical token multisets — reordered/lightly-edited
+    * boilerplate) keep only their first arrival within the watermark
+    * horizon. Signature equality needs only per-key state
+    * (`dropDuplicates` on the signature), so state stays bounded by
+    * (distinct signatures per horizon) exactly like
+    * [[streamingExactDedup]].
+    *
+    * Deliberate scope: banded hamming-distance matching (the batch
+    * path's `simhashPairs`, hamming ≤ k > 0) requires cross-row joins
+    * whose streaming state grows with every band bucket ever seen —
+    * that tier stays in the batch/incremental path
+    * (`Dedup.incrementalDedup`) over micro-batch snapshots. Emitted
+    * rows carry `sim_sig` so a downstream batch pass can band them
+    * without re-hashing. */
+  def streamingSimhashDedup(docs: DataFrame, tsCol: String, textCol: String,
+                            bits: Int = 64,
+                            watermark: String = "1 day"): DataFrame =
+    docs
+      .withColumn("sim_sig", graft.operators.Dedup.simhashOverHashed(
+        graft.operators.Dedup.hashedTokens(col(textCol)), bits))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("sim_sig")
+
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastEpoch: Long, count: Long, sum: Double)
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,

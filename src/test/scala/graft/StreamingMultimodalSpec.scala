@@ -144,6 +144,38 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: same-simhash variants dropped, distinct docs kept") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingDaily.streamingSimhashDedup(df, "ts", "text")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("simdedup_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 08:00:00"), 1L, "alpha beta gamma delta"),
+        (ts("2024-01-01 09:00:00"), 2L, "wholly different tokens here"))
+      q.processAllAvailable()
+      // reordered token multiset -> identical simhash -> dropped in a
+      // later micro-batch; a genuinely distinct doc passes
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 3L, "delta gamma beta alpha"),
+        (ts("2024-01-01 11:00:00"), 4L, "unrelated fresh content"))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT doc_id, sim_sig FROM simdedup_out ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L), s"got ${out.toSeq}")
+      // the emitted signature matches the batch operator's (one engine,
+      // two execution modes — downstream banding composes either way)
+      val batchSig = spark.createDataFrame(Seq(Tuple1("alpha beta gamma delta")))
+        .toDF("text")
+        .select(graft.operators.Dedup.simhashOverHashed(
+          graft.operators.Dedup.hashedTokens(org.apache.spark.sql.functions.col("text")), 64))
+        .collect().head.getLong(0)
+      assert(out.find(_._1 == 1L).map(_._2).contains(batchSig))
+    } finally q.stop()
+  }
+
   test("streaming corpus ops: quality gate + chunking run stateless on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
