@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftExtensions, HyperplaneBucket, ShaPrefixLong}
+
+/** The SQL registration surface: the native expressions callable from
+  * `spark.sql`, value-identical to their Column-API forms. */
+class GraftExtensionsSpec extends SparkTestBase {
+
+  test("registered SQL functions match the Column-API expressions") {
+    GraftExtensions.register(spark)
+    // sha prefix: SQL call == composable conv(substr(sha2)) formula
+    val sha = spark.sql(
+      """SELECT graft_sha_prefix(s, 7) AS fast,
+        |  CAST(conv(substring(sha2(s, 256), 1, 7), 16, 10) AS BIGINT) AS ref
+        |FROM VALUES ('hello world'), (''), ('héllo 中文') AS t(s)""".stripMargin)
+      .collect()
+    sha.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+    // sorted intersect: merge-walk == size(array_intersect)
+    val ic = spark.sql(
+      """SELECT graft_sorted_intersect_count(array(1L, 2L, 3L, 9L),
+        |  array(2L, 3L, 5L, 9L)) AS n""".stripMargin).collect().head.getInt(0)
+    assert(ic === 3)
+    // hyperplane bucket: SQL call == Column-API expression
+    import spark.implicits._
+    val vecs = Seq(Seq(0.25, -0.5, 0.75), Seq(-1.0, 0.0, 1.0)).toDF("v")
+    vecs.createOrReplaceTempView("graft_ext_vecs")
+    val sqlBuckets = spark.sql(
+      "SELECT graft_hyperplane_bucket(v, 8, 3, 1) AS b FROM graft_ext_vecs")
+      .collect().map(_.getLong(0)).toSeq
+    val apiBuckets = vecs.select(
+        org.apache.spark.sql.GraftShim.column(
+          HyperplaneBucket(org.apache.spark.sql.GraftShim.expression(col("v")),
+            8, 3, 1)).as("b"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(sqlBuckets === apiBuckets)
+  }
+
+  test("non-literal size parameters are rejected with a clear error") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_sha_prefix('x', 1 + 1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      Option(e.getCause).exists(_.getMessage.contains("integer literal")))
+  }
+
+  test("the construction-time injection hook wires without error") {
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+}
