@@ -170,6 +170,45 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Incremental IVF index maintenance — the daily-ingest path of the
+    * ANN family ([[Dedup.incrementalDedup]]'s analog for the vector
+    * index): the coarse quantizer is fit ONCE when the index is built
+    * (ivfTopK's KMeans or any external quantizer), its centroid table
+    * stored, and each new embedding batch is assigned to its nearest
+    * cell WITHOUT refitting or touching the indexed corpus.
+    *
+    * The centroid table is bounded by design (numCells x dims), so it is
+    * collected once and evaluated as a literal per-row argmin — the
+    * same plan shape as ivfTopK's probe stage: pure per-row expressions,
+    * NO join and NO shuffle of the batch at all (the plan a 100-TB
+    * ingest wants; at 1000 executors the centroids ride along as a task
+    * literal). Assignment is deterministic cross-engine: L2^2 distances
+    * rounded to 6 before the argmin, ties to the smallest cell id —
+    * the sim1 determinism pattern, SQL-twin-expressible.
+    *
+    * Returns `batch` + (`cell`, `cell_dist`). */
+  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cellCol: String,
+                centroidVecCol: String): DataFrame = {
+    val cents = centroids
+      .select(col(cellCol).cast("long"), col(centroidVecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    val centLit = typedLit(cents.map { case (cell, vec) => (vec, cell) })
+    val scored = transform(centLit, c =>
+      struct(
+        round(aggregate(zip_with(col(vecCol), c.getField("_1"),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (a, v) => a + v), 6).as("d"),
+        c.getField("_2").as("cell")))
+    val best = array_min(scored)
+    batch
+      .withColumn("cell", best.getField("cell"))
+      .withColumn("cell_dist", best.getField("d"))
+  }
+
   /** Recall summary of ANN results against the exact top-k baseline: per
     * query, |approx ∩ exact| / |exact|; queries the ANN missed entirely
     * count as recall 0. One row per method — (method, n_queries,

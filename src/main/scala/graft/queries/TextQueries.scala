@@ -127,6 +127,18 @@ object TextQueries {
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
+    // Incremental IVF maintenance: the vec_id<8 embeddings act as the
+    // stored centroid table (deterministic stand-in for a fitted
+    // quantizer), the rest are the ingest batch assigned to cells with
+    // no refit, no join, no shuffle. Exact oracle: round-6 L2^2 argmin,
+    // ties to the smallest cell.
+    "sim5_ivf_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAssign(emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .select(col("vec_id"), col("cell"), col("cell_dist"))
+    }),
+
     // int8 embedding quantization + reconstruction-quality audit (the
     // 4x-memory ANN storage path). Emits the scale, the first 4 quantized
     // components, and the original-vs-dequantized cosine.
@@ -522,6 +534,23 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
           |  FROM scored)
           |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      "sim5_ivf_assign" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 8),
+          |batch AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+          |scored AS (
+          |  SELECT b.vec_id, c.cell,
+          |    round(list_inner_product(b.e, b.e) - 2 * list_inner_product(b.e, c.c)
+          |      + list_inner_product(c.c, c.c), 6) AS d
+          |  FROM batch b CROSS JOIN cent c),
+          |ranked AS (
+          |  SELECT vec_id, cell, d,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |  FROM scored)
+          |SELECT vec_id, cell, d AS cell_dist FROM ranked WHERE rn = 1""".stripMargin,
 
       "sim4_quantize" ->
         """WITH v AS (

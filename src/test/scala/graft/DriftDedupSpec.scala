@@ -231,6 +231,28 @@ class DriftDedupSpec extends SparkTestBase {
     }
   }
 
+  test("sim5: ivfAssign picks the nearest cell, ties to the smallest cell id, no shuffle") {
+    val centroids = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)))
+      .toDF("vec_id", "embedding")
+    val batch = Seq(
+      (100L, Array(1f, 1f)),    // nearest: cell 0 (d=2)
+      (101L, Array(9f, 1f)),    // nearest: cell 1 (d=2)
+      (102L, Array(1f, 9f)),    // nearest: cell 2 (d=2)
+      (103L, Array(5f, 0f)))    // equidistant to 0 and 1 (d=25) -> cell 0
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfAssign(batch, "vec_id", "embedding",
+        centroids, "vec_id", "embedding")
+      .select("vec_id", "cell", "cell_dist").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === Seq(
+      (100L, 0L, 2.0), (101L, 1L, 2.0), (102L, 2L, 2.0), (103L, 0L, 25.0)))
+    // the ingest-batch plan is per-row only: no exchange anywhere
+    val plan = Similarity.ivfAssign(batch, "vec_id", "embedding",
+      centroids, "vec_id", "embedding").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
   test("sim4: int8 quantization — exact integers, faithful reconstruction, zero-vector null") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.0f, 0.27f)),
