@@ -48,21 +48,24 @@ object Dedup {
     * set. mh_i = min over shingles of (a_i * sha28(sh) + b_i) mod P. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleK: Int, numHashes: Int): DataFrame = {
-    val sigCols = Hashing.minhashSeeds(numHashes).zipWithIndex.map {
-      case ((a, b), i) =>
-        array_min(transform(col("hsh"), h => (h * a + b) % Hashing.P)).as(s"mh$i")
-    }
     // SHA-per-shingle is CPU-bound: spread rows across all cores first
     // (single-row-group files otherwise scan as ONE task and serialize
     // the whole hashing pass). The hashed-shingle array gets its OWN
-    // projection: referencing one `hsh` column from all k min-folds keeps
-    // the shingle+SHA pass evaluated once per row — inlining it into each
-    // fold would hash the corpus k times (CollapseProject refuses to merge
-    // a non-cheap expression referenced more than once, so the two-step
-    // plan survives optimization).
+    // projection, and all k minima come from ONE native pass over it
+    // (MinHashOverHashed, value-identical to the k-fold
+    // transform+array_min form — HashingSpec-pinned) instead of k
+    // higher-order passes each materializing a transformed copy.
+    // Referencing `mh_arr` from the k extracts keeps it evaluated once
+    // (CollapseProject refuses to merge a non-cheap expression
+    // referenced more than once, so the stepped plan survives
+    // optimization).
+    val sigCols = (0 until numHashes).map(i =>
+      element_at(col("__mh_arr"), i + 1).as(s"mh$i"))
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
         transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
+      .select(col(idCol),
+        graft.functions.MinHashOverHashed(col("hsh"), numHashes).as("__mh_arr"))
       .select(col(idCol) +: sigCols: _*)
   }
 
@@ -81,9 +84,9 @@ object Dedup {
     * of [[minhashBandKey]] and [[ngramJaccardPairsBanded]], kept in one
     * place so the formula can't drift from [[minhashBandKeySql]]. */
   def bandKeyOverHashed(hashed: Column, numHashes: Int): Column = {
-    val parts = Hashing.minhashSeeds(numHashes).map { case (a, b) =>
-      coalesce(array_min(transform(hashed, h => (h * a + b) % Hashing.P)), lit(-1L))
-    }
+    val mins = graft.functions.MinHashOverHashed(hashed, numHashes)
+    val parts = (0 until numHashes).map(i =>
+      coalesce(element_at(mins, i + 1), lit(-1L)))
     concat_ws("_", parts: _*)
   }
 
@@ -256,11 +259,14 @@ object Dedup {
         transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
       .persist()
     try {
-      val sigCols = Hashing.minhashSeeds(numHashes).zipWithIndex.map {
-        case ((a, b), i) =>
-          array_min(transform(col("hsh"), h => (h * a + b) % Hashing.P)).as(s"mh$i")
-      }
-      val sig = hashed.select(col(idCol) +: sigCols: _*)
+      // all k minima from one native pass over the materialized hashes
+      // (stepped projection so the pass is evaluated once per row)
+      val sigCols = (0 until numHashes).map(i =>
+        element_at(col("__mh_arr"), i + 1).as(s"mh$i"))
+      val sig = hashed
+        .select(col(idCol),
+          graft.functions.MinHashOverHashed(col("hsh"), numHashes).as("__mh_arr"))
+        .select(col(idCol) +: sigCols: _*)
       val cand = bandJoin(sig, idCol, numHashes, rowsPerBand)
       val sets = hashed.select(col(idCol),
         array_sort(array_distinct(col("hsh"))).as("sh"))

@@ -39,6 +39,29 @@ class HashingSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("MinHashOverHashed equals the k-fold transform+array_min form") {
+    import spark.implicits._
+    import graft.functions.{Hashing => H, MinHashOverHashed}
+    val rnd = new scala.util.Random(3)
+    val rows: Seq[Seq[java.lang.Long]] =
+      (1 to 300).map(_ => Seq.fill(rnd.nextInt(12))(
+        java.lang.Long.valueOf(rnd.nextInt(1 << 28).toLong))) ++
+      Seq(Seq.empty[java.lang.Long],            // empty -> null minima
+        Seq(null.asInstanceOf[java.lang.Long]), // all-null -> null minima
+        Seq(java.lang.Long.valueOf(5L), null))  // null skipped
+    val df = rows.toDF("hsh")
+    val k = 6
+    val native = (0 until k).map(i =>
+      element_at(MinHashOverHashed(col("hsh"), k), i + 1).as(s"n$i"))
+    val composed = H.minhashSeeds(k).zipWithIndex.map { case ((a, b), i) =>
+      array_min(transform(col("hsh"), h => (h * a + b) % H.P)).as(s"c$i")
+    }
+    val mism = df.select(native ++ composed: _*)
+      .filter((0 until k).map(i =>
+        not(col(s"n$i") <=> col(s"c$i"))).reduce(_ || _))
+    assert(mism.isEmpty)
+  }
+
   test("ShaPrefixLong survives both codegen and interpreted eval") {
     import spark.implicits._
     val df = Seq("x", "y", "z").toDF("s")
