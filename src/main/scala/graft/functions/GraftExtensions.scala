@@ -14,6 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    `conv(substr(sha2(s,256),1,n),16,10)`);
   *  - `graft_hyperplane_bucket(vec, numPlanes, dims, table)` —
   *    [[HyperplaneBucket]], the sign-random-projection LSH bucket;
+  *  - `graft_minhash(hashedArr, k)` — [[MinHashOverHashed]], all k
+  *    MinHash minima over a hashed-shingle array in one pass;
   *  - `graft_sorted_intersect_count(a, b)` — [[SortedLongIntersectCount]],
   *    the codegen'd merge-walk `size(array_intersect(a, b))` over sorted
   *    distinct long arrays.
@@ -63,6 +65,12 @@ object GraftExtensions {
           intArg("graft_hyperplane_bucket", args(1), 1),
           intArg("graft_hyperplane_bucket", args(2), 2),
           intArg("graft_hyperplane_bucket", args(3), 3))
+      }),
+    (FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashOverHashed].getName, "graft_minhash"),
+      (args: Seq[Expression]) => {
+        arity("graft_minhash", args, 2)
+        MinHashOverHashed(args.head, intArg("graft_minhash", args(1), 1))
       }),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName,

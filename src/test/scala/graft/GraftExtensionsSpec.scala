@@ -21,6 +21,16 @@ class GraftExtensionsSpec extends SparkTestBase {
       """SELECT graft_sorted_intersect_count(array(1L, 2L, 3L, 9L),
         |  array(2L, 3L, 5L, 9L)) AS n""".stripMargin).collect().head.getInt(0)
     assert(ic === 3)
+    // minhash: one-pass SQL call == the composable k-fold formula
+    val mh = spark.sql(
+      """SELECT graft_minhash(array(7L, 123456L, 999L), 2) AS m,
+        |  array(
+        |    array_min(transform(array(7L, 123456L, 999L),
+        |      h -> (h * 1001 + 17) % 2147483647)),
+        |    array_min(transform(array(7L, 123456L, 999L),
+        |      h -> (h * 1003 + 7936) % 2147483647))) AS ref""".stripMargin)
+      .collect().head
+    assert(mh.getSeq[Long](0) === mh.getSeq[Long](1))
     // hyperplane bucket: SQL call == Column-API expression
     import spark.implicits._
     val vecs = Seq(Seq(0.25, -0.5, 0.75), Seq(-1.0, 0.0, 1.0)).toDF("v")
