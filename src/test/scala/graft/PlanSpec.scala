@@ -172,7 +172,9 @@ class PlanSpec extends SparkTestBase {
     val df = spark.range(4).select(
       graft.functions.ShaPrefixLong(concat(lit("t"), col("id")), 7).as("h"),
       graft.functions.HyperplaneBucket(
-        array(col("id").cast("float"), lit(0.5f)), 4, 2, 0).as("b"))
+        array(col("id").cast("float"), lit(0.5f)), 4, 2, 0).as("b"),
+      graft.functions.MinHashOverHashed(array(col("id"), col("id") + 3L), 4)
+        .as("m"))
     val plan = df.queryExecution.executedPlan.toString
     // the "*(n)" prefix is the WholeStageCodegen marker in the simple
     // plan string; an interpreted fallback loses it on the Project node.
@@ -180,6 +182,6 @@ class PlanSpec extends SparkTestBase {
       s"native expressions fell out of codegen:\n$plan")
     // and the generated code actually runs (no janino compile fallback):
     val row = df.head()
-    assert(!row.isNullAt(0) && !row.isNullAt(1))
+    assert(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2))
   }
 }
