@@ -16,6 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   *    [[HyperplaneBucket]], the sign-random-projection LSH bucket;
   *  - `graft_minhash(hashedArr, k)` — [[MinHashOverHashed]], all k
   *    MinHash minima over a hashed-shingle array in one pass;
+  *  - `graft_simhash(hashedArr, bits)` — [[SimHashOverHashed]], the
+  *    full SimHash signature in one pass;
   *  - `graft_sorted_intersect_count(a, b)` — [[SortedLongIntersectCount]],
   *    the codegen'd merge-walk `size(array_intersect(a, b))` over sorted
   *    distinct long arrays.
@@ -71,6 +73,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("graft_minhash", args, 2)
         MinHashOverHashed(args.head, intArg("graft_minhash", args(1), 1))
+      }),
+    (FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashOverHashed].getName, "graft_simhash"),
+      (args: Seq[Expression]) => {
+        arity("graft_simhash", args, 2)
+        SimHashOverHashed(args.head, intArg("graft_simhash", args(1), 1))
       }),
     (FunctionIdentifier("graft_sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedLongIntersectCount].getName,

@@ -610,19 +610,14 @@ object Dedup {
   def hashedTokens(text: Column): Column =
     transform(split(lower(text), "\\s+"), t => Hashing.sha28(t))
 
-  /** [[simhash]] over an already-computed [[hashedTokens]] column. When
-    * `hashed` is a materialized column reference, the SHA pass runs once
-    * per row regardless of `bits` (CollapseProject keeps the upstream
-    * projection separate: non-cheap expressions referenced more than once
-    * are not merged). */
-  def simhashOverHashed(hashed: Column, bits: Int): Column = {
-    val bitCols = (0 until bits).map { j =>
-      val contrib = aggregate(hashed, lit(0L),
-        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
-      when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ + _)
-  }
+  /** [[simhash]] over an already-computed [[hashedTokens]] column — the
+    * native one-pass form ([[graft.functions.SimHashOverHashed]]): all
+    * `bits` bit-counts updated in a single primitive loop per row,
+    * value-identical to the `bits` separate higher-order folds of the
+    * composable form (HashingSpec-pinned; [[simhashSql]]'s DuckDB twin
+    * still spells out the folds). */
+  def simhashOverHashed(hashed: Column, bits: Int): Column =
+    graft.functions.SimHashOverHashed(hashed, bits)
 
   /** DuckDB twin of [[simhash]]. */
   def simhashSql(textExpr: String, bits: Int): String = {

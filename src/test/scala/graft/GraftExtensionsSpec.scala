@@ -31,6 +31,12 @@ class GraftExtensionsSpec extends SparkTestBase {
         |      h -> (h * 1003 + 7936) % 2147483647))) AS ref""".stripMargin)
       .collect().head
     assert(mh.getSeq[Long](0) === mh.getSeq[Long](1))
+    // simhash: one-pass SQL call over a known bit pattern
+    // tokens 0b01 and 0b11: bit0 counts +2 (set), bit1 counts 0 (set,
+    // the >=0 rule), all other bit counts are -2 with 4 bits -> sig = 3
+    val sh = spark.sql("SELECT graft_simhash(array(1L, 3L), 4) AS s")
+      .collect().head.getLong(0)
+    assert(sh === 3L)
     // hyperplane bucket: SQL call == Column-API expression
     import spark.implicits._
     val vecs = Seq(Seq(0.25, -0.5, 0.75), Seq(-1.0, 0.0, 1.0)).toDF("v")

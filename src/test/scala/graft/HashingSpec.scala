@@ -62,6 +62,34 @@ class HashingSpec extends SparkTestBase {
     assert(mism.isEmpty)
   }
 
+  test("SimHashOverHashed equals the per-bit fold form, edges included") {
+    import spark.implicits._
+    import graft.functions.SimHashOverHashed
+    val rnd = new scala.util.Random(5)
+    val rows: Seq[Seq[java.lang.Long]] =
+      (1 to 300).map(_ => Seq.fill(rnd.nextInt(12))(
+        java.lang.Long.valueOf(rnd.nextInt(1 << 28).toLong))) ++
+      Seq(Seq.empty[java.lang.Long],            // empty -> ALL bits set
+        Seq(null.asInstanceOf[java.lang.Long]), // null elem -> -1 every bit
+        Seq(java.lang.Long.valueOf(7L), null))
+    val df = rows.toDF("hsh")
+    for (bits <- Seq(16, 64)) {
+      val composed = (0 until bits).map { j =>
+        val contrib = aggregate(col("hsh"), lit(0L), (acc, h) =>
+          acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+        when(contrib >= 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val mism = df.select(SimHashOverHashed(col("hsh"), bits).as("n"),
+          composed.as("c"))
+        .filter(not(col("n") <=> col("c")))
+      assert(mism.isEmpty, s"bits=$bits")
+    }
+    // the empty-array edge really is the all-ones signature
+    val empty = Seq(Seq.empty[java.lang.Long]).toDF("hsh")
+      .select(SimHashOverHashed(col("hsh"), 64)).collect().head.getLong(0)
+    assert(empty === -1L)
+  }
+
   test("ShaPrefixLong survives both codegen and interpreted eval") {
     import spark.implicits._
     val df = Seq("x", "y", "z").toDF("s")
