@@ -75,7 +75,8 @@ object Reports {
 
   def perFoldMetrics(pred: DataFrame, foldCol: String, truthCol: String,
                      predCol: String, dateCol: String,
-                     classes: Seq[String]): DataFrame = {
+                     classes: Seq[String],
+                     trainCounts: Option[DataFrame] = None): DataFrame = {
     val perClass = perClassCounts(pred, foldCol, truthCol, predCol, classes)
     val p = precisionExpr
     val r = recallExpr
@@ -93,14 +94,25 @@ object Reports {
     val spans = pred.groupBy(col(foldCol).as("fold_id"))
       .agg(min(col(dateCol)).as("val_start"), max(col(dateCol)).as("val_end"),
         count(lit(1)).as("n_val"))
-    // n_train = all non-validation rows (run_full_pipeline.py:1265 builds
-    // train_idx = every index not in val_idx — NOT an expanding window),
-    // computed as total - n_val over the folds frame (folds tile the
-    // sample range, so the fold n_val sum is n_samples).
+    // n_train: by default all non-validation rows
+    // (run_full_pipeline.py:1265 builds train_idx = every index not in
+    // val_idx — NOT an expanding window), computed as total - n_val over
+    // the folds frame (folds tile the sample range, so the fold n_val sum
+    // is n_samples). Callers whose fold construction trains on a BOUNDED
+    // window (RunPipeline's monthly folds) must pass the actual per-fold
+    // sizes via `trainCounts` (fold_id, n_train) or the identity
+    // misstates every fold.
     val wAll = Window.partitionBy()
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    spans.join(metrics, Seq("fold_id"))
-      .withColumn("n_train", sum(col("n_val")).over(wAll) - col("n_val"))
+    val joined = spans.join(metrics, Seq("fold_id"))
+    trainCounts.fold(
+      joined.withColumn("n_train",
+        sum(col("n_val")).over(wAll) - col("n_val"))
+    )(tc =>
+      joined.join(broadcast(tc.select(col("fold_id"), col("n_train"))),
+          Seq("fold_id"), "left")
+        .withColumn("n_train", coalesce(col("n_train"), lit(0L)))
+    )
       .select(col("fold_id"), col("val_start"), col("val_end"),
         col("n_train"), col("n_val"),
         round(col("f1_macro_raw"), 6).as("f1_macro"),
@@ -454,14 +466,16 @@ object Reports {
                      generatedAt: String, outDir: String,
                      ablationReference: String = "",
                      baselines: Seq[(String, String, DataFrame)] = Nil,
-                     warnings: Seq[String] = Nil): CvSummary = {
+                     warnings: Seq[String] = Nil,
+                     trainCounts: Option[DataFrame] = None): CvSummary = {
     val spark = pred.sparkSession
     // Materialize the prediction frame once: every artifact below
     // re-aggregates it (per-fold metrics twice, confusion matrices,
     // per-class counts, class distribution), and without this each pass
     // would replay the full upstream plan.
     val p = pred.localCheckpoint(true)
-    val perFold = perFoldMetrics(p, foldCol, truthCol, predCol, dateCol, classes)
+    val perFold = perFoldMetrics(p, foldCol, truthCol, predCol, dateCol,
+      classes, trainCounts)
     val dist = p.groupBy(truthCol).count().orderBy(truthCol)
       .collect().toSeq.map(r => r.get(0).toString -> r.getAs[Long]("count"))
     val summary = CvSummary(model, featureSet, target,

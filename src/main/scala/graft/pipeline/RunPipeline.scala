@@ -76,16 +76,20 @@ object RunPipeline {
 
   private def listWithSuffix(dir: Path, suffix: String): Seq[Path] =
     if (!Files.isDirectory(dir)) Nil
-    else Files.list(dir).iterator().asScala
-      .filter(p => p.getFileName.toString.toLowerCase.endsWith(suffix))
-      .toSeq.sortBy(_.getFileName.toString)
+    else scala.util.Using.resource(Files.list(dir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.toLowerCase.endsWith(suffix))
+        .toSeq.sortBy(_.getFileName.toString)
+    }
 
   private def findFirst(root: String, name: String): Option[String] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) None
-    else Files.walk(r).iterator().asScala
-      .filter(p => p.getFileName.toString == name)
-      .toSeq.sortBy(_.toString).headOption.map(_.toString)
+    else scala.util.Using.resource(Files.walk(r)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString == name)
+        .toSeq.sortBy(_.toString).headOption.map(_.toString)
+    }
   }
 
   private def globFiles(pattern: String): Seq[String] = {
@@ -96,9 +100,11 @@ object RunPipeline {
     if (!Files.isDirectory(d)) Nil
     else {
       val m = java.nio.file.FileSystems.getDefault.getPathMatcher(s"glob:$glob")
-      Files.list(d).iterator().asScala
-        .filter(p => m.matches(p.getFileName)).toSeq.sortBy(_.toString)
-        .map(_.toString)
+      scala.util.Using.resource(Files.list(d)) { s =>
+        s.iterator().asScala
+          .filter(p => m.matches(p.getFileName)).toSeq.sortBy(_.toString)
+          .map(_.toString)
+      }
     }
   }
 
@@ -284,17 +290,32 @@ object RunPipeline {
       s"${features.size} features, median-imputed per segment")
 
     // ---------- stage 6: ML6 + extended families ----------
+    // Both fold branches land on the same summary shape. The monthly
+    // frame's bounds mirror the reference's build_month_windows: a
+    // BOUNDED train window [train_start, val_start) and an EXCLUSIVE
+    // val_end. The day-based branch summarizes actual role dates, so its
+    // val_end is an inclusive max date — flagged per row so foldPreds
+    // applies the right comparison.
     val foldFrame =
       if (cfg.foldsMonthly)
         Folds.calendarFoldsMonthly(prepped, "date", "som_binary")
+          .select(col("fold_id"), col("train_start"), col("val_start"),
+            col("val_end"), col("n_train"),
+            lit(false).as("val_end_inclusive"))
       else
         Folds.calendarFolds(prepped, "date", cfg.trainDays, cfg.valDays,
           cfg.nFolds, cfg.valDays)
-          .filter(col("role") === "val")
           .groupBy("fold_id")
-          .agg(min(col("date")).as("val_start"), max(col("date")).as("val_end"))
+          .agg(
+            min(when(col("role") === "train", col("date"))).as("train_start"),
+            min(when(col("role") === "val", col("date"))).as("val_start"),
+            max(when(col("role") === "val", col("date"))).as("val_end"),
+            sum(when(col("role") === "train", 1L).otherwise(0L)).as("n_train"))
+          .filter(col("val_start").isNotNull)
+          .withColumn("val_end_inclusive", lit(true))
     val foldRows = foldFrame
-      .select("fold_id", "val_start", "val_end").collect()
+      .select("fold_id", "train_start", "val_start", "val_end", "n_train",
+        "val_end_inclusive").collect()
     if (foldRows.isEmpty) {
       logs += StageLog(6, "ml6", "skipped", "no usable calendar folds")
       Sinks.atomicText(spark, s"$outDir/RUN_REPORT.md",
@@ -316,9 +337,14 @@ object RunPipeline {
       col("som_binary").cast("double"))
     def foldPreds(fit: (DataFrame, DataFrame) => DataFrame): Option[DataFrame] = {
       val parts = foldRows.toSeq.flatMap { r =>
-        val (fid, vs, ve) = (r.getInt(0), r.getDate(1), r.getDate(2))
-        val train = typed.filter(col("date") < lit(vs))
-        val valD = typed.filter(col("date") >= lit(vs) && col("date") <= lit(ve))
+        val (fid, ts, vs, ve) =
+          (r.getInt(0), r.getDate(1), r.getDate(2), r.getDate(3))
+        val veInclusive = r.getBoolean(5)
+        val train =
+          if (ts == null) typed.filter(lit(false))
+          else typed.filter(col("date") >= lit(ts) && col("date") < lit(vs))
+        val valD = typed.filter(col("date") >= lit(vs) &&
+          (if (veInclusive) col("date") <= lit(ve) else col("date") < lit(ve)))
         // folds whose train side is single-class can't fit — skip, as the
         // reference's fold guard does
         val nCls = train.select("som_binary").na.drop().distinct().count()
@@ -331,6 +357,14 @@ object RunPipeline {
       parts.reduceOption(_ unionByName _)
     }
     val classes = Seq("0", "1")
+    // Actual per-fold training-set sizes (the bounded windows foldPreds
+    // really trains on), so published artifacts don't fall back to the
+    // total-minus-val identity that no longer matches.
+    val trainCounts = {
+      import spark.implicits._
+      foldRows.toSeq.map(r => (r.getInt(0), r.getLong(4)))
+        .toDF("fold_id", "n_train")
+    }
     val primary = foldPreds(families.head._2)
     primary match {
       case Some(pred) =>
@@ -340,7 +374,7 @@ object RunPipeline {
           target = "som_binary", nFeatures = features.size,
           participant = participant, snapshot = snapshot,
           stagesExecuted = "0-9", generatedAt = generatedAt,
-          outDir = outDir)
+          outDir = outDir, trainCounts = Some(trainCounts))
         logs += StageLog(6, "ml6", "success",
           s"${summary.folds.size} folds, ${families.head._1}")
       case None =>
@@ -350,7 +384,7 @@ object RunPipeline {
     val extended = families.flatMap { case (name, fit) =>
       foldPreds(fit).map(p =>
         Reports.perFoldMetrics(p, "fold_id", "y_true", "y_pred_s", "date",
-          classes).withColumn("model", lit(name)))
+          classes, Some(trainCounts)).withColumn("model", lit(name)))
     }
     extended.reduceOption(_ unionByName _).foreach { frame =>
       Sinks.atomicCsv(frame

@@ -30,26 +30,36 @@ object StreamingDaily {
       .select(col("day.start").cast("date").as("date"), col(keyCol),
         col("v_mean"), col("v_min"), col("v_max"), col("n"))
 
-  /** Corpus exact-dedup on a stream: content-hash `dropDuplicates` with a
-    * watermark so the seen-hash state is evicted once the event-time
-    * horizon passes — continuous training-data ingest keeps only the
-    * first arrival of each document within the dedup horizon. State size
-    * is bounded by (docs per horizon), not the corpus. */
+  /** Corpus exact-dedup on a stream: content-hash
+    * `dropDuplicatesWithinWatermark` — continuous training-data ingest
+    * keeps only the first arrival of each document within the dedup
+    * horizon. The within-watermark variant is what makes the scale claim
+    * true: plain `dropDuplicates` on a subset that excludes the
+    * event-time column NEVER evicts its state (it grows with every
+    * distinct hash ever seen); within-watermark keys state by the dedup
+    * column and drops each entry once the watermark passes its arrival,
+    * so state size is bounded by (distinct docs per horizon), not the
+    * corpus. Contract: duplicates are guaranteed dropped only when they
+    * arrive within the watermark delay of the first copy — re-arrivals
+    * beyond the horizon re-emit, which is the documented semantics of a
+    * horizon-bounded dedup. */
   def streamingExactDedup(docs: DataFrame, tsCol: String, textCol: String,
                           watermark: String = "1 day"): DataFrame =
     docs
       .withColumn("text_sha", sha2(col(textCol), 256))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("text_sha")
+      .dropDuplicatesWithinWatermark("text_sha")
 
   /** Corpus NEAR-dup dedup on a stream — the stream-safe approximation:
     * documents collapsing to the same `bits`-bit SimHash signature
     * (near-identical token multisets — reordered/lightly-edited
     * boilerplate) keep only their first arrival within the watermark
     * horizon. Signature equality needs only per-key state
-    * (`dropDuplicates` on the signature), so state stays bounded by
+    * (`dropDuplicatesWithinWatermark` on the signature, which evicts
+    * each entry once the watermark passes it), so state stays bounded by
     * (distinct signatures per horizon) exactly like
-    * [[streamingExactDedup]].
+    * [[streamingExactDedup]] — and with the same horizon-bounded
+    * contract: a signature re-arriving after the horizon re-emits.
     *
     * Deliberate scope: banded hamming-distance matching (the batch
     * path's `simhashPairs`, hamming ≤ k > 0) requires cross-row joins
@@ -65,7 +75,7 @@ object StreamingDaily {
       .withColumn("sim_sig", graft.operators.Dedup.simhashOverHashed(
         graft.operators.Dedup.hashedTokens(col(textCol)), bits))
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("sim_sig")
+      .dropDuplicatesWithinWatermark("sim_sig")
 
   case class SessionEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
   case class SessionState(sessionId: Long, lastEpoch: Long, count: Long, sum: Double)

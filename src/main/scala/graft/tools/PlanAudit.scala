@@ -113,7 +113,10 @@ object PlanAudit {
           case "Exchange" =>
             if (line.contains("SinglePartition")) { sh += 1; sp += 1 }
             else if (line.contains("hashpartitioning") ||
-              line.contains("rangepartitioning")) sh += 1
+              line.contains("rangepartitioning") ||
+              // RoundRobinPartitioning (explicit repartition(n)) is a
+              // full-data network pass at scale, same as a hash shuffle
+              line.contains("RoundRobinPartitioning")) sh += 1
           case "Sort" => so += 1
           case "CartesianProduct" | "BroadcastNestedLoopJoin" => nl += 1
           case "BroadcastExchange" => bc += 1

@@ -47,6 +47,17 @@ class PlanAuditSpec extends SparkTestBase {
     assert(c.err.isEmpty)
   }
 
+  test("audit counts a RoundRobinPartitioning repartition as a shuffle") {
+    import spark.implicits._
+    // repartition(n) with no keys is a full-data network pass at scale —
+    // the audit must not undercount it (ADVICE r4: the dedup family's
+    // deliberate repartition was invisible to the shuffles column)
+    val df = Seq(1, 2, 3).toDF("x").repartition(4)
+    val c = PlanAudit.audit(df)
+    assert(c.rows === 3)
+    assert(c.shuffles >= 1)
+  }
+
   test("audit flags a genuine nested-loop join") {
     import spark.implicits._
     val a = Seq(1, 2).toDF("x")

@@ -115,6 +115,14 @@ class RunPipelineSpec extends SparkTestBase {
     assert(models === Seq("gbt", "logreg_balanced", "rf", "svc"),
       s"extended families: $models")
 
+    // published n_train must be the BOUNDED monthly train window the
+    // folds actually train on (4 calendar months = at most 123 days),
+    // not the all-non-val identity (~213 days on this 244-day fixture)
+    val header = ext.head.split(",").zipWithIndex.toMap
+    val nTrains = ext.drop(1).map(_.split(",")(header("n_train")).toLong)
+    assert(nTrains.forall(n => n > 0 && n <= 123),
+      s"n_train not bounded-window sized: $nTrains")
+
     // unified carries all five domains
     val unifiedHeader = scala.io.Source
       .fromFile(s"$outDir/joined/daily_unified.csv").getLines().next()
