@@ -31,6 +31,6 @@ object SparkEntry {
     * rounding (see [[graft.functions.Canon]]) to match the Spark side. */
   def oracleSql: Map[String, String] =
     (EventQueries.oracles ++ RelationalQueries.oracles ++ TextQueries.oracles ++
-      MlQueries.oracles)
+      MlQueries.oracles ++ IngestQueries.oracles)
       .map { case (k, v) => k -> graft.functions.Canon.epsifySql(v) }
 }

@@ -13,6 +13,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Suite-state hygiene (same lesson as Bench.scala): the SQL status
+      // listener retains up to 1000 completed executions' plan graphs
+      // even with the UI off — across 100+ queries that ages the driver
+      // heap and slows late-suite runs.
+      .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

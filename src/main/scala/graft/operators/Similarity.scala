@@ -187,26 +187,79 @@ object Similarity {
     * the sim1 determinism pattern, SQL-twin-expressible.
     *
     * Returns `batch` + (`cell`, `cell_dist`). */
-  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame, cellCol: String,
-                centroidVecCol: String): DataFrame = {
-    val cents = centroids
-      .select(col(cellCol).cast("long"), col(centroidVecCol).cast("array<double>"))
+  /** Collected, cell-sorted centroid table — bounded (cells x dims) by
+    * design, so a driver collect is the right plan at any corpus scale. */
+  private def centroidRows(centroids: DataFrame, cellCol: String,
+                           vecCol: String): Array[(Long, Seq[Double])] =
+    centroids
+      .select(col(cellCol).cast("long"), col(vecCol).cast("array<double>"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    require(cents.nonEmpty, "ivfAssign: empty centroid table")
-    val centLit = typedLit(cents.map { case (cell, vec) => (vec, cell) })
-    val scored = transform(centLit, c =>
+
+  /** Per-centroid (round-6 L2^2 distance, cell) structs for one vector —
+    * shared by [[ivfAssign]] (argmin) and [[ivfTopKWithCentroids]]
+    * (nProbe-smallest): rounding BEFORE the comparison with ties to the
+    * smallest cell makes both deterministic cross-engine. */
+  private def centroidDistances(vec: Column,
+                                cents: Array[(Long, Seq[Double])]): Column = {
+    val centLit = typedLit(cents.map { case (cell, v) => (v, cell) })
+    transform(centLit, c =>
       struct(
-        round(aggregate(zip_with(col(vecCol), c.getField("_1"),
+        round(aggregate(zip_with(vec, c.getField("_1"),
             (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
           lit(0.0), (a, v) => a + v), 6).as("d"),
         c.getField("_2").as("cell")))
-    val best = array_min(scored)
+  }
+
+  def ivfAssign(batch: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cellCol: String,
+                centroidVecCol: String): DataFrame = {
+    val cents = centroidRows(centroids, cellCol, centroidVecCol)
+    require(cents.nonEmpty, "ivfAssign: empty centroid table")
+    val best = array_min(centroidDistances(col(vecCol), cents))
     batch
       .withColumn("cell", best.getField("cell"))
       .withColumn("cell_dist", best.getField("d"))
+  }
+
+  /** IVF ANN over a PRE-FITTED quantizer — the serving-time shape of
+    * [[ivfTopK]], split from the fit: the stored centroid table (bounded:
+    * cells x dims) is collected once and rides along as a task literal,
+    * corpus vectors are assigned by [[ivfAssign]]'s zero-shuffle argmin,
+    * each query probes its `nProbe` nearest cells, and candidates come
+    * from a pure (cell) equi-join. No KMeans, no nondeterminism:
+    * probe order and assignment use round-6 L2^2 with ties to the
+    * smallest cell, sims are round-6 with ties to the smallest neighbor
+    * — so the ENTIRE pipeline is exact-oracle-expressible (the sim1/sim5
+    * determinism pattern), unlike [[ivfTopK]] whose fit is gated by a
+    * recall floor. A corpus vector lives in exactly one cell and a query
+    * probes distinct cells, so (query, neighbor) pairs are unique by
+    * construction — no dedup shuffle needed. */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus: DataFrame,
+                           idCol: String, vecCol: String, k: Int,
+                           centroids: DataFrame, cellCol: String,
+                           centroidVecCol: String, nProbe: Int): DataFrame = {
+    val cents = centroidRows(centroids, cellCol, centroidVecCol)
+    require(cents.nonEmpty, "ivfTopKWithCentroids: empty centroid table")
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids, cellCol,
+        centroidVecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("cell"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("cn"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        sqrt(dot(col(vecCol), col(vecCol))).as("qn"),
+        transform(
+          slice(sort_array(centroidDistances(col(vecCol), cents), asc = true),
+            1, nProbe),
+          s => s.getField("cell")).as("cells"))
+      .withColumn("cell", explode(col("cells")))
+    val scored = q.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
   /** Recall summary of ANN results against the exact top-k baseline: per

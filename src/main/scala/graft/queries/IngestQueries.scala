@@ -65,5 +65,14 @@ object IngestQueries {
           col("n_samples").as("hr_samples"))
     }))
 
-  def oracles: Map[String, String] = Map.empty
+  // Pinned-expected gate (the XML fixture lives outside the oracle's
+  // parquet tables, so no SQL twin can re-scan it): the committed
+  // parquet is the engine's own deterministic output at sf0.01 — the
+  // fixture derives every record from the row id, no RNG — regenerated
+  // via tools/pin_expected.py if the generator changes. Valid for the
+  // driver's sf0.01 correctness run only.
+  def oracles: Map[String, String] = Map(
+    "s5_xml_scan" ->
+      """SELECT date, hr_mean, hr_samples
+        |FROM read_parquet('/root/repo/src/test/resources/expected/s5_xml_scan_sf0.01.parquet')""".stripMargin)
 }

@@ -127,6 +127,20 @@ object TextQueries {
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
+    // sim3's serving path with a DETERMINISTIC stored quantizer: the
+    // vec_id<16 embeddings stand in for 16 fitted centroids, so probe +
+    // assignment + candidate equi-join + rank — everything in ivfTopK
+    // except the KMeans fit itself — is value-gated by an exact DuckDB
+    // twin (the fit stays recall-floor-guarded via sim3_ann_ivf /
+    // sim_recall, whose output changes with quantizer knobs by design).
+    "sim3_assign" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopKWithCentroids(emb.filter(col("vec_id") < 20), emb,
+          "vec_id", "embedding", 5,
+          emb.filter(col("vec_id") < 16), "vec_id", "embedding", nProbe = 4)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    }),
+
     // Incremental IVF maintenance: the vec_id<8 embeddings act as the
     // stored centroid table (deterministic stand-in for a fitted
     // quantizer), the rest are the ingest batch assigned to cells with
@@ -529,6 +543,105 @@ object TextQueries {
           |    round(list_inner_product(q.e, c.e) /
           |      (sqrt(list_inner_product(q.e, q.e)) * sqrt(list_inner_product(c.e, c.e))), 6) AS sim
           |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      // sim2 twin: the hyperplane components are SHA-derived (no RNG
+      // state), so the ENTIRE LSH pipeline — plane matrix, sign-bit
+      // buckets, (table, bucket) candidate equi-join, cosine, rank — is
+      // replayable in DuckDB. Mirrors HyperplaneBucket's edge rules
+      // exactly: NULL vector -> no bucket rows (drops out of the join),
+      // length-mismatched / null-element vector -> bucket 0 of every
+      // table. CAST sums to BIGINT (DuckDB integer sums are HUGEINT).
+      "sim2_ann_lsh" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |ok AS (
+          |  SELECT vec_id, e FROM v
+          |  WHERE e IS NOT NULL AND len(e) = 64
+          |    AND len(list_filter(e, x -> x IS NULL)) = 0),
+          |bad AS (
+          |  SELECT vec_id FROM v
+          |  WHERE e IS NOT NULL
+          |    AND (len(e) <> 64 OR len(list_filter(e, x -> x IS NULL)) > 0)),
+          |planes AS (
+          |  SELECT tt.t, pp.p, dd.d,
+          |    CAST(('0x' || substr(sha256(CASE WHEN tt.t = 0
+          |        THEN CAST(pp.p AS VARCHAR) || '_' || CAST(dd.d AS VARCHAR)
+          |        ELSE CAST(tt.t AS VARCHAR) || '_' || CAST(pp.p AS VARCHAR)
+          |          || '_' || CAST(dd.d AS VARCHAR) END), 1, 8)) AS BIGINT)
+          |      / 2147483648.0 - 1.0 AS w
+          |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)),
+          |elems AS (
+          |  SELECT vec_id, dd.d, e[dd.d + 1] AS x FROM ok, range(64) dd(d)),
+          |dots AS (
+          |  SELECT el.vec_id, pl.t, pl.p, sum(el.x * pl.w) AS s
+          |  FROM elems el JOIN planes pl ON el.d = pl.d
+          |  GROUP BY el.vec_id, pl.t, pl.p),
+          |buckets AS (
+          |  SELECT vec_id, t,
+          |    CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << p
+          |      ELSE 0 END) AS BIGINT) AS b
+          |  FROM dots GROUP BY vec_id, t
+          |  UNION ALL
+          |  SELECT bad.vec_id, tt.t, 0 AS b FROM bad, range(8) tt(t)),
+          |cand AS (
+          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.b = c.b
+          |  WHERE q.vec_id < 20 AND q.vec_id <> c.vec_id),
+          |scored AS (
+          |  SELECT cand.query_id, cand.neighbor_id,
+          |    round(list_inner_product(qv.e, cv.e) /
+          |      (sqrt(list_inner_product(qv.e, qv.e))
+          |        * sqrt(list_inner_product(cv.e, cv.e))), 6) AS sim
+          |  FROM cand
+          |  JOIN v qv ON cand.query_id = qv.vec_id
+          |  JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, sim,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      // sim3_assign twin: assignment argmin + nProbe probe ranking share
+      // ONE distance CTE (round-6 L2^2 via the inner-product identity —
+      // the sim5-proven arithmetic), ties to the smallest cell on both.
+      "sim3_assign" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 16),
+          |dist AS (
+          |  SELECT b.vec_id, c.cell,
+          |    round(list_inner_product(b.e, b.e) - 2 * list_inner_product(b.e, c.c)
+          |      + list_inner_product(c.c, c.c), 6) AS d
+          |  FROM v b CROSS JOIN cent c),
+          |assigned AS (
+          |  SELECT vec_id, cell FROM (
+          |    SELECT vec_id, cell,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |    FROM dist) WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, cell FROM (
+          |    SELECT vec_id, cell,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |    FROM dist WHERE vec_id < 20) WHERE rn <= 4),
+          |cand AS (
+          |  SELECT p.query_id, a.vec_id AS neighbor_id
+          |  FROM probes p JOIN assigned a ON p.cell = a.cell
+          |  WHERE p.query_id <> a.vec_id),
+          |scored AS (
+          |  SELECT cand.query_id, cand.neighbor_id,
+          |    round(list_inner_product(qv.e, cv.e) /
+          |      (sqrt(list_inner_product(qv.e, qv.e))
+          |        * sqrt(list_inner_product(cv.e, cv.e))), 6) AS sim
+          |  FROM cand
+          |  JOIN v qv ON cand.query_id = qv.vec_id
+          |  JOIN v cv ON cand.neighbor_id = cv.vec_id),
           |ranked AS (
           |  SELECT query_id, neighbor_id, sim,
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk

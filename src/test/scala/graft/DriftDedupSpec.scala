@@ -285,6 +285,28 @@ class DriftDedupSpec extends SparkTestBase {
     assert(recall >= 0.8, s"IVF recall $recall")
   }
 
+  test("sim3 serving path: probe-all ivfTopKWithCentroids equals brute force, equi-join only") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(d => math.sin(i * 8 + d).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 4)
+    val cents = vecs.filter(col("vec_id") < 6) // 6 stand-in cells
+    // probing EVERY cell makes candidate generation exhaustive, so the
+    // deterministic serving path must reproduce the exact baseline
+    val served = Similarity.ivfTopKWithCentroids(q, vecs, "vec_id", "embedding",
+      5, cents, "vec_id", "embedding", nProbe = 6)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+    val s = served.select("query_id", "neighbor_id", "sim", "rk")
+      .orderBy("query_id", "rk").collect().toSeq
+    val e = exact.select("query_id", "neighbor_id", "sim", "rk")
+      .orderBy("query_id", "rk").collect().toSeq
+    assert(s === e)
+    // candidate generation is a pure (cell) equi-join — no nested loop
+    val plan = served.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), s"nlj in:\n$plan")
+  }
+
   test("ANN LSH recall: bucketed top-k finds most true neighbors") {
     val vecs = (0 until 200).map { i =>
       val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))

@@ -19,6 +19,10 @@ import duckdb
 PINS = {
     "d1_adwin": "src/test/resources/expected/d1_adwin_sf0.01.parquet",
     "d2_ks_exact": "src/test/resources/expected/d2_ks_exact_sf0.01.parquet",
+    # deterministic id-derived XML fixture -> deterministic daily stats;
+    # pinning turns the headline ingest query's rows-only check into a
+    # full rows+schema+hash regression gate
+    "s5_xml_scan": "src/test/resources/expected/s5_xml_scan_sf0.01.parquet",
 }
 
 
