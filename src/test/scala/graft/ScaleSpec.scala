@@ -29,6 +29,36 @@ class ScaleSpec extends SparkTestBase {
     assert(scanned.forall(_.contains("date_str=2024-01-05")))
   }
 
+  test("dd13 stored-state path: value-identical to inline state, reads the stored tables") {
+    import graft.operators.Dedup
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sfDir)
+    val existing = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 5 === 0)
+    val (dig, sig) = graft.queries.TextQueries.dd13StateFixture(spark, sfDir)
+    val storedDf = Dedup.incrementalDedup(existing, spark.read.parquet(dig),
+      spark.read.parquet(sig), incoming, "doc_id", "text", 2, 4, 2, 0.05)
+    val stored = storedDf.select("doc_id").orderBy("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // stored state must be a drop-in for inline recomputation (the
+    // production contract: the corpus hash pass happened at snapshot
+    // build, the daily batch only READS it)
+    val inline = Dedup.incrementalDedup(existing, incoming,
+        "doc_id", "text", 2, 4, 2, 0.05)
+      .select("doc_id").orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(stored === inline)
+    assert(stored.nonEmpty)
+    // the state source is the stored parquet (the final df's own plan
+    // starts at the eagerly-checkpointed stage-1 output, so assert on the
+    // state frames the overload was handed): batch-proportionality comes
+    // from reading these tables instead of re-deriving them per batch
+    assert(new java.io.File(s"$dig/_SUCCESS").exists() &&
+      new java.io.File(s"$sig/_SUCCESS").exists())
+    val digPlan = spark.read.parquet(dig).queryExecution.executedPlan.toString
+    assert(digPlan.contains("graft_dd13") && !digPlan.contains("Exchange"),
+      s"state read is not a plain stored-table scan:\n${digPlan.take(400)}")
+  }
+
   test("salted join equals plain join under a hot key") {
     val big = ((1 to 5000).map(i => ("hot", i)) ++ (1 to 100).map(i => ("cold", i)))
       .toDF("k", "v")
