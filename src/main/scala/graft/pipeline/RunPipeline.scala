@@ -335,20 +335,30 @@ object RunPipeline {
         maxIter = 30)))
     val typed = prepped.withColumn("som_binary",
       col("som_binary").cast("double"))
-    def foldPreds(fit: (DataFrame, DataFrame) => DataFrame): Option[DataFrame] = {
-      val parts = foldRows.toSeq.flatMap { r =>
-        val (fid, ts, vs, ve) =
-          (r.getInt(0), r.getDate(1), r.getDate(2), r.getDate(3))
-        val veInclusive = r.getBoolean(5)
-        val train =
-          if (ts == null) typed.filter(lit(false))
-          else typed.filter(col("date") >= lit(ts) && col("date") < lit(vs))
-        val valD = typed.filter(col("date") >= lit(vs) &&
+    // Per-fold train/val slices and the single-class fit guard, computed
+    // ONCE and shared by all four families: each MLlib iteration rescans
+    // its training frame and the class-count guard is a Spark job, so
+    // leaving them inside foldPreds would replay both per family.
+    val foldData = foldRows.toSeq.map { r =>
+      val (fid, ts, vs, ve) =
+        (r.getInt(0), r.getDate(1), r.getDate(2), r.getDate(3))
+      val veInclusive = r.getBoolean(5)
+      val train =
+        (if (ts == null) typed.filter(lit(false))
+         else typed.filter(col("date") >= lit(ts) && col("date") < lit(vs)))
+          .localCheckpoint(true)
+      val valD = typed.filter(col("date") >= lit(vs) &&
           (if (veInclusive) col("date") <= lit(ve) else col("date") < lit(ve)))
-        // folds whose train side is single-class can't fit — skip, as the
-        // reference's fold guard does
-        val nCls = train.select("som_binary").na.drop().distinct().count()
-        if (nCls < 2 || valD.isEmpty) None
+        .localCheckpoint(true)
+      // folds whose train side is single-class can't fit — skip, as the
+      // reference's fold guard does
+      val fittable = train.select("som_binary").na.drop().distinct().count() >= 2 &&
+        !valD.isEmpty
+      (fid, train, valD, fittable)
+    }
+    def foldPreds(fit: (DataFrame, DataFrame) => DataFrame): Option[DataFrame] = {
+      val parts = foldData.flatMap { case (fid, train, valD, fittable) =>
+        if (!fittable) None
         else Some(fit(train, valD)
           .select(lit(fid).as("fold_id"), col("date"),
             col("som_binary").cast("int").cast("string").as("y_true"),

@@ -386,8 +386,22 @@ object MlQueries {
           maxIter = 5, maxDepth = 3)),
         "svc" -> ((tr, va) => Models.linearSvc(tr, va, feats, "label",
           maxIter = 10)))
+      // Materialize each fold's train/val ONCE, shared by all four
+      // families: every MLlib iteration re-scans its training frame, so a
+      // filter-over-checkpoint would replay the date predicate per
+      // iteration x family. Checkpointing the (1-partition, sorted) fold
+      // slices preserves row order, so the fits — and the pinned
+      // snapshot — stay bit-identical.
+      val foldFrames = folds.map { case (fid, vs, ve) =>
+        (fid,
+          daily.filter(col("date") < lit(vs).cast("date"))
+            .localCheckpoint(true),
+          daily.filter(col("date") >= lit(vs).cast("date") &&
+            col("date") < lit(ve).cast("date"))
+            .localCheckpoint(true))
+      }
       // The 8 (family x fold) fits are independent seeded estimators over
-      // the same checkpointed frame: run them CONCURRENTLY (the design
+      // the same checkpointed frames: run them CONCURRENTLY (the design
       // MLlib's own CrossValidator ships as `parallelism`). Each fit is
       // dominated by per-iteration job-scheduling latency, not compute —
       // overlapping them collapses the wall time while the outputs stay
@@ -396,12 +410,9 @@ object MlQueries {
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
       val preds = Await.result(Future.sequence(for {
-        (fid, vs, ve) <- folds
+        (fid, train, valD) <- foldFrames
         (name, fit) <- families
       } yield Future {
-        val train = daily.filter(col("date") < lit(vs).cast("date"))
-        val valD = daily.filter(col("date") >= lit(vs).cast("date") &&
-          col("date") < lit(ve).cast("date"))
         fit(train, valD).select(lit(name).as("model"),
           lit(fid).as("fold_id"),
           col("label").cast("int").cast("string").as("y_true"),

@@ -1,0 +1,188 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale curve for the corpus-family operators (dev tool, like
+  * [[PlanAudit]]): generate documents/embeddings at two scales with the
+  * SAME deterministic generator — 5k docs (the sf0.1 shape) and 50k docs
+  * (a synthesized sf1) — run the dd/t/sim family at both, and write the
+  * measured 10x cost ratios to SCALING.md.
+  *
+  * This is the measured evidence behind the 100-TB plan claims: the
+  * banded/bucketed ops (dd3/dd7/dd10, t6/t9/t12, sim2/sim5) are DESIGNED
+  * to scale near-linearly because no task ever holds a whole stratum and
+  * every pairwise op is blocked by a key whose cardinality grows with the
+  * corpus — PLANS.md proves the plan shapes, this tool measures the
+  * constant factors at a real 10x step.
+  *
+  * Generator mirrors the driver's sf0.1 distributions (same 30-word
+  * vocabulary, 10-100 words/doc, 41% en / 4x ~15% skew, 20 sources, 64-dim
+  * embeddings in 10 label clusters) and plants duplicate structure: ~3% of
+  * docs are exact copies of a group base, ~5% near copies (one appended
+  * token) — so dedup selectivity is realistic at both scales. Everything
+  * derives from the row id via xxhash64; both scales are bit-reproducible.
+  *
+  * Excluded by contract (documented in SCALING.md): dd6_embed_dups is the
+  * all-pairs-within-block BASELINE op — quadratic per block by definition;
+  * its scale path is sim2/dd7. sim3_ann_ivf's KMeans fit is the index
+  * BUILD (one-time); its per-batch paths are sim3_assign/sim5.
+  */
+object ScaleCurve {
+
+  private val Vocab = Seq("vector", "value", "the", "part", "table", "fast",
+    "filter", "order", "small", "group", "window", "data", "spark", "scan",
+    "merge", "customer", "sort", "stream", "row", "line", "query", "column",
+    "a", "hash", "agg", "key", "join", "slow", "big", "batch")
+
+  /** Curve queries: every corpus-family op whose 100-TB story SCALING.md
+    * backs. All read only documents/embeddings. */
+  private val Curve = Seq(
+    "dd1_exact_dedup", "dd2_minhash_sig", "dd3_lsh_candidates", "dd4_simhash",
+    "dd5_ngram_jaccard", "dd7_lsh_verified", "dd8_dup_clusters",
+    "dd9_dedup_corpus", "dd10_simhash_dups", "dd11_best_rep",
+    "dd12_norm_dedup", "dd13_incremental",
+    "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
+    "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
+    "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
+    "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
+    "sim5_ivf_assign")
+
+  private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
+
+  /** documents.parquet at `path`: deterministic word-salad docs with
+    * planted exact/near duplicate groups (group base = id - id%17). */
+  def genDocuments(spark: SparkSession, n: Long, path: String): Unit = {
+    val ids = spark.range(n)
+    val r = pmod(h(col("id"), lit("d")), lit(100))
+    val base = col("id") - pmod(col("id"), lit(17))
+    val seed = when(r < 8, base).otherwise(col("id"))
+    val nw = (pmod(h(seed, lit("w")), lit(91)) + 10).cast("int")
+    val words = transform(sequence(lit(0), nw - 1),
+      i => element_at(typedLit(Vocab),
+        (pmod(h(seed, lit("_"), i), lit(Vocab.size)) + 1).cast("int")))
+    val text = concat(array_join(words, " "),
+      // near-dup band: same base words plus one appended token
+      when(r >= 3 && r < 8, concat(lit(" dup"), pmod(col("id"), lit(7))))
+        .otherwise(lit("")))
+    val lp = pmod(h(col("id"), lit("l")), lit(100))
+    val lang = when(lp < 41, "en").when(lp < 56, "de").when(lp < 71, "es")
+      .when(lp < 86, "fr").otherwise("zh")
+    ids.select(
+        col("id").as("doc_id"),
+        text.as("text"),
+        lang.as("lang"),
+        concat(lit("src"), pmod(col("id"), lit(20))).as("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** embeddings.parquet at `path`: 64-dim float vectors in 10 label
+    * clusters (center 0.6-weighted + per-id noise), components ~[-0.5, 0.5]
+    * like the driver's fixture. */
+  def genEmbeddings(spark: SparkSession, n: Long, path: String): Unit = {
+    val ids = spark.range(n)
+    val label = pmod(h(col("id"), lit("L")), lit(10)).cast("int")
+    val emb = transform(sequence(lit(0), lit(63)), d => {
+      val center = (pmod(h(label, lit("c"), d), lit(1001)) - 500) / lit(1000.0)
+      val noise = (pmod(h(col("id"), lit("n"), d), lit(1001)) - 500) / lit(1250.0)
+      (center * 0.6 + noise).cast("float")
+    })
+    ids.select(col("id").as("vec_id"), emb.as("embedding"), label.as("label"))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  private def ensureScale(spark: SparkSession, dir: String, docs: Long,
+                          vecs: Long): Unit = {
+    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
+      genDocuments(spark, docs, s"$dir/documents.parquet")
+    if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
+      genEmbeddings(spark, vecs, s"$dir/embeddings.parquet")
+  }
+
+  /** Bench.scala's per-run hygiene: deterministic cache/checkpoint drop so
+    * one run's blocks never bleed into the next timing. */
+  private def runOnce(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
+                      dir: String): (Double, Long) = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    val t0 = System.nanoTime()
+    val rows = fn(spark, dir).count()
+    ((System.nanoTime() - t0) / 1e9, rows)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val outPath = args.headOption.getOrElse("SCALING.md")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "8")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val small = "/tmp/graft_scale/sf0.1g"
+    val large = "/tmp/graft_scale/sf1g"
+    ensureScale(spark, small, 5000L, 2000L)
+    ensureScale(spark, large, 50000L, 20000L)
+    // out-of-timing warm-up per dir: table counts + dd13's stored state
+    Seq(small, large).foreach { d =>
+      graft.core.Tables.documents(spark, d).count()
+      spark.read.parquet(s"$d/embeddings.parquet").count()
+      graft.queries.TextQueries.dd13StateFixture(spark, d)
+    }
+
+    val qs = graft.SparkEntry.queries
+    val rows = Curve.map { name =>
+      val fn = qs(name)
+      def best(dir: String): (Double, Long) = {
+        val a = runOnce(spark, fn, dir)
+        val b = runOnce(spark, fn, dir)
+        (math.min(a._1, b._1), b._2)
+      }
+      // untimed warm-up at the SMALL scale: codegen + JIT for this query's
+      // plan compile once here, so neither scale's timed runs carry them —
+      // without this the small side pays compilation the large side then
+      // inherits, biasing every ratio DOWN (t2 measured 0.2x that way)
+      runOnce(spark, fn, small)
+      val (tS, nS) = best(small)
+      val (tL, nL) = best(large)
+      System.err.println(f"[scale] $name%-22s ${tS}%6.2f -> ${tL}%6.2f  " +
+        f"x${tL / tS}%5.1f  rows $nS%7d -> $nL%8d")
+      (name, tS, tL, tL / tS, nS, nL)
+    }
+
+    val sb = new StringBuilder
+    sb ++= "# SCALING — measured 10x curve for the corpus family\n\n"
+    sb ++= "Generated by `sbt \"runMain graft.tools.ScaleCurve\"` " +
+      "(local[" + cpus + "], min of 2 runs per query per scale).\n\n"
+    sb ++= "Two corpora from the SAME deterministic generator (see " +
+      "`tools/ScaleCurve.scala` scaladoc for the distribution contract):\n\n"
+    sb ++= "| scale | documents | embeddings |\n|---|---|---|\n"
+    sb ++= "| sf0.1g | 5,000 | 2,000 |\n| sf1g | 50,000 | 20,000 |\n\n"
+    sb ++= "A ratio near 10 on a 10x corpus means the operator's cost is " +
+      "dominated by per-row work (the plan a 1000-executor cluster can " +
+      "spread); sub-10 means fixed scheduling/setup overhead still " +
+      "dominates at this absolute size; materially above 10 needs a " +
+      "structural explanation (e.g. candidate-pair growth), not a shrug.\n\n"
+    sb ++= "| query | sf0.1g sec | sf1g sec | ratio | rows sf0.1g | rows sf1g |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
+    rows.foreach { case (name, tS, tL, r, nS, nL) =>
+      sb ++= f"| $name | $tS%.2f | $tL%.2f | $r%.1f | $nS | $nL |\n"
+    }
+    val geo = math.exp(rows.map(r => math.log(r._4)).sum / rows.size)
+    sb ++= f"\nGeometric-mean ratio over ${rows.size} queries: **${geo}%.1f** " +
+      "(10x data).\n\n"
+    sb ++= "Excluded by contract: `dd6_embed_dups` (all-pairs-within-block " +
+      "baseline — quadratic per block by definition; the corpus-scale " +
+      "near-dup path is sim2/dd7), `sim3_ann_ivf` (one-time index BUILD; " +
+      "the per-batch serving paths sim3_assign/sim5 are in the table), " +
+      "`sim_recall`/`mm*`/`s5` (not corpus-sized or measured elsewhere).\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
+    println(s"wrote $outPath")
+    spark.stop()
+  }
+}
