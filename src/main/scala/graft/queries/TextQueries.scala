@@ -193,9 +193,13 @@ object TextQueries {
           element_at(col("qvec"), 4).as("q3"),
           col("recon_cos"))),
 
-    // Recall-at-k of both ANN variants vs the exact baseline, as a
-    // first-class artifact row (rows-only: the ANN inputs are approximate
-    // by design; floors are pinned in DriftDedupSpec).
+    // Recall-at-k of both ANN SERVING paths vs the exact baseline, as a
+    // first-class artifact row — and fully oracle-gated: the LSH arm is
+    // sim2's deterministic SHA-derived pipeline, the IVF arm is
+    // sim3_assign's stored-centroid serving path, so the recall numbers
+    // themselves are exact DuckDB arithmetic. The KMeans index BUILD
+    // (the one genuinely non-replayable stage) stays recall-floor-guarded
+    // in DriftDedupSpec and exercised by sim3_ann_ivf.
     "sim_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 20)
@@ -203,8 +207,9 @@ object TextQueries {
       Similarity.recallSummary(exact, Seq(
         "ann_lsh" -> Similarity.lshTopK(qs, emb, "vec_id", "embedding", 5, 6, 64,
           numTables = 8),
-        "ann_ivf" -> Similarity.ivfTopK(qs, emb, "vec_id", "embedding", 5,
-          numCells = 16, nProbe = 4)))
+        "ann_ivf" -> Similarity.ivfTopKWithCentroids(qs, emb, "vec_id",
+          "embedding", 5, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+          nProbe = 4)))
     }),
 
     // Language-ID heuristic.
