@@ -117,7 +117,17 @@ object Bench {
     val runs = results.map { case (k, (_, n)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver tail-truncates Bench stdout, which destroyed the per-query
+    // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist
+    // the identical line to a committed file so timing history survives
+    // independently of stdout plumbing.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -637,7 +637,13 @@ object Dedup {
     * the exact Hamming distance with bit_count(xor). One equi-join on the
     * slice key; candidate volume is governed by slice width, not corpus
     * size. The cheap complement to MinHash-Jaccard: one long per doc, no
-    * shingle sets at pair time. */
+    * shingle sets at pair time.
+    *
+    * AUDIT FORM ONLY at scale: the pair set is quadratic in
+    * duplicate-cluster size (SCALING.md measured 543k → 56.9M pairs on
+    * 10× data in a near-dup-dense corpus). Pipelines must consume
+    * [[simhashClusters]] — same blocking, cluster-shaped near-linear
+    * output — and reserve the raw pairs for bounded forensic slices. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    bits: Int, bands: Int, maxHamming: Int): DataFrame = {
     require(bands > maxHamming,
@@ -656,6 +662,28 @@ object Dedup {
     try simhashBandJoin(sigs, idCol, bits, bands, maxHamming)
       .localCheckpoint(eager = true)
     finally sigs.unpersist()
+  }
+
+  /** The scale-default consumption of SimHash near-dups: pairs →
+    * connected components → one best representative per cluster. The raw
+    * [[simhashPairs]] output is quadratic in duplicate-cluster size
+    * (boilerplate-heavy corpora produce O(m²) pairs per m-member
+    * cluster); this composition never hands that pair set to a consumer —
+    * it flows straight into the O(log n) star-contraction, and the final
+    * output is one row per SURVIVING document, i.e. near-linear in the
+    * corpus regardless of cluster shape. Consumers should treat
+    * [[simhashPairs]] as the audit form and this as the query surface.
+    *
+    * `docs` must already carry the columns `score` reads (e.g.
+    * [[TextAnalysis.qualityColumns]]' quality_score); ties break to the
+    * smallest id, singletons always survive — identical retention policy
+    * to [[keepBestRepresentatives]] (dd11). */
+  def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
+                      bits: Int, bands: Int, maxHamming: Int,
+                      score: Column): DataFrame = {
+    val clusters = dupClusters(
+      simhashPairs(docs, idCol, textCol, bits, bands, maxHamming))
+    keepBestRepresentatives(docs, idCol, clusters, score)
   }
 
   /** [[simhashPairs]]'s lazy band-join plan over a precomputed signature
@@ -679,24 +707,32 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** DuckDB twin of [[simhashPairs]]'s banded blocking + verify. */
-  def simhashPairsSql(bits: Int, bands: Int, maxHamming: Int): String = {
+  /** CTE chain of [[simhashPairs]]'s banded blocking + verify, ending in
+    * `vpairs(id_a, id_b)` — composable with the recursive component CTEs
+    * the dd8/dd9/dd11 oracles share. */
+  def simhashPairsCtes(bits: Int, bands: Int, maxHamming: Int): String = {
     val bandBits = bits / bands
     val mask = (1L << bandBits) - 1
     val bandSelects = (0 until bands).map { j =>
       s"SELECT doc_id, sig, '${j}_' || ((sig >> ${j * bandBits}) & $mask) AS bk FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""WITH sig AS (
+    s"""sig AS (
       |  SELECT doc_id, CAST(${simhashSql("text", bits)} AS BIGINT) AS sig
       |  FROM documents),
       |banded AS (
       |  $bandSelects),
-      |pairs AS (
-      |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
-      |    CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
-      |  FROM banded l JOIN banded r ON l.bk = r.bk AND l.doc_id < r.doc_id)
-      |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= $maxHamming""".stripMargin
+      |vpairs AS (
+      |  SELECT id_a, id_b, hamming FROM (
+      |    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+      |      CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+      |    FROM banded l JOIN banded r ON l.bk = r.bk AND l.doc_id < r.doc_id)
+      |  WHERE hamming <= $maxHamming)""".stripMargin
   }
+
+  /** DuckDB twin of [[simhashPairs]]'s banded blocking + verify. */
+  def simhashPairsSql(bits: Int, bands: Int, maxHamming: Int): String =
+    s"""WITH ${simhashPairsCtes(bits, bands, maxHamming)}
+      |SELECT id_a, id_b, hamming FROM vpairs""".stripMargin
 
   /** Eval-set contamination scan — the decontamination gate of a training
     * pipeline: for each corpus document, how many of its distinct word

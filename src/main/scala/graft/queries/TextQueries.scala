@@ -157,8 +157,8 @@ object TextQueries {
     // vec_id<16 embeddings stand in for 16 fitted centroids, so probe +
     // assignment + candidate equi-join + rank — everything in ivfTopK
     // except the KMeans fit itself — is value-gated by an exact DuckDB
-    // twin (the fit stays recall-floor-guarded via sim3_ann_ivf /
-    // sim_recall, whose output changes with quantizer knobs by design).
+    // twin (the fit stays recall-floor-guarded via sim3_ann_ivf +
+    // sim_recall_build and the DriftDedupSpec recall floor).
     "sim3_assign" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopKWithCentroids(emb.filter(col("vec_id") < 20), emb,
@@ -194,12 +194,11 @@ object TextQueries {
           col("recon_cos"))),
 
     // Recall-at-k of both ANN SERVING paths vs the exact baseline, as a
-    // first-class artifact row — and fully oracle-gated: the LSH arm is
-    // sim2's deterministic SHA-derived pipeline, the IVF arm is
-    // sim3_assign's stored-centroid serving path, so the recall numbers
-    // themselves are exact DuckDB arithmetic. The KMeans index BUILD
-    // (the one genuinely non-replayable stage) stays recall-floor-guarded
-    // in DriftDedupSpec and exercised by sim3_ann_ivf.
+    // first-class artifact row. Both arms are deterministic — the LSH arm
+    // is sim2's SHA-derived pipeline, the IVF arm is sim3_assign's
+    // stored-centroid serving path — so the whole frame is gated by a
+    // pinned-expected oracle (tools/pin_expected.py, same pattern as
+    // d1_adwin/s5): rows+schema+hash, not rows-only.
     "sim_recall" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 20)
@@ -210,6 +209,20 @@ object TextQueries {
         "ann_ivf" -> Similarity.ivfTopKWithCentroids(qs, emb, "vec_id",
           "embedding", 5, emb.filter(col("vec_id") < 16), "vec_id", "embedding",
           nProbe = 4)))
+    }),
+
+    // Recall of the production KMeans IVF BUILD path (sim3_ann_ivf) vs
+    // the exact baseline — the one stage whose output legitimately moves
+    // with quantizer knobs, kept rows-only so a KMeans-build quality
+    // regression stays visible in CORRECTNESS/BENCH artifacts (not only
+    // behind DriftDedupSpec's synthetic 0.8 floor).
+    "sim_recall_build" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 20)
+      val exact = Similarity.bruteForceTopK(qs, emb, "vec_id", "embedding", 5)
+      Similarity.recallSummary(exact, Seq(
+        "ann_ivf_build" -> Similarity.ivfTopK(qs, emb, "vec_id", "embedding", 5,
+          numCells = 16, nProbe = 4)))
     }),
 
     // Language-ID heuristic.
@@ -258,8 +271,21 @@ object TextQueries {
 
     // SimHash near-dup pairs: 16-bit signature, 4 bit-slice bands
     // (pigeonhole-complete for hamming <= 2), exact bit_count verify.
+    // AUDIT FORM: quadratic in cluster size — dd14 is the scale surface.
     "dd10_simhash_dups" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 16, 4, 2)),
+
+    // The scale-default SimHash consumption (dd10's pairs never reach a
+    // consumer): pairs -> connected components -> quality-best
+    // representative per cluster. Output is one row per surviving doc —
+    // near-linear in the corpus even when boilerplate-heavy clusters make
+    // the raw pair set quadratic.
+    "dd14_simhash_corpus" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val q = TextAnalysis.qualityColumns(docs, "text")
+      Dedup.simhashClusters(q, "doc_id", "text", 16, 4, 2, col("quality_score"))
+        .select("doc_id", "lang", "source", "quality_score")
+    }),
 
     // Multimodal REAL decode: each document gets a genuine PNG or JPEG
     // payload (encoded executor-side through the JDK's ImageIO codec at
@@ -589,6 +615,16 @@ object TextQueries {
       // exactly: NULL vector -> no bucket rows (drops out of the join),
       // length-mismatched / null-element vector -> bucket 0 of every
       // table. CAST sums to BIGINT (DuckDB integer sums are HUGEINT).
+      // sim_recall twin: both arms (SHA-derived LSH, stored-centroid IVF
+      // serving) are deterministic, so the whole summary is pinned to the
+      // engine's own verified output (tools/pin_expected.py — the
+      // d1_adwin/s5 pattern). Turns the driver's rows-only check into a
+      // rows+schema+hash regression gate; sim_recall_build (KMeans build)
+      // stays the lone rows-only recall entry by design.
+      "sim_recall" ->
+        """SELECT method, n_queries, mean_recall
+          |FROM read_parquet('/root/repo/src/test/resources/expected/sim_recall_sf0.01.parquet')""".stripMargin,
+
       "sim2_ann_lsh" ->
         """WITH v AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -747,6 +783,23 @@ object TextQueries {
         s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
 
       "dd10_simhash_dups" -> Dedup.simhashPairsSql(16, 4, 2),
+
+      // dd14 twin: dd10's pair CTEs -> the shared recursive component
+      // CTEs -> dd11's quality-best representative tail.
+      "dd14_simhash_corpus" ->
+        s"""WITH RECURSIVE ${Dedup.simhashPairsCtes(16, 4, 2)},
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+          |q AS (SELECT doc_id, lang, source,
+          |  ${TextAnalysis.qualitySql("text")("quality_score")} AS quality_score
+          |  FROM documents),
+          |a AS (SELECT q.*, coalesce(c.cid, q.doc_id) AS cluster_key
+          |  FROM q LEFT JOIN clusters c ON q.doc_id = c.id),
+          |ranked AS (SELECT *, row_number() OVER (PARTITION BY cluster_key
+          |    ORDER BY quality_score DESC, doc_id) AS rk FROM a)
+          |SELECT doc_id, lang, source, quality_score
+          |FROM ranked WHERE rk = 1""".stripMargin,
 
       "t7_contamination" -> {
         val shExpr = Dedup.shinglesOverTkSql(K)

@@ -176,6 +176,55 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming near-dup: state rows EVICT once the watermark passes the horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingDaily.streamingSimhashDedup(df, "ts", "text",
+      watermark = "1 day")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("simdedup_evict").start()
+    def stateRows: Long = {
+      // last progress entry that actually ran the stateful operator
+      val ps = q.recentProgress.filter(_.stateOperators.nonEmpty)
+      assert(ps.nonEmpty, "no stateful progress recorded")
+      ps.last.stateOperators.head.numRowsTotal
+    }
+    try {
+      // 3 distinct signatures on Jan 1 -> 3 state entries
+      input.addData(
+        (ts("2024-01-01 08:00:00"), 1L, "alpha beta"),
+        (ts("2024-01-01 09:00:00"), 2L, "gamma delta"),
+        (ts("2024-01-01 10:00:00"), 3L, "epsilon zeta"))
+      q.processAllAvailable()
+      val afterB1 = stateRows
+      assert(afterB1 === 3L, s"expected 3 state rows after batch 1, got $afterB1")
+      // Jan 10 arrival: the data batch itself still carries the old
+      // watermark, so its progress reports the peak of 4 state rows;
+      // the watermark then advances to Jan 9 08:00 and the engine's
+      // follow-up (no-data) batch evicts every Jan 1 entry (expiry =
+      // arrival + 1 day <= Jan 2 10:00). processAllAvailable spans both,
+      // so we see peak 4 in the progress history and 1 at the end.
+      // This is the empirical half of the dropDuplicatesWithinWatermark
+      // contract: bounded state, not just API shape.
+      input.addData((ts("2024-01-10 08:00:00"), 4L, "eta theta"))
+      q.processAllAvailable()
+      val peak = q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.head.numRowsTotal).max
+      assert(peak === 4L, s"expected peak of 4 state rows (3 old + 1 new), got $peak")
+      val afterB2 = stateRows
+      assert(afterB2 === 1L,
+        s"expected Jan-1 state evicted (1 row: doc 4), got $afterB2")
+      // a further in-horizon arrival grows state again — eviction didn't
+      // just wipe everything
+      input.addData((ts("2024-01-10 09:00:00"), 5L, "iota kappa"))
+      q.processAllAvailable()
+      val afterB3 = stateRows
+      assert(afterB3 === 2L,
+        s"expected 2 in-horizon state rows (docs 4 and 5), got $afterB3")
+    } finally q.stop()
+  }
+
   test("streaming corpus ops: quality gate + chunking run stateless on a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]

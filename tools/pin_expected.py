@@ -23,6 +23,9 @@ PINS = {
     # pinning turns the headline ingest query's rows-only check into a
     # full rows+schema+hash regression gate
     "s5_xml_scan": "src/test/resources/expected/s5_xml_scan_sf0.01.parquet",
+    # both recall arms are deterministic (SHA-derived LSH planes;
+    # stored-centroid IVF serving path) -> the summary frame is pinnable
+    "sim_recall": "src/test/resources/expected/sim_recall_sf0.01.parquet",
 }
 
 
