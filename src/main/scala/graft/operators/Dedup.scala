@@ -664,15 +664,24 @@ object Dedup {
     finally sigs.unpersist()
   }
 
-  /** The scale-default consumption of SimHash near-dups: pairs →
-    * connected components → one best representative per cluster. The raw
-    * [[simhashPairs]] output is quadratic in duplicate-cluster size
-    * (boilerplate-heavy corpora produce O(m²) pairs per m-member
-    * cluster); this composition never hands that pair set to a consumer —
-    * it flows straight into the O(log n) star-contraction, and the final
-    * output is one row per SURVIVING document, i.e. near-linear in the
-    * corpus regardless of cluster shape. Consumers should treat
-    * [[simhashPairs]] as the audit form and this as the query surface.
+  /** The scale-default consumption of SimHash near-dups: signatures →
+    * connected components ON THE SIGNATURE DOMAIN → one best
+    * representative per cluster. Never materializes the doc-level pair
+    * set at all.
+    *
+    * The structural win over `dupClusters(simhashPairs(...))`: documents
+    * with the SAME signature are near-dups by definition (hamming 0), so
+    * component discovery only needs the graph over DISTINCT signatures —
+    * at most min(|docs|, 2^bits) nodes, and far fewer than |docs| in
+    * exactly the boilerplate-dense corpora where the doc-level pair set
+    * explodes quadratically (an m-member same-sig cluster is m² doc
+    * pairs but ONE sig node). The doc↔sig contraction preserves
+    * components exactly, so the surviving set is identical to the
+    * pair-based composition (the dd14 oracle's recursive doc-level CTE
+    * pins this). Cost: one signature pass over the corpus, a band join
+    * + star contraction on the deduplicated signature graph, and one
+    * signature-keyed attach of cluster labels back to docs. The raw
+    * [[simhashPairs]] remains the audit form.
     *
     * `docs` must already carry the columns `score` reads (e.g.
     * [[TextAnalysis.qualityColumns]]' quality_score); ties break to the
@@ -681,9 +690,38 @@ object Dedup {
   def simhashClusters(docs: DataFrame, idCol: String, textCol: String,
                       bits: Int, bands: Int, maxHamming: Int,
                       score: Column): DataFrame = {
-    val clusters = dupClusters(
-      simhashPairs(docs, idCol, textCol, bits, bands, maxHamming))
-    keepBestRepresentatives(docs, idCol, clusters, score)
+    require(bands > maxHamming,
+      s"pigeonhole guarantee needs bands ($bands) > maxHamming ($maxHamming)")
+    require(bits % bands == 0, s"bits ($bits) must split evenly into $bands bands")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // one signature pass over the corpus (the 100-TB side), kept for the
+    // final label attach; same persist rationale as simhashPairs
+    val docSigs = docs.repartition(par)
+      .select(col(idCol), simhashOverHashed(hashedTokens(col(textCol)), bits)
+        .as("__sc_sig"))
+      .persist()
+    try {
+      // the component graph lives on distinct signatures: node id = the
+      // signature value itself (min-labeling over sig values is as good
+      // a canonical label as any — labels only partition, never surface)
+      val nodes = docSigs.select(col("__sc_sig").as("id")).distinct()
+        .withColumn("sig", col("id"))
+      val sigClusters = dupClusters(
+        simhashBandJoin(nodes, "id", bits, bands, maxHamming))
+      // every doc gets a cluster key: its signature's component label if
+      // the signature has near-dup neighbors, else the signature itself —
+      // which still groups same-sig docs together (hamming 0 ⇒ near-dup),
+      // the case the doc-level pair formulation covers via m² pairs.
+      // materialize the (doc, label) map — 2 longs per doc — before the
+      // unpersist below, or the lazy result plan would recompute the
+      // whole signature pass at action time
+      val clusters = docSigs
+        .join(sigClusters.withColumnRenamed("id", "__sc_sig"), Seq("__sc_sig"), "left")
+        .select(col(idCol).as("id"),
+          coalesce(col("cluster_id"), col("__sc_sig")).as("cluster_id"))
+        .localCheckpoint(eager = true)
+      keepBestRepresentatives(docs, idCol, clusters, score)
+    } finally docSigs.unpersist()
   }
 
   /** [[simhashPairs]]'s lazy band-join plan over a precomputed signature

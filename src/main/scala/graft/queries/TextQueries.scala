@@ -275,11 +275,14 @@ object TextQueries {
     "dd10_simhash_dups" -> ((s, dir) =>
       Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", 16, 4, 2)),
 
-    // The scale-default SimHash consumption (dd10's pairs never reach a
-    // consumer): pairs -> connected components -> quality-best
-    // representative per cluster. Output is one row per surviving doc —
-    // near-linear in the corpus even when boilerplate-heavy clusters make
-    // the raw pair set quadratic.
+    // The scale-default SimHash consumption (dd10's doc-level pairs are
+    // never materialized): connected components on the distinct-signature
+    // graph -> sig->cluster attach -> quality-best representative per
+    // cluster. Output is one row per surviving doc — near-linear in the
+    // corpus even when boilerplate-heavy clusters make the raw pair set
+    // quadratic (an m-member same-sig cluster is one sig node, not m²
+    // pairs). Oracle stays the doc-level recursive-CTE formulation:
+    // identical partitions, so identical survivors.
     "dd14_simhash_corpus" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val q = TextAnalysis.qualityColumns(docs, "text")

@@ -55,7 +55,8 @@ object PlanAudit {
     "t12_mixture" -> (1 -> "1-row corpus token-total frame (mixture budgets)"),
     "j8_range_attach" -> (1 -> "segment table broadcast: segments are O(study length), bounded (non-equi range join by design)"),
     "sim1_knn" -> (1 -> "documented O(Q*N) exact baseline; query side bounded by contract"),
-    "sim_recall" -> (2 -> "contains sim1's exact baseline twice (LSH recall + IVF recall)"))
+    "sim_recall" -> (2 -> "contains sim1's exact baseline twice (LSH recall + IVF recall)"),
+    "sim_recall_build" -> (1 -> "contains sim1's exact baseline once (KMeans-build IVF recall)"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,

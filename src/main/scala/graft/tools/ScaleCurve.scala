@@ -41,7 +41,7 @@ object ScaleCurve {
     "dd1_exact_dedup", "dd2_minhash_sig", "dd3_lsh_candidates", "dd4_simhash",
     "dd5_ngram_jaccard", "dd7_lsh_verified", "dd8_dup_clusters",
     "dd9_dedup_corpus", "dd10_simhash_dups", "dd11_best_rep",
-    "dd12_norm_dedup", "dd13_incremental",
+    "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
     "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
@@ -167,7 +167,14 @@ object ScaleCurve {
       "dominated by per-row work (the plan a 1000-executor cluster can " +
       "spread); sub-10 means fixed scheduling/setup overhead still " +
       "dominates at this absolute size; materially above 10 needs a " +
-      "structural explanation (e.g. candidate-pair growth), not a shrug.\n\n"
+      "structural explanation (e.g. candidate-pair growth), not a shrug.\n\n" +
+      "dd10 vs dd14 is the raw-pairs-vs-cluster-shape contrast: dd10's " +
+      "OUTPUT is quadratic in duplicate-cluster size (audit form only at " +
+      "scale), while dd14 runs component discovery on the " +
+      "distinct-signature graph (same-sig docs are hamming-0 near-dups: " +
+      "one node, not m^2 pairs) and emits representatives, so neither " +
+      "its work nor its output inherits the pair blow-up — dd14 is the " +
+      "query surface a 100-TB pipeline runs.\n\n"
     sb ++= "| query | sf0.1g sec | sf1g sec | ratio | rows sf0.1g | rows sf1g |\n"
     sb ++= "|---|---|---|---|---|---|\n"
     rows.foreach { case (name, tS, tL, r, nS, nL) =>

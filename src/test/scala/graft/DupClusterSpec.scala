@@ -145,6 +145,22 @@ class DupClusterSpec extends SparkTestBase {
     assert(kept.toSeq === Seq(1L, 7L, 10L))
   }
 
+  test("simhashClusters (sig-domain components) equals the doc-pair composition") {
+    // driver corpus slice: realistic signature collisions + near-dups
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val q = graft.operators.TextAnalysis.qualityColumns(docs, "text")
+    val viaSigDomain = Dedup.simhashClusters(q, "doc_id", "text", 16, 4, 2,
+      col("quality_score"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the quadratic-output audit composition the sig-domain form replaces
+    val viaDocPairs = Dedup.keepBestRepresentatives(q, "doc_id",
+      Dedup.dupClusters(Dedup.simhashPairs(q, "doc_id", "text", 16, 4, 2)),
+      col("quality_score"))
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaSigDomain === viaDocPairs)
+    assert(viaSigDomain.nonEmpty)
+  }
+
   test("keepBestRepresentatives keeps the highest-quality member, min id on ties") {
     val docs = Seq(
       (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 and 3 tie on quality
