@@ -123,9 +123,16 @@ object Bench {
     // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist
     // the identical line to a committed file so timing history survives
     // independently of stdout plumbing.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case e: Throwable =>
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      // append-only history so per-round timings accumulate in the repo
+      // (BENCH_LOCAL.json always holds just the latest line)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), line + "\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write BENCH_LOCAL.json: ${e.getMessage}")
     }
     spark.stop()

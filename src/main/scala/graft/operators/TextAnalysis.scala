@@ -243,6 +243,52 @@ object TextAnalysis {
         col("avg_logp"))
   }
 
+  /** Cross-fit unigram LM scoring — the full ccnet shape that
+    * [[unigramLogProb]] degenerates (fit and score on the same corpus):
+    * fit the add-one-smoothed unigram model on a TRUSTED reference
+    * (wikipedia-quality text in production; any subset frame here) and
+    * score every corpus document against it, including documents whose
+    * tokens the reference never saw (out-of-vocabulary tokens take the
+    * smoothed floor ln(1 / (total + vocab)) via a LEFT model attach +
+    * count-0 coalesce — exactly what add-one smoothing is for).
+    * Emits (id, n_tokens, avg_logp, ppl) with ppl = exp(−avg_logp), the
+    * perplexity a quality threshold cuts on; both rounded. Token-less
+    * docs get null avg_logp/ppl.
+    *
+    * Same scale shape as [[unigramLogProb]]: one aggregation on the term
+    * key over the REFERENCE (usually orders of magnitude smaller than
+    * the corpus), vocabulary-adaptive broadcast-vs-shuffle attach onto
+    * the exploded corpus, one aggregation on the doc id. */
+  def unigramCrossScore(refDocs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String,
+                        broadcastVocabLimit: Long = 1000000L): DataFrame = {
+    val refTerms = refDocs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val model = refTerms.groupBy("term").agg(count(lit(1)).as("cnt"))
+    val totals = model.agg(sum("cnt"), count(lit(1))).head()
+    // empty reference: degenerate but defined — every token is OOV with
+    // floor ln(1/1) = 0 (total 0 + vocab 0 would divide by zero)
+    val total = if (totals.isNullAt(0)) 0L else totals.getLong(0)
+    val vocab = totals.getLong(1)
+    val denom = math.max(total + vocab, 1L).toDouble
+    val modelSide = if (vocab <= broadcastVocabLimit) broadcast(model) else model
+    val exploded = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+    val scored = exploded.join(modelSide, Seq("term"), "left")
+      .withColumn("logp",
+        log((coalesce(col("cnt"), lit(0L)) + 1.0) / lit(denom)))
+    docs.select(col(idCol))
+      .join(scored.groupBy(idCol)
+          .agg(count(lit(1)).as("n_tokens"),
+            graft.functions.Canon.round(avg(col("logp")), 6).as("avg_logp")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("avg_logp"),
+        graft.functions.Canon.round(exp(-col("avg_logp")), 6).as("ppl"))
+  }
+
   /** SHA-prefix bucket id: the numeric value of the first `hexLen` hex
     * chars of sha256(id). Because the bucket is a PREFIX of the
     * (sha, id) sort key, ordering by (bucket, sha, id) is identical to

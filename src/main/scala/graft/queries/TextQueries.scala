@@ -337,6 +337,19 @@ object TextQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // Bloom-accelerated exact membership: which batch docs (doc_id % 5 =
+    // 0, dd13's split) already exist by content SHA in the corpus. The
+    // corpus collapses to a deterministic bloom filter probed by Spark's
+    // codegen'd BloomFilterMightContain; false positives die in the
+    // exact semi-join, so the oracle is a plain IN — the bloom only
+    // shapes the plan (join input = bloom-passing rows), never the rows.
+    "dd15_bloom_membership" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomExactMembership(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    }),
+
     // Decontamination gate: 3-shingle overlap of each corpus doc against
     // the doc_id<20 "eval set", broadcast semi-join on the bench shingles.
     "t7_contamination" -> ((s, dir) => {
@@ -360,6 +373,15 @@ object TextQueries {
     // own add-one-smoothed unigram model (broadcast vocabulary attach).
     "t8_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Cross-fit LM perplexity (the full ccnet shape): unigram model fit
+    // on the 'en' reference slice only, every document scored against it
+    // (OOV tokens take the smoothed floor), ppl = exp(-avg_logp).
+    "t14_lm_crossppl" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.unigramCrossScore(
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+    }),
 
     // Deterministic sequence packing: per-language 2000-token shards in
     // SHA order (the training-data chunk assignment).
@@ -787,6 +809,15 @@ object TextQueries {
 
       "dd10_simhash_dups" -> Dedup.simhashPairsSql(16, 4, 2),
 
+      // dd15 twin: membership is bloom-invisible — a plain IN over the
+      // corpus shas (the bloom only prunes the engine's join input).
+      "dd15_bloom_membership" ->
+        """SELECT doc_id, sha256(text) AS text_sha
+          |FROM documents
+          |WHERE doc_id % 5 = 0
+          |  AND sha256(text) IN (
+          |    SELECT sha256(text) FROM documents WHERE doc_id % 5 <> 0)""".stripMargin,
+
       // dd14 twin: dd10's pair CTEs -> the shared recursive component
       // CTEs -> dd11's quality-best representative tail.
       "dd14_simhash_corpus" ->
@@ -929,6 +960,31 @@ object TextQueries {
           |  SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logp
           |  FROM scored GROUP BY 1)
           |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.avg_logp
+          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+      // t14 twin: model CTEs over the 'en' slice, LEFT attach with the
+      // count-0 coalesce for OOV, exp(-rounded avg) so both engines
+      // exponentiate identical inputs.
+      "t14_lm_crossppl" ->
+        """WITH ref AS (
+          |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS term
+          |  FROM documents WHERE lang = 'en'),
+          |reff AS (SELECT term FROM ref WHERE term <> ''),
+          |model AS (SELECT term, count(*) AS cnt FROM reff GROUP BY 1),
+          |tot AS (SELECT coalesce(sum(cnt), 0) AS total, count(*) AS vocab FROM model),
+          |ex AS (
+          |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+          |  FROM documents),
+          |exf AS (SELECT doc_id, term FROM ex WHERE term <> ''),
+          |scored AS (
+          |  SELECT e.doc_id,
+          |    ln((coalesce(m.cnt, 0) + 1.0) / greatest(t.total + t.vocab, 1)) AS logp
+          |  FROM exf e LEFT JOIN model m USING (term) CROSS JOIN tot t),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_tokens, round(avg(logp), 6) AS avg_logp
+          |  FROM scored GROUP BY 1)
+          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.avg_logp,
+          |  round(exp(-a.avg_logp), 6) AS ppl
           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
       "mm1_features" -> {

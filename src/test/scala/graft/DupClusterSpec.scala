@@ -135,6 +135,32 @@ class DupClusterSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("bloomExactMembership: exact dups found, new docs rejected, bloom in plan") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta"), (11L, "zeta eta"), (12L, "epsilon"),
+      (13L, "totally new"))
+      .toDF("doc_id", "text")
+    val out = Dedup.bloomExactMembership(batch, corpus, "doc_id", "text")
+    val got = out.select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq === Seq(10L, 12L))
+    // the probe really is the bloom expression (on a local relation the
+    // optimizer folds the filter into the LocalTableScan, so assert on
+    // the analyzed plan)
+    assert(out.queryExecution.analyzed.toString.contains("might_contain"))
+    // on a parquet-backed batch the executed plan must keep the bloom
+    // probe as a Filter BEFORE the semi-join — the scale contract: join
+    // input is the bloom-passing subset, not the batch
+    val docs = graft.core.Tables.documents(spark, "/root/testdata/sf0.001")
+    val pq = Dedup.bloomExactMembership(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+    pq.count()
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from parquet-backed plan:\n$plan")
+  }
+
   test("keepClusterRepresentatives keeps cluster minima plus unpaired docs") {
     val docs = Seq((1L, "a"), (2L, "a dup"), (3L, "a dup2"),
       (7L, "unpaired"), (10L, "b"), (11L, "b dup")).toDF("doc_id", "text")

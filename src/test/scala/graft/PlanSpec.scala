@@ -150,6 +150,32 @@ class PlanSpec extends SparkTestBase {
       "no join in band-join plan")
   }
 
+  test("dd14: the component graph is the distinct-signature frame, not doc pairs") {
+    import org.apache.spark.sql.functions._
+    // the sig-domain contract, asserted structurally: the band join that
+    // feeds component discovery operates on a DISTINCT signature frame
+    // (node id = the signature itself), so its input cardinality is
+    // bounded by min(|docs|, 2^bits) — never the corpus pair set
+    val docs = graft.core.Tables.documents(spark, dir)
+    val sigs = docs.select(col("doc_id"),
+      graft.operators.Dedup.simhash(col("text"), 16).as("sig"))
+    val nodes = sigs.select(col("sig").as("id")).distinct()
+      .withColumn("sig", col("id"))
+    val plan = graft.operators.Dedup.simhashBandJoin(nodes, "id", 16, 4, 2)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "sig-domain band join degenerated to a product join")
+    assert(plan.contains("HashAggregate"),
+      "distinct-signature aggregation missing below the band join")
+    // the equivalence of the sig-domain composition to the doc-pair form
+    // is value-pinned in DupClusterSpec; here we additionally pin that
+    // the node count really is the distinct-sig count (the scale bound)
+    val n = nodes.count()
+    assert(n === sigs.select("sig").distinct().count() && n <= (1L << 16))
+  }
+
   test("scan prunes columns to the read schema") {
     val plan = planOf("f10_pushdown_scan")
     // only the needed lineitem columns should be read

@@ -251,6 +251,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(4)._3 == 0.75 && m(4)._4 == 1.0)
   }
 
+  test("unigramCrossScore: hand-computed cross-fit probs, OOV floor, edge cases") {
+    // reference: 3 tokens total ("a a b"), vocab 2 -> denom = 5
+    val ref = Seq((100L, "a a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b"),     // in-vocab: ln(3/5), ln(2/5)
+      (2L, "zzz"),     // OOV: smoothed floor ln(1/5)
+      (3L, "")         // token-less: n_tokens 0, null scores
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramCrossScore(ref, docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Option[Double], Option[Double])].collect().toSeq
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    val exp1 = r6((math.log(3.0 / 5) + math.log(2.0 / 5)) / 2)
+    assert(out(0) === ((1L, 2L, Some(exp1), Some(r6(math.exp(-exp1))))))
+    val exp2 = r6(math.log(1.0 / 5))
+    assert(out(1) === ((2L, 1L, Some(exp2), Some(r6(math.exp(-exp2))))))
+    assert(out(2) === ((3L, 0L, None, None)))
+    // empty reference: every token takes the defined floor ln(1/1) = 0
+    val out0 = TextAnalysis.unigramCrossScore(
+      ref.filter(col("doc_id") < 0), docs.filter(col("doc_id") === 1L),
+      "doc_id", "text").as[(Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(out0 === Seq((1L, 2L, Some(0.0), Some(1.0))))
+  }
+
   test("piiColumns: detects and redacts emails, phones, IPv4; clean text untouched") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
