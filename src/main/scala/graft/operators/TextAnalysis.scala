@@ -544,13 +544,14 @@ object TextAnalysis {
 
   /** DuckDB twin of [[chunkDocuments]] over `documents`. */
   def chunkDocumentsSql(idCol: String, textExpr: String, chunkTokens: Int,
-                        overlapTokens: Int): String = {
+                        overlapTokens: Int,
+                        from: String = "documents"): String = {
     val stride = chunkTokens - overlapTokens
     s"""WITH toks AS (
        |  SELECT $idCol,
        |    list_filter(string_split_regex(lower($textExpr), '\\s+'),
        |      t -> t <> '') AS tok
-       |  FROM documents),
+       |  FROM $from),
        |ex AS (
        |  SELECT $idCol, tok, CAST(len(tok) AS BIGINT) AS n_tokens,
        |    unnest(range(0, greatest(CAST(floor(
@@ -572,7 +573,8 @@ object TextAnalysis {
     * admission order, same budget arithmetic — multiplication order
     * matters for float identity, keep `(frac * total) * weight`). */
   def mixtureSampleSql(idCol: String, textExpr: String, groupCol: String,
-                       weights: Map[String, Double], frac: Double): String = {
+                       weights: Map[String, Double], frac: Double,
+                       from: String = "documents"): String = {
     val wCase = weights.toSeq.sortBy(_._1)
       .map { case (g, wt) => s"WHEN '${g.replace("'", "''")}' THEN $wt" }
       .mkString("CASE " + groupCol + " ", " ", " ELSE 0.0 END")
@@ -580,7 +582,7 @@ object TextAnalysis {
        |  SELECT $idCol, $groupCol,
        |    CAST(len(list_filter(string_split_regex(lower($textExpr), '\\s+'),
        |      t -> t <> '')) AS BIGINT) AS n_tokens
-       |  FROM documents),
+       |  FROM $from),
        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM toks),
        |cum AS (
        |  SELECT $idCol, $groupCol, n_tokens,

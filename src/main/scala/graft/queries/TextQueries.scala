@@ -337,6 +337,22 @@ object TextQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // The FULL training-data assembly, end to end, as one hash-gated
+    // query: exact dedup -> LSH+Jaccard near-dedup (K=3, 6 hashes, 2
+    // bands of 3, J>=0.7) -> quality gate (>=30) -> token-budget
+    // language mixture (50%) -> overlapping 30/5 chunking -> chunk-SHA
+    // dedup keeping the (min doc, min chunk) owner. One row per
+    // surviving training chunk — what a user of this engine actually
+    // ships to a trainer.
+    "e2e_corpus_assembly" -> ((s, dir) => {
+      val prepared = graft.pipeline.CorpusPipeline.prepare(
+        Tables.documents(s, dir), "doc_id", "text")
+      graft.pipeline.CorpusPipeline.assembleTraining(prepared, "doc_id",
+          "text", "lang", mixtureWeights, 0.5, 30, 5)
+        .select("doc_id", "lang", "chunk_id", "start_tok", "n_chunk_tokens",
+          "chunk_sha")
+    }),
+
     // Bloom-accelerated exact membership: which batch docs (doc_id % 5 =
     // 0, dd13's split) already exist by content SHA in the corpus. The
     // corpus collapses to a deterministic bloom filter probed by Spark's
@@ -808,6 +824,56 @@ object TextQueries {
         s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
 
       "dd10_simhash_dups" -> Dedup.simhashPairsSql(16, 4, 2),
+
+      // e2e twin: every stage's proven SQL fragment, composed. d1 = exact
+      // dedup keepers; cand/dup = banded minhash candidates + 3-shingle
+      // Jaccard verify at prepare's parameters; d3 = quality gate on the
+      // shared rounded score; adm = the mixture admission (nested WITH as
+      // a derived table, reading d3); chunks likewise over the admitted
+      // docs; rk=1 = the (min doc, min chunk) owner per chunk SHA.
+      "e2e_corpus_assembly" -> {
+        val sig6 = (0 until 6)
+          .map(i => s"${Dedup.minhashSql(3, i)} AS mh$i").mkString(",\n  ")
+        val shExpr = Dedup.shinglesOverTkSql(3)
+        val setExpr =
+          s"list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")})))"
+        val jac = """round(len(list_intersect(a.sh, b.sh)) /
+          |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)""".stripMargin
+        val qExpr = TextAnalysis.qualitySql("text")("quality_score")
+        s"""WITH d1 AS (
+          |  SELECT * FROM documents WHERE doc_id IN (
+          |    SELECT min(doc_id) FROM documents GROUP BY sha256(text))),
+          |sig AS (SELECT doc_id,\n  $sig6\nFROM ${Dedup.tkSourceSqlFrom("d1", "text", "doc_id")}),
+          |bands AS (
+          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 || '_' || mh2 AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, '1_' || mh3 || '_' || mh4 || '_' || mh5 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          |  FROM bands l JOIN bands r
+          |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          |sets AS (SELECT doc_id, $setExpr AS sh
+          |  FROM ${Dedup.tkSourceSqlFrom("d1", "text", "doc_id")}),
+          |dup AS (
+          |  SELECT DISTINCT c.id_b FROM cand c
+          |  JOIN sets a ON c.id_a = a.doc_id
+          |  JOIN sets b ON c.id_b = b.doc_id
+          |  WHERE $jac >= 0.7),
+          |d3 AS (
+          |  SELECT * FROM d1
+          |  WHERE doc_id NOT IN (SELECT id_b FROM dup) AND $qExpr >= 30.0),
+          |adm AS (SELECT * FROM (
+          |  ${TextAnalysis.mixtureSampleSql("doc_id", "text", "lang",
+               mixtureWeights, 0.5, from = "d3")})),
+          |d4 AS (SELECT * FROM d3 WHERE doc_id IN (SELECT doc_id FROM adm)),
+          |chunks AS (SELECT * FROM (
+          |  ${TextAnalysis.chunkDocumentsSql("doc_id", "text", 30, 5, from = "d4")})),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (PARTITION BY chunk_sha
+          |    ORDER BY doc_id, chunk_id) AS rk FROM chunks)
+          |SELECT c.doc_id, a.lang, c.chunk_id, c.start_tok,
+          |  c.n_chunk_tokens, c.chunk_sha
+          |FROM ranked c LEFT JOIN adm a USING (doc_id) WHERE rk = 1""".stripMargin
+      },
 
       // dd15 twin: membership is bloom-invisible — a plain IN over the
       // corpus shas (the bloom only prunes the engine's join input).

@@ -48,7 +48,7 @@ object ScaleCurve {
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
     "t14_lm_crossppl",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
-    "sim5_ivf_assign")
+    "sim5_ivf_assign", "e2e_corpus_assembly")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

@@ -187,6 +187,29 @@ class DupClusterSpec extends SparkTestBase {
     assert(viaSigDomain.nonEmpty)
   }
 
+  test("simhashClusters equals doc-pair composition on seeded random corpora") {
+    // tiny vocab + short docs force signature collisions, same-sig
+    // multi-doc groups, and cross-sig near-dup chains — the cases where
+    // the sig-domain contraction could plausibly diverge from doc-level
+    // pairs (singleton sigs, hamming-0 groups with no sig neighbors,
+    // transitive chains through shared signatures)
+    val rnd = new scala.util.Random(13)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 6 + trial).map(j => s"w$j")
+      def doc(): String =
+        (0 until 2 + rnd.nextInt(5)).map(_ => vocab(rnd.nextInt(vocab.size)))
+          .mkString(" ")
+      val docs = (0L until 40L).map(i => (i, doc(), 1.0 + (i % 7) * 0.1))
+        .toDF("doc_id", "text", "q")
+      val sigDomain = Dedup.simhashClusters(docs, "doc_id", "text", 16, 4, 2,
+        col("q")).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      val docPairs = Dedup.keepBestRepresentatives(docs, "doc_id",
+        Dedup.dupClusters(Dedup.simhashPairs(docs, "doc_id", "text", 16, 4, 2)),
+        col("q")).select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(sigDomain === docPairs, s"trial $trial diverged")
+    }
+  }
+
   test("keepBestRepresentatives keeps the highest-quality member, min id on ties") {
     val docs = Seq(
       (1L, 0.2), (2L, 0.9), (3L, 0.9), // cluster {1,2,3}: 2 and 3 tie on quality
