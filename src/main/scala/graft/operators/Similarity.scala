@@ -319,6 +319,35 @@ object Similarity {
   }
 
   /** Near-duplicate pairs by embedding cosine within a blocking key. */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): embeddings are
+    * assigned to quantizer cells ([[ivfAssign]]'s zero-shuffle literal
+    * argmin), cosine near-dup pairs form ONLY within a cell
+    * ([[cosineDupPairs]] blocked on the assignment — candidate volume is
+    * governed by cell size, never the corpus), pairs collapse to
+    * connected components, and one representative per component survives
+    * (min id; singletons always survive). Returns the surviving
+    * (id, cell, cell_dist) rows — the semantically-deduplicated corpus.
+    *
+    * Scale contract: cell population is bounded by sizing the quantizer
+    * (cells grow with the corpus, the SemDeDup recipe), so the
+    * within-cell pairwise stage stays bounded per task; with a FIXED
+    * tiny quantizer (as in the oracle fixture) it degenerates to dd6's
+    * quadratic-per-block audit shape — size the quantizer, not the
+    * threshold. Every stage is deterministic (round-6 distances, ties to
+    * the smallest cell/id), so the whole composition is exact-oracle-
+    * expressible, like sim3_assign/sim5. */
+  def semanticDedup(vectors: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, cellCol: String,
+                    centroidVecCol: String, minSim: Double): DataFrame = {
+    val assigned = ivfAssign(vectors, idCol, vecCol, centroids, cellCol,
+      centroidVecCol)
+    val pairs = cosineDupPairs(assigned, idCol, vecCol, "cell", minSim)
+    val clusters = Dedup.dupClusters(pairs)
+    Dedup.keepClusterRepresentatives(
+      assigned.select(col(idCol), col("cell"), col("cell_dist")),
+      idCol, clusters)
+  }
+
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, minSim: Double): DataFrame = {
     val v = vectors

@@ -179,6 +179,16 @@ object TextQueries {
         .select(col("vec_id"), col("cell"), col("cell_dist"))
     }),
 
+    // SemDeDup-style semantic dedup: quantizer-cell assignment (vec_id<8
+    // stored centroids, the sim5 fixture), within-cell cosine pairs >=
+    // 0.3, components, min-id representative per component. One row per
+    // semantically-surviving vector.
+    "dd16_semantic_dedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 0.3)
+    }),
+
     // int8 embedding quantization + reconstruction-quality audit (the
     // 4x-memory ANN storage path). Emits the scale, the first 4 quantized
     // components, and the original-vs-dequantized cosine.
@@ -757,6 +767,37 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
           |  FROM scored)
           |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      // dd16 twin: sim5's argmin-assignment CTEs over ALL vectors, dd6's
+      // within-block cosine pair shape blocked by the assigned cell, the
+      // shared recursive component CTEs, dd9's min-id representative tail.
+      "dd16_semantic_dedup" ->
+        s"""WITH RECURSIVE v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 8),
+          |scored AS (
+          |  SELECT b.vec_id, c.cell,
+          |    round(list_inner_product(b.e, b.e) - 2 * list_inner_product(b.e, c.c)
+          |      + list_inner_product(c.c, c.c), 6) AS d
+          |  FROM v b CROSS JOIN cent c),
+          |assigned AS (
+          |  SELECT vec_id, cell, d AS cell_dist FROM (
+          |    SELECT vec_id, cell, d,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |    FROM scored)
+          |  WHERE rn = 1),
+          |pv AS (SELECT a.vec_id, a.cell, v.e FROM assigned a JOIN v USING (vec_id)),
+          |vpairs AS (
+          |  SELECT l.vec_id AS id_a, r.vec_id AS id_b
+          |  FROM pv l JOIN pv r ON l.cell = r.cell AND l.vec_id < r.vec_id
+          |  WHERE round(list_inner_product(l.e, r.e) /
+          |    (sqrt(list_inner_product(l.e, l.e)) * sqrt(list_inner_product(r.e, r.e))), 6) >= 0.3),
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+          |SELECT vec_id, cell, cell_dist FROM assigned
+          |WHERE vec_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin,
 
       "sim5_ivf_assign" ->
         """WITH v AS (

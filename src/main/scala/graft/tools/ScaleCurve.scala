@@ -187,9 +187,13 @@ object ScaleCurve {
       "(10x data).\n\n"
     sb ++= "Excluded by contract: `dd6_embed_dups` (all-pairs-within-block " +
       "baseline — quadratic per block by definition; the corpus-scale " +
-      "near-dup path is sim2/dd7), `sim3_ann_ivf` (one-time index BUILD; " +
-      "the per-batch serving paths sim3_assign/sim5 are in the table), " +
-      "`sim_recall`/`mm*`/`s5` (not corpus-sized or measured elsewhere).\n"
+      "near-dup path is sim2/dd7), `dd16_semantic_dedup` (its oracle " +
+      "fixture uses a FIXED 8-cell quantizer, which degenerates the " +
+      "within-cell stage to dd6's audit shape — at scale the quantizer " +
+      "grows with the corpus, bounding cell population), `sim3_ann_ivf` " +
+      "(one-time index BUILD; the per-batch serving paths " +
+      "sim3_assign/sim5 are in the table), `sim_recall`/`mm*`/`s5` " +
+      "(not corpus-sized or measured elsewhere).\n"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
     println(s"wrote $outPath")
     spark.stop()

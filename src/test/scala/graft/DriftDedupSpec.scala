@@ -253,6 +253,30 @@ class DriftDedupSpec extends SparkTestBase {
     assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
   }
 
+  test("dd16: semantic dedup keeps one representative per within-cell cosine cluster") {
+    val centroids = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0f, 1f))).toDF("vec_id", "embedding")
+    val vectors = Seq(
+      // cell 0: 10/11 are near-parallel (cos ~ 0.998 — near-dups),
+      // 12 is oblique enough to stay below the 0.9 threshold
+      (10L, Array(5f, 0f)), (11L, Array(5f, 0.3f)), (12L, Array(2f, 1.4f)),
+      // cell 1: 20/21 near-dups; 22 oblique to both (cos < 0.84)
+      (20L, Array(0f, 7f)), (21L, Array(0.2f, 7f)), (22L, Array(1.4f, 2f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.semanticDedup(vectors, "vec_id", "embedding",
+        centroids, "vec_id", "embedding", 0.9)
+      .select("vec_id", "cell").orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // min-id representative per near-dup pair survives; obliques survive
+    // as singletons (12 in cell 0, 22 in cell 1)
+    assert(out === Seq((10L, 0L), (12L, 0L), (20L, 1L), (22L, 1L)))
+    // CROSS-cell near-parallel vectors are NOT paired (the blocking
+    // contract): 12 (cell 0) and 22 (cell 1) have cosine ~0.97 yet both
+    // survive because pairs only form within a cell
+    val cos = (1.4 * 2 + 2 * 1.4) / (math.sqrt(1.4 * 1.4 + 2 * 2) * math.sqrt(1.4 * 1.4 + 2 * 2))
+    assert(cos > 0.9)
+  }
+
   test("sim4: int8 quantization — exact integers, faithful reconstruction, zero-vector null") {
     val vecs = Seq(
       (1L, Array(1.0f, -0.5f, 0.0f, 0.27f)),
