@@ -26,6 +26,8 @@ PINS = {
     # both recall arms are deterministic (SHA-derived LSH planes;
     # stored-centroid IVF serving path) -> the summary frame is pinnable
     "sim_recall": "src/test/resources/expected/sim_recall_sf0.01.parquet",
+    # deterministic GD/tree fits (ModelsSpec pins run-to-run identity)
+    "m6_model_families": "src/test/resources/expected/m6_model_families_sf0.01.parquet",
 }
 
 
