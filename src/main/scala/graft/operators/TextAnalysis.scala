@@ -677,6 +677,69 @@ object TextAnalysis {
           .otherwise(0.0), 6).as("top_bigram_frac"))
   }
 
+  /** The fuller Gopher-style n-gram repetition panel ([[repetitionMetrics]]
+    * covers tokens + bigrams): per document and per n, the fraction of
+    * n-gram INSTANCES claimed by the single most frequent n-gram
+    * (top-n-gram coverage) and by all n-grams occurring more than once
+    * (duplicate-n-gram coverage) — the classic boilerplate/repetition
+    * cut for training-data quality. Token n-grams via [[Dedup.shingles]]
+    * (so the DuckDB twin reuses the proven shingle fragment); documents
+    * too short for an n get total 0 and fractions 0.
+    *
+    * Scale shape per n: one explode + one (doc, gram) aggregation on a
+    * high-cardinality key + one per-doc rollup — the t10 plan family,
+    * nothing corpus-wide. */
+  def ngramRepetition(docs: DataFrame, idCol: String, textCol: String,
+                      ns: Seq[Int] = Seq(3, 5)): DataFrame =
+    ns.foldLeft(docs.select(col(idCol))) { (acc, n) =>
+      val per = docs
+        .select(col(idCol),
+          explode(graft.operators.Dedup.shingles(col(textCol), n)).as("g"))
+        .groupBy(idCol, "g").agg(count(lit(1)).as("c"))
+        .groupBy(idCol).agg(
+          sum("c").as("tot"), max("c").as("topc"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dupc"))
+        .select(col(idCol), col("tot").as(s"n${n}_total"),
+          round(col("topc").cast("double") / col("tot"), 6).as(s"top${n}_frac"),
+          round(col("dupc").cast("double") / col("tot"), 6).as(s"dup${n}_frac"))
+      acc.join(per, Seq(idCol), "left")
+        .withColumn(s"n${n}_total", coalesce(col(s"n${n}_total"), lit(0L)))
+        .withColumn(s"top${n}_frac", coalesce(col(s"top${n}_frac"), lit(0.0)))
+        .withColumn(s"dup${n}_frac", coalesce(col(s"dup${n}_frac"), lit(0.0)))
+    }
+
+  /** DuckDB twin of [[ngramRepetition]]. */
+  def ngramRepetitionSql(idCol: String, textExpr: String,
+                         ns: Seq[Int] = Seq(3, 5),
+                         from: String = "documents"): String = {
+    val perCtes = ns.map { n =>
+      s"""g$n AS (
+         |  SELECT $idCol, unnest(${graft.operators.Dedup.shinglesOverTkSql(n)}) AS g
+         |  FROM tk),
+         |c$n AS (SELECT $idCol, g, count(*) AS c FROM g$n GROUP BY 1, 2),
+         |p$n AS (
+         |  SELECT $idCol, CAST(sum(c) AS BIGINT) AS n${n}_total,
+         |    round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top${n}_frac,
+         |    round(sum(CASE WHEN c > 1 THEN c ELSE 0 END) / CAST(sum(c) AS DOUBLE), 6)
+         |      AS dup${n}_frac
+         |  FROM c$n GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val outCols = ns.map { n =>
+      s"""coalesce(p$n.n${n}_total, 0) AS n${n}_total,
+         |  coalesce(p$n.top${n}_frac, 0.0) AS top${n}_frac,
+         |  coalesce(p$n.dup${n}_frac, 0.0) AS dup${n}_frac""".stripMargin
+    }.mkString(",\n  ")
+    val joins = ns.map(n => s"LEFT JOIN p$n USING ($idCol)").mkString("\n")
+    s"""WITH tk AS (
+       |  SELECT $idCol, string_split_regex(lower($textExpr), '\\s+') AS tk
+       |  FROM $from),
+       |$perCtes
+       |SELECT d.$idCol,
+       |  $outCols
+       |FROM $from d
+       |$joins""".stripMargin
+  }
+
   /** PII patterns shared by the engine and the oracle twin: RE2-safe (no
     * backreferences, no lookaround) so Java regex and DuckDB RE2 agree. */
   val piiEmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

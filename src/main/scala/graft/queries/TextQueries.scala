@@ -400,6 +400,11 @@ object TextQueries {
     "t8_unigram_lm" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Fuller Gopher repetition panel: top/duplicate n-gram coverage for
+    // n=3 and n=5 (t10 covers tokens + bigrams).
+    "t15_ngram_coverage" -> ((s, dir) =>
+      TextAnalysis.ngramRepetition(Tables.documents(s, dir), "doc_id", "text")),
+
     // Cross-fit LM perplexity (the full ccnet shape): unigram model fit
     // on the 'en' reference slice only, every document scored against it
     // (OOV tokens take the smoothed floor), ppl = exp(-avg_logp).
@@ -1068,6 +1073,9 @@ object TextQueries {
           |  FROM scored GROUP BY 1)
           |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.avg_logp
           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+      "t15_ngram_coverage" ->
+        TextAnalysis.ngramRepetitionSql("doc_id", "text"),
 
       // t14 twin: model CTEs over the 'en' slice, LEFT attach with the
       // count-0 coalesce for OOV, exp(-rounded avg) so both engines

@@ -46,7 +46,7 @@ object ScaleCurve {
     "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
     "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
-    "t14_lm_crossppl",
+    "t14_lm_crossppl", "t15_ngram_coverage",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "e2e_corpus_assembly")
 

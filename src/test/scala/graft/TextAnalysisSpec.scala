@@ -251,6 +251,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(4)._3 == 0.75 && m(4)._4 == 1.0)
   }
 
+  test("ngramRepetition: hand-computed top/dup coverage, short-doc zeros") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // 3-grams: aba,bab,aba,bab -> top 2/4, dup 4/4
+      (2L, "p q r s t"),    // all distinct: top3 1/3, dup3 0; one 5-gram
+      (3L, "x y")           // too short for both n: zeros
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.ngramRepetition(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Long, Double, Double)].collect().toSeq
+    assert(out(0) === ((1L, 4L, 0.5, 1.0, 2L, 0.5, 0.0)))
+    assert(out(1) === ((2L, 3L, 0.333333, 0.0, 1L, 1.0, 0.0)))
+    assert(out(2) === ((3L, 0L, 0.0, 0.0, 0L, 0.0, 0.0)))
+  }
+
   test("unigramCrossScore: hand-computed cross-fit probs, OOV floor, edge cases") {
     // reference: 3 tokens total ("a a b"), vocab 2 -> denom = 5
     val ref = Seq((100L, "a a b")).toDF("doc_id", "text")
