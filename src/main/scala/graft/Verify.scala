@@ -5,8 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, s"usage: graft.Verify <sfDir> <outDir> (got ${args.length} args)")
-    val Array(sfDir, outDir) = args
+    require(args.length == 2 || args.length == 3,
+      s"usage: graft.Verify <sfDir> <outDir> [name1,name2,...] (got ${args.length} args)")
+    val sfDir = args(0); val outDir = args(1)
+    // Optional third arg: run only these queries (dev loop; the driver
+    // always runs the full set).
+    val only = args.lift(2).map(_.split(',').toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (k, _) => names(k) })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -22,7 +28,7 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.ListBuffer.empty[(String, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -43,6 +49,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Self-describing failure record: a CORRECTNESS file with fewer rows
@@ -51,14 +58,16 @@ object Verify {
     val failJson = failures
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/failures.json"),
-      s"""{"total": ${SparkEntry.queries.size}, "failed": ${failures.size}, "errors": $failJson}""")
+      s"""{"total": ${selected.size}, "failed": ${failures.size}, "errors": $failJson}""")
     // Also commit-path copy so the failure history survives in the repo
-    // snapshot even if the driver only collects CORRECTNESS/BENCH files.
-    try Files.writeString(Paths.get("VERIFY_FAILURES.json"),
-      s"""{"sfDir": ${q(sfDir)}, "total": ${SparkEntry.queries.size}, "failed": ${failures.size}, "errors": $failJson}""")
-    catch { case _: Throwable => () }
+    // snapshot even if the driver only collects CORRECTNESS/BENCH files —
+    // full runs only, so a dev subset run can't overwrite the record.
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("VERIFY_FAILURES.json"),
+        s"""{"sfDir": ${q(sfDir)}, "total": ${selected.size}, "failed": ${failures.size}, "errors": $failJson}""")
+      catch { case _: Throwable => () }
     if (failures.nonEmpty)
-      System.err.println(s"[verify] ${failures.size}/${SparkEntry.queries.size} queries FAILED")
+      System.err.println(s"[verify] ${failures.size}/${selected.size} queries FAILED")
     spark.stop()
   }
 }

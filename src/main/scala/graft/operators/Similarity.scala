@@ -348,6 +348,90 @@ object Similarity {
       idCol, clusters)
   }
 
+  /** sim6 — product quantization over a stored codebook table: the
+    * memory-scale path past int8 (sim4). The full-dim codebook (K rows)
+    * is sliced into `numSubspaces` contiguous sub-codebooks; a vector
+    * encodes to one small code per subspace — `numSubspaces` bytes of
+    * index storage per vector when K <= 256, vs 4·D float32, so two
+    * orders of magnitude more vectors fit an executor's ANN working set.
+    *
+    * Encode is the sim5 plan shape, per subspace: the bounded codebook
+    * rides along as a task literal, each subspace's code is a round-6
+    * L2^2 argmin over the slice (ties to the smallest code) — pure
+    * per-row expressions, NO join, NO shuffle. Deterministic, so exact
+    * DuckDB twins replay it. Returns the input's id + `code_0 ..
+    * code_{M-1}` (long) + `recon_l2` = round-6 sum of the per-subspace
+    * quantization errors (the PQ distortion audit).
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, codeCol: String, cbVecCol: String,
+               numSubspaces: Int): DataFrame = {
+    val cb = centroidRows(codebook, codeCol, cbVecCol)
+    require(cb.nonEmpty, "pqEncode: empty codebook")
+    val dims = cb.head._2.length
+    require(cb.forall(_._2.length == dims), "pqEncode: ragged codebook vectors")
+    require(dims % numSubspaces == 0,
+      s"pqEncode: $dims dims not divisible into $numSubspaces subspaces")
+    val ds = dims / numSubspaces
+    val best = (0 until numSubspaces).map { m =>
+      val sub = cb.map { case (code, v) => (code, v.slice(m * ds, (m + 1) * ds)) }
+      array_min(centroidDistances(slice(col(vecCol), m * ds + 1, ds), sub))
+    }
+    val withBest = best.zipWithIndex.foldLeft(vectors) { case (df, (b, m)) =>
+      df.withColumn(s"__pq_$m", b)
+    }
+    withBest.select(
+      col(idCol) +:
+        (0 until numSubspaces).map(m =>
+          col(s"__pq_$m").getField("cell").as(s"code_$m")) :+
+        round((0 until numSubspaces).map(m => col(s"__pq_$m").getField("d"))
+          .reduce(_ + _), 6).as("recon_l2"): _*)
+  }
+
+  /** Asymmetric-distance (ADC) top-k over PQ codes: each query computes a
+    * per-subspace distance table to every code (a bounded literal, like
+    * the encode), and a corpus item's approximate distance is the sum of
+    * table lookups at its codes — the classic PQ scan (Jégou et al.
+    * 2011): the corpus side touches only the M small codes per vector,
+    * never the float embedding. This form is the exhaustive ADC scan
+    * (queries bounded, like sim1's brute-force contract); at corpus
+    * scale compose with [[ivfAssign]] cells so each query scans only its
+    * probed cells' codes (IVFADC). All arithmetic is round-6 with
+    * smallest-id ties — exact-oracle-expressible.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+             vecCol: String, k: Int, codebook: DataFrame, codeCol: String,
+             cbVecCol: String, numSubspaces: Int): DataFrame = {
+    val cb = centroidRows(codebook, codeCol, cbVecCol)
+    require(cb.nonEmpty, "pqTopK: empty codebook")
+    val dims = cb.head._2.length
+    val ds = dims / numSubspaces
+    val enc = pqEncode(corpus, idCol, vecCol, codebook, codeCol, cbVecCol,
+        numSubspaces)
+      .select(col(idCol).as("neighbor_id"),
+        array((0 until numSubspaces).map(m => col(s"code_$m")): _*).as("codes"))
+    val q = (0 until numSubspaces).foldLeft(
+      queries.select(col(idCol).as("query_id"), col(vecCol))) { (df, m) =>
+      val sub = cb.map { case (code, v) => (code, v.slice(m * ds, (m + 1) * ds)) }
+      // distance table as a code->distance map literal lookup
+      val dists = centroidDistances(slice(col(vecCol), m * ds + 1, ds), sub)
+      df.withColumn(s"__dt_$m",
+        map_from_arrays(
+          transform(dists, s => s.getField("cell")),
+          transform(dists, s => s.getField("d"))))
+    }
+    val scored = q.crossJoin(enc)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round((0 until numSubspaces).map(m =>
+            element_at(col(s"__dt_$m"), element_at(col("codes"), m + 1)))
+          .reduce(_ + _), 6).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, minSim: Double): DataFrame = {
     val v = vectors

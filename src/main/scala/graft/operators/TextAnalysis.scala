@@ -786,4 +786,75 @@ object TextAnalysis {
       "redacted_text" ->
         s"regexp_replace(regexp_replace(regexp_replace($textExpr, '$e', '<PII>', 'g'), '$p', '<PII>', 'g'), '$i', '<PII>', 'g')")
   }
+
+  /** t16 — EXACT frequent tokens at scale via a Misra-Gries candidate pass
+    * + exact verify. Returns every token whose corpus count is at least
+    * `ceil(total_tokens * num / den)` (the fraction as a rational so the
+    * threshold is exact integer arithmetic on both engines), with its
+    * exact count.
+    *
+    * The naive plan shuffles EVERY token occurrence to count it — at
+    * 100 TB that is a full-corpus shuffle for a result of a few hundred
+    * rows. Here each partition instead streams its tokens through a
+    * Misra-Gries summary of capacity `ceil(den/num)` (classic guarantee:
+    * any token with partition count >= partition_size/capacity survives;
+    * by averaging, any token with GLOBAL count >= total/capacity survives
+    * in at least one partition — and `threshold >= total/capacity`, so the
+    * candidate union is a superset of every qualifying token). The exact
+    * count then runs only over occurrences of candidate tokens — a
+    * broadcast semi-join keeps the shuffle proportional to the heavy
+    * tokens, not the corpus. Candidates are bounded by
+    * `capacity * numPartitions`. Output is exact (the verify pass kills
+    * MG's overcounted candidates), so the DuckDB twin is a plain
+    * GROUP BY / HAVING.
+    */
+  def heavyHitters(df: DataFrame, textCol: String,
+                   num: Long = 1, den: Long = 512): DataFrame = {
+    require(num > 0 && den >= num, s"fraction num/den must be in (0,1]: $num/$den")
+    val capacity = ((den + num - 1) / num).toInt
+    val toks = df
+      .select(explode(tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val candidates = toks.as[String].mapPartitions { it =>
+      val counts = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { t =>
+        counts.get(t) match {
+          case Some(c) => counts.update(t, c + 1)
+          case None if counts.size < capacity => counts.update(t, 1L)
+          case None =>
+            // decrement-all step: every tracked count drops by one,
+            // zeros evicted (the incoming token is absorbed by the step)
+            val keys = counts.keysIterator.toArray
+            var i = 0
+            while (i < keys.length) {
+              val c = counts(keys(i)) - 1
+              if (c == 0L) counts.remove(keys(i)) else counts.update(keys(i), c)
+              i += 1
+            }
+        }
+      }
+      counts.keysIterator
+    }.toDF("token").distinct()
+    val threshold =
+      (toks.agg(count(lit(1))).head().getLong(0) * num + den - 1) / den
+    toks.join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+  }
+
+  /** DuckDB twin of [[heavyHitters]]: the exact definition the candidate
+    * pass approximates a superset of — GROUP BY with the same rational
+    * ceil threshold. `docsRel` is a relation exposing `textExpr`. */
+  def heavyHittersSql(docsRel: String, textExpr: String,
+                      num: Long = 1, den: Long = 512): String =
+    s"""WITH t AS (
+       |  SELECT unnest(string_split_regex(lower($textExpr), '\\s+')) AS token
+       |  FROM $docsRel),
+       |c AS (
+       |  SELECT token, count(*) AS cnt FROM t WHERE len(token) > 0 GROUP BY 1)
+       |SELECT token, cnt FROM c
+       |WHERE cnt >= (SELECT (sum(cnt) * $num + ${den - 1}) // $den FROM c)""".stripMargin
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multi-source daily fusion operators (SURVEY.md §2.3 J1-J11, §2.7 U1-U2).
@@ -78,4 +79,65 @@ object Unify {
       broadcast(segments),
       col(dateCol) >= col(startCol) && col(dateCol) <= col(endCol),
       "left")
+
+  /** J12 — as-of join: for every `left` row attach the `right` row with the
+    * same key and the nearest `rightTs` at-or-before `leftTs` ("backward",
+    * the default) or at-or-after it ("forward"), optionally only when the
+    * match is within `toleranceSecs` (measured on floored epoch seconds, so
+    * a SQL twin using `epoch_us(ts) // 1000000` agrees exactly).
+    *
+    * Spark has no native as-of join and the naive range-join formulation
+    * (`l.key = r.key AND l.ts >= r.ts` + rank) explodes into a per-key
+    * cartesian before the rank prunes it. This is the scale-safe
+    * union-merge plan instead: tag both sides, union, and take
+    * `last(payload, ignoreNulls)` over a (key, ts, side) window — ONE
+    * shuffle on the key columns, per-row state O(1), no pair blowup
+    * regardless of how many right rows precede a left row. At equal
+    * timestamps the right row sorts before the left row, so the match is
+    * inclusive (DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics).
+    *
+    * `right` must be unique per (keys, rightTs) — pre-aggregate otherwise
+    * (ties would make the attachment order-dependent). Output: all `left`
+    * columns, then `valueCols` from the matched right row (null when no
+    * match), then the matched right timestamp as `matchedTsCol`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, valueCols: Seq[String],
+               toleranceSecs: Option[Long] = None,
+               direction: String = "backward",
+               matchedTsCol: String = "asof_ts"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val ordCol = "__asof_ord"; val sideCol = "__asof_side"; val payCol = "__asof_pay"
+    val payload = struct(
+      col(rightTs).as(matchedTsCol) +: valueCols.map(col): _*)
+    val rSel = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as(ordCol), lit(0).as(sideCol),
+        payload.as(payCol)): _*)
+    val payType = rSel.schema(payCol).dataType
+    val lSel = left
+      .withColumn(ordCol, col(leftTs))
+      .withColumn(sideCol, lit(1))
+      .withColumn(payCol, lit(null).cast(payType))
+    val ordering =
+      if (direction == "backward") Seq(col(ordCol).asc, col(sideCol).asc)
+      else Seq(col(ordCol).desc, col(sideCol).asc)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val attached = lSel.unionByName(rSel, allowMissingColumns = true)
+      .withColumn(payCol, last(col(payCol), ignoreNulls = true).over(w))
+      .filter(col(sideCol) === 1)
+    val gated = toleranceSecs match {
+      case None => attached
+      case Some(t) =>
+        val m = col(payCol).getField(matchedTsCol).cast("long")
+        val l = col(leftTs).cast("long")
+        val delta = if (direction == "backward") l - m else m - l
+        attached.withColumn(payCol, when(delta <= t, col(payCol)))
+    }
+    gated.select(
+      left.columns.map(col).toIndexedSeq ++
+        valueCols.map(v => col(payCol).getField(v).as(v)) :+
+        col(payCol).getField(matchedTsCol).as(matchedTsCol): _*)
+  }
 }

@@ -294,7 +294,35 @@ object EventQueries {
       counts.select(col("label"), col("tp"), col("fp"), col("fn"),
         round(p, 6).as("precision"), round(r, 6).as("recall"),
         round(when(p + r > 0, lit(2) * p * r / (p + r)).otherwise(0.0), 6).as("f1"))
-    }))
+    }),
+
+    // J12: as-of join — attach the most recent at-or-before purchase of the
+    // same user (within 1 day) to every event. The right side is
+    // pre-aggregated to unique (user, ts) so the backward match is
+    // deterministic; staleness is floored-epoch-second arithmetic on both
+    // engines. Union-merge plan: one shuffle on user_id, no range blowup.
+    "j12_asof" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(round(max("value"), 6).as("pv"))
+      Unify.asofJoin(
+          e.select("event_id", "user_id", "ts", "event_type"), purchases,
+          Seq("user_id"), "ts", "ts", Seq("pv"), toleranceSecs = Some(86400L))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("pv").as("last_purchase"),
+          (col("ts").cast("long") - col("asof_ts").cast("long"))
+            .as("purchase_age_s"))
+    }),
+
+    // E3: weekly cohort retention — users cohorted by first-seen week,
+    // distinct-active counts per (cohort_week, week_offset).
+    "e3_retention" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(ev(s, dir), "user_id", "ts")),
+
+    // E4: strict-order funnel view -> click -> purchase per user.
+    "e4_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(ev(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))))
 
   def oracles: Map[String, String] = Map(
     "a2_daily_stats" ->
@@ -721,5 +749,55 @@ object EventQueries {
         |           / ((CASE WHEN tp + fp > 0 THEN tp / CAST(tp + fp AS DOUBLE) ELSE 0.0 END)
         |           + (CASE WHEN tp + fn > 0 THEN tp / CAST(tp + fn AS DOUBLE) ELSE 0.0 END))
         |    ELSE 0.0 END, 6) AS f1
-        |FROM counts""".stripMargin)
+        |FROM counts""".stripMargin,
+
+    // DuckDB has a NATIVE ASOF JOIN (inclusive at equality, like the
+    // union-merge plan's side ordering) — the twin states the semantics
+    // directly; the 1-day tolerance is the same post-match gate on floored
+    // epoch seconds as the Spark side.
+    "j12_asof" ->
+      """WITH p AS (
+        |  SELECT user_id, ts, round(max(value), 6) AS pv
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  CASE WHEN epoch_us(e.ts) // 1000000 - epoch_us(p.ts) // 1000000 <= 86400
+        |    THEN p.pv END AS last_purchase,
+        |  CASE WHEN epoch_us(e.ts) // 1000000 - epoch_us(p.ts) // 1000000 <= 86400
+        |    THEN epoch_us(e.ts) // 1000000 - epoch_us(p.ts) // 1000000
+        |  END AS purchase_age_s
+        |FROM events e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts >= p.ts""".stripMargin,
+
+    "e3_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_date
+        |  FROM events GROUP BY 1),
+        |sz AS (
+        |  SELECT CAST(date_trunc('week', first_date) AS DATE) AS cohort_week,
+        |    count(*) AS cohort_n
+        |  FROM f GROUP BY 1),
+        |active AS (
+        |  SELECT DISTINCT CAST(date_trunc('week', f.first_date) AS DATE) AS cohort_week,
+        |    date_diff('day', f.first_date, CAST(e.ts AS DATE)) // 7 AS week_offset,
+        |    e.user_id
+        |  FROM events e JOIN f USING (user_id))
+        |SELECT a.cohort_week, a.week_offset, count(*) AS n_active,
+        |  round(count(*) / CAST(s.cohort_n AS DOUBLE), 6) AS retention
+        |FROM active a JOIN sz s USING (cohort_week)
+        |GROUP BY a.cohort_week, a.week_offset, s.cohort_n""".stripMargin,
+
+    "e4_funnel" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin)
 }

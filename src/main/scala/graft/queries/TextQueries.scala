@@ -203,6 +203,31 @@ object TextQueries {
           element_at(col("qvec"), 4).as("q3"),
           col("recon_cos"))),
 
+    // Product quantization (sim6): the vec_id<16 embeddings stand in for
+    // a stored 16-code codebook sliced into 4 subspaces of 16 dims; every
+    // vector encodes to 4 codes via per-subspace round-6 L2^2 argmin plus
+    // the summed quantization error. Zero-shuffle literal evaluation
+    // (sim5 plan shape), exact DuckDB twin.
+    "sim6_pq_encode" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqEncode(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        numSubspaces = 4)
+    }),
+
+    // ADC top-k over the PQ codes (sim6 serving): per-query distance
+    // tables against the codebook, corpus items scored by 4 table lookups
+    // at their codes — the classic PQ scan; queries bounded (vec_id<20)
+    // like sim1's brute-force contract, IVFADC composition documented for
+    // corpus scale.
+    "sim6_pq_adc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", 5,
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        numSubspaces = 4)
+    }),
+
     // Recall-at-k of both ANN SERVING paths vs the exact baseline, as a
     // first-class artifact row. Both arms are deterministic — the LSH arm
     // is sim2's SHA-derived pipeline, the IVF arm is sim3_assign's
@@ -404,6 +429,13 @@ object TextQueries {
     // n=3 and n=5 (t10 covers tokens + bigrams).
     "t15_ngram_coverage" -> ((s, dir) =>
       TextAnalysis.ngramRepetition(Tables.documents(s, dir), "doc_id", "text")),
+
+    // Exact frequent tokens via Misra-Gries candidates + exact verify:
+    // the shuffle is proportional to heavy-token occurrences, not the
+    // corpus, and the verify pass makes the output exactly GROUP BY /
+    // HAVING (so the twin is the plain definition).
+    "t16_heavy_hitters" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.documents(s, dir), "text")),
 
     // Cross-fit LM perplexity (the full ccnet shape): unigram model fit
     // on the 'en' reference slice only, every document scored against it
@@ -804,6 +836,69 @@ object TextQueries {
           |SELECT vec_id, cell, cell_dist FROM assigned
           |WHERE vec_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin,
 
+      // sim6 twins: the per-(vector, subspace, code) distance CTE is the
+      // sim5 round-6 L2^2 arithmetic on list SLICES; encode = argmin per
+      // (vector, subspace) with ties to the smallest code.
+      "sim6_pq_encode" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cb AS (SELECT vec_id AS code, e AS c FROM v WHERE vec_id < 16),
+          |sub AS (SELECT unnest(range(4)) AS m),
+          |d AS (
+          |  SELECT b.vec_id, s.m, c.code,
+          |    round(list_inner_product(b.e[s.m*16+1 : s.m*16+16], b.e[s.m*16+1 : s.m*16+16])
+          |      - 2 * list_inner_product(b.e[s.m*16+1 : s.m*16+16], c.c[s.m*16+1 : s.m*16+16])
+          |      + list_inner_product(c.c[s.m*16+1 : s.m*16+16], c.c[s.m*16+1 : s.m*16+16]), 6) AS d
+          |  FROM v b CROSS JOIN cb c CROSS JOIN sub s),
+          |enc AS (
+          |  SELECT vec_id, m, code, d FROM (
+          |    SELECT vec_id, m, code, d,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+          |    FROM d) WHERE rn = 1)
+          |SELECT vec_id,
+          |  max(CASE WHEN m = 0 THEN code END) AS code_0,
+          |  max(CASE WHEN m = 1 THEN code END) AS code_1,
+          |  max(CASE WHEN m = 2 THEN code END) AS code_2,
+          |  max(CASE WHEN m = 3 THEN code END) AS code_3,
+          |  round(sum(d), 6) AS recon_l2
+          |FROM enc GROUP BY vec_id""".stripMargin,
+
+      // ADC: corpus codes from the encode CTEs, query distance tables from
+      // the same distance CTE restricted to query ids, approximate
+      // distance = sum of the per-subspace table entries at the corpus
+      // item's codes.
+      "sim6_pq_adc" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cb AS (SELECT vec_id AS code, e AS c FROM v WHERE vec_id < 16),
+          |sub AS (SELECT unnest(range(4)) AS m),
+          |d AS (
+          |  SELECT b.vec_id, s.m, c.code,
+          |    round(list_inner_product(b.e[s.m*16+1 : s.m*16+16], b.e[s.m*16+1 : s.m*16+16])
+          |      - 2 * list_inner_product(b.e[s.m*16+1 : s.m*16+16], c.c[s.m*16+1 : s.m*16+16])
+          |      + list_inner_product(c.c[s.m*16+1 : s.m*16+16], c.c[s.m*16+1 : s.m*16+16]), 6) AS d
+          |  FROM v b CROSS JOIN cb c CROSS JOIN sub s),
+          |enc AS (
+          |  SELECT vec_id, m, code FROM (
+          |    SELECT vec_id, m, code,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+          |    FROM d) WHERE rn = 1),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+          |    round(sum(q.d), 6) AS adist
+          |  FROM enc JOIN (SELECT * FROM d WHERE vec_id < 20) q
+          |    ON enc.m = q.m AND enc.code = q.code
+          |  WHERE q.vec_id <> enc.vec_id
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, adist,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, adist, CAST(rk AS BIGINT) AS rk
+          |FROM ranked WHERE rk <= 5""".stripMargin,
+
       "sim5_ivf_assign" ->
         """WITH v AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1076,6 +1171,9 @@ object TextQueries {
 
       "t15_ngram_coverage" ->
         TextAnalysis.ngramRepetitionSql("doc_id", "text"),
+
+      "t16_heavy_hitters" ->
+        TextAnalysis.heavyHittersSql("documents", "text"),
 
       // t14 twin: model CTEs over the 'en' slice, LEFT attach with the
       // count-0 coalesce for OOV, exp(-rounded avg) so both engines

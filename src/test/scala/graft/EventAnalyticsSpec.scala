@@ -1,0 +1,141 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import graft.operators.{EventAnalytics, TextAnalysis, Unify}
+
+/** As-of join (J12), cohort retention / funnel (E3/E4), and exact heavy
+  * hitters (t16) — semantics pinned on crafted fixtures where the expected
+  * rows are hand-computable.
+  */
+class EventAnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    // (key, ts, px) — the right side; unique per (key, ts)
+    ("a", ts("2024-01-01 10:00:00"), 1.0),
+    ("a", ts("2024-01-01 10:00:10"), 2.0),
+    ("a", ts("2024-01-01 10:05:00"), 3.0),
+    ("b", ts("2024-01-01 09:00:00"), 9.0)
+  ).toDF("k", "rts", "px")
+
+  private lazy val trades = Seq(
+    ("a", ts("2024-01-01 09:59:59"), 1L), // before any quote
+    ("a", ts("2024-01-01 10:00:10"), 2L), // equal ts -> inclusive match
+    ("a", ts("2024-01-01 10:04:00"), 3L), // between quotes
+    ("a", ts("2024-01-01 11:00:00"), 4L), // long after the last quote
+    ("b", ts("2024-01-01 09:00:01"), 5L),
+    ("c", ts("2024-01-01 12:00:00"), 6L) // key with no right rows
+  ).toDF("k", "ts", "id")
+
+  test("asofJoin backward: nearest at-or-before, inclusive at equality") {
+    val out = Unify.asofJoin(trades, quotes, Seq("k"), "ts", "rts", Seq("px"))
+      .select("id", "px").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> Some(2.0), 4L -> Some(3.0),
+      5L -> Some(9.0), 6L -> None))
+  }
+
+  test("asofJoin forward: nearest at-or-after") {
+    val out = Unify.asofJoin(trades, quotes, Seq("k"), "ts", "rts", Seq("px"),
+        direction = "forward")
+      .select("id", "px").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out === Map(
+      1L -> Some(1.0), 2L -> Some(2.0), 3L -> Some(3.0), 4L -> None,
+      5L -> None, 6L -> None))
+  }
+
+  test("asofJoin tolerance nulls stale matches but keeps fresh ones") {
+    val out = Unify.asofJoin(trades, quotes, Seq("k"), "ts", "rts", Seq("px"),
+        toleranceSecs = Some(60L))
+      .select("id", "px").collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // id=4 matched px=3.0 at 10:05:00, 55 min stale -> nulled; id=3 is 230s
+    // stale -> also nulled; id=2 exact match survives.
+    assert(out === Map(
+      1L -> None, 2L -> Some(2.0), 3L -> None, 4L -> None,
+      5L -> Some(9.0), 6L -> None))
+  }
+
+  test("asofJoin preserves left row count and attaches matched ts") {
+    val out = Unify.asofJoin(trades, quotes, Seq("k"), "ts", "rts", Seq("px"))
+    assert(out.count() === trades.count())
+    val m = out.filter(col("id") === 4L).select("asof_ts").head()
+    assert(m.getTimestamp(0) === ts("2024-01-01 10:05:00"))
+  }
+
+  test("retentionCohorts: offset 0 holds the whole cohort; fractions exact") {
+    val events = Seq(
+      // cohort week of Mon 2024-01-01: u1 (active wk0+wk1), u2 (wk0 only)
+      (1L, ts("2024-01-02 10:00:00")), (1L, ts("2024-01-09 10:00:00")),
+      (2L, ts("2024-01-03 10:00:00")),
+      // cohort week of Mon 2024-01-08: u3
+      (3L, ts("2024-01-10 10:00:00")), (3L, ts("2024-01-18 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.retentionCohorts(events, "user_id", "ts")
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      ("2024-01-01", 0L) -> (2L, 1.0),
+      ("2024-01-01", 1L) -> (1L, 0.5),
+      ("2024-01-08", 0L) -> (1L, 1.0),
+      ("2024-01-08", 1L) -> (1L, 1.0)))
+  }
+
+  test("funnel: strict order required, each step after the previous") {
+    val events = Seq(
+      // u1 completes the funnel in order
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:01:00"), "click"),
+      (1L, ts("2024-01-01 10:02:00"), "buy"),
+      // u2 clicks BEFORE viewing -> click doesn't count; no buy
+      (2L, ts("2024-01-01 10:00:00"), "click"),
+      (2L, ts("2024-01-01 10:01:00"), "view"),
+      // u3 views then buys without clicking -> stops at view
+      (3L, ts("2024-01-01 10:00:00"), "view"),
+      (3L, ts("2024-01-01 10:01:00"), "buy"),
+      // u4 clicks twice: first click pre-view, second counts
+      (4L, ts("2024-01-01 09:00:00"), "click"),
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-01 11:00:00"), "click")
+    ).toDF("user_id", "ts", "et")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "et",
+        Seq("view", "click", "buy"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 4L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("heavyHitters is exact vs plain groupBy at the threshold boundary") {
+    // 64 tokens of "hot", plus 60 distinct cold tokens, num/den=1/2 ->
+    // threshold = ceil(124/2) = 62: only "hot" qualifies. Spread over
+    // partitions so Misra-Gries summaries must merge across partitions.
+    val docs = ((1 to 64).map(_ => "hot") ++ (1 to 60).map(i => s"cold$i"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").repartition(7)
+    val out = TextAnalysis.heavyHitters(docs, "text", num = 1, den = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("hot" -> 64L))
+  }
+
+  test("heavyHitters matches exact counts on skewed multi-token docs") {
+    val docs = (1 to 200).map { i =>
+      val body =
+        if (i % 2 == 0) "alpha beta alpha"
+        else s"alpha gamma$i delta${i % 5}"
+      (i.toLong, body)
+    }.toDF("doc_id", "text").repartition(5)
+    val got = TextAnalysis.heavyHitters(docs, "text", num = 1, den = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docs.select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(length(col("t")) > 0)
+    val total = toks.count()
+    val threshold = (total * 1 + 9) / 10
+    val expected = toks.groupBy("t").count()
+      .filter(col("count") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(got.contains("alpha"))
+  }
+}

@@ -176,6 +176,27 @@ class PlanSpec extends SparkTestBase {
     assert(n === sigs.select("sig").distinct().count() && n <= (1L << 16))
   }
 
+  test("j12: as-of join is the union-merge plan — no join operator, no pair blowup") {
+    // The naive as-of formulation is a range join (per-key cartesian +
+    // rank). The union-merge plan must contain NO join at all: one window
+    // over the unioned sides, hash-partitioned by the key.
+    val plan = planOf("j12_asof")
+    assert(!plan.contains("Join"),
+      s"as-of degenerated to a join:\n${plan.take(800)}")
+    assert(plan.contains("Window"), "expected the merge window")
+    assert(plan.contains("Union"), "expected the two-sided union")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    // one shuffle for the right-side (user, ts) pre-agg + one for the
+    // merge window — anything more means the union-merge contract broke
+    assert(exchanges <= 2, s"as-of join shuffles $exchanges times:\n${plan.take(800)}")
+  }
+
+  test("t16: exact counting runs only over broadcast-semi-joined candidates") {
+    val plan = planOf("t16_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"candidate prune is not a broadcast semi-join:\n${plan.take(800)}")
+  }
+
   test("scan prunes columns to the read schema") {
     val plan = planOf("f10_pushdown_scan")
     // only the needed lineitem columns should be read
