@@ -43,6 +43,33 @@ object EventAnalytics {
         round(col("n_active").cast("double") / col("cohort_n"), 6).as("retention"))
   }
 
+  /** Rolling active users: per event date, the exact distinct-user count
+    * that day (DAU), over the trailing `windowDays` window (WAU), and
+    * their ratio (stickiness). Exact distinct over a sliding window has
+    * no window-function form (count distinct isn't windowable) and the
+    * naive self-join explodes by the window in ROWS; instead each
+    * (user, day) contributes to the `windowDays` window-END dates it can
+    * be active in — a BOUNDED explode (× windowDays) followed by plain
+    * distinct + count equi-shuffles, so the plan scales linearly in the
+    * event-day table at any corpus size. Only dates that actually occur
+    * in the data are emitted (inner join with the DAU frame).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    val days = events
+      .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
+    val dau = days.groupBy(col("d").as("date")).agg(count(lit(1)).as("dau"))
+    val wau = days
+      .select(col("u"),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("o"), col("d"))
+      .select(col("u"), date_add(col("d"), col("o")).as("date"))
+      .distinct()
+      .groupBy("date").agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("date"))
+      .select(col("date"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
   /** Ordered funnel: how many users performed `steps` in strict timestamp
     * order (each step strictly after their earliest qualifying occurrence
     * of the previous step). One row per step with the surviving user count.

@@ -322,7 +322,12 @@ object EventQueries {
     // E4: strict-order funnel view -> click -> purchase per user.
     "e4_funnel" -> ((s, dir) =>
       EventAnalytics.funnel(ev(s, dir), "user_id", "ts", "event_type",
-        Seq("view", "click", "purchase"))))
+        Seq("view", "click", "purchase"))),
+
+    // E5: exact DAU / trailing-7d WAU / stickiness per day via the
+    // bounded contribution-explode (no windowed count-distinct exists).
+    "e5_active_users" -> ((s, dir) =>
+      EventAnalytics.rollingActiveUsers(ev(s, dir), "user_id", "ts")))
 
   def oracles: Map[String, String] = Map(
     "a2_daily_stats" ->
@@ -799,5 +804,18 @@ object EventQueries {
         |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
         |  (SELECT count(*) FROM s0) AS n_users
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
-        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin,
+
+    "e5_active_users" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |dau AS (SELECT d AS date, count(*) AS dau FROM days GROUP BY 1),
+        |offs AS (SELECT unnest(range(7)) AS o),
+        |contrib AS (
+        |  SELECT DISTINCT u, d + CAST(o AS INT) AS date
+        |  FROM days CROSS JOIN offs),
+        |wau AS (SELECT date, count(*) AS wau FROM contrib GROUP BY 1)
+        |SELECT dau.date, dau.dau, wau.wau,
+        |  round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
+        |FROM dau JOIN wau USING (date)""".stripMargin)
 }

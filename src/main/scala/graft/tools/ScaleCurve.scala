@@ -46,9 +46,10 @@ object ScaleCurve {
     "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
     "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
-    "t14_lm_crossppl", "t15_ngram_coverage",
+    "t14_lm_crossppl", "t15_ngram_coverage", "t16_heavy_hitters",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
-    "sim5_ivf_assign", "e2e_corpus_assembly")
+    "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc",
+    "e2e_corpus_assembly")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

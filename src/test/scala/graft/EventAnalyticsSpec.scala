@@ -84,6 +84,24 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-08", 1L) -> (1L, 1.0)))
   }
 
+  test("rollingActiveUsers: exact DAU/WAU, window trailing, real dates only") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-05 10:00:00")),
+      (3L, ts("2024-01-10 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.rollingActiveUsers(events, "user_id", "ts", 7)
+      .collect().map(r => r.getDate(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+    // Jan 1: dau {1,2}, wau window [Dec26..Jan1] = {1,2}
+    // Jan 5: dau {1}, wau [Dec30..Jan5] = {1,2}
+    // Jan 10: dau {3}, wau [Jan4..Jan10] = {1,3} (Jan-1 activity aged out)
+    assert(out === Map(
+      "2024-01-01" -> (2L, 2L),
+      "2024-01-05" -> (1L, 2L),
+      "2024-01-10" -> (1L, 2L)))
+  }
+
   test("funnel: strict order required, each step after the previous") {
     val events = Seq(
       // u1 completes the funnel in order
