@@ -80,6 +80,47 @@ object Unify {
       col(dateCol) >= col(startCol) && col(dateCol) <= col(endCol),
       "left")
 
+  /** J13 — interval overlap join: all (a, b) pairs whose time intervals
+    * `[aStart, aEnd]` and `[bStart, bEnd]` overlap (inclusive ends).
+    * Spark has no native interval join — the naive `ON a.s <= b.e AND
+    * b.s <= a.e` is a nested-loop product over the whole input. This is
+    * the bucketed formulation instead: every interval replicates to the
+    * fixed-width time buckets it spans, candidates meet in a bucket
+    * EQUI-join, the exact overlap predicate filters them, and each
+    * qualifying pair is kept only in its "responsibility bucket" —
+    * `floor(max(aStart, bStart) / W)`, the first bucket where both are
+    * present — so no pair ever emits twice and no distinct shuffle is
+    * needed.
+    *
+    * Scale contract: replication per interval is `len/W + 1` buckets —
+    * pick `bucketSecs` near the typical interval length (the classic
+    * binned spatial-join sizing); candidate volume per bucket is governed
+    * by interval density per bucket, never the table sizes. Timestamps
+    * are compared on floored epoch seconds (`cast long`), matching a SQL
+    * twin's `epoch_us(ts) // 1000000` arithmetic exactly.
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame,
+                   aStart: String, aEnd: String,
+                   bStart: String, bEnd: String,
+                   bucketSecs: Long): DataFrame = {
+    require(bucketSecs > 0, "bucketSecs must be positive")
+    def bucketed(df: DataFrame, s: String, e: String): DataFrame = {
+      val lo = floor(col(s).cast("long") / bucketSecs)
+      val hi = floor(col(e).cast("long") / bucketSecs)
+      df.withColumn("__ij_bkt", explode(sequence(lo, hi)))
+    }
+    val ab = bucketed(a, aStart, aEnd)
+    val bb = bucketed(b, bStart, bEnd)
+      .withColumnRenamed("__ij_bkt", "__ij_bkt_b")
+    ab.join(bb, col("__ij_bkt") === col("__ij_bkt_b"))
+      .filter(col(aStart).cast("long") <= col(bEnd).cast("long") &&
+        col(bStart).cast("long") <= col(aEnd).cast("long"))
+      .filter(col("__ij_bkt") ===
+        floor(greatest(col(aStart).cast("long"), col(bStart).cast("long")) /
+          bucketSecs))
+      .drop("__ij_bkt", "__ij_bkt_b")
+  }
+
   /** J12 — as-of join: for every `left` row attach the `right` row with the
     * same key and the nearest `rightTs` at-or-before `leftTs` ("backward",
     * the default) or at-or-after it ("forward"), optionally only when the

@@ -327,7 +327,24 @@ object EventQueries {
     // E5: exact DAU / trailing-7d WAU / stickiness per day via the
     // bounded contribution-explode (no windowed count-distinct exists).
     "e5_active_users" -> ((s, dir) =>
-      EventAnalytics.rollingActiveUsers(ev(s, dir), "user_id", "ts")))
+      EventAnalytics.rollingActiveUsers(ev(s, dir), "user_id", "ts")),
+
+    // J13: interval overlap join — per-user daily activity spans x
+    // per-type daily spans, matched on overlap via the bucketed
+    // equi-join (responsibility-bucket dedupe, no distinct). Day-wide
+    // intervals -> day-wide buckets: <=2 replicas per interval.
+    "j13_interval_join" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val a = e.groupBy(col("user_id"), to_date(col("ts")).as("a_date"))
+        .agg(min("ts").as("a_s"), max("ts").as("a_e"))
+      val b = e.groupBy(col("event_type"), to_date(col("ts")).as("b_date"))
+        .agg(min("ts").as("b_s"), max("ts").as("b_e"))
+      Unify.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e", 86400L)
+        .select(col("user_id"), col("event_type"), col("a_date").as("date"),
+          (least(col("a_e").cast("long"), col("b_e").cast("long")) -
+            greatest(col("a_s").cast("long"), col("b_s").cast("long")))
+            .as("overlap_secs"))
+    }))
 
   def oracles: Map[String, String] = Map(
     "a2_daily_stats" ->
@@ -817,5 +834,23 @@ object EventQueries {
         |wau AS (SELECT date, count(*) AS wau FROM contrib GROUP BY 1)
         |SELECT dau.date, dau.dau, wau.wau,
         |  round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
-        |FROM dau JOIN wau USING (date)""".stripMargin)
+        |FROM dau JOIN wau USING (date)""".stripMargin,
+
+    // The twin states the overlap contract as the plain range-predicate
+    // join the bucketed plan replaces; spans are floored-epoch-second
+    // min/max, matching intervalJoin's cast-long comparisons.
+    "j13_interval_join" ->
+      """WITH a AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS a_date,
+        |    min(epoch_us(ts) // 1000000) AS a_s,
+        |    max(epoch_us(ts) // 1000000) AS a_e
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS b_date,
+        |    min(epoch_us(ts) // 1000000) AS b_s,
+        |    max(epoch_us(ts) // 1000000) AS b_e
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.user_id, b.event_type, a.a_date AS date,
+        |  least(a.a_e, b.b_e) - greatest(a.a_s, b.b_s) AS overlap_secs
+        |FROM a JOIN b ON a.a_s <= b.b_e AND b.b_s <= a.a_e""".stripMargin)
 }

@@ -84,6 +84,30 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-08", 1L) -> (1L, 1.0)))
   }
 
+  test("intervalJoin: overlap pairs exact-once across buckets, inclusive ends") {
+    // bucket = 100s; intervals span 1-3 buckets so the responsibility
+    // rule is exercised (a pair meeting in several buckets must emit once)
+    val a = Seq(
+      (1L, 50L, 250L),   // spans buckets 0..2
+      (2L, 300L, 310L),  // bucket 3
+      (3L, 400L, 450L)   // bucket 4
+    ).toDF("aid", "s", "e")
+      .select(col("aid"), col("s").cast("timestamp").as("a_s"),
+        col("e").cast("timestamp").as("a_e"))
+    val b = Seq(
+      (10L, 0L, 260L),   // overlaps a1 in buckets 0,1,2 -> one row
+      (11L, 250L, 300L), // touches a1 at 250 and a2 at 300 (inclusive)
+      (12L, 460L, 500L)  // overlaps nothing
+    ).toDF("bid", "s", "e")
+      .select(col("bid"), col("s").cast("timestamp").as("b_s"),
+        col("e").cast("timestamp").as("b_e"))
+    val pairs = graft.operators.Unify.intervalJoin(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucketSecs = 100L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length === pairs.distinct.length, "pair emitted twice")
+    assert(pairs.toSet === Set((1L, 10L), (1L, 11L), (2L, 11L)))
+  }
+
   test("rollingActiveUsers: exact DAU/WAU, window trailing, real dates only") {
     val events = Seq(
       (1L, ts("2024-01-01 10:00:00")),
