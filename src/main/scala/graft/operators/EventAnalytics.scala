@@ -73,6 +73,8 @@ object EventAnalytics {
   /** Ordered funnel: how many users performed `steps` in strict timestamp
     * order (each step strictly after their earliest qualifying occurrence
     * of the previous step). One row per step with the surviving user count.
+    * With `withinSecs`, later steps must also land within that window of
+    * the user's step-0 anchor time (conversion-window semantics).
     *
     * The classic formulation: stage 0 is `min(ts)` per user over step-0
     * events; stage k joins step-k events to the stage-(k-1) frame on the
@@ -82,17 +84,23 @@ object EventAnalytics {
     * equi-joins on the user key.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
-             typeCol: String, steps: Seq[String]): DataFrame = {
+             typeCol: String, steps: Seq[String],
+             withinSecs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val stages = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
       case (prev, (step, _)) =>
         val hits = events.filter(col(typeCol) === step)
         val reached = prev match {
-          case None => hits.groupBy(userCol).agg(min(col(tsCol)).as("t"))
+          case None =>
+            hits.groupBy(userCol).agg(min(col(tsCol)).as("t"))
+              .withColumn("t0", col("t"))
           case Some(p) =>
-            hits.join(p.withColumnRenamed("t", "prev_t"), Seq(userCol))
-              .filter(col(tsCol) > col("prev_t"))
-              .groupBy(userCol).agg(min(col(tsCol)).as("t"))
+            val gate = withinSecs.fold(lit(true))(w =>
+              col(tsCol).cast("long") <= col("t0").cast("long") + w)
+            hits.join(p.select(col(userCol), col("t").as("prev_t"), col("t0")),
+                Seq(userCol))
+              .filter(col(tsCol) > col("prev_t") && gate)
+              .groupBy(userCol).agg(min(col(tsCol)).as("t"), min("t0").as("t0"))
         }
         Some(reached)
     }.flatten

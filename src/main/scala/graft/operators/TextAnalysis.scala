@@ -845,6 +845,37 @@ object TextAnalysis {
       .filter(col("cnt") >= threshold)
   }
 
+  /** t17 — deterministic corpus split (train/validation/test): every row
+    * is assigned by its portable 28-bit SHA bucket (`sha28(id) %
+    * 1_000_000`) against cumulative parts-per-million thresholds, so the
+    * split is (a) exact integer arithmetic both engines replay, (b)
+    * stable under corpus growth — a doc's split never changes when other
+    * docs arrive, the property random `sample()` loses — and (c) a pure
+    * per-row expression: no shuffle, no sort, whole-stage codegen.
+    * `splits` are (label, ppm) pairs summing to 1,000,000.
+    */
+  def hashSplit(df: DataFrame, idCol: String,
+                splits: Seq[(String, Long)]): DataFrame = {
+    require(splits.map(_._2).sum == 1000000L,
+      s"split ppm must sum to 1000000, got ${splits.map(_._2).sum}")
+    val bucket = pmod(Hashing.sha28(col(idCol)), lit(1000000L))
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val label = splits.zip(cum).foldRight(lit(splits.last._1): Column) {
+      case (((name, _), hi), acc) => when(bucket < hi, name).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
+  /** DuckDB twin select-fragment of [[hashSplit]]'s label for `idExpr`. */
+  def hashSplitSql(idExpr: String, splits: Seq[(String, Long)]): String = {
+    val bucket = s"(${Hashing.sha28Sql(s"CAST($idExpr AS VARCHAR)")} % 1000000)"
+    val cum = splits.scanLeft(0L)(_ + _._2).tail
+    val cases = splits.zip(cum).dropRight(1)
+      .map { case ((name, _), hi) => s"WHEN $bucket < $hi THEN '$name'" }
+      .mkString(" ")
+    s"CASE $cases ELSE '${splits.last._1}' END"
+  }
+
   /** DuckDB twin of [[heavyHitters]]: the exact definition the candidate
     * pass approximates a superset of — GROUP BY with the same rational
     * ceil threshold. `docsRel` is a relation exposing `textExpr`. */

@@ -329,6 +329,12 @@ object EventQueries {
     "e5_active_users" -> ((s, dir) =>
       EventAnalytics.rollingActiveUsers(ev(s, dir), "user_id", "ts")),
 
+    // E4b: the same funnel under a 6-hour conversion window anchored at
+    // the user's first view.
+    "e4_funnel_windowed" -> ((s, dir) =>
+      EventAnalytics.funnel(ev(s, dir), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), withinSecs = Some(21600L))),
+
     // J13: interval overlap join — per-user daily activity spans x
     // per-type daily spans, matched on overlap via the bucketed
     // equi-join (responsibility-bucket dedupe, no distinct). Day-wide
@@ -835,6 +841,26 @@ object EventQueries {
         |SELECT dau.date, dau.dau, wau.wau,
         |  round(dau.dau / CAST(wau.wau AS DOUBLE), 6) AS stickiness
         |FROM dau JOIN wau USING (date)""".stripMargin,
+
+    "e4_funnel_windowed" ->
+      """WITH s0 AS (
+        |  SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (
+        |  SELECT e.user_id, min(e.ts) AS t, min(s0.t0) AS t0
+        |  FROM events e JOIN s0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t
+        |    AND epoch_us(e.ts) // 1000000 <= epoch_us(s0.t0) // 1000000 + 21600
+        |  GROUP BY 1),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t
+        |    AND epoch_us(e.ts) // 1000000 <= epoch_us(s1.t0) // 1000000 + 21600
+        |  GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS step_idx, 'view' AS step,
+        |  (SELECT count(*) FROM s0) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin,
 
     // The twin states the overlap contract as the plain range-predicate
     // join the bucketed plan replaces; spans are floored-epoch-second

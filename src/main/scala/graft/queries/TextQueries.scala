@@ -437,6 +437,13 @@ object TextQueries {
     "t16_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), "text")),
 
+    // Deterministic 90/5/5 train/val/test split by portable SHA bucket —
+    // stable under corpus growth, pure per-row expression.
+    "t17_hash_split" -> ((s, dir) =>
+      TextAnalysis.hashSplit(Tables.documents(s, dir), "doc_id",
+          Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+        .select("doc_id", "lang", "split")),
+
     // Cross-fit LM perplexity (the full ccnet shape): unigram model fit
     // on the 'en' reference slice only, every document scored against it
     // (OOV tokens take the smoothed floor), ppl = exp(-avg_logp).
@@ -1174,6 +1181,12 @@ object TextQueries {
 
       "t16_heavy_hitters" ->
         TextAnalysis.heavyHittersSql("documents", "text"),
+
+      "t17_hash_split" -> {
+        val label = TextAnalysis.hashSplitSql("doc_id",
+          Seq("train" -> 900000L, "val" -> 50000L, "test" -> 50000L))
+        s"SELECT doc_id, lang, $label AS split FROM documents"
+      },
 
       // t14 twin: model CTEs over the 'en' slice, LEFT attach with the
       // count-0 coalesce for OOV, exp(-rounded avg) so both engines

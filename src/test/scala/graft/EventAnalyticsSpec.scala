@@ -84,6 +84,59 @@ class EventAnalyticsSpec extends SparkTestBase {
       ("2024-01-08", 1L) -> (1L, 1.0)))
   }
 
+  test("asofJoin == naive range-join+rank on randomized data (all directions)") {
+    // deterministic pseudo-random fixture: 300 left rows, 120 right rows,
+    // 5 keys, timestamps colliding across sides often (xxhash-derived)
+    val left = spark.range(300).selectExpr(
+      "id", "cast(pmod(xxhash64(id, 'k'), 5) as string) AS k",
+      "timestamp_seconds(1700000000 + pmod(xxhash64(id, 't'), 5000)) AS ts")
+    val right = spark.range(120).selectExpr(
+      "cast(pmod(xxhash64(id, 'rk'), 5) as string) AS k",
+      "timestamp_seconds(1700000000 + pmod(xxhash64(id, 'rt'), 5000)) AS rts",
+      "cast(id as double) AS v")
+      // asofJoin contract: right unique per (key, ts)
+      .groupBy("k", "rts").agg(max("v").as("v"))
+    for (dir <- Seq("backward", "forward")) {
+      val got = Unify.asofJoin(left, right, Seq("k"), "ts", "rts", Seq("v"),
+          direction = dir)
+        .select("id", "v", "asof_ts")
+      // naive oracle: range join + rank (the formulation asofJoin avoids)
+      val cmp = if (dir == "backward") col("rts") <= col("ts")
+                else col("rts") >= col("ts")
+      val ord = if (dir == "backward") col("rts").desc else col("rts").asc
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(ord)
+      val rr = right.withColumnRenamed("k", "rk")
+      val naive = left.join(rr, col("rk") === left("k") && cmp, "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 || col("rts").isNull)
+        .select(col("id"), col("v"), col("rts").as("asof_ts"))
+      assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty,
+        s"asofJoin($dir) diverged from the naive range-join formulation")
+    }
+  }
+
+  test("intervalJoin == naive range join on randomized intervals") {
+    val a = spark.range(150).selectExpr(
+      "id AS aid",
+      "timestamp_seconds(1700000000 + pmod(xxhash64(id, 'as'), 3000)) AS a_s")
+      .selectExpr("aid", "a_s",
+        "a_s + make_interval(0, 0, 0, 0, 0, 0, pmod(xxhash64(aid, 'al'), 250)) AS a_e")
+    val b = spark.range(150).selectExpr(
+      "id AS bid",
+      "timestamp_seconds(1700000000 + pmod(xxhash64(id, 'bs'), 3000)) AS b_s")
+      .selectExpr("bid", "b_s",
+        "b_s + make_interval(0, 0, 0, 0, 0, 0, pmod(xxhash64(bid, 'bl'), 250)) AS b_e")
+    val got = Unify.intervalJoin(a, b, "a_s", "a_e", "b_s", "b_e",
+        bucketSecs = 100L)
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = a.join(b,
+        col("a_s").cast("long") <= col("b_e").cast("long") &&
+        col("b_s").cast("long") <= col("a_e").cast("long"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === naive)
+  }
+
   test("intervalJoin: overlap pairs exact-once across buckets, inclusive ends") {
     // bucket = 100s; intervals span 1-3 buckets so the responsibility
     // rule is exercised (a pair meeting in several buckets must emit once)
@@ -147,6 +200,39 @@ class EventAnalyticsSpec extends SparkTestBase {
         Seq("view", "click", "buy"))
       .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
     assert(out === Map("view" -> 4L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("funnel conversion window: steps beyond the anchor window don't count") {
+    val events = Seq(
+      // u1: view -> click within 1h, purchase 2h after view -> drops at buy
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-01 10:30:00"), "click"),
+      (1L, ts("2024-01-01 12:00:00"), "buy"),
+      // u2: everything within the hour -> completes
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-01 10:10:00"), "click"),
+      (2L, ts("2024-01-01 10:20:00"), "buy")
+    ).toDF("user_id", "ts", "et")
+    val out = EventAnalytics.funnel(events, "user_id", "ts", "et",
+        Seq("view", "click", "buy"), withinSecs = Some(3600L))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 2L, "click" -> 2L, "buy" -> 1L))
+  }
+
+  test("hashSplit: exhaustive, deterministic, stable under corpus growth") {
+    val small = (1 to 300).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val splits = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
+    val a = TextAnalysis.hashSplit(small, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.size === 300 && a.values.toSet.subsetOf(Set("train", "val", "test")))
+    // ratio sanity (not exact — hash variance): train within [0.7, 0.9]
+    val trainFrac = a.values.count(_ == "train") / 300.0
+    assert(trainFrac > 0.7 && trainFrac < 0.9, s"train frac $trainFrac")
+    // growth stability: same docs keep their split inside a larger corpus
+    val big = (1 to 900).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
+    val b = TextAnalysis.hashSplit(big, "doc_id", splits)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a.forall { case (id, s) => b(id) == s })
   }
 
   test("heavyHitters is exact vs plain groupBy at the threshold boundary") {
