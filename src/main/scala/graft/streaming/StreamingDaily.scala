@@ -142,6 +142,81 @@ object StreamingDaily {
         sessionFlush(uid, st))
     else (None, None)
 
+  case class FunnelEvent(user_id: Long, ts: java.sql.Timestamp, step: String)
+  case class FunnelState(stepIdx: Int, lastEpoch: Long, anchorEpoch: Long)
+  case class FunnelOut(user_id: Long, step_idx: Long, step: String, ts_epoch: Long)
+
+  /** Pure per-key funnel transition (the E4 state machine on a stream):
+    * fold one micro-batch of a user's events — sorted by event time — into
+    * their funnel progress, emitting one row per step ADVANCED. A user
+    * advances to step k+1 at the earliest step-(k+1) event strictly after
+    * their step-k time, and (with `withinSecs`) no later than
+    * `withinSecs` after their step-0 anchor — identical semantics to the
+    * batch `EventAnalytics.funnel`, so the same conversion counts fall
+    * out of `groupBy(step_idx).count` on the emitted rows.
+    *
+    * State is three longs per user who has entered the funnel (completed
+    * users keep theirs so re-arrivals can't restart and double-count);
+    * the [[streamingFunnel]] binding arms a timeout so expired/finished
+    * users are evicted instead of living forever. */
+  def funnelStep(uid: Long, events: Seq[FunnelEvent],
+                 st0: Option[FunnelState], steps: Seq[String],
+                 withinSecs: Option[Long]): (Option[FunnelState], Seq[FunnelOut]) = {
+    val idx = steps.zipWithIndex.toMap
+    var st = st0.getOrElse(FunnelState(-1, Long.MinValue, Long.MinValue))
+    val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
+    events.sortBy(e => (e.ts.getTime, idx.getOrElse(e.step, Int.MaxValue)))
+      .foreach { e =>
+        val epoch = e.ts.getTime / 1000
+        val wanted = st.stepIdx + 1
+        // strictly-after uses millisecond precision (lastEpoch holds ms);
+        // the window gate uses floored epoch SECONDS, same as the batch op
+        if (wanted < steps.length && idx.get(e.step).contains(wanted) &&
+            (st.stepIdx < 0 || e.ts.getTime > st.lastEpoch) &&
+            withinSecs.forall(w => st.stepIdx < 0 || epoch <= st.anchorEpoch + w)) {
+          val anchor = if (st.stepIdx < 0) epoch else st.anchorEpoch
+          st = FunnelState(wanted, e.ts.getTime, anchor)
+          out += FunnelOut(uid, wanted.toLong, e.step, epoch)
+        }
+      }
+    // completed users KEEP their state (stepIdx = last) so re-arrivals
+    // can't restart the funnel and double-count within the state horizon;
+    // the timeout reclaims it. Users who never entered hold no state.
+    val next = if (st.stepIdx < 0) None else Some(st)
+    (next, out.toSeq)
+  }
+
+  /** E4-on-a-stream: per-user funnel progression via
+    * `flatMapGroupsWithState` — one emitted row per (user, step reached),
+    * append mode, so downstream `groupBy(step_idx)` IS the live funnel.
+    * A ProcessingTimeTimeout of `stateTimeout` reclaims users who
+    * finished or can no longer advance (the [[funnelStep]] contract keeps
+    * completed users' state so they can't re-enter within the horizon). */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+                      withinSecs: Option[Long] = None,
+                      stateTimeout: Option[String] = None): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = stateTimeout.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (uid: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (next, out) = funnelStep(uid, rows.toSeq, state.getOption,
+              steps, withinSecs)
+            next match {
+              case Some(st) =>
+                state.update(st)
+                stateTimeout.foreach(state.setTimeoutDuration)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+        })
+  }
+
   /** `idleTimeout`: with None, emission is purely event-driven — a key's
     * final session stays open in state until a later event closes it
     * (deterministic in tests). With Some(duration), a

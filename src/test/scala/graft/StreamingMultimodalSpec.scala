@@ -311,6 +311,75 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(decodeImageHeader(encodeTestImage(6L, "jpg", 31, 2).take(4)) === None)
   }
 
+  test("streaming funnel: pure state machine — order, window, dedupe, completion") {
+    import StreamingDaily.{funnelStep, FunnelEvent, FunnelState}
+    val steps = Seq("view", "click", "buy")
+    // out-of-order arrival within a batch is sorted by event time: the
+    // click BEFORE the first view doesn't advance
+    val (st1, out1) = funnelStep(1L, Seq(
+      FunnelEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+      FunnelEvent(1L, ts("2024-01-01 10:00:00"), "click"),
+      FunnelEvent(1L, ts("2024-01-01 10:02:00"), "view")),
+      None, steps, withinSecs = Some(3600L))
+    assert(out1.map(o => (o.step_idx, o.step)) === Seq((0L, "view"), (1L, "click")))
+    assert(st1.exists(_.stepIdx === 1))
+    // a buy in the NEXT batch advances from carried state; a second buy
+    // after completion emits nothing (state retained, no re-entry)
+    val (st2, out2) = funnelStep(1L, Seq(
+      FunnelEvent(1L, ts("2024-01-01 10:30:00"), "buy"),
+      FunnelEvent(1L, ts("2024-01-01 10:40:00"), "buy")),
+      st1, steps, withinSecs = Some(3600L))
+    assert(out2.map(_.step_idx) === Seq(2L))
+    assert(st2.exists(_.stepIdx === 2))
+    val (st3, out3) = funnelStep(1L, Seq(
+      FunnelEvent(1L, ts("2024-01-01 10:50:00"), "view")),
+      st2, steps, withinSecs = Some(3600L))
+    assert(out3.isEmpty && st3 === st2)
+    // conversion window: a buy past anchor+1h does NOT advance
+    val (_, out4) = funnelStep(2L, Seq(
+      FunnelEvent(2L, ts("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(2L, ts("2024-01-01 10:10:00"), "click"),
+      FunnelEvent(2L, ts("2024-01-01 11:30:00"), "buy")),
+      None, steps, withinSecs = Some(3600L))
+    assert(out4.map(_.step_idx) === Seq(0L, 1L))
+    // equal timestamp does not satisfy strictly-after
+    val (_, out5) = funnelStep(3L, Seq(
+      FunnelEvent(3L, ts("2024-01-01 10:00:00"), "view"),
+      FunnelEvent(3L, ts("2024-01-01 10:00:00"), "click")),
+      None, steps, None)
+    assert(out5.map(_.step_idx) === Seq(0L))
+    // a user who never enters holds no state
+    val (stNone, outNone) = funnelStep(4L, Seq(
+      FunnelEvent(4L, ts("2024-01-01 10:00:00"), "click")),
+      None, steps, None)
+    assert(stNone.isEmpty && outNone.isEmpty)
+  }
+
+  test("streaming funnel: end-to-end over a memory stream across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDaily.{FunnelEvent, FunnelOut}
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingDaily.streamingFunnel(input.toDS(),
+      Seq("view", "click", "buy"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(2L, ts("2024-01-01 10:00:00"), "click")) // u2 never enters
+      q.processAllAvailable()
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 10:06:00"), "buy"),
+        FunnelEvent(2L, ts("2024-01-01 10:10:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_out").as[FunnelOut].collect()
+      val byStep = rows.groupBy(_.step_idx).view.mapValues(_.map(_.user_id).toSet).toMap
+      assert(byStep === Map(
+        0L -> Set(1L, 2L), 1L -> Set(1L), 2L -> Set(1L)))
+    } finally q.stop()
+  }
+
   test("multimodal REAL decode: decodeHeaders null-pads unparseable payloads") {
     import graft.multimodal.Multimodal
     val media = Seq(
