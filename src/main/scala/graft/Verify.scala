@@ -11,6 +11,12 @@ object Verify {
     // Optional third arg: run only these queries (dev loop; the driver
     // always runs the full set).
     val only = args.lift(2).map(_.split(',').toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} — " +
+          "a typo here would silently verify nothing")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (k, _) => names(k) })
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")

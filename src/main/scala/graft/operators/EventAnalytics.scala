@@ -56,6 +56,9 @@ object EventAnalytics {
     */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int = 7): DataFrame = {
+    // sequence(0, windowDays-1) with windowDays <= 0 would silently step
+    // BACKWARD (a leading window) instead of failing
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val days = events
       .select(col(userCol).as("u"), to_date(col(tsCol)).as("d")).distinct()
     val dau = days.groupBy(col("d").as("date")).agg(count(lit(1)).as("dau"))

@@ -368,6 +368,9 @@ object Similarity {
                numSubspaces: Int): DataFrame = {
     val cb = centroidRows(codebook, codeCol, cbVecCol)
     require(cb.nonEmpty, "pqEncode: empty codebook")
+    require(cb.map(_._1).distinct.length == cb.length,
+      "pqEncode: duplicate codebook codes (pqTopK's distance-table map " +
+        "would fail at runtime; dedupe the codebook first)")
     val dims = cb.head._2.length
     require(cb.forall(_._2.length == dims), "pqEncode: ragged codebook vectors")
     require(dims % numSubspaces == 0,
@@ -404,6 +407,8 @@ object Similarity {
              cbVecCol: String, numSubspaces: Int): DataFrame = {
     val cb = centroidRows(codebook, codeCol, cbVecCol)
     require(cb.nonEmpty, "pqTopK: empty codebook")
+    require(cb.map(_._1).distinct.length == cb.length,
+      "pqTopK: duplicate codebook codes break the distance-table map")
     val dims = cb.head._2.length
     val ds = dims / numSubspaces
     val enc = pqEncode(corpus, idCol, vecCol, codebook, codeCol, cbVecCol,

@@ -811,7 +811,11 @@ object TextAnalysis {
   def heavyHitters(df: DataFrame, textCol: String,
                    num: Long = 1, den: Long = 512): DataFrame = {
     require(num > 0 && den >= num, s"fraction num/den must be in (0,1]: $num/$den")
-    val capacity = ((den + num - 1) / num).toInt
+    val capacityL = (den + num - 1) / num
+    require(capacityL <= 1000000L,
+      s"capacity ceil(den/num) = $capacityL exceeds the 1e6 sanity bound " +
+        "(a per-partition Misra-Gries summary that large defeats the point)")
+    val capacity = capacityL.toInt
     val toks = df
       .select(explode(tokens(col(textCol))).as("token"))
       .filter(length(col("token")) > 0)
@@ -837,12 +841,20 @@ object TextAnalysis {
       }
       counts.keysIterator
     }.toDF("token").distinct()
-    val threshold =
-      (toks.agg(count(lit(1))).head().getLong(0) * num + den - 1) / den
+    // Threshold stays IN the plan (t12's 1-row-total pattern): a driver
+    // .head() here would run a hidden corpus scan at plan-construction
+    // time. The total avoids a third tokenize pass too — per-row
+    // non-empty-token counts summed, no explode.
+    val total = df.agg(
+      coalesce(sum(size(filter(tokens(col(textCol)), t => length(t) > 0))
+        .cast("long")), lit(0L)).as("__hh_total"))
     toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token")
       .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >= threshold)
+      .crossJoin(broadcast(total))
+      .filter(col("cnt") >=
+        expr(s"(__hh_total * $num + ${den - 1}) div $den"))
+      .drop("__hh_total")
   }
 
   /** t17 — deterministic corpus split (train/validation/test): every row

@@ -104,6 +104,11 @@ object Unify {
                    bStart: String, bEnd: String,
                    bucketSecs: Long): DataFrame = {
     require(bucketSecs > 0, "bucketSecs must be positive")
+    val clashes = (a.columns.toSet ++ b.columns.toSet)
+      .intersect(Set("__ij_bkt", "__ij_bkt_b"))
+    require(clashes.isEmpty,
+      s"intervalJoin: input columns collide with reserved names: " +
+        s"${clashes.toSeq.sorted.mkString(", ")}")
     def bucketed(df: DataFrame, s: String, e: String): DataFrame = {
       val lo = floor(col(s).cast("long") / bucketSecs)
       val hi = floor(col(e).cast("long") / bucketSecs)
@@ -150,6 +155,11 @@ object Unify {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     val ordCol = "__asof_ord"; val sideCol = "__asof_side"; val payCol = "__asof_pay"
+    val reserved = Set(ordCol, sideCol, payCol, matchedTsCol) ++ valueCols
+    val clashes = left.columns.toSet.intersect(reserved)
+    require(clashes.isEmpty,
+      s"asofJoin: left columns collide with reserved/output names: " +
+        s"${clashes.toSeq.sorted.mkString(", ")} — rename before joining")
     val payload = struct(
       col(rightTs).as(matchedTsCol) +: valueCols.map(col): _*)
     val rSel = right.select(

@@ -159,23 +159,31 @@ object StreamingDaily {
     * users keep theirs so re-arrivals can't restart and double-count);
     * the [[streamingFunnel]] binding arms a timeout so expired/finished
     * users are evicted instead of living forever. */
+  /** Full microsecond precision of a Timestamp — `getTime` alone truncates
+    * to millis, which would diverge from the batch funnel's
+    * microsecond-exact strictly-after comparison. */
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
   def funnelStep(uid: Long, events: Seq[FunnelEvent],
                  st0: Option[FunnelState], steps: Seq[String],
                  withinSecs: Option[Long]): (Option[FunnelState], Seq[FunnelOut]) = {
     val idx = steps.zipWithIndex.toMap
     var st = st0.getOrElse(FunnelState(-1, Long.MinValue, Long.MinValue))
     val out = scala.collection.mutable.ArrayBuffer.empty[FunnelOut]
-    events.sortBy(e => (e.ts.getTime, idx.getOrElse(e.step, Int.MaxValue)))
+    events.sortBy(e => (tsMicros(e.ts), idx.getOrElse(e.step, Int.MaxValue)))
       .foreach { e =>
-        val epoch = e.ts.getTime / 1000
+        val micros = tsMicros(e.ts)
+        val epoch = Math.floorDiv(micros, 1000000L)
         val wanted = st.stepIdx + 1
-        // strictly-after uses millisecond precision (lastEpoch holds ms);
-        // the window gate uses floored epoch SECONDS, same as the batch op
+        // strictly-after at MICROsecond precision (lastEpoch holds µs),
+        // matching the batch op; the window gate uses floored epoch
+        // SECONDS, also matching the batch op
         if (wanted < steps.length && idx.get(e.step).contains(wanted) &&
-            (st.stepIdx < 0 || e.ts.getTime > st.lastEpoch) &&
+            (st.stepIdx < 0 || micros > st.lastEpoch) &&
             withinSecs.forall(w => st.stepIdx < 0 || epoch <= st.anchorEpoch + w)) {
           val anchor = if (st.stepIdx < 0) epoch else st.anchorEpoch
-          st = FunnelState(wanted, e.ts.getTime, anchor)
+          st = FunnelState(wanted, micros, anchor)
           out += FunnelOut(uid, wanted.toLong, e.step, epoch)
         }
       }
