@@ -644,6 +644,38 @@ object Dedup {
       .drop("__kbr_rk", "__kbr_cid", "__kbr_cid0")
   }
 
+  /** dd17 — per-group quota (the FineWeb/RefinedWeb source-capping
+    * recipe): keep at most `n` rows per group, best-first by `order`
+    * (with the id as the final tie-break, so the cut is total and both
+    * engines agree). Corpus curation at scale caps boilerplate-heavy
+    * domains so no single source dominates the training mix.
+    *
+    * TWO-PHASE top-N: a single `row_number` window per group would sort
+    * each whole group in one task — a hot domain with 10^8 docs is a
+    * straggler at 100 TB. Phase 1 ranks inside (group, SHA-bucket of id)
+    * partitions and keeps n per bucket — any true global top-n row is
+    * necessarily within the top n of its own bucket, so pruning is
+    * lossless; phase 2 ranks the ≤ numBuckets·n survivors per group.
+    * No task ever sorts a whole group; a hot source costs the same as a
+    * cold one after phase 1. Output keeps all input columns plus
+    * `grp_rank` (1..n within the group). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  order: Seq[Column], n: Int,
+                  numBuckets: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n >= 1, s"cap n must be >= 1, got $n")
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    val ordered = order :+ col(idCol).asc
+    val bucket = pmod(Hashing.sha28(col(idCol)), lit(numBuckets))
+    val w1 = Window.partitionBy(col(groupCol), bucket).orderBy(ordered: _*)
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(ordered: _*)
+    df.withColumn("__cap_rk", row_number().over(w1))
+      .filter(col("__cap_rk") <= n)
+      .withColumn("grp_rank", row_number().over(w2).cast("long"))
+      .filter(col("grp_rank") <= n)
+      .drop("__cap_rk")
+  }
+
   /** SimHash over token 28-bit hashes with `bits` bits: per bit, sign of
     * the sum of (+1 / -1) contributions across tokens; NON-NEGATIVE sum
     * sets the bit (deterministic zero handling).

@@ -437,6 +437,16 @@ object TextQueries {
     "t16_heavy_hitters" -> ((s, dir) =>
       TextAnalysis.heavyHitters(Tables.documents(s, dir), "text")),
 
+    // FineWeb-style per-source quota: keep the 20 best-quality docs per
+    // source (quality desc, doc_id tie-break) via the lossless two-phase
+    // top-N — no task ever sorts a whole source.
+    "dd17_source_cap" -> ((s, dir) => {
+      val q = TextAnalysis.qualityColumns(Tables.documents(s, dir), "text")
+      Dedup.capPerGroup(q, "source", "doc_id",
+          Seq(col("quality_score").desc), n = 20)
+        .select("doc_id", "source", "quality_score", "grp_rank")
+    }),
+
     // Deterministic 90/5/5 train/val/test split by portable SHA bucket —
     // stable under corpus growth, pure per-row expression.
     "t17_hash_split" -> ((s, dir) =>
@@ -1181,6 +1191,22 @@ object TextQueries {
 
       "t16_heavy_hitters" ->
         TextAnalysis.heavyHittersSql("documents", "text"),
+
+      // dd17 twin: the single-window definition the two-phase plan
+      // implements losslessly.
+      "dd17_source_cap" -> {
+        val q = TextAnalysis.qualitySql("text")
+        s"""WITH scored AS (
+          |  SELECT doc_id, source, ${q("quality_score")} AS quality_score
+          |  FROM documents),
+          |ranked AS (
+          |  SELECT doc_id, source, quality_score,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY quality_score DESC, doc_id) AS grp_rank
+          |  FROM scored)
+          |SELECT doc_id, source, quality_score, CAST(grp_rank AS BIGINT) AS grp_rank
+          |FROM ranked WHERE grp_rank <= 20""".stripMargin
+      },
 
       "t17_hash_split" -> {
         val label = TextAnalysis.hashSplitSql("doc_id",

@@ -110,6 +110,31 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("dd17 two-phase per-group cap equals the single-window form") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.operators.TextAnalysis.qualityColumns(
+      Tables.documents(spark, "/root/testdata/sf0.001"), "text")
+    // tiny numBuckets so phase-1 buckets hold real multi-row work, and a
+    // cap small enough that most sources are actually cut
+    for (buckets <- Seq(2, 64)) {
+      val twoPhase = graft.operators.Dedup.capPerGroup(docs, "source",
+          "doc_id", Seq(col("quality_score").desc), n = 3,
+          numBuckets = buckets)
+        .select("doc_id", "source", "grp_rank")
+        .collect().map(_.toString).sorted.toIndexedSeq
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_score").desc, col("doc_id"))
+      val single = docs
+        .withColumn("grp_rank", row_number().over(w).cast("long"))
+        .filter(col("grp_rank") <= 3)
+        .select("doc_id", "source", "grp_rank")
+        .collect().map(_.toString).sorted.toIndexedSeq
+      assert(twoPhase === single,
+        s"two-phase cap (buckets=$buckets) diverged from single window")
+    }
+  }
+
   test("vocabulary attach past the broadcast budget: shuffled equi-join, same rows") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
