@@ -41,6 +41,45 @@ object Enrich {
       .drop("__n")
   }
 
+  /** W11 (beyond ref) — exponentially-weighted moving average, the pandas
+    * `ewm(alpha=..., adjust=True, ignore_na=False)` shape Spark has no
+    * window aggregate for: `y_i = Σ_d (1-α)^d x_{i-d} / Σ_d (1-α)^d`,
+    * weights by absolute lag, null samples contributing neither numerator
+    * nor denominator. Truncated at `window` ROWS (weights below
+    * (1-α)^window are negligible for any practical α — the standard
+    * finite-window approximation), so the state per row is a bounded
+    * array, not the unbounded recursion: one collect over the ROWS frame
+    * + a codegen'd higher-order fold, partitioned by the entity key like
+    * every other window here. Adds `{feature}_ewma`. */
+  def ewma(daily: DataFrame, keyCol: String, orderCol: String,
+           feature: String, alpha: Double, window: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0,1], got $alpha")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val wRank = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+    val w = wRank.rowsBetween(-(window - 1), 0)
+    val df = daily.withColumn("__ew_rn",
+      row_number().over(wRank).cast("double"))
+    val hist = collect_list(
+      struct(col("__ew_rn").as("rn"), col(feature).cast("double").as("x")))
+      .over(w)
+    val folded = aggregate(hist,
+      struct(lit(0.0).as("num"), lit(0.0).as("den")),
+      (acc, e) => {
+        val pw = pow(lit(1.0 - alpha), col("__ew_rn") - e.getField("rn"))
+        struct(
+          (acc.getField("num") +
+            when(e.getField("x").isNotNull, pw * e.getField("x"))
+              .otherwise(0.0)).as("num"),
+          (acc.getField("den") +
+            when(e.getField("x").isNotNull, pw).otherwise(0.0)).as("den"))
+      })
+    df.withColumn("__ew_acc", folded)
+      .withColumn(s"${feature}_ewma",
+        when(col("__ew_acc.den") > 0,
+          round(col("__ew_acc.num") / col("__ew_acc.den"), 6)))
+      .drop("__ew_rn", "__ew_acc")
+  }
+
   /** W2 — global z-score per feature (`_zscore` suffix) computed via a
     * cross-join of one aggregated stats row (broadcast), not a global
     * window — no single-partition stage at scale.

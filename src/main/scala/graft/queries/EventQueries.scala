@@ -335,6 +335,13 @@ object EventQueries {
       EventAnalytics.funnel(ev(s, dir), "user_id", "ts", "event_type",
         Seq("view", "click", "purchase"), withinSecs = Some(21600L))),
 
+    // W11: pandas-style EWMA (adjust=True) over each user's daily mean,
+    // truncated at 20 rows — the bounded-state formulation.
+    "w11_ewma" -> ((s, dir) =>
+      Enrich.ewma(dailyUser(s, dir), "user_id", "date", "f_mean",
+          alpha = 0.3, window = 20)
+        .select("user_id", "date", "f_mean", "f_mean_ewma")),
+
     // J13: interval overlap join — per-user daily activity spans x
     // per-type daily spans, matched on overlap via the bucketed
     // equi-join (responsibility-bucket dedupe, no distinct). Day-wide
@@ -861,6 +868,28 @@ object EventQueries {
         |  (SELECT count(*) FROM s0) AS n_users
         |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
         |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin,
+
+    // w11 twin: the rn-difference self-join form of the same truncated
+    // adjust=True weighting; round-6 absorbs the different summation
+    // order (fold vs SQL SUM) and any last-ulp power() divergence.
+    "w11_ewma" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |r AS (
+        |  SELECT user_id, date, f_mean,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY date) AS rn
+        |  FROM daily),
+        |acc AS (
+        |  SELECT a.user_id, a.date, a.rn,
+        |    sum(CASE WHEN b.f_mean IS NOT NULL
+        |      THEN power(0.7, a.rn - b.rn) * b.f_mean END) AS num,
+        |    sum(CASE WHEN b.f_mean IS NOT NULL
+        |      THEN power(0.7, a.rn - b.rn) END) AS den
+        |  FROM r a JOIN r b
+        |    ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |  GROUP BY 1, 2, 3)
+        |SELECT a.user_id, a.date, r.f_mean,
+        |  CASE WHEN a.den > 0 THEN round(a.num / a.den, 6) END AS f_mean_ewma
+        |FROM acc a JOIN r ON a.user_id = r.user_id AND a.rn = r.rn""".stripMargin,
 
     // The twin states the overlap contract as the plain range-predicate
     // join the bucketed plan replaces; spans are floored-epoch-second

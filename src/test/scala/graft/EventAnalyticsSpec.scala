@@ -235,6 +235,24 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(a.forall { case (id, s) => b(id) == s })
   }
 
+  test("ewma: pandas adjust=True semantics incl. null positions, hand-computed") {
+    // alpha=0.5, window=3, series [2, null, 4]:
+    //   y1 = 2
+    //   y2 = (0.5*2)/0.5 = 2           (null consumes its lag position)
+    //   y3 = (0.25*2 + 1*4)/(0.25+1) = 3.6
+    val df = Seq(
+      (1L, 1, Some(2.0)), (1L, 2, None), (1L, 3, Some(4.0)),
+      (2L, 1, Some(10.0))
+    ).toDF("k", "ord", "x")
+    val out = graft.operators.Enrich.ewma(df, "k", "ord", "x",
+        alpha = 0.5, window = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        Option(r.get(r.fieldIndex("x_ewma")))).toMap
+    assert(out === Map(
+      (1L, 1) -> Some(2.0), (1L, 2) -> Some(2.0), (1L, 3) -> Some(3.6),
+      (2L, 1) -> Some(10.0)))
+  }
+
   test("heavyHitters is exact vs plain groupBy at the threshold boundary") {
     // 64 tokens of "hot", plus 60 distinct cold tokens, num/den=1/2 ->
     // threshold = ceil(124/2) = 62: only "hot" qualifies. Spread over
