@@ -251,6 +251,33 @@ object MlQueries {
           col("y_pred"))
     }),
 
+    // M7 calibration (beyond ref): reliability bins + expected calibration
+    // error over the deterministic GD-LR probabilities — the standard
+    // post-training calibration audit. Bin = floor(prob*10) clamped to 9;
+    // conf/acc/gap rounded before the ECE so both engines aggregate
+    // identical inputs; the ECE window runs over <= 10 bin rows.
+    "m7_calibration" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+        .withColumn("label",
+          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
+      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
+      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
+      val pred = graft.ml.Models.logisticRegressionGD(train, test,
+        Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+      val binned = pred.filter(col("prob").isNotNull)
+        .withColumn("bin", least(floor(col("prob") * 10), lit(9L)).cast("long"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"),
+          round(avg("prob"), 6).as("conf"),
+          round(avg("label"), 6).as("acc"))
+        .withColumn("gap", round(abs(col("conf") - col("acc")), 6))
+      // ECE via a 1-row aggregate broadcast (the repo's global-stat
+      // pattern) rather than an unpartitioned window
+      val tot = binned.agg(
+        round(sum(col("gap") * col("n")) / sum(col("n")), 6).as("ece"))
+      binned.crossJoin(broadcast(tot))
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
@@ -508,6 +535,22 @@ object MlQueries {
 
   def oracles: Map[String, String] = Map(
     "m5_logreg_predict" -> m5OracleSql(3),
+
+    // m7 twin: m5's full prediction CTE chain as a derived table, then
+    // the same bin/round-before-ECE arithmetic.
+    "m7_calibration" ->
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |binned AS (
+        |  SELECT CAST(least(floor(prob * 10), 9) AS BIGINT) AS bin,
+        |    count(*) AS n, round(avg(prob), 6) AS conf,
+        |    round(avg(label), 6) AS acc
+        |  FROM pred WHERE prob IS NOT NULL GROUP BY 1),
+        |g AS (
+        |  SELECT bin, n, conf, acc, round(abs(conf - acc), 6) AS gap
+        |  FROM binned)
+        |SELECT bin, n, conf, acc, gap,
+        |  round(sum(gap * n) OVER () / sum(n) OVER (), 6) AS ece
+        |FROM g""".stripMargin,
 
     // D1: ADWIN is sequential-state (no SQL formulation), so the gate is
     // a pinned-expected-table comparison: the committed parquet is the

@@ -59,7 +59,8 @@ object PlanAudit {
     "sim_recall" -> (2 -> "contains sim1's exact baseline twice (LSH recall + IVF recall)"),
     "sim_recall_build" -> (1 -> "contains sim1's exact baseline once (KMeans-build IVF recall)"),
     "sim6_pq_adc" -> (1 -> "exhaustive ADC scan: query side bounded by contract (sim1 pattern); at corpus scale compose with ivfAssign cells (IVFADC)"),
-    "t16_heavy_hitters" -> (1 -> "1-row corpus token-total frame (threshold stays in the plan, t12 pattern)"))
+    "t16_heavy_hitters" -> (1 -> "1-row corpus token-total frame (threshold stays in the plan, t12 pattern)"),
+    "m7_calibration" -> (1 -> "1-row ECE aggregate over <= 10 bin rows (global-stat broadcast pattern)"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,

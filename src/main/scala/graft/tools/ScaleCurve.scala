@@ -49,7 +49,10 @@ object ScaleCurve {
     "t14_lm_crossppl", "t15_ngram_coverage", "t16_heavy_hitters",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc",
-    "e2e_corpus_assembly")
+    "e2e_corpus_assembly",
+    // events family (reads the generated events.parquet)
+    "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
+    "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 
@@ -95,12 +98,37 @@ object ScaleCurve {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** events.parquet at `path`: the driver's events shape (30-day span, 5
+    * event types, uniform values 0-200, JSON-ish props) with `users`
+    * distinct users — event volume scales WITH the user population, the
+    * horizontal-growth axis a 100-TB event store actually has. */
+  def genEvents(spark: SparkSession, n: Long, users: Long, path: String): Unit = {
+    val ids = spark.range(n)
+    // 2024-01-01T00:00:00Z + random (day, microsecond-of-second) offsets
+    val ts = timestamp_micros(lit(1704067200000000L) +
+      pmod(h(col("id"), lit("t")), lit(30L * 86400)) * 1000000L +
+      pmod(h(col("id"), lit("us")), lit(1000000L)))
+    val types = typedLit(Seq("click", "error", "purchase", "signup", "view"))
+    ids.select(
+        col("id").as("event_id"),
+        ts.as("ts"),
+        pmod(h(col("id"), lit("usr")), lit(users)).as("user_id"),
+        element_at(types, (pmod(h(col("id"), lit("e")), lit(5)) + 1).cast("int"))
+          .as("event_type"),
+        (pmod(h(col("id"), lit("v")), lit(20000)) / lit(100.0)).as("value"),
+        concat(lit("{\"k\": "), pmod(h(col("id"), lit("k")), lit(1000)), lit("}"))
+          .as("props"))
+      .write.mode("overwrite").parquet(path)
+  }
+
   private def ensureScale(spark: SparkSession, dir: String, docs: Long,
-                          vecs: Long): Unit = {
+                          vecs: Long, events: Long, users: Long): Unit = {
     if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
       genDocuments(spark, docs, s"$dir/documents.parquet")
     if (!new java.io.File(s"$dir/embeddings.parquet/_SUCCESS").exists())
       genEmbeddings(spark, vecs, s"$dir/embeddings.parquet")
+    if (!new java.io.File(s"$dir/events.parquet/_SUCCESS").exists())
+      genEvents(spark, events, users, s"$dir/events.parquet")
   }
 
   /** Bench.scala's per-run hygiene: deterministic cache/checkpoint drop so
@@ -129,12 +157,13 @@ object ScaleCurve {
 
     val small = "/tmp/graft_scale/sf0.1g"
     val large = "/tmp/graft_scale/sf1g"
-    ensureScale(spark, small, 5000L, 2000L)
-    ensureScale(spark, large, 50000L, 20000L)
+    ensureScale(spark, small, 5000L, 2000L, 20000L, 300L)
+    ensureScale(spark, large, 50000L, 20000L, 200000L, 3000L)
     // out-of-timing warm-up per dir: table counts + dd13's stored state
     Seq(small, large).foreach { d =>
       graft.core.Tables.documents(spark, d).count()
       spark.read.parquet(s"$d/embeddings.parquet").count()
+      graft.core.Tables.events(spark, d).count()
       graft.queries.TextQueries.dd13StateFixture(spark, d)
     }
 
@@ -164,8 +193,9 @@ object ScaleCurve {
       "(local[" + cpus + "], min of 2 runs per query per scale).\n\n"
     sb ++= "Two corpora from the SAME deterministic generator (see " +
       "`tools/ScaleCurve.scala` scaladoc for the distribution contract):\n\n"
-    sb ++= "| scale | documents | embeddings |\n|---|---|---|\n"
-    sb ++= "| sf0.1g | 5,000 | 2,000 |\n| sf1g | 50,000 | 20,000 |\n\n"
+    sb ++= "| scale | documents | embeddings | events (users) |\n|---|---|---|---|\n"
+    sb ++= "| sf0.1g | 5,000 | 2,000 | 20,000 (300) |\n" +
+      "| sf1g | 50,000 | 20,000 | 200,000 (3,000) |\n\n"
     sb ++= "A ratio near 10 on a 10x corpus means the operator's cost is " +
       "dominated by per-row work (the plan a 1000-executor cluster can " +
       "spread); sub-10 means fixed scheduling/setup overhead still " +
