@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
 
@@ -71,6 +72,132 @@ object EventAnalytics {
     dau.join(wau, Seq("date"))
       .select(col("date"), col("dau"), col("wau"),
         round(col("dau").cast("double") / col("wau"), 6).as("stickiness"))
+  }
+
+  /** Session path analysis: sessionize each user's stream on an
+    * inactivity gap, build the ordered event-type path of each session
+    * (truncated to the first `maxPathEvents` events — bounded per-session
+    * state, the cap a 100-TB run needs against degenerate bot sessions),
+    * and aggregate to one row per distinct path with session count and
+    * mean session length. Ordering is total — (ts, tieCol) — so the path
+    * string is deterministic under ties.
+    *
+    * Plan shape: one shuffle on the user key for the session window, one
+    * shuffle on (user, session) for the per-session collect, one on the
+    * path string for the final count — all equi-shuffles, no global sort.
+    * The collect_list is per-session and truncated, so executor memory is
+    * bounded by `maxPathEvents`, not by session length.
+    */
+  def sessionPaths(events: DataFrame, userCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, gapSecs: Long,
+                   maxPathEvents: Int = 8): DataFrame = {
+    require(gapSecs >= 1, s"gapSecs must be >= 1, got $gapSecs")
+    require(maxPathEvents >= 1, s"maxPathEvents must be >= 1, got $maxPathEvents")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val sess = events
+      .withColumn("prev_ts", lag(col(tsCol), 1).over(w))
+      .withColumn("brk",
+        when(col("prev_ts").isNull ||
+          col(tsCol).cast("long") - col("prev_ts").cast("long") > gapSecs, 1)
+          .otherwise(0))
+      .withColumn("sess", sum(col("brk")).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = sess
+      .groupBy(col(userCol), col("sess"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            slice(array_sort(collect_list(struct(
+              col(tsCol).as("t"), col(tieCol).as("k"), col(typeCol).as("e")))),
+              1, maxPathEvents),
+            x => x("e")), ">").as("path"))
+    perSession.groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"),
+        round(avg(col("n_events")), 6).as("avg_events"))
+  }
+
+  /** Event-type transition matrix: within each inactivity-gap session,
+    * count consecutive (src -> dst) event-type pairs and attach the
+    * per-src transition probability — the first-order Markov view of the
+    * event stream. The lead() runs over the same per-user window the
+    * sessionizer used; the probability attach is a window over the
+    * aggregated (src, dst) frame, whose cardinality is bounded by
+    * |event_type|^2, not by the data.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, tsCol: String,
+                       tieCol: String, typeCol: String, gapSecs: Long): DataFrame = {
+    require(gapSecs >= 1, s"gapSecs must be >= 1, got $gapSecs")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("dst", lead(col(typeCol), 1).over(w))
+      .withColumn("next_ts", lead(col(tsCol), 1).over(w))
+      .filter(col("dst").isNotNull &&
+        col("next_ts").cast("long") - col(tsCol).cast("long") <= gapSecs)
+      .select(col(typeCol).as("src"), col("dst"))
+    val counts = pairs.groupBy("src", "dst").agg(count(lit(1)).as("n"))
+    val srcW = Window.partitionBy("src")
+    counts
+      .withColumn("p", round(col("n").cast("double") / sum("n").over(srcW), 6))
+      .select("src", "dst", "n", "p")
+  }
+
+  /** RFM segmentation: per-user recency (days since last event, vs the
+    * corpus max date), frequency (event count), monetary (summed value of
+    * `purchaseType` events), each scored 1-4 by exact quartile boundaries.
+    *
+    * Scale note: the textbook formulation is `ntile(4)` over three global
+    * sorts — three single-partition exchanges, the anti-pattern PlanAudit
+    * rejects. Instead the quartile boundaries are ONE 1-row exact
+    * percentile aggregate broadcast back (the repo's global-stat pattern),
+    * and scoring is a per-row comparison — no global sort at any size.
+    * Boundaries are canonically rounded so the bucket edges are
+    * cross-engine identical.
+    */
+  def rfm(events: DataFrame, userCol: String, tsCol: String,
+          typeCol: String, valueCol: String, purchaseType: String): DataFrame = {
+    val perUser = events
+      .groupBy(col(userCol))
+      .agg(max(to_date(col(tsCol))).as("last_date"),
+        count(lit(1)).as("frequency"),
+        round(sum(when(col(typeCol) === purchaseType, col(valueCol))
+          .otherwise(0.0)), 6).as("monetary"))
+    val maxDate = events.agg(max(to_date(col(tsCol))).as("corpus_max"))
+    val withR = perUser.crossJoin(broadcast(maxDate))
+      .withColumn("recency_days",
+        datediff(col("corpus_max"), col("last_date")).cast("long"))
+      .drop("corpus_max", "last_date")
+    val qs = withR.agg(
+      round(percentile(col("recency_days"), lit(0.25)), 6).as("r25"),
+      round(percentile(col("recency_days"), lit(0.5)), 6).as("r50"),
+      round(percentile(col("recency_days"), lit(0.75)), 6).as("r75"),
+      round(percentile(col("frequency"), lit(0.25)), 6).as("f25"),
+      round(percentile(col("frequency"), lit(0.5)), 6).as("f50"),
+      round(percentile(col("frequency"), lit(0.75)), 6).as("f75"),
+      round(percentile(col("monetary"), lit(0.25)), 6).as("m25"),
+      round(percentile(col("monetary"), lit(0.5)), 6).as("m50"),
+      round(percentile(col("monetary"), lit(0.75)), 6).as("m75"))
+    def bucketAsc(c: Column, q1: Column, q2: Column, q3: Column): Column =
+      when(c <= q1, 4).when(c <= q2, 3).when(c <= q3, 2).otherwise(1)
+    def bucketDesc(c: Column, q1: Column, q2: Column, q3: Column): Column =
+      when(c <= q1, 1).when(c <= q2, 2).when(c <= q3, 3).otherwise(4)
+    withR.crossJoin(broadcast(qs))
+      .withColumn("r_score",
+        bucketAsc(col("recency_days"), col("r25"), col("r50"), col("r75")))
+      .withColumn("f_score",
+        bucketDesc(col("frequency"), col("f25"), col("f50"), col("f75")))
+      .withColumn("m_score",
+        bucketDesc(col("monetary"), col("m25"), col("m50"), col("m75")))
+      .withColumn("rfm_cell",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .withColumn("segment",
+        when(col("r_score") >= 3 && col("f_score") >= 3 && col("m_score") >= 3,
+          "champion")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("f_score") <= 2 && col("m_score") <= 2, "low_value")
+          .otherwise("regular"))
+      .select(col(userCol), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        col("rfm_cell"), col("segment"))
   }
 
   /** Ordered funnel: how many users performed `steps` in strict timestamp

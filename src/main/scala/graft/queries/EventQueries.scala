@@ -342,6 +342,24 @@ object EventQueries {
           alpha = 0.3, window = 20)
         .select("user_id", "date", "f_mean", "f_mean_ewma")),
 
+    // E6: session path analysis — 30-min-gap sessions, ordered event-type
+    // path (first 8 events), one row per distinct path.
+    "e6_session_paths" -> ((s, dir) =>
+      EventAnalytics.sessionPaths(ev(s, dir), "user_id", "ts", "event_id",
+        "event_type", gapSecs = 1800L, maxPathEvents = 8)),
+
+    // E7: RFM segmentation — recency/frequency/monetary quartile scores
+    // via the 1-row exact-percentile broadcast (no global ntile sort).
+    "e7_rfm" -> ((s, dir) =>
+      EventAnalytics.rfm(ev(s, dir), "user_id", "ts", "event_type", "value",
+        "purchase")),
+
+    // E8: first-order Markov transition matrix over within-session
+    // consecutive event-type pairs.
+    "e8_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionMatrix(ev(s, dir), "user_id", "ts", "event_id",
+        "event_type", gapSecs = 1800L)),
+
     // J13: interval overlap join — per-user daily activity spans x
     // per-type daily spans, matched on overlap via the bucketed
     // equi-join (responsibility-bucket dedupe, no distinct). Day-wide
@@ -360,6 +378,92 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "e6_session_paths" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_ts IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(prev_ts) // 1000000 > 1800
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM o),
+        |s AS (
+        |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM b),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |    ORDER BY ts, event_id) AS rk
+        |  FROM s),
+        |ps AS (
+        |  SELECT user_id, sess, count(*) AS n_events,
+        |    string_agg(CASE WHEN rk <= 8 THEN event_type END, '>'
+        |      ORDER BY ts, event_id) AS path
+        |  FROM r GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions,
+        |  round(avg(n_events), 6) AS avg_events
+        |FROM ps GROUP BY path""".stripMargin,
+
+    "e7_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(CAST(ts AS DATE)) AS last_date,
+        |    count(*) AS frequency,
+        |    round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6)
+        |      AS monetary
+        |  FROM events GROUP BY 1),
+        |md AS (SELECT max(CAST(ts AS DATE)) AS corpus_max FROM events),
+        |wr AS (
+        |  SELECT user_id,
+        |    CAST(date_diff('day', last_date, corpus_max) AS BIGINT) AS recency_days,
+        |    frequency, monetary
+        |  FROM pu, md),
+        |qs AS (
+        |  SELECT
+        |    round(quantile_cont(recency_days, 0.25), 6) AS r25,
+        |    round(quantile_cont(recency_days, 0.5), 6) AS r50,
+        |    round(quantile_cont(recency_days, 0.75), 6) AS r75,
+        |    round(quantile_cont(frequency, 0.25), 6) AS f25,
+        |    round(quantile_cont(frequency, 0.5), 6) AS f50,
+        |    round(quantile_cont(frequency, 0.75), 6) AS f75,
+        |    round(quantile_cont(monetary, 0.25), 6) AS m25,
+        |    round(quantile_cont(monetary, 0.5), 6) AS m50,
+        |    round(quantile_cont(monetary, 0.75), 6) AS m75
+        |  FROM wr),
+        |sc AS (
+        |  SELECT user_id, recency_days, frequency, monetary,
+        |    CASE WHEN recency_days <= r25 THEN 4 WHEN recency_days <= r50 THEN 3
+        |         WHEN recency_days <= r75 THEN 2 ELSE 1 END AS r_score,
+        |    CASE WHEN frequency <= f25 THEN 1 WHEN frequency <= f50 THEN 2
+        |         WHEN frequency <= f75 THEN 3 ELSE 4 END AS f_score,
+        |    CASE WHEN monetary <= m25 THEN 1 WHEN monetary <= m50 THEN 2
+        |         WHEN monetary <= m75 THEN 3 ELSE 4 END AS m_score
+        |  FROM wr, qs)
+        |SELECT user_id, recency_days, frequency, monetary,
+        |  r_score, f_score, m_score,
+        |  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |    || CAST(m_score AS VARCHAR) AS rfm_cell,
+        |  CASE WHEN r_score >= 3 AND f_score >= 3 AND m_score >= 3 THEN 'champion'
+        |       WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |       WHEN f_score <= 2 AND m_score <= 2 THEN 'low_value'
+        |       ELSE 'regular' END AS segment
+        |FROM sc""".stripMargin,
+
+    "e8_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        |  FROM events),
+        |p AS (
+        |  SELECT event_type AS src, dst FROM o
+        |  WHERE dst IS NOT NULL
+        |    AND epoch_us(next_ts) // 1000000 - epoch_us(ts) // 1000000 <= 1800),
+        |c AS (SELECT src, dst, count(*) AS n FROM p GROUP BY 1, 2)
+        |SELECT src, dst, n,
+        |  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src), 6) AS p
+        |FROM c""".stripMargin,
+
     "a2_daily_stats" ->
       """SELECT CAST(ts AS DATE) AS date, round(avg(value), 6) AS v_mean,
         |  round(min(value), 6) AS v_min, round(max(value), 6) AS v_max,

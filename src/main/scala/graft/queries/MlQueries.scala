@@ -278,6 +278,44 @@ object MlQueries {
       binned.crossJoin(broadcast(tot))
     }),
 
+    // M8 ROC sweep (beyond ref): confusion-matrix counts and TPR/FPR/
+    // precision at ten decision thresholds over the deterministic GD-LR
+    // probabilities — the operating-point table behind a ROC curve.
+    // Thresholds are exploded as literals so the sweep is ONE pass over
+    // the prediction frame (grouped by threshold), not ten scans.
+    "m8_roc_sweep" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+        .withColumn("label",
+          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
+      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
+      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
+      val pred = graft.ml.Models.logisticRegressionGD(train, test,
+          Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+        .filter(col("prob").isNotNull)
+      val thresholds = (0 to 9).map(_ / 10.0)
+      pred
+        .select(col("label"), col("prob"),
+          explode(typedLit(thresholds)).as("thr"))
+        .groupBy("thr")
+        .agg(
+          sum(when(col("prob") >= col("thr") && col("label") === 1.0, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("prob") >= col("thr") && col("label") === 0.0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("prob") < col("thr") && col("label") === 1.0, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("prob") < col("thr") && col("label") === 0.0, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("tpr"),
+          round(when(col("fp") + col("tn") > 0,
+            col("fp").cast("double") / (col("fp") + col("tn"))), 6).as("fpr"),
+          round(when(col("tp") + col("fp") > 0,
+            col("tp").cast("double") / (col("tp") + col("fp"))), 6)
+            .as("prec"))
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
@@ -551,6 +589,34 @@ object MlQueries {
         |SELECT bin, n, conf, acc, gap,
         |  round(sum(gap * n) OVER () / sum(n) OVER (), 6) AS ece
         |FROM g""".stripMargin,
+
+    // m8 twin: m5's prediction CTEs, cross-joined with an unnested
+    // threshold list (cast to DOUBLE — DuckDB parses the literals as
+    // DECIMAL, whose correctly-rounded double conversion equals Spark's
+    // k/10.0). Sums cast to BIGINT (DuckDB sums ints into HUGEINT).
+    "m8_roc_sweep" ->
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |t AS (SELECT CAST(unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+        |    0.8, 0.9]) AS DOUBLE) AS thr),
+        |s AS (
+        |  SELECT thr,
+        |    CAST(sum(CASE WHEN prob >= thr AND label = 1.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN prob >= thr AND label = 0.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN prob < thr AND label = 1.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN prob < thr AND label = 0.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS tn
+        |  FROM pred, t WHERE prob IS NOT NULL GROUP BY thr)
+        |SELECT thr, tp, fp, fn, tn,
+        |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+        |    AS tpr,
+        |  round(CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / (fp + tn) END, 6)
+        |    AS fpr,
+        |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+        |    AS prec
+        |FROM s""".stripMargin,
 
     // D1: ADWIN is sequential-state (no SQL formulation), so the gate is
     // a pinned-expected-table comparison: the committed parquet is the
