@@ -889,10 +889,56 @@ object Dedup {
           .otherwise(0.0).as("contamination"))
   }
 
+  /** dd18 — measured quality of the MinHash-band blocking against exact
+    * ground truth: candidate-pair count, true near-dup-pair count, found
+    * (banded-and-verified) count, blocking precision and recall, in one
+    * summary row. The approximate-dedup analog of the sim_recall
+    * artifact: the knob (bandHashes) trades shuffle volume against
+    * recall, and this query keeps that trade measurable in CORRECTNESS /
+    * BENCH artifacts instead of only in specs.
+    *
+    * Ground truth is ALL-PAIRS exact Jaccard, so the caller must pass a
+    * bounded (deterministically sampled) doc frame — same eval-query
+    * contract as sim1's documented O(Q·N). The all-pairs stage reuses
+    * [[ngramJaccardPairs]] under a single constant block, salted across
+    * `saltBuckets` so the quadratic verify still spreads over every core
+    * instead of one hot partition.
+    *
+    * found ⊆ truth by construction (banding only removes pairs), so
+    * `cand_precision` = how much of the candidate volume survives exact
+    * verification, and `recall` = the fraction of true pairs the banding
+    * keeps. */
+  def bandedJaccardQuality(docs: DataFrame, idCol: String, textCol: String,
+                           shingleK: Int, bandHashes: Int, minJaccard: Double,
+                           saltBuckets: Int = 32): DataFrame = {
+    val keyed = docs.select(col(idCol), col(textCol))
+    val nDocs = keyed.agg(count(lit(1)).as("n_docs"))
+    val bandKeyed = keyed.select(col(idCol),
+      minhashBandKey(col(textCol), shingleK, bandHashes).as("block"))
+    val l = bandKeyed.as("l")
+    val r = bandKeyed.as("r")
+    val cand = l.join(r,
+        col("l.block") === col("r.block") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .agg(count(lit(1)).as("n_cand"))
+    val truth = ngramJaccardPairs(keyed.withColumn("__all", lit(0)),
+        idCol, textCol, "__all", shingleK, minJaccard, saltBuckets = saltBuckets)
+      .agg(count(lit(1)).as("n_true"))
+    val found = ngramJaccardPairsBanded(keyed, idCol, textCol, shingleK,
+        bandHashes, minJaccard)
+      .agg(count(lit(1)).as("n_found"))
+    nDocs.crossJoin(broadcast(cand)).crossJoin(broadcast(truth))
+      .crossJoin(broadcast(found))
+      .select(col("n_docs"), col("n_cand"), col("n_true"), col("n_found"),
+        round(when(col("n_cand") > 0,
+          col("n_found").cast("double") / col("n_cand")), 6).as("cand_precision"),
+        round(when(col("n_true") > 0,
+          col("n_found").cast("double") / col("n_true")), 6).as("recall"))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs blocked by `blockCol`
     * (pairs are only formed within a block — at scale the block key is an
-    * LSH band or a cluster id, never the whole corpus). */
-  /** @param broadcastBuild replicate the build side to every task.
+    * LSH band or a cluster id, never the whole corpus).
+    *  @param broadcastBuild replicate the build side to every task.
     *        Default FALSE — the safe plan for an unbounded corpus is the
     *        blocked equi-join (one shuffle on the block key). Pass true
     *        only when the build side is provably bounded (e.g. a fixed

@@ -183,4 +183,65 @@ object Enrich {
                           labelCol: String): DataFrame =
     daily.withColumn("label_persist",
       lag(col(labelCol), 1).over(Window.partitionBy(col(keyCol)).orderBy(col(orderCol))))
+
+  /** Interpolated median of an array column (linear interpolation at even
+    * counts — the `quantile_cont(0.5)` / pandas definition). Null for an
+    * empty array. Pure column arithmetic, codegen-friendly. */
+  private def arrayMedian(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val s = array_sort(a)
+    val n = size(a)
+    when(n === 0, lit(null).cast("double"))
+      .when(pmod(n, lit(2)) === 1,
+        element_at(s, ((n + 1) / 2).cast("int")).cast("double"))
+      .otherwise((element_at(s, (n / 2).cast("int")) +
+        element_at(s, (n / 2).cast("int") + 1)) / 2.0)
+  }
+
+  /** W12 (beyond ref) — rolling robust outlier detection: trailing-window
+    * exact median, MAD (median absolute deviation), robust z-score
+    * `(x - med) / (1.4826·mad)` and an outlier flag at `|z| > zThresh`.
+    * The robust counterpart of the rolling mean/std family: one extreme
+    * value shifts a windowed mean/std enough to mask ITSELF (and flag its
+    * neighbors), while the median/MAD pair stays put — the standard spike
+    * detector for sensor streams.
+    *
+    * Spark has no windowed median, so the trailing frame is collected per
+    * row — a BOUNDED array (`k` rows) like w7's sequence windows, then
+    * pure sorted-array arithmetic (no UDF): the same
+    * partition-by-entity-key shuffle as every other window here, state
+    * O(k) per row at any corpus size. Rows with fewer than `minPeriods`
+    * observations get null med/mad/z and flag 0; mad = 0 (constant
+    * window) also nulls z — a spike AFTER k identical values is caught by
+    * the NEXT row's window, while dividing by ~0 would flag every tiny
+    * float wobble.
+    *
+    * Adds `{feature}_med`, `{feature}_mad`, `{feature}_rz`,
+    * `{feature}_outlier`. */
+  def rollingMedianMad(daily: DataFrame, keyCol: String, orderCol: String,
+                       feature: String, k: Int, minPeriods: Int,
+                       zThresh: Double): DataFrame = {
+    require(k >= 1, s"window must be >= 1, got $k")
+    require(minPeriods >= 1, s"minPeriods must be >= 1, got $minPeriods")
+    require(zThresh > 0, s"zThresh must be > 0, got $zThresh")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(-(k - 1), 0)
+    val med = arrayMedian(col("__win"))
+    val mad = arrayMedian(transform(col("__win"), x => abs(x - col("__med"))))
+    val rz = (col(feature) - col("__med")) / (lit(1.4826) * col("__mad"))
+    daily
+      .withColumn("__win", collect_list(col(feature)).over(w))
+      .withColumn("__med", med)
+      .withColumn("__mad", mad)
+      .withColumn("__ok", size(col("__win")) >= minPeriods)
+      .withColumn(s"${feature}_med",
+        when(col("__ok"), round(col("__med"), 6)))
+      .withColumn(s"${feature}_mad",
+        when(col("__ok"), round(col("__mad"), 6)))
+      .withColumn(s"${feature}_rz",
+        when(col("__ok") && col("__mad") > 0, round(rz, 6)))
+      .withColumn(s"${feature}_outlier",
+        when(col("__ok") && col("__mad") > 0 && abs(rz) > zThresh, 1)
+          .otherwise(0))
+      .drop("__win", "__med", "__mad", "__ok")
+  }
 }

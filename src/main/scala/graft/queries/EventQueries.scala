@@ -342,6 +342,14 @@ object EventQueries {
           alpha = 0.3, window = 20)
         .select("user_id", "date", "f_mean", "f_mean_ewma")),
 
+    // W12: rolling robust outlier detection — trailing-7-row exact
+    // median + MAD + robust z + flag per user day.
+    "w12_rolling_mad" -> ((s, dir) =>
+      Enrich.rollingMedianMad(dailyUser(s, dir), "user_id", "date", "f_mean",
+          k = 7, minPeriods = 3, zThresh = 3.0)
+        .select("user_id", "date", "f_mean", "f_mean_med", "f_mean_mad",
+          "f_mean_rz", "f_mean_outlier")),
+
     // E6: session path analysis — 30-min-gap sessions, ordered event-type
     // path (first 8 events), one row per distinct path.
     "e6_session_paths" -> ((s, dir) =>
@@ -378,6 +386,26 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "w12_rolling_mad" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |w AS (
+        |  SELECT user_id, date, f_mean,
+        |    count(f_mean) OVER win AS n_w,
+        |    quantile_cont(f_mean, 0.5) OVER win AS med,
+        |    mad(f_mean) OVER win AS madv
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, date, f_mean,
+        |  CASE WHEN n_w >= 3 THEN round(med, 6) END AS f_mean_med,
+        |  CASE WHEN n_w >= 3 THEN round(madv, 6) END AS f_mean_mad,
+        |  CASE WHEN n_w >= 3 AND madv > 0
+        |    THEN round((f_mean - med) / (1.4826 * madv), 6) END AS f_mean_rz,
+        |  CASE WHEN n_w >= 3 AND madv > 0
+        |      AND abs((f_mean - med) / (1.4826 * madv)) > 3.0
+        |    THEN 1 ELSE 0 END AS f_mean_outlier
+        |FROM w""".stripMargin,
+
     "e6_session_paths" ->
       """WITH o AS (
         |  SELECT user_id, ts, event_id, event_type,

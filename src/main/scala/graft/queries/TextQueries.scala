@@ -128,6 +128,22 @@ object TextQueries {
       Similarity.cosineDupPairs(Tables.embeddings(s, dir), "vec_id", "embedding",
         "label", 0.3)),
 
+    // dd18: blocking-quality eval — banded-LSH candidate/true/found pair
+    // counts with precision and recall, on a deterministic SHA-rank
+    // sample of 500 docs. The sample is an ABSOLUTE bound, not a
+    // fraction: the all-pairs ground truth stays ≤ 500·499/2 pairs at
+    // ANY corpus size (TakeOrdered top-N, no global sort materialized),
+    // so the eval budget is fixed while the banded stages remain the
+    // production path. Same (K=2, 2-hash band, τ=0.05) knobs as dd5.
+    "dd18_lsh_quality" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Hashing.sha28(col("doc_id")).as("__k"))
+        .orderBy(col("__k"), col("doc_id")).limit(500)
+        .drop("__k")
+      Dedup.bandedJaccardQuality(sample, "doc_id", "text", 2, 2, 0.05)
+    }),
+
     // Brute-force cosine top-5 for the first 20 vectors.
     "sim1_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -276,6 +292,30 @@ object TextQueries {
     "t3_token_counts" -> ((s, dir) =>
       TextAnalysis.tokenCounts(Tables.documents(s, dir), "text")
         .select("doc_id", "ws_tokens", "re_tokens")),
+
+    // t18: Zipf-law corpus statistics — log-log regression of frequency
+    // on rank over the top-100 tokens (TakeOrdered: no global sort
+    // materialized; the 100-row ranking window is bounded by contract),
+    // plus corpus vocab/token totals. A healthy natural-language corpus
+    // shows slope ≈ -1; word-salad or boilerplate-heavy corpora drift —
+    // the corpus-level health check next to t10's per-doc repetition.
+    "t18_zipf" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val totals = counts.agg(count(lit(1)).as("vocab_size"),
+        sum(col("n")).as("total_tokens"))
+      val top = counts.orderBy(col("n").desc, col("tok")).limit(100)
+      val ranked = top.withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("n").desc, col("tok"))))
+      val reg = ranked.agg(
+        count(lit(1)).as("n_top"),
+        round(regr_slope(log(col("n")), log(col("rank"))), 6).as("zipf_slope"),
+        round(regr_r2(log(col("n")), log(col("rank"))), 6).as("zipf_r2"))
+      reg.crossJoin(broadcast(totals))
+    }),
 
     // Rolling-hash document fingerprint.
     "t4_fingerprint" -> ((s, dir) =>
@@ -611,6 +651,40 @@ object TextQueries {
           |      AS jaccard
           |  FROM sets l JOIN sets r ON l.block = r.block AND l.doc_id < r.doc_id)
           |SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.05""".stripMargin
+      },
+
+      "dd18_lsh_quality" -> {
+        val shExpr = Dedup.shinglesOverTkSql(2)
+        val sha = graft.functions.Hashing.sha28Sql("CAST(doc_id AS VARCHAR)")
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+          |  ORDER BY $sha, doc_id LIMIT 500),
+          |sets AS (
+          |  SELECT doc_id,
+          |    ${Dedup.minhashBandKeySql(2, 2)} AS block,
+          |    list_distinct(list_transform($shExpr, s -> ${graft.functions.Hashing.sha28Sql("s")})) AS sh
+          |  FROM ${Dedup.tkSourceSqlFrom("d", "text", "doc_id")}),
+          |cand AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b FROM sets l JOIN sets r
+          |  ON l.block = r.block AND l.doc_id < r.doc_id),
+          |tru AS (
+          |  SELECT l.doc_id AS a, r.doc_id AS b,
+          |    round(len(list_intersect(l.sh, r.sh)) /
+          |      CAST(len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)) AS DOUBLE), 6)
+          |      AS j
+          |  FROM sets l JOIN sets r ON l.doc_id < r.doc_id),
+          |truth AS (SELECT a, b FROM tru WHERE j >= 0.05),
+          |found AS (SELECT c.a, c.b FROM cand c JOIN truth t ON c.a = t.a AND c.b = t.b),
+          |n AS (SELECT
+          |  (SELECT count(*) FROM d) AS n_docs,
+          |  (SELECT count(*) FROM cand) AS n_cand,
+          |  (SELECT count(*) FROM truth) AS n_true,
+          |  (SELECT count(*) FROM found) AS n_found)
+          |SELECT n_docs, n_cand, n_true, n_found,
+          |  round(CASE WHEN n_cand > 0 THEN CAST(n_found AS DOUBLE) / n_cand END, 6)
+          |    AS cand_precision,
+          |  round(CASE WHEN n_true > 0 THEN CAST(n_found AS DOUBLE) / n_true END, 6)
+          |    AS recall
+          |FROM n""".stripMargin
       },
 
       "dd7_lsh_verified" ->
@@ -980,6 +1054,27 @@ object TextQueries {
 
       "t4_fingerprint" ->
         s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+      "t18_zipf" ->
+        """WITH toks AS (
+          |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+          |  FROM documents),
+          |counts AS (
+          |  SELECT tok, count(*) AS n FROM toks WHERE len(tok) > 0 GROUP BY tok),
+          |totals AS (
+          |  SELECT count(*) AS vocab_size, CAST(sum(n) AS BIGINT) AS total_tokens
+          |  FROM counts),
+          |top AS (
+          |  SELECT tok, n FROM counts ORDER BY n DESC, tok LIMIT 100),
+          |ranked AS (
+          |  SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rank FROM top),
+          |reg AS (
+          |  SELECT count(*) AS n_top,
+          |    round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+          |    round(regr_r2(ln(n), ln(rank)), 6) AS zipf_r2
+          |  FROM ranked)
+          |SELECT n_top, zipf_slope, zipf_r2, vocab_size, total_tokens
+          |FROM reg, totals""".stripMargin,
 
       "dd10_simhash_dups" -> Dedup.simhashPairsSql(16, 4, 2),
 

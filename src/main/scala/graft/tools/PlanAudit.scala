@@ -60,7 +60,10 @@ object PlanAudit {
     "sim_recall_build" -> (1 -> "contains sim1's exact baseline once (KMeans-build IVF recall)"),
     "sim6_pq_adc" -> (1 -> "exhaustive ADC scan: query side bounded by contract (sim1 pattern); at corpus scale compose with ivfAssign cells (IVFADC)"),
     "t16_heavy_hitters" -> (1 -> "1-row corpus token-total frame (threshold stays in the plan, t12 pattern)"),
-    "m7_calibration" -> (1 -> "1-row ECE aggregate over <= 10 bin rows (global-stat broadcast pattern)"))
+    "m7_calibration" -> (1 -> "1-row ECE aggregate over <= 10 bin rows (global-stat broadcast pattern)"),
+    "e7_rfm" -> (3 -> "1-row corpus-max-date (appears twice: under the quartile agg and under the final attach) + 1-row quartile-boundary frame (global-stat broadcast pattern)"),
+    "dd18_lsh_quality" -> (3 -> "three 1-row count frames (cand/true/found) joined into the summary row; the all-pairs ground-truth stage is a salted equi-join bounded by the SHA-sample contract"),
+    "t18_zipf" -> (1 -> "1-row vocab/token-total frame joined to the 1-row regression frame (global-stat broadcast pattern)"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,

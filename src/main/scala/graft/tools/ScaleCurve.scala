@@ -52,7 +52,8 @@ object ScaleCurve {
     "e2e_corpus_assembly",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
-    "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize")
+    "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
+    "e6_session_paths", "e7_rfm", "e8_transitions", "dd18_lsh_quality")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

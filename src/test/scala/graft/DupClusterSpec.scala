@@ -222,4 +222,40 @@ class DupClusterSpec extends SparkTestBase {
       .select("doc_id").collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(2L, 7L, 10L))
   }
+
+  test("bandedJaccardQuality: identical docs found, counts and ratios consistent") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c d"), // identical: true pair, same band
+      (3L, "x y z w")                   // unrelated
+    ).toDF("doc_id", "text")
+    val r = Dedup.bandedJaccardQuality(docs, "doc_id", "text",
+      shingleK = 2, bandHashes = 2, minJaccard = 0.5, saltBuckets = 4).head()
+    val (nDocs, nCand, nTrue, nFound) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nDocs === 3L)
+    assert(nTrue === 1L && nFound === 1L, "identical docs must be a found pair")
+    assert(nFound <= nCand && nFound <= nTrue, "found must be a subset")
+    assert(r.getDouble(5) === 1.0, "recall must be 1 when the only true pair is found")
+    assert(r.getDouble(4) === nFound.toDouble / nCand)
+  }
+
+  test("bandedJaccardQuality recall: found pairs == banded∩truth on random docs") {
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val rnd = new scala.util.Random(77)
+    def doc() = (0 until 3 + rnd.nextInt(4)).map(_ => vocab(rnd.nextInt(vocab.size)))
+      .mkString(" ")
+    val docs = (0L until 30L).map(i => (i, doc())).toDF("doc_id", "text")
+    val r = Dedup.bandedJaccardQuality(docs, "doc_id", "text", 2, 2, 0.3,
+      saltBuckets = 4).head()
+    val truth = Dedup.ngramJaccardPairs(
+        docs.withColumn("blk", lit(0)), "doc_id", "text", "blk", 2, 0.3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val banded = Dedup.ngramJaccardPairsBanded(docs, "doc_id", "text", 2, 2, 0.3)
+      .select("id_a", "id_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(banded.subsetOf(truth), "banding must only remove pairs, never add")
+    assert(r.getLong(2) === truth.size.toLong)
+    assert(r.getLong(3) === banded.size.toLong)
+  }
 }

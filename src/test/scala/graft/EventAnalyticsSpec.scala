@@ -219,6 +219,84 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out === Map("view" -> 2L, "click" -> 2L, "buy" -> 1L))
   }
 
+  test("sessionPaths: gap splits sessions, path ordered and truncated") {
+    val events = Seq(
+      // u1 session 1: three events in order; session 2 after a >30min gap
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:10:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:20:00"), 3L, "buy"),
+      (1L, ts("2024-01-01 12:00:00"), 4L, "view"),
+      // u2: single-event session
+      (2L, ts("2024-01-01 10:00:00"), 5L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapSecs = 1800L, maxPathEvents = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out === Map(
+      "view>click>buy" -> (1L, 3.0),
+      "view" -> (2L, 1.0)))
+    // truncation: cap 2 keeps the FIRST two events but counts all three
+    val trunc = EventAnalytics.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapSecs = 1800L, maxPathEvents = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(trunc === Map(
+      "view>click" -> (1L, 3.0),
+      "view" -> (2L, 1.0)))
+  }
+
+  test("sessionPaths: equal timestamps ordered by the tie column") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L, "b"),
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.sessionPaths(events, "user_id", "ts", "event_id",
+        "event_type", gapSecs = 1800L)
+      .collect().map(_.getString(0)).toSet
+    assert(out === Set("a>b"))
+  }
+
+  test("transitionMatrix: within-session bigrams with per-src probabilities") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:00:10"), 2L, "click"),
+      (1L, ts("2024-01-01 10:00:20"), 3L, "buy"),
+      (1L, ts("2024-01-01 12:00:00"), 4L, "view"), // gap: buy->view excluded
+      (2L, ts("2024-01-01 10:00:00"), 5L, "click"),
+      (2L, ts("2024-01-01 10:05:00"), 6L, "click")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = EventAnalytics.transitionMatrix(events, "user_id", "ts",
+        "event_id", "event_type", gapSecs = 1800L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out === Map(
+      ("view", "click") -> (1L, 1.0),
+      ("click", "buy") -> (1L, 0.5),
+      ("click", "click") -> (1L, 0.5)))
+  }
+
+  test("rfm: quartile scores from exact boundaries, hand-computed") {
+    def mk(u: Long, day: String, n: Int, purchase: Double) = {
+      val base = (1 to n).map(i =>
+        (u, ts(s"$day 10:0$i:00"), "view", 0.0))
+      if (purchase > 0) base.updated(0, (u, ts(s"$day 10:01:00"), "purchase", purchase))
+      else base
+    }
+    val events = (mk(1L, "2024-01-10", 4, 100.0) ++ mk(2L, "2024-01-09", 3, 0.0) ++
+      mk(3L, "2024-01-08", 2, 0.0) ++ mk(4L, "2024-01-07", 1, 0.0))
+      .toDF("user_id", "ts", "event_type", "value")
+    val out = EventAnalytics.rfm(events, "user_id", "ts", "event_type",
+        "value", "purchase")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7), r.getString(8))).toMap
+    // recency [0,1,2,3] -> q=(0.75,1.5,2.25); freq [4,3,2,1] -> (1.75,2.5,3.25);
+    // monetary [100,0,0,0] -> (0,0,25)
+    assert(out === Map(
+      1L -> (4, 4, 4, "444", "champion"),
+      2L -> (3, 3, 1, "331", "regular"),
+      3L -> (2, 2, 1, "221", "low_value"),
+      4L -> (1, 1, 1, "111", "low_value")))
+  }
+
   test("hashSplit: exhaustive, deterministic, stable under corpus growth") {
     val small = (1 to 300).map(i => (i.toLong, s"doc $i")).toDF("doc_id", "text")
     val splits = Seq("train" -> 800000L, "val" -> 100000L, "test" -> 100000L)
@@ -251,6 +329,32 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(out === Map(
       (1L, 1) -> Some(2.0), (1L, 2) -> Some(2.0), (1L, 3) -> Some(3.6),
       (2L, 1) -> Some(10.0)))
+  }
+
+  test("rollingMedianMad: hand-computed med/mad/z, min_periods + mad=0 guards") {
+    val df = Seq(
+      (1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 100.0), (1L, 4, 3.0),
+      (2L, 1, 5.0), (2L, 2, 5.0), (2L, 3, 9.0)
+    ).toDF("k", "ord", "x")
+    val out = graft.operators.Enrich.rollingMedianMad(df, "k", "ord", "x",
+        k = 3, minPeriods = 2, zThresh = 2.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((Option(r.get(r.fieldIndex("x_med"))), Option(r.get(r.fieldIndex("x_mad"))),
+          Option(r.get(r.fieldIndex("x_rz"))), r.getInt(r.fieldIndex("x_outlier"))))).toMap
+    // u1 r2: win [1,2] -> med 1.5 (interpolated), mad 0.5
+    assert(out((1L, 1)) === ((None, None, None, 0)), "below min_periods")
+    assert(out((1L, 2))._1 === Some(1.5))
+    assert(out((1L, 2))._2 === Some(0.5))
+    // u1 r3: win [1,2,100] -> med 2, mad 1, rz = 98/1.4826 -> outlier
+    assert(out((1L, 3))._1 === Some(2.0) && out((1L, 3))._2 === Some(1.0))
+    assert(math.abs(out((1L, 3))._3.get.asInstanceOf[Double] - 98.0 / 1.4826) < 1e-5)
+    assert(out((1L, 3))._4 === 1)
+    // u1 r4: win [2,100,3] -> med 3, mad 1, rz 0 -> the spike does NOT
+    // mask its neighbor (a windowed mean/std would)
+    assert(out((1L, 4)) === ((Some(3.0), Some(1.0), Some(0.0), 0)))
+    // u2 r3: win [5,5,9] -> mad 0 -> z null, flag 0 by the guard
+    assert(out((2L, 3))._1 === Some(5.0) && out((2L, 3))._2 === Some(0.0))
+    assert(out((2L, 3))._3 === None && out((2L, 3))._4 === 0)
   }
 
   test("heavyHitters is exact vs plain groupBy at the threshold boundary") {
