@@ -316,6 +316,79 @@ object MlQueries {
             .as("prec"))
     }),
 
+    // D5 (beyond ref): population stability index — the binned
+    // industry-standard drift monitor next to D2's KS. Train deciles from
+    // ONE exact-percentile row broadcast (no global sort), both splits
+    // binned by comparison, per-bin (p-q)·ln(p/q) with the standard 1e-6
+    // zero-clamp; the corpus total runs over the ≤10-bin frame.
+    "d5_psi" -> ((s, dir) => {
+      val withSplit = dailyUser(s, dir)
+        .withColumn("split",
+          when(col("date") < lit("2024-01-20").cast("date"), "train")
+            .otherwise("val"))
+      val qExprs = (1 to 9).map(i =>
+        round(percentile(col("f_mean"), lit(i / 10.0)), 6).as(s"q$i"))
+      val qs = withSplit.filter(col("split") === "train")
+        .agg(qExprs.head, qExprs.tail: _*)
+      val binned = withSplit.crossJoin(broadcast(qs))
+        .withColumn("bin",
+          (1 to 9).map(i => (col("f_mean") > col(s"q$i")).cast("int"))
+            .reduce(_ + _))
+        .groupBy("bin")
+        .agg(
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+      val tot = binned.agg(sum("n_train").as("t_train"), sum("n_val").as("t_val"))
+      val contrib = binned.crossJoin(broadcast(tot))
+        .withColumn("p",
+          greatest(col("n_train").cast("double") / col("t_train"), lit(1e-6)))
+        .withColumn("q",
+          greatest(col("n_val").cast("double") / col("t_val"), lit(1e-6)))
+        .withColumn("psi_bin",
+          round((col("p") - col("q")) * log(col("p") / col("q")), 6))
+      // corpus PSI over the <= 10 bin rows: bounded single-partition
+      // window by construction (bin cardinality is fixed at 10)
+      contrib
+        .withColumn("psi", round(sum("psi_bin").over(
+          org.apache.spark.sql.expressions.Window.partitionBy(lit(1))), 6))
+        .select("bin", "n_train", "n_val", "psi_bin", "psi")
+    }),
+
+    // M9 (beyond ref): learning curve — the deterministic GD-LR replayed
+    // at three train cutoffs against the FIXED test split, with train
+    // size, accuracy, and F1 per point. The loop is driver-side plan
+    // construction (3 unioned arms), not 3 scans of collected data.
+    "m9_learning_curve" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+        .withColumn("label",
+          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
+      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
+      Seq("2024-01-02", "2024-01-05", "2024-01-20").map { cut =>
+        val train = daily.filter(col("date") < lit(cut).cast("date"))
+        val pred = graft.ml.Models.logisticRegressionGD(train, test,
+            Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+          .filter(col("prob").isNotNull)
+        val nTrain = train.agg(count(lit(1)).as("n_train"))
+        val tp = sum(when(col("y_pred") === 1 && col("label") === 1.0, 1L)
+          .otherwise(0L))
+        val fp = sum(when(col("y_pred") === 1 && col("label") === 0.0, 1L)
+          .otherwise(0L))
+        val fn = sum(when(col("y_pred") === 0 && col("label") === 1.0, 1L)
+          .otherwise(0L))
+        pred.agg(
+            count(lit(1)).as("n_test"),
+            round(avg(when(col("label") === col("y_pred"), 1.0).otherwise(0.0)), 6)
+              .as("accuracy"),
+            tp.as("tp"), fp.as("fp"), fn.as("fn"))
+          .crossJoin(broadcast(nTrain))
+          .select(lit(cut).as("train_end"), col("n_train"), col("n_test"),
+            col("accuracy"),
+            round(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+              lit(2.0) * col("tp") /
+                (lit(2.0) * col("tp") + col("fp") + col("fn"))), 6).as("f1"))
+      }.reduce(_ unionByName _)
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
@@ -540,7 +613,7 @@ object MlQueries {
   /** DuckDB replay of [[graft.ml.Models.logisticRegressionGD]]: the same
     * canonical roundings at every cross-engine boundary make the unrolled
     * iteration CTEs produce bit-identical coefficients. */
-  private def m5OracleSql(iters: Int): String = {
+  private def m5OracleSql(iters: Int, trainEnd: String = "2024-01-20"): String = {
     def p(b: String) = s"1/(1+exp(-($b.c0 + $b.c1*z1 + $b.c2*z2)))"
     val iterCtes = (1 to iters).map { k =>
       val prev = s"b${k - 1}"
@@ -553,7 +626,7 @@ object MlQueries {
     s"""WITH d AS ($dailyUserSql),
        |base AS (SELECT user_id, date, f_mean, f_n,
        |  CASE WHEN f_purchase > 0 THEN 1.0 ELSE 0.0 END AS label FROM d),
-       |tr0 AS (SELECT * FROM base WHERE date < DATE '2024-01-20'),
+       |tr0 AS (SELECT * FROM base WHERE date < DATE '$trainEnd'),
        |st AS (SELECT round(avg(f_mean), 8) AS m1, round(stddev_samp(f_mean), 8) AS s1r,
        |  round(avg(f_n), 8) AS m2, round(stddev_samp(f_n), 8) AS s2r FROM tr0),
        |stg AS (SELECT m1, CASE WHEN s1r IS NULL OR s1r = 0 THEN 1.0 ELSE s1r END AS s1,
@@ -589,6 +662,70 @@ object MlQueries {
         |SELECT bin, n, conf, acc, gap,
         |  round(sum(gap * n) OVER () / sum(n) OVER (), 6) AS ece
         |FROM g""".stripMargin,
+
+    // d5 twin: train deciles -> comparison bins -> clamped (p-q)·ln(p/q),
+    // corpus total as a window over the <= 10 bin rows.
+    "d5_psi" -> {
+      val qCols = (1 to 9)
+        .map(i => s"round(quantile_cont(f_mean, 0.${i}), 6) AS q$i")
+        .mkString(",\n    ")
+      val binExpr = (1 to 9)
+        .map(i => s"CAST(f_mean > q$i AS INT)").mkString(" + ")
+      s"""WITH d AS ($dailyUserSql),
+        |sp AS (
+        |  SELECT f_mean,
+        |    CASE WHEN date < DATE '2024-01-20' THEN 'train' ELSE 'val' END AS split
+        |  FROM d),
+        |qs AS (
+        |  SELECT
+        |    $qCols
+        |  FROM sp WHERE split = 'train'),
+        |b AS (SELECT $binExpr AS bin, split FROM sp, qs),
+        |binned AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT) AS n_val
+        |  FROM b GROUP BY bin),
+        |tot AS (
+        |  SELECT CAST(sum(n_train) AS BIGINT) AS t_train,
+        |    CAST(sum(n_val) AS BIGINT) AS t_val
+        |  FROM binned),
+        |c AS (
+        |  SELECT bin, n_train, n_val,
+        |    greatest(CAST(n_train AS DOUBLE) / t_train, 1e-6) AS p,
+        |    greatest(CAST(n_val AS DOUBLE) / t_val, 1e-6) AS q
+        |  FROM binned, tot),
+        |c2 AS (
+        |  SELECT bin, n_train, n_val, round((p - q) * ln(p / q), 6) AS psi_bin
+        |  FROM c)
+        |SELECT bin, n_train, n_val, psi_bin,
+        |  round(sum(psi_bin) OVER (), 6) AS psi
+        |FROM c2""".stripMargin
+    },
+
+    // m9 twin: one arm per train cutoff — each wraps the full m5 CTE
+    // chain (parameterized train end, fixed test split) and aggregates
+    // the confusion counts into accuracy/F1.
+    "m9_learning_curve" -> Seq("2024-01-02", "2024-01-05", "2024-01-20").map { cut =>
+      s"""SELECT '$cut' AS train_end,
+        |  (SELECT count(*) FROM ($dailyUserSql) WHERE date < DATE '$cut')
+        |    AS n_train,
+        |  m.n_test, m.accuracy, m.f1
+        |FROM (
+        |  SELECT count(*) AS n_test,
+        |    round(avg(CASE WHEN label = y_pred THEN CAST(1.0 AS DOUBLE)
+        |      ELSE CAST(0.0 AS DOUBLE) END), 6) AS accuracy,
+        |    round(CASE WHEN 2 * sum(CASE WHEN y_pred = 1 AND label = 1.0 THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN y_pred = 1 AND label = 0.0 THEN 1 ELSE 0 END)
+        |        + sum(CASE WHEN y_pred = 0 AND label = 1.0 THEN 1 ELSE 0 END) > 0
+        |      THEN 2.0 * sum(CASE WHEN y_pred = 1 AND label = 1.0 THEN 1 ELSE 0 END) /
+        |        (2.0 * sum(CASE WHEN y_pred = 1 AND label = 1.0 THEN 1 ELSE 0 END)
+        |         + sum(CASE WHEN y_pred = 1 AND label = 0.0 THEN 1 ELSE 0 END)
+        |         + sum(CASE WHEN y_pred = 0 AND label = 1.0 THEN 1 ELSE 0 END))
+        |      END, 6) AS f1
+        |  FROM (${m5OracleSql(3, cut)}) WHERE prob IS NOT NULL
+        |) m""".stripMargin
+    }.mkString("\nUNION ALL\n"),
 
     // m8 twin: m5's prediction CTEs, cross-joined with an unnested
     // threshold list (cast to DOUBLE — DuckDB parses the literals as
