@@ -437,6 +437,36 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** sim7 — LSH-bucketed cosine RANGE search: every pair of corpus
+    * vectors with similarity >= `minSim` among multi-table hyperplane-LSH
+    * candidates. The symmetric self-join counterpart of [[lshTopK]]
+    * (report ALL matches above a floor, not the k best per query) and
+    * the embedding analog of the banded text near-dup path: candidates
+    * come from equi-joins on (table, bucket) keys whose cardinality
+    * grows with the corpus — never an all-pairs product — and
+    * multi-table collisions dedup on the pair key carrying only scalar
+    * sims across the shuffle. Approximate by the same contract as every
+    * LSH op here (recall rises with `numTables`); the SHA-derived planes
+    * make the bucket assignment exactly DuckDB-replayable, so the whole
+    * operator is value-gated, not rows-only. */
+  def lshCosineRange(vectors: DataFrame, idCol: String, vecCol: String,
+                     minSim: Double, numPlanes: Int, dims: Int,
+                     numTables: Int = 1): DataFrame = {
+    val v = withNorm(vectors, idCol, vecCol, "vid", "vv", "vn")
+      .repartition(vectors.sparkSession.sparkContext.defaultParallelism)
+      .withColumn("tb",
+        explode(lshBucketKeys(col("vv"), numPlanes, dims, numTables)))
+    val l = v.select(col("tb"), col("vid").as("id_a"), col("vv").as("va"),
+      col("vn").as("na"))
+    val r = v.select(col("tb"), col("vid").as("id_b"), col("vv").as("vb"),
+      col("vn").as("nb"))
+    l.join(r, Seq("tb")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim"))
+      .filter(col("sim") >= minSim)
+      .groupBy("id_a", "id_b").agg(first(col("sim")).as("sim"))
+  }
+
   def cosineDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                      blockCol: String, minSim: Double): DataFrame = {
     val v = vectors

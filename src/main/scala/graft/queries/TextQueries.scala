@@ -161,6 +161,13 @@ object TextQueries {
         .select("query_id", "neighbor_id", "sim", "rk")
     }),
 
+    // sim7: LSH-bucketed cosine range search — ALL corpus pairs above a
+    // similarity floor among multi-table hyperplane candidates (sim2's
+    // knobs); the embedding analog of banded text near-dup.
+    "sim7_cosine_range" -> ((s, dir) =>
+      Similarity.lshCosineRange(Tables.embeddings(s, dir), "vec_id",
+        "embedding", minSim = 0.3, numPlanes = 6, dims = 64, numTables = 8)),
+
     // IVF ANN: kmeans coarse quantizer + multi-probe (engine-only).
     "sim3_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -596,6 +603,45 @@ object TextQueries {
     * `Dedup.dupClusters` — exact min-label semantics; fine at oracle scale,
     * where the Spark side's large-star/small-star contraction is the
     * distributed formulation. */
+  /** Shared DuckDB replay of the SHA-derived multi-table hyperplane LSH
+    * bucket assignment (8 tables x 6 planes over 64 dims, the sim2/sim7
+    * knobs): v = doubled embeddings, ok/bad = the engine's shape guards
+    * (malformed vectors fall into bucket 0 of every table), buckets =
+    * (vec_id, t, b). */
+  private val hyperplaneBucketCtes: String =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |ok AS (
+      |  SELECT vec_id, e FROM v
+      |  WHERE e IS NOT NULL AND len(e) = 64
+      |    AND len(list_filter(e, x -> x IS NULL)) = 0),
+      |bad AS (
+      |  SELECT vec_id FROM v
+      |  WHERE e IS NOT NULL
+      |    AND (len(e) <> 64 OR len(list_filter(e, x -> x IS NULL)) > 0)),
+      |planes AS (
+      |  SELECT tt.t, pp.p, dd.d,
+      |    CAST(('0x' || substr(sha256(CASE WHEN tt.t = 0
+      |        THEN CAST(pp.p AS VARCHAR) || '_' || CAST(dd.d AS VARCHAR)
+      |        ELSE CAST(tt.t AS VARCHAR) || '_' || CAST(pp.p AS VARCHAR) ||
+      |          '_' || CAST(dd.d AS VARCHAR) END), 1, 8)) AS BIGINT)
+      |      / 2147483648.0 - 1.0 AS w
+      |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)),
+      |elems AS (
+      |  SELECT vec_id, dd.d, e[dd.d + 1] AS x FROM ok, range(64) dd(d)),
+      |dots AS (
+      |  SELECT el.vec_id, pl.t, pl.p, sum(el.x * pl.w) AS s
+      |  FROM elems el JOIN planes pl ON el.d = pl.d
+      |  GROUP BY el.vec_id, pl.t, pl.p),
+      |buckets AS (
+      |  SELECT vec_id, t,
+      |    CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << p
+      |      ELSE 0 END) AS BIGINT) AS b
+      |  FROM dots GROUP BY vec_id, t
+      |  UNION ALL
+      |  SELECT bad.vec_id, tt.t, 0 AS b FROM bad, range(8) tt(t))""".stripMargin
+
   private val componentCtes: String =
     """edges AS (
       |  SELECT id_a AS u, id_b AS v FROM vpairs
@@ -805,38 +851,7 @@ object TextQueries {
           |FROM read_parquet('/root/repo/src/test/resources/expected/sim_recall_sf0.01.parquet')""".stripMargin,
 
       "sim2_ann_lsh" ->
-        """WITH v AS (
-          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-          |  FROM embeddings),
-          |ok AS (
-          |  SELECT vec_id, e FROM v
-          |  WHERE e IS NOT NULL AND len(e) = 64
-          |    AND len(list_filter(e, x -> x IS NULL)) = 0),
-          |bad AS (
-          |  SELECT vec_id FROM v
-          |  WHERE e IS NOT NULL
-          |    AND (len(e) <> 64 OR len(list_filter(e, x -> x IS NULL)) > 0)),
-          |planes AS (
-          |  SELECT tt.t, pp.p, dd.d,
-          |    CAST(('0x' || substr(sha256(CASE WHEN tt.t = 0
-          |        THEN CAST(pp.p AS VARCHAR) || '_' || CAST(dd.d AS VARCHAR)
-          |        ELSE CAST(tt.t AS VARCHAR) || '_' || CAST(pp.p AS VARCHAR)
-          |          || '_' || CAST(dd.d AS VARCHAR) END), 1, 8)) AS BIGINT)
-          |      / 2147483648.0 - 1.0 AS w
-          |  FROM range(8) tt(t), range(6) pp(p), range(64) dd(d)),
-          |elems AS (
-          |  SELECT vec_id, dd.d, e[dd.d + 1] AS x FROM ok, range(64) dd(d)),
-          |dots AS (
-          |  SELECT el.vec_id, pl.t, pl.p, sum(el.x * pl.w) AS s
-          |  FROM elems el JOIN planes pl ON el.d = pl.d
-          |  GROUP BY el.vec_id, pl.t, pl.p),
-          |buckets AS (
-          |  SELECT vec_id, t,
-          |    CAST(sum(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << p
-          |      ELSE 0 END) AS BIGINT) AS b
-          |  FROM dots GROUP BY vec_id, t
-          |  UNION ALL
-          |  SELECT bad.vec_id, tt.t, 0 AS b FROM bad, range(8) tt(t)),
+        s"""WITH $hyperplaneBucketCtes,
           |cand AS (
           |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
           |  FROM buckets q JOIN buckets c ON q.t = c.t AND q.b = c.b
@@ -854,6 +869,24 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
           |  FROM scored)
           |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      // sim7 twin: the shared bucket CTEs, symmetric candidate self-join,
+      // cosine verify, similarity floor.
+      "sim7_cosine_range" ->
+        s"""WITH $hyperplaneBucketCtes,
+          |cand AS (
+          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM buckets a JOIN buckets b ON a.t = b.t AND a.b = b.b
+          |  WHERE a.vec_id < b.vec_id),
+          |scored AS (
+          |  SELECT cand.id_a, cand.id_b,
+          |    round(list_inner_product(av.e, bv.e) /
+          |      (sqrt(list_inner_product(av.e, av.e))
+          |        * sqrt(list_inner_product(bv.e, bv.e))), 6) AS sim
+          |  FROM cand
+          |  JOIN v av ON cand.id_a = av.vec_id
+          |  JOIN v bv ON cand.id_b = bv.vec_id)
+          |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.3""".stripMargin,
 
       // sim3_assign twin: assignment argmin + nProbe probe ranking share
       // ONE distance CTE (round-6 L2^2 via the inner-product identity —

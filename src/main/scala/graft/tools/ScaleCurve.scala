@@ -48,7 +48,7 @@ object ScaleCurve {
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
     "t14_lm_crossppl", "t15_ngram_coverage", "t16_heavy_hitters",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
-    "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc",
+    "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc", "sim7_cosine_range",
     "e2e_corpus_assembly",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",

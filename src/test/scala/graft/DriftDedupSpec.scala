@@ -345,6 +345,27 @@ class DriftDedupSpec extends SparkTestBase {
     assert(recall >= 0.6, s"ANN recall $recall")
   }
 
+  test("sim7: range search is a subset of exact pairs with identical sims") {
+    val vecs = (0 until 200).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))
+      (i.toLong, base.map(x => (x + 0.01 * math.cos(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.lshCosineRange(vecs, "vec_id", "embedding",
+        minSim = 0.9, numPlanes = 6, dims = 16, numTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact ground truth: all pairs above the floor
+    val exact = Similarity.cosineDupPairs(
+        vecs.withColumn("blk", lit(1)), "vec_id", "embedding", "blk", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.nonEmpty, "range search found nothing at 0.9 on a clustered fixture")
+    got.foreach { case (pair, sim) =>
+      assert(exact.contains(pair), s"$pair not in exact set")
+      assert(exact(pair) === sim, s"$pair sim mismatch")
+    }
+    val recall = got.size.toDouble / exact.size
+    assert(recall >= 0.6, s"range-search recall $recall")
+  }
+
   test("sim6: pqEncode with the identity codebook is lossless, zero shuffle") {
     // codebook == corpus: every vector's nearest sub-centroid in EVERY
     // subspace is its own slice -> codes all equal the own id, recon 0
