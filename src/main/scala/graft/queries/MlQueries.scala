@@ -389,6 +389,50 @@ object MlQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // M10 (beyond ref): Poisson-bootstrap CI on test accuracy — THE
+    // distributed bootstrap: instead of resampling N rows with
+    // replacement (a global multinomial no cluster can draw), each row
+    // gets an independent Poisson(1) weight per replicate, drawn from a
+    // SHA-derived uniform so both engines replay the identical weights.
+    // One pass: explode 20 replicates, per-replicate weighted accuracy,
+    // then mean + exact 2.5/97.5 percentiles over the 20-row frame.
+    "m10_bootstrap_ci" -> ((s, dir) => {
+      val daily = dailyUser(s, dir)
+        .withColumn("label",
+          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
+      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
+      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
+      val pred = graft.ml.Models.logisticRegressionGD(train, test,
+          Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+        .filter(col("prob").isNotNull)
+      // cumulative Poisson(1) CDF; identical literals in the twin
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999902967814333)
+      val u = pmod(graft.functions.Hashing.sha28(
+          concat(col("user_id"), lit("_"), col("date").cast("string"),
+            lit("_"), col("b"))), lit(1048576L)).cast("double") / 1048576.0
+      val w = cdf.zipWithIndex.foldRight(lit(8): org.apache.spark.sql.Column) {
+        case ((c, i), rest) => when(col("__u") < c, i).otherwise(rest)
+      }
+      val perRep = pred
+        .select(col("user_id"), col("date"),
+          when(col("label") === col("y_pred"), 1L).otherwise(0L).as("correct"),
+          explode(typedLit((0 until 20).toList)).as("b"))
+        .withColumn("__u", u)
+        .withColumn("w", w)
+        .groupBy("b")
+        .agg(sum(col("w") * col("correct")).as("num"), sum(col("w")).as("den"))
+        .select(col("b"),
+          round(when(col("den") > 0,
+            col("num").cast("double") / col("den")), 6).as("acc"))
+      perRep.agg(
+        count(lit(1)).as("n_replicates"),
+        round(avg(col("acc")), 6).as("acc_mean"),
+        round(percentile(col("acc"), lit(0.025)), 6).as("ci_lo"),
+        round(percentile(col("acc"), lit(0.975)), 6).as("ci_hi"))
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
@@ -726,6 +770,42 @@ object MlQueries {
         |  FROM (${m5OracleSql(3, cut)}) WHERE prob IS NOT NULL
         |) m""".stripMargin
     }.mkString("\nUNION ALL\n"),
+
+    // m10 twin: identical SHA-uniform -> Poisson(1) inverse-CDF weights,
+    // per-replicate weighted accuracy, mean + exact percentile CI.
+    "m10_bootstrap_ci" -> {
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.919698602928606,
+        0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+        0.9999167588507119, 0.9999902967814333)
+      val wCase = cdf.zipWithIndex
+        .map { case (c, i) => s"WHEN u < $c THEN $i" }
+        .mkString("CASE ", " ", " ELSE 8 END")
+      val sha = graft.functions.Hashing.sha28Sql(
+        "CAST(user_id AS VARCHAR) || '_' || CAST(date AS VARCHAR) || '_' || CAST(b AS VARCHAR)")
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |rep AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN label = y_pred THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS correct,
+        |    CAST(unnest(range(20)) AS INT) AS b
+        |  FROM pred WHERE prob IS NOT NULL),
+        |weighted AS (
+        |  SELECT b, correct,
+        |    $wCase AS w
+        |  FROM (SELECT *, CAST($sha % 1048576 AS DOUBLE) / 1048576.0 AS u
+        |        FROM rep)),
+        |per AS (
+        |  SELECT b,
+        |    round(CASE WHEN CAST(sum(w) AS BIGINT) > 0
+        |      THEN CAST(sum(w * correct) AS DOUBLE) / CAST(sum(w) AS BIGINT)
+        |      END, 6) AS acc
+        |  FROM weighted GROUP BY b)
+        |SELECT count(*) AS n_replicates,
+        |  round(avg(acc), 6) AS acc_mean,
+        |  round(quantile_cont(acc, 0.025), 6) AS ci_lo,
+        |  round(quantile_cont(acc, 0.975), 6) AS ci_hi
+        |FROM per""".stripMargin
+    },
 
     // m8 twin: m5's prediction CTEs, cross-joined with an unnested
     // threshold list (cast to DOUBLE — DuckDB parses the literals as

@@ -50,6 +50,49 @@ object StreamingDaily {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("text_sha")
 
+  /** D5-on-a-stream: per event-time window, the population stability
+    * index of `valueCol` against a FIXED reference distribution — the
+    * production drift monitor: the reference deciles come from a batch
+    * training snapshot (d5_psi's train side), the stream is scored
+    * against them continuously.
+    *
+    * Streaming disallows chained aggregations, so the per-window bin
+    * histogram is ONE aggregation with the bins pivoted into conditional
+    * sums (bin count is fixed by the reference boundaries), and the PSI
+    * is a stateless projection over that single row — the plan stays a
+    * watermarked windowed agg whose state is one row of
+    * `boundaries+1` longs per open window. Same arithmetic as the batch
+    * d5_psi: both distributions 1e-6-clamped, (p-q)·ln(p/q) summed.
+    *
+    * @param refBoundaries ascending bin edges (e.g. train deciles)
+    * @param refShares     reference share per bin, size boundaries+1 */
+  def streamingPsi(events: DataFrame, tsCol: String, valueCol: String,
+                   refBoundaries: Seq[Double], refShares: Seq[Double],
+                   windowDur: String = "1 day",
+                   watermark: String = "1 day"): DataFrame = {
+    require(refShares.size == refBoundaries.size + 1,
+      s"refShares must have ${refBoundaries.size + 1} entries, got ${refShares.size}")
+    require(refBoundaries == refBoundaries.sorted, "refBoundaries must ascend")
+    val nBins = refBoundaries.size + 1
+    val bin = refBoundaries.map(b => (col(valueCol) > b).cast("int"))
+      .reduce(_ + _)
+    val counts = (0 until nBins).map(i =>
+      sum(when(col("__bin") === i, 1L).otherwise(0L)).as(s"n$i"))
+    val agg = events
+      .withWatermark(tsCol, watermark)
+      .withColumn("__bin", bin)
+      .groupBy(window(col(tsCol), windowDur).as("w"))
+      .agg(counts.head, counts.tail: _*)
+    val total = (0 until nBins).map(i => col(s"n$i")).reduce(_ + _)
+    val psi = refShares.zipWithIndex.map { case (p, i) =>
+      val q = greatest(col(s"n$i").cast("double") / total, lit(1e-6))
+      val pc = lit(math.max(p, 1e-6))
+      (pc - q) * log(pc / q)
+    }.reduce(_ + _)
+    agg.select(col("w.start").cast("date").as("date"), total.as("n"),
+      round(psi, 6).as("psi"))
+  }
+
   /** Corpus NEAR-dup dedup on a stream — the stream-safe approximation:
     * documents collapsing to the same `bits`-bit SimHash signature
     * (near-identical token multisets — reordered/lightly-edited

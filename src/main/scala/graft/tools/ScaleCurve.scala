@@ -55,7 +55,7 @@ object ScaleCurve {
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
     "e6_session_paths", "e7_rfm", "e8_transitions", "dd18_lsh_quality",
     "w12_rolling_mad", "t18_zipf", "d5_psi", "m8_roc_sweep",
-    "m9_learning_curve")
+    "m9_learning_curve", "m10_bootstrap_ci")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

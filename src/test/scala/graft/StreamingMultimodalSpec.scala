@@ -63,6 +63,31 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming D5: per-window PSI against a fixed reference, hand-computed") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val df = input.toDF().toDF("ts", "value")
+    val psi = StreamingDaily.streamingPsi(df, "ts", "value",
+      refBoundaries = Seq(10.0), refShares = Seq(0.5, 0.5))
+    val q = psi.writeStream.outputMode("complete")
+      .format("memory").queryName("psi_out").start()
+    try {
+      input.addData(
+        // day 1 matches the reference 50/50 split -> PSI 0
+        (ts("2024-01-01 08:00:00"), 5.0), (ts("2024-01-01 09:00:00"), 15.0),
+        // day 2 drifts to 75/25 -> PSI = -0.25*ln(2/3) + 0.25*ln(2)
+        (ts("2024-01-02 08:00:00"), 5.0), (ts("2024-01-02 09:00:00"), 5.0),
+        (ts("2024-01-02 10:00:00"), 5.0), (ts("2024-01-02 11:00:00"), 15.0))
+      q.processAllAvailable()
+      val out = spark.sql("SELECT * FROM psi_out ORDER BY date").collect()
+      assert(out.length === 2)
+      assert(out(0).getAs[Double]("psi") === 0.0)
+      assert(out(0).getAs[Long]("n") === 2L)
+      assert(out(1).getAs[Double]("psi") === 0.274653)
+      assert(out(1).getAs[Long]("n") === 4L)
+    } finally q.stop()
+  }
+
   test("streaming W4: stateful gap sessionization across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[SessionEvent]
