@@ -102,14 +102,20 @@ object EventAnalytics {
           .otherwise(0))
       .withColumn("sess", sum(col("brk")).over(
         w.rowsBetween(Window.unboundedPreceding, 0)))
+    // rank within the session FIRST so the collect only ever buffers
+    // maxPathEvents structs per group (collect_list skips the nulls the
+    // `when` produces past the cap) — a 10M-event bot session costs the
+    // aggregation buffer 8 entries, not 10M. count(*) still sees every row.
+    val wSess = Window.partitionBy(col(userCol), col("sess"))
+      .orderBy(col(tsCol), col(tieCol))
     val perSession = sess
+      .withColumn("rk", row_number().over(wSess))
       .groupBy(col(userCol), col("sess"))
       .agg(count(lit(1)).as("n_events"),
         array_join(
           transform(
-            slice(array_sort(collect_list(struct(
-              col(tsCol).as("t"), col(tieCol).as("k"), col(typeCol).as("e")))),
-              1, maxPathEvents),
+            array_sort(collect_list(when(col("rk") <= maxPathEvents, struct(
+              col(tsCol).as("t"), col(tieCol).as("k"), col(typeCol).as("e"))))),
             x => x("e")), ">").as("path"))
     perSession.groupBy("path")
       .agg(count(lit(1)).as("n_sessions"),

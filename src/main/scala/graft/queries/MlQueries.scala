@@ -29,6 +29,29 @@ object MlQueries {
       |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 6) AS f_purchase
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** The ML-eval family's calendar split boundary — ONE constant so the
+    * m5 oracle chain and every derived eval (m7/m8/m10, m9's fixed test
+    * side, d5's split) can never drift apart. */
+  private val TrainEnd = "2024-01-20"
+
+  /** dailyUser plus the purchase-derived binary label — the input frame
+    * of every GD-LR eval query. */
+  private def labeledDaily(s: SparkSession, dir: String): DataFrame =
+    dailyUser(s, dir)
+      .withColumn("label", when(col("f_purchase") > 0, 1.0).otherwise(0.0))
+
+  /** The shared deterministic GD-LR prediction frame m5/m7/m8/m10 score:
+    * calendar split at [[TrainEnd]], 3-iteration GD at lr 0.5 over
+    * (f_mean, f_n). Unfiltered — m5 emits the null-prob rows; the eval
+    * queries filter them. */
+  private def gdlrPred(s: SparkSession, dir: String): DataFrame = {
+    val daily = labeledDaily(s, dir)
+    val train = daily.filter(col("date") < lit(TrainEnd).cast("date"))
+    val test = daily.filter(col("date") >= lit(TrainEnd).cast("date"))
+    graft.ml.Models.logisticRegressionGD(train, test,
+      Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A10: interval table -> daily duration sums (events as intervals of
     // `value` seconds).
@@ -239,17 +262,10 @@ object MlQueries {
     // is replayed exactly by the oracle's unrolled iteration CTEs. (The
     // seeded MLlib LBFGS fit remains the operator-level path, spec-pinned
     // in MlSpec — its treeAggregate sums aren't SQL-replayable.)
-    "m5_logreg_predict" -> ((s, dir) => {
-      val daily = dailyUser(s, dir)
-        .withColumn("label",
-          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
-      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
-      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
-      graft.ml.Models.logisticRegressionGD(train, test,
-          Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+    "m5_logreg_predict" -> ((s, dir) =>
+      gdlrPred(s, dir)
         .select(col("user_id"), col("date"), col("label"), col("prob"),
-          col("y_pred"))
-    }),
+          col("y_pred"))),
 
     // M7 calibration (beyond ref): reliability bins + expected calibration
     // error over the deterministic GD-LR probabilities — the standard
@@ -257,14 +273,7 @@ object MlQueries {
     // conf/acc/gap rounded before the ECE so both engines aggregate
     // identical inputs; the ECE window runs over <= 10 bin rows.
     "m7_calibration" -> ((s, dir) => {
-      val daily = dailyUser(s, dir)
-        .withColumn("label",
-          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
-      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
-      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
-      val pred = graft.ml.Models.logisticRegressionGD(train, test,
-        Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
-      val binned = pred.filter(col("prob").isNotNull)
+      val binned = gdlrPred(s, dir).filter(col("prob").isNotNull)
         .withColumn("bin", least(floor(col("prob") * 10), lit(9L)).cast("long"))
         .groupBy("bin")
         .agg(count(lit(1)).as("n"),
@@ -284,14 +293,7 @@ object MlQueries {
     // Thresholds are exploded as literals so the sweep is ONE pass over
     // the prediction frame (grouped by threshold), not ten scans.
     "m8_roc_sweep" -> ((s, dir) => {
-      val daily = dailyUser(s, dir)
-        .withColumn("label",
-          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
-      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
-      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
-      val pred = graft.ml.Models.logisticRegressionGD(train, test,
-          Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
-        .filter(col("prob").isNotNull)
+      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
       val thresholds = (0 to 9).map(_ / 10.0)
       pred
         .select(col("label"), col("prob"),
@@ -324,7 +326,7 @@ object MlQueries {
     "d5_psi" -> ((s, dir) => {
       val withSplit = dailyUser(s, dir)
         .withColumn("split",
-          when(col("date") < lit("2024-01-20").cast("date"), "train")
+          when(col("date") < lit(TrainEnd).cast("date"), "train")
             .otherwise("val"))
       val qExprs = (1 to 9).map(i =>
         round(percentile(col("f_mean"), lit(i / 10.0)), 6).as(s"q$i"))
@@ -359,11 +361,9 @@ object MlQueries {
     // size, accuracy, and F1 per point. The loop is driver-side plan
     // construction (3 unioned arms), not 3 scans of collected data.
     "m9_learning_curve" -> ((s, dir) => {
-      val daily = dailyUser(s, dir)
-        .withColumn("label",
-          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
-      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
-      Seq("2024-01-02", "2024-01-05", "2024-01-20").map { cut =>
+      val daily = labeledDaily(s, dir)
+      val test = daily.filter(col("date") >= lit(TrainEnd).cast("date"))
+      Seq("2024-01-02", "2024-01-05", TrainEnd).map { cut =>
         val train = daily.filter(col("date") < lit(cut).cast("date"))
         val pred = graft.ml.Models.logisticRegressionGD(train, test,
             Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
@@ -397,14 +397,7 @@ object MlQueries {
     // One pass: explode 20 replicates, per-replicate weighted accuracy,
     // then mean + exact 2.5/97.5 percentiles over the 20-row frame.
     "m10_bootstrap_ci" -> ((s, dir) => {
-      val daily = dailyUser(s, dir)
-        .withColumn("label",
-          when(col("f_purchase") > 0, 1.0).otherwise(0.0))
-      val train = daily.filter(col("date") < lit("2024-01-20").cast("date"))
-      val test = daily.filter(col("date") >= lit("2024-01-20").cast("date"))
-      val pred = graft.ml.Models.logisticRegressionGD(train, test,
-          Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
-        .filter(col("prob").isNotNull)
+      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
       // cumulative Poisson(1) CDF; identical literals in the twin
       val cdf = Seq(0.36787944117144233, 0.7357588823428847, 0.919698602928606,
         0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
@@ -657,7 +650,7 @@ object MlQueries {
   /** DuckDB replay of [[graft.ml.Models.logisticRegressionGD]]: the same
     * canonical roundings at every cross-engine boundary make the unrolled
     * iteration CTEs produce bit-identical coefficients. */
-  private def m5OracleSql(iters: Int, trainEnd: String = "2024-01-20"): String = {
+  private def m5OracleSql(iters: Int, trainEnd: String = TrainEnd): String = {
     def p(b: String) = s"1/(1+exp(-($b.c0 + $b.c1*z1 + $b.c2*z2)))"
     val iterCtes = (1 to iters).map { k =>
       val prev = s"b${k - 1}"
@@ -680,7 +673,7 @@ object MlQueries {
        |b0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),
        |$iterCtes,
        |te AS (SELECT user_id, date, label, (f_mean - m1) / s1 AS z1,
-       |  (f_n - m2) / s2 AS z2 FROM base, stg WHERE date >= DATE '2024-01-20'),
+       |  (f_n - m2) / s2 AS z2 FROM base, stg WHERE date >= DATE '$TrainEnd'),
        |pred AS (SELECT user_id, date, label,
        |  round(${p(s"b$iters")}, 6) AS prob FROM te, b$iters)
        |SELECT user_id, date, label, prob,
@@ -718,7 +711,7 @@ object MlQueries {
       s"""WITH d AS ($dailyUserSql),
         |sp AS (
         |  SELECT f_mean,
-        |    CASE WHEN date < DATE '2024-01-20' THEN 'train' ELSE 'val' END AS split
+        |    CASE WHEN date < DATE '$TrainEnd' THEN 'train' ELSE 'val' END AS split
         |  FROM d),
         |qs AS (
         |  SELECT
@@ -750,7 +743,7 @@ object MlQueries {
     // m9 twin: one arm per train cutoff — each wraps the full m5 CTE
     // chain (parameterized train end, fixed test split) and aggregates
     // the confusion counts into accuracy/F1.
-    "m9_learning_curve" -> Seq("2024-01-02", "2024-01-05", "2024-01-20").map { cut =>
+    "m9_learning_curve" -> Seq("2024-01-02", "2024-01-05", TrainEnd).map { cut =>
       s"""SELECT '$cut' AS train_end,
         |  (SELECT count(*) FROM ($dailyUserSql) WHERE date < DATE '$cut')
         |    AS n_train,

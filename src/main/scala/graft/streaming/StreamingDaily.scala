@@ -73,6 +73,12 @@ object StreamingDaily {
     require(refShares.size == refBoundaries.size + 1,
       s"refShares must have ${refBoundaries.size + 1} entries, got ${refShares.size}")
     require(refBoundaries == refBoundaries.sorted, "refBoundaries must ascend")
+    // a mis-built reference snapshot must fail fast, not clamp to 1e-6
+    // and emit a silently-garbage PSI
+    require(refShares.forall(_ > 0),
+      s"refShares must all be positive, got $refShares")
+    require(math.abs(refShares.sum - 1.0) < 1e-6,
+      s"refShares must sum to 1, got ${refShares.sum}")
     val nBins = refBoundaries.size + 1
     val bin = refBoundaries.map(b => (col(valueCol) > b).cast("int"))
       .reduce(_ + _)

@@ -49,12 +49,13 @@ object ScaleCurve {
     "t14_lm_crossppl", "t15_ngram_coverage", "t16_heavy_hitters",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc", "sim7_cosine_range",
+    "dd18_lsh_quality", "t18_zipf",
     "e2e_corpus_assembly",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
-    "e6_session_paths", "e7_rfm", "e8_transitions", "dd18_lsh_quality",
-    "w12_rolling_mad", "t18_zipf", "d5_psi", "m8_roc_sweep",
+    "e6_session_paths", "e7_rfm", "e8_transitions",
+    "w12_rolling_mad", "d5_psi", "m8_roc_sweep",
     "m9_learning_curve", "m10_bootstrap_ci")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
@@ -210,7 +211,15 @@ object ScaleCurve {
       "distinct-signature graph (same-sig docs are hamming-0 near-dups: " +
       "one node, not m^2 pairs) and emits representatives, so neither " +
       "its work nor its output inherits the pair blow-up — dd14 is the " +
-      "query surface a 100-TB pipeline runs.\n\n"
+      "query surface a 100-TB pipeline runs.\n\n" +
+      "sim7 vs dd16 is the same contrast for embeddings: " +
+      "sim7_cosine_range's OUTPUT is the full pair list above the floor, " +
+      "quadratic within dense similarity clusters (this synthetic corpus " +
+      "has 10 planted clusters, so pairs grow ~O(n^2/10) — the measured " +
+      ">10 ratio is output-bound, not plan-bound; every stage is still a " +
+      "bucket equi-join). Range search is the AUDIT/serving form; the " +
+      "corpus-dedup surface at scale is dd16's SemDeDup path " +
+      "(quantizer cells + per-cell dedup, cluster-shaped output).\n\n"
     sb ++= "| query | sf0.1g sec | sf1g sec | ratio | rows sf0.1g | rows sf1g |\n"
     sb ++= "|---|---|---|---|---|---|\n"
     rows.foreach { case (name, tS, tL, r, nS, nL) =>
