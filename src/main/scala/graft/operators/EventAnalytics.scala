@@ -147,6 +147,59 @@ object EventAnalytics {
       .select("src", "dst", "n", "p")
   }
 
+  /** e9 — Kaplan-Meier survival estimate of time-to-first-`eventType`:
+    * every user enters at their first event; users who never reach the
+    * target event are right-censored at the corpus end date. Standard KM
+    * at-equal-times convention: events precede censorings, i.e. both
+    * reduce the risk set only for LATER durations.
+    *
+    * One row per distinct duration with at least one leaver: d (events),
+    * c (censored), n (risk set), and S(t) = Π_{t_i <= t} (1 - d_i/n_i)
+    * computed as exp of the running sum of ln(1 - d/n) — the cumulative
+    * window runs over DISTINCT DURATIONS, whose cardinality is bounded by
+    * the observation span in days (time, not users), so the
+    * single-partition window is bounded by contract at any corpus size;
+    * everything before it is per-user equi-aggregation.
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, tsCol: String,
+                  typeCol: String, eventType: String): DataFrame = {
+    val perUser = events.groupBy(col(userCol))
+      .agg(min(to_date(col(tsCol))).as("first_date"),
+        min(when(col(typeCol) === eventType, to_date(col(tsCol))))
+          .as("event_date"))
+    val corpusEnd = events.agg(max(to_date(col(tsCol))).as("corpus_end"))
+    val durations = perUser.crossJoin(broadcast(corpusEnd))
+      .select(
+        when(col("event_date").isNotNull,
+          datediff(col("event_date"), col("first_date")))
+          .otherwise(datediff(col("corpus_end"), col("first_date")))
+          .cast("long").as("t"),
+        when(col("event_date").isNotNull, 1L).otherwise(0L).as("event"))
+    val grouped = durations.groupBy("t")
+      .agg(sum(col("event")).as("d"),
+        sum(lit(1L) - col("event")).as("c"),
+        count(lit(1)).as("leavers"))
+    val total = grouped.agg(sum("leavers").as("n_total"))
+    val w = Window.orderBy(col("t"))
+    val wPrior = w.rowsBetween(Window.unboundedPreceding, -1)
+    // d = n empties the risk set: ln(0) is null in Spark (a windowed sum
+    // would silently SKIP it) and an error in DuckDB — S(t) hits exactly
+    // 0 there and stays 0, so both engines take the explicit-zero branch
+    // and only sum ln over d < n rows.
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    grouped.crossJoin(broadcast(total))
+      .withColumn("n",
+        col("n_total") - coalesce(sum(col("leavers")).over(wPrior), lit(0L)))
+      .withColumn("zeroed",
+        max(when(col("d") === col("n"), 1).otherwise(0)).over(wCum))
+      .withColumn("survival",
+        when(col("zeroed") === 1, 0.0).otherwise(
+          round(exp(sum(when(col("d") < col("n"),
+              log(lit(1.0) - col("d").cast("double") / col("n")))
+              .otherwise(lit(0.0))).over(wCum)), 6)))
+      .select(col("t"), col("d"), col("c"), col("n"), col("survival"))
+  }
+
   /** RFM segmentation: per-user recency (days since last event, vs the
     * corpus max date), frequency (event count), monetary (summed value of
     * `purchaseType` events), each scored 1-4 by exact quartile boundaries.

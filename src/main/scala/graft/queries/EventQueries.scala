@@ -342,6 +342,13 @@ object EventQueries {
           alpha = 0.3, window = 20)
         .select("user_id", "date", "f_mean", "f_mean_ewma")),
 
+    // E9: Kaplan-Meier survival of time-to-first-purchase — users enter
+    // at first event, right-censored at corpus end; S(t) as the running
+    // product over the duration-bounded risk table.
+    "e9_survival" -> ((s, dir) =>
+      EventAnalytics.kaplanMeier(ev(s, dir), "user_id", "ts", "event_type",
+        "purchase")),
+
     // W12: rolling robust outlier detection — trailing-7-row exact
     // median + MAD + robust z + flag per user day.
     "w12_rolling_mad" -> ((s, dir) =>
@@ -386,6 +393,42 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "e9_survival" ->
+      """WITH pu AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_date,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+        |      AS event_date
+        |  FROM events GROUP BY 1),
+        |ce AS (SELECT max(CAST(ts AS DATE)) AS corpus_end FROM events),
+        |dur AS (
+        |  SELECT CAST(CASE WHEN event_date IS NOT NULL
+        |      THEN date_diff('day', first_date, event_date)
+        |      ELSE date_diff('day', first_date, corpus_end) END AS BIGINT) AS t,
+        |    CASE WHEN event_date IS NOT NULL THEN CAST(1 AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS event
+        |  FROM pu, ce),
+        |g AS (
+        |  SELECT t, CAST(sum(event) AS BIGINT) AS d,
+        |    CAST(sum(1 - event) AS BIGINT) AS c,
+        |    count(*) AS leavers
+        |  FROM dur GROUP BY t),
+        |tot AS (SELECT CAST(sum(leavers) AS BIGINT) AS n_total FROM g),
+        |r AS (
+        |  SELECT t, d, c,
+        |    CAST(n_total - coalesce(sum(leavers) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS n
+        |  FROM g, tot)
+        |SELECT t, d, c, n,
+        |  CASE WHEN max(CASE WHEN d = n THEN 1 ELSE 0 END) OVER (ORDER BY t
+        |      ROWS UNBOUNDED PRECEDING) = 1
+        |    THEN 0.0
+        |    ELSE round(exp(sum(CASE WHEN d < n
+        |      THEN ln(1.0 - CAST(d AS DOUBLE) / n) ELSE 0.0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
+        |  END AS survival
+        |FROM r""".stripMargin,
+
     "w12_rolling_mad" ->
       s"""WITH daily AS ($dailyUserSql),
         |w AS (

@@ -52,6 +52,35 @@ object MlQueries {
       Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
   }
 
+  /** m8's confusion-count threshold sweep (shared with m11's
+    * operating-point pick): ten thresholds exploded as literals, ONE
+    * grouped pass over the GD-LR predictions. */
+  private def rocSweep(s: SparkSession, dir: String): DataFrame = {
+    val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
+    val thresholds = (0 to 9).map(_ / 10.0)
+    pred
+      .select(col("label"), col("prob"),
+        explode(typedLit(thresholds)).as("thr"))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("prob") >= col("thr") && col("label") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("prob") >= col("thr") && col("label") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("prob") < col("thr") && col("label") === 1.0, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("prob") < col("thr") && col("label") === 0.0, 1L)
+          .otherwise(0L)).as("tn"))
+      .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(when(col("tp") + col("fn") > 0,
+          col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("tpr"),
+        round(when(col("fp") + col("tn") > 0,
+          col("fp").cast("double") / (col("fp") + col("tn"))), 6).as("fpr"),
+        round(when(col("tp") + col("fp") > 0,
+          col("tp").cast("double") / (col("tp") + col("fp"))), 6)
+          .as("prec"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A10: interval table -> daily duration sums (events as intervals of
     // `value` seconds).
@@ -292,31 +321,18 @@ object MlQueries {
     // probabilities — the operating-point table behind a ROC curve.
     // Thresholds are exploded as literals so the sweep is ONE pass over
     // the prediction frame (grouped by threshold), not ten scans.
-    "m8_roc_sweep" -> ((s, dir) => {
-      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
-      val thresholds = (0 to 9).map(_ / 10.0)
-      pred
-        .select(col("label"), col("prob"),
-          explode(typedLit(thresholds)).as("thr"))
-        .groupBy("thr")
-        .agg(
-          sum(when(col("prob") >= col("thr") && col("label") === 1.0, 1L)
-            .otherwise(0L)).as("tp"),
-          sum(when(col("prob") >= col("thr") && col("label") === 0.0, 1L)
-            .otherwise(0L)).as("fp"),
-          sum(when(col("prob") < col("thr") && col("label") === 1.0, 1L)
-            .otherwise(0L)).as("fn"),
-          sum(when(col("prob") < col("thr") && col("label") === 0.0, 1L)
-            .otherwise(0L)).as("tn"))
-        .select(col("thr"), col("tp"), col("fp"), col("fn"), col("tn"),
-          round(when(col("tp") + col("fn") > 0,
-            col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("tpr"),
-          round(when(col("fp") + col("tn") > 0,
-            col("fp").cast("double") / (col("fp") + col("tn"))), 6).as("fpr"),
-          round(when(col("tp") + col("fp") > 0,
-            col("tp").cast("double") / (col("tp") + col("fp"))), 6)
-            .as("prec"))
-    }),
+    "m8_roc_sweep" -> ((s, dir) => rocSweep(s, dir)),
+
+    // M11 (beyond ref): operating-point selection — the threshold
+    // maximizing Youden's J (tpr - fpr) over m8's sweep, smaller
+    // threshold on ties. TakeOrdered over the 10-row sweep frame.
+    "m11_best_threshold" -> ((s, dir) =>
+      rocSweep(s, dir)
+        .withColumn("youden",
+          round(coalesce(col("tpr"), lit(0.0)) - coalesce(col("fpr"), lit(0.0)), 6))
+        .orderBy(col("youden").desc, col("thr"))
+        .limit(1)
+        .select("thr", "tpr", "fpr", "youden")),
 
     // D5 (beyond ref): population stability index — the binned
     // industry-standard drift monitor next to D2's KS. Train deciles from
@@ -681,6 +697,31 @@ object MlQueries {
        |       WHEN prob >= 0.5 THEN 1 ELSE 0 END AS y_pred FROM pred""".stripMargin
   }
 
+  /** m8's DuckDB twin, shared with m11's wrapper. */
+  private lazy val m8OracleSql: String =
+    s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+      |t AS (SELECT CAST(unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
+      |    0.8, 0.9]) AS DOUBLE) AS thr),
+      |s AS (
+      |  SELECT thr,
+      |    CAST(sum(CASE WHEN prob >= thr AND label = 1.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN prob >= thr AND label = 0.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN prob < thr AND label = 1.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN prob < thr AND label = 0.0 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS tn
+      |  FROM pred, t WHERE prob IS NOT NULL GROUP BY thr)
+      |SELECT thr, tp, fp, fn, tn,
+      |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
+      |    AS tpr,
+      |  round(CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / (fp + tn) END, 6)
+      |    AS fpr,
+      |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
+      |    AS prec
+      |FROM s""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "m5_logreg_predict" -> m5OracleSql(3),
 
@@ -804,29 +845,16 @@ object MlQueries {
     // threshold list (cast to DOUBLE — DuckDB parses the literals as
     // DECIMAL, whose correctly-rounded double conversion equals Spark's
     // k/10.0). Sums cast to BIGINT (DuckDB sums ints into HUGEINT).
-    "m8_roc_sweep" ->
-      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
-        |t AS (SELECT CAST(unnest([0.0, 0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7,
-        |    0.8, 0.9]) AS DOUBLE) AS thr),
-        |s AS (
-        |  SELECT thr,
-        |    CAST(sum(CASE WHEN prob >= thr AND label = 1.0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS tp,
-        |    CAST(sum(CASE WHEN prob >= thr AND label = 0.0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS fp,
-        |    CAST(sum(CASE WHEN prob < thr AND label = 1.0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS fn,
-        |    CAST(sum(CASE WHEN prob < thr AND label = 0.0 THEN 1 ELSE 0 END)
-        |      AS BIGINT) AS tn
-        |  FROM pred, t WHERE prob IS NOT NULL GROUP BY thr)
-        |SELECT thr, tp, fp, fn, tn,
-        |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6)
-        |    AS tpr,
-        |  round(CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / (fp + tn) END, 6)
-        |    AS fpr,
-        |  round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6)
-        |    AS prec
-        |FROM s""".stripMargin,
+    "m8_roc_sweep" -> m8OracleSql,
+
+    // m11 twin: m8's sweep as a derived table, Youden argmax with the
+    // smaller-threshold tie-break.
+    "m11_best_threshold" ->
+      s"""WITH roc AS (SELECT * FROM ($m8OracleSql))
+        |SELECT thr, tpr, fpr,
+        |  round(coalesce(tpr, 0.0) - coalesce(fpr, 0.0), 6) AS youden
+        |FROM roc
+        |ORDER BY youden DESC, thr LIMIT 1""".stripMargin,
 
     // D1: ADWIN is sequential-state (no SQL formulation), so the gate is
     // a pinned-expected-table comparison: the committed parquet is the

@@ -324,6 +324,30 @@ object TextQueries {
       reg.crossJoin(broadcast(totals))
     }),
 
+    // t19: cross-source contamination matrix — for every source pair,
+    // the count of shared distinct 3-shingle hashes and the overlap
+    // coefficient |A∩B| / min(|A|,|B|). The join key is the shingle hash
+    // (cardinality grows with the corpus — bounded pairs per key by the
+    // source count), output bounded by sources².
+    "t19_source_overlap" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s3"))
+        .select(col("source"), graft.functions.Hashing.sha28(col("s3")).as("h"))
+        .distinct()
+      val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val a = sh.as("a")
+      val b = sh.as("b")
+      a.join(b, col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(per.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+        .join(per.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+          col("n_b"),
+          round(col("n_shared").cast("double") /
+            least(col("n_a"), col("n_b")), 6).as("overlap"))
+    }),
+
     // Rolling-hash document fingerprint.
     "t4_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -1087,6 +1111,24 @@ object TextQueries {
 
       "t4_fingerprint" ->
         s"SELECT doc_id, ${TextAnalysis.fingerprintSql("text")} AS fp FROM documents",
+
+      "t19_source_overlap" -> {
+        val shExpr = Dedup.shinglesOverTkSql(3)
+        s"""WITH base AS (
+          |  SELECT source, unnest($shExpr) AS sg
+          |  FROM ${Dedup.tkSourceSql("text", "source")}),
+          |sh AS (SELECT DISTINCT source, ${graft.functions.Hashing.sha28Sql("sg")} AS h FROM base),
+          |per AS (SELECT source, count(*) AS n FROM sh GROUP BY 1),
+          |p AS (
+          |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+          |  FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          |  GROUP BY 1, 2)
+          |SELECT src_a, src_b, n_shared, pa.n AS n_a, pb.n AS n_b,
+          |  round(CAST(n_shared AS DOUBLE) / least(pa.n, pb.n), 6) AS overlap
+          |FROM p
+          |JOIN per pa ON p.src_a = pa.source
+          |JOIN per pb ON p.src_b = pb.source""".stripMargin
+      },
 
       "t18_zipf" ->
         """WITH toks AS (

@@ -65,7 +65,8 @@ object PlanAudit {
     "dd18_lsh_quality" -> (3 -> "three 1-row count frames (cand/true/found) joined into the summary row; the all-pairs ground-truth stage is a salted equi-join bounded by the SHA-sample contract"),
     "t18_zipf" -> (1 -> "1-row vocab/token-total frame joined to the 1-row regression frame (global-stat broadcast pattern)"),
     "d5_psi" -> (2 -> "1-row train-decile frame + 1-row bin-total frame (global-stat broadcast pattern)"),
-    "m9_learning_curve" -> (3 -> "one 1-row train-count frame per learning-curve arm (3 arms, global-stat broadcast pattern)"))
+    "m9_learning_curve" -> (3 -> "one 1-row train-count frame per learning-curve arm (3 arms, global-stat broadcast pattern)"),
+    "e9_survival" -> (2 -> "1-row corpus-end-date + 1-row total-leavers frames (global-stat broadcast pattern); risk table bounded by observation-span days"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,

@@ -49,14 +49,15 @@ object ScaleCurve {
     "t14_lm_crossppl", "t15_ngram_coverage", "t16_heavy_hitters",
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc", "sim7_cosine_range",
-    "dd18_lsh_quality", "t18_zipf",
+    "dd18_lsh_quality", "t18_zipf", "t19_source_overlap",
     "e2e_corpus_assembly",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
     "e6_session_paths", "e7_rfm", "e8_transitions",
     "w12_rolling_mad", "d5_psi", "m8_roc_sweep",
-    "m9_learning_curve", "m10_bootstrap_ci")
+    "m9_learning_curve", "m10_bootstrap_ci", "m11_best_threshold",
+    "e9_survival")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

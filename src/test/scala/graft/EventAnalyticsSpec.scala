@@ -331,6 +331,41 @@ class EventAnalyticsSpec extends SparkTestBase {
       (2L, 1) -> Some(10.0)))
   }
 
+  test("kaplanMeier: hand-computed with censoring; censored rows keep S flat") {
+    val events = Seq(
+      // u1: enters 01-01, purchases 01-03 -> event at t=2
+      (1L, ts("2024-01-01 10:00:00"), "view"),
+      (1L, ts("2024-01-03 10:00:00"), "buy"),
+      // u2: enters 01-01, never purchases -> censored at corpus end (01-06)
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-06 10:00:00"), "view"),
+      // u3: enters and purchases 01-02 -> event at t=0
+      (3L, ts("2024-01-02 10:00:00"), "buy"),
+      // u4: enters 01-01, purchases 01-05 -> event at t=4
+      (4L, ts("2024-01-01 10:00:00"), "view"),
+      (4L, ts("2024-01-05 10:00:00"), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.kaplanMeier(events, "user_id", "ts", "event_type", "buy")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out === Map(
+      0L -> (1L, 0L, 4L, 0.75),     // u3 event, risk 4 -> 3/4
+      2L -> (1L, 0L, 3L, 0.5),      // u1 event, risk 3 -> 0.75 * 2/3
+      4L -> (1L, 0L, 2L, 0.25),     // u4 event, risk 2 -> 0.5 * 1/2
+      5L -> (0L, 1L, 1L, 0.25)))    // u2 censored: S unchanged
+  }
+
+  test("kaplanMeier: everyone-events terminal row drives S to exactly 0") {
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "buy"),
+      (2L, ts("2024-01-01 10:00:00"), "view"),
+      (2L, ts("2024-01-02 10:00:00"), "buy")
+    ).toDF("user_id", "ts", "event_type")
+    val out = EventAnalytics.kaplanMeier(events, "user_id", "ts", "event_type", "buy")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(out === Map(0L -> 0.5, 1L -> 0.0))
+  }
+
   test("rollingMedianMad: hand-computed med/mad/z, min_periods + mad=0 guards") {
     val df = Seq(
       (1L, 1, 1.0), (1L, 2, 2.0), (1L, 3, 100.0), (1L, 4, 3.0),
