@@ -900,4 +900,60 @@ object TextAnalysis {
        |  SELECT token, count(*) AS cnt FROM t WHERE len(token) > 0 GROUP BY 1)
        |SELECT token, cnt FROM c
        |WHERE cnt >= (SELECT (sum(cnt) * $num + ${den - 1}) // $den FROM c)""".stripMargin
+
+  /** t19 — cross-source contamination matrix: for every source pair, the
+    * count of shared distinct `shingleK`-shingle hashes and the overlap
+    * coefficient |A∩B| / min(|A|,|B|).
+    *
+    * Scale-native formulation: instead of self-joining the (source, hash)
+    * frame on the hash (whose OUTPUT explodes by pairs-per-hash for every
+    * hash — ~sources²/2 rows per common shingle), each hash folds its
+    * source set into a BITMASK (one groupBy), masks aggregate to
+    * (mask, n_hashes) — at most min(2^sources, distinct hashes) rows, a
+    * massive collapse on any corpus where shingles recur across sources —
+    * and only that tiny frame expands against the bounded sources²
+    * pair dimension. Every frame past the hash agg is bounded by the
+    * source cardinality, not the corpus. Requires <= 63 distinct sources
+    * (long bitmask); beyond that, shard the matrix by source group.
+    */
+  def sourceOverlap(docs: DataFrame, sourceCol: String, textCol: String,
+                    shingleK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // round-robin spread first: the shingle+SHA pass is CPU-bound and the
+    // source may scan as a single split (cf. Dedup.minhashSignature)
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(sourceCol).as("src"),
+        explode(Dedup.shingles(col(textCol), shingleK)).as("sg"))
+      .select(col("src"), Hashing.sha28(col("sg")).as("h"))
+      .distinct()
+    // tiny dimension: one row per source; the unpartitioned window runs
+    // over the source cardinality, bounded by contract. Built from the
+    // raw source column (NOT from `sh`) so the shingle+SHA pass runs
+    // once, not twice — a shingle-less source gets an idx no mask ever
+    // sets, and the inner joins below drop it, so the output is
+    // identical.
+    val dim = docs.select(col(sourceCol).as("src")).distinct()
+      .withColumn("idx",
+        (row_number().over(Window.orderBy("src")) - 1).cast("int"))
+    val masks = sh.join(broadcast(dim), "src")
+      .groupBy("h").agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("n_hashes"))
+    val per = masks.crossJoin(broadcast(dim))
+      .filter(expr("(mask >> idx) & 1 = 1"))
+      .groupBy("src").agg(sum("n_hashes").as("n"))
+    val pairDim = dim.select(col("src").as("src_a"), col("idx").as("ia"))
+      .crossJoin(dim.select(col("src").as("src_b"), col("idx").as("ib")))
+      .filter(col("src_a") < col("src_b"))
+    val shared = masks.crossJoin(broadcast(pairDim))
+      .filter(expr("(mask >> ia) & 1 = 1 AND (mask >> ib) & 1 = 1"))
+      .groupBy("src_a", "src_b").agg(sum("n_hashes").as("n_shared"))
+    shared
+      .join(per.select(col("src").as("src_a"), col("n").as("n_a")), Seq("src_a"))
+      .join(per.select(col("src").as("src_b"), col("n").as("n_b")), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        col("n_b"),
+        round(col("n_shared").cast("double") /
+          least(col("n_a"), col("n_b")), 6).as("overlap"))
+  }
 }

@@ -329,24 +329,8 @@ object TextQueries {
     // coefficient |A∩B| / min(|A|,|B|). The join key is the shingle hash
     // (cardinality grows with the corpus — bounded pairs per key by the
     // source count), output bounded by sources².
-    "t19_source_overlap" -> ((s, dir) => {
-      val sh = Tables.documents(s, dir)
-        .select(col("source"), explode(Dedup.shingles(col("text"), 3)).as("s3"))
-        .select(col("source"), graft.functions.Hashing.sha28(col("s3")).as("h"))
-        .distinct()
-      val per = sh.groupBy("source").agg(count(lit(1)).as("n"))
-      val a = sh.as("a")
-      val b = sh.as("b")
-      a.join(b, col("a.h") === col("b.h") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("n_shared"))
-        .join(per.select(col("source").as("src_a"), col("n").as("n_a")), Seq("src_a"))
-        .join(per.select(col("source").as("src_b"), col("n").as("n_b")), Seq("src_b"))
-        .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
-          col("n_b"),
-          round(col("n_shared").cast("double") /
-            least(col("n_a"), col("n_b")), 6).as("overlap"))
-    }),
+    "t19_source_overlap" -> ((s, dir) =>
+      TextAnalysis.sourceOverlap(Tables.documents(s, dir), "source", "text", 3)),
 
     // Rolling-hash document fingerprint.
     "t4_fingerprint" -> ((s, dir) =>
