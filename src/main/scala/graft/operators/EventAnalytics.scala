@@ -79,8 +79,9 @@ object EventAnalytics {
     * (truncated to the first `maxPathEvents` events — bounded per-session
     * state, the cap a 100-TB run needs against degenerate bot sessions),
     * and aggregate to one row per distinct path with session count and
-    * mean session length. Ordering is total — (ts, tieCol) — so the path
-    * string is deterministic under ties.
+    * mean session length. Ordering is total — (ts, tieCol, typeCol) — so
+    * the path string AND the truncation boundary are deterministic even
+    * when (ts, tieCol) is not unique.
     *
     * Plan shape: one shuffle on the user key for the session window, one
     * shuffle on (user, session) for the per-session collect, one on the
@@ -106,8 +107,12 @@ object EventAnalytics {
     // maxPathEvents structs per group (collect_list skips the nulls the
     // `when` produces past the cap) — a 10M-event bot session costs the
     // aggregation buffer 8 entries, not 10M. count(*) still sees every row.
+    // rank order includes the type column as a final tiebreak so the
+    // kept-vs-dropped choice at the truncation boundary stays
+    // deterministic even when (ts, tieCol) is not unique — matching the
+    // (t, k, e) struct sort below
     val wSess = Window.partitionBy(col(userCol), col("sess"))
-      .orderBy(col(tsCol), col(tieCol))
+      .orderBy(col(tsCol), col(tieCol), col(typeCol))
     val perSession = sess
       .withColumn("rk", row_number().over(wSess))
       .groupBy(col(userCol), col("sess"))

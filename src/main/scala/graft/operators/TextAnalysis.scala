@@ -936,6 +936,13 @@ object TextAnalysis {
     val dim = docs.select(col(sourceCol).as("src")).distinct()
       .withColumn("idx",
         (row_number().over(Window.orderBy("src")) - 1).cast("int"))
+      // fail fast past the bitmask capacity: Spark's shiftleft masks the
+      // shift amount mod 64, so idx 64 would COLLIDE with bit 0 and
+      // silently scramble every overlap count. The filter(assert_true)
+      // shape survives column pruning (a dropped assert column wouldn't).
+      .filter(assert_true(col("idx") <= 62,
+        lit("sourceOverlap supports at most 63 distinct sources " +
+          "(long bitmask); shard the matrix by source group")).isNull)
     val masks = sh.join(broadcast(dim), "src")
       .groupBy("h").agg(sum(expr("shiftleft(CAST(1 AS BIGINT), idx)")).as("mask"))
       .groupBy("mask").agg(count(lit(1)).as("n_hashes"))

@@ -229,7 +229,7 @@ object MlQueries {
     // M3: anti-leak standard scaling (fit on train fold only).
     "m3_scale" -> ((s, dir) =>
       Impute.scaleFitOnTrain(dailyUser(s, dir),
-          col("date") < lit("2024-01-20").cast("date"), Seq("f_mean", "f_n"))
+          col("date") < lit(TrainEnd).cast("date"), Seq("f_mean", "f_n"))
         .select("user_id", "date", "f_mean_scaled", "f_n_scaled")),
 
     // A18: two-phase activity stats (peaks need the day's own mean/std).
@@ -457,8 +457,8 @@ object MlQueries {
     "w8_baselines" -> ((s, dir) => {
       import graft.ml.Baselines
       val ev = Tables.events(s, dir).withColumn("date", to_date(col("ts")))
-      val train = ev.filter(col("date") < lit("2024-01-20").cast("date"))
-      val valD = ev.filter(col("date") >= lit("2024-01-20").cast("date"))
+      val train = ev.filter(col("date") < lit(TrainEnd).cast("date"))
+      val valD = ev.filter(col("date") >= lit(TrainEnd).cast("date"))
       def summarize(df: org.apache.spark.sql.DataFrame, name: String) =
         df.groupBy("y_pred")
           .agg(count(lit(1)).as("n_predictions"),
@@ -1242,9 +1242,9 @@ object MlQueries {
         |FROM m""".stripMargin,
 
     "w8_baselines" ->
-      """WITH ev AS (SELECT event_id, event_type, CAST(ts AS DATE) AS date FROM events),
-        |tr AS (SELECT * FROM ev WHERE date < DATE '2024-01-20'),
-        |vl AS (SELECT * FROM ev WHERE date >= DATE '2024-01-20'),
+      s"""WITH ev AS (SELECT event_id, event_type, CAST(ts AS DATE) AS date FROM events),
+        |tr AS (SELECT * FROM ev WHERE date < DATE '$TrainEnd'),
+        |vl AS (SELECT * FROM ev WHERE date >= DATE '$TrainEnd'),
         |tc AS (SELECT event_type AS label, count(*) AS k FROM tr GROUP BY 1),
         |maj AS (SELECT label FROM tc ORDER BY k DESC, label LIMIT 1),
         |majr AS (
@@ -1471,10 +1471,10 @@ object MlQueries {
     "m3_scale" ->
       s"""WITH daily AS ($dailyUserSql),
         |stats AS (
-        |  SELECT avg(f_mean) FILTER (date < DATE '2024-01-20') AS m1,
-        |    stddev_samp(f_mean) FILTER (date < DATE '2024-01-20') AS s1,
-        |    avg(f_n) FILTER (date < DATE '2024-01-20') AS m2,
-        |    stddev_samp(f_n) FILTER (date < DATE '2024-01-20') AS s2
+        |  SELECT avg(f_mean) FILTER (date < DATE '$TrainEnd') AS m1,
+        |    stddev_samp(f_mean) FILTER (date < DATE '$TrainEnd') AS s1,
+        |    avg(f_n) FILTER (date < DATE '$TrainEnd') AS m2,
+        |    stddev_samp(f_n) FILTER (date < DATE '$TrainEnd') AS s2
         |  FROM daily)
         |SELECT d.user_id, d.date,
         |  round(CASE WHEN s1 IS NOT NULL AND s1 > 0 THEN (d.f_mean - m1) / s1 ELSE 0.0 END, 6)

@@ -74,9 +74,10 @@ object StreamingDaily {
       s"refShares must have ${refBoundaries.size + 1} entries, got ${refShares.size}")
     require(refBoundaries == refBoundaries.sorted, "refBoundaries must ascend")
     // a mis-built reference snapshot must fail fast, not clamp to 1e-6
-    // and emit a silently-garbage PSI
-    require(refShares.forall(_ > 0),
-      s"refShares must all be positive, got $refShares")
+    // and emit a silently-garbage PSI: shares below the clamp floor
+    // would be silently distorted, so the floor IS the validity bound
+    require(refShares.forall(_ >= 1e-6),
+      s"refShares must all be >= 1e-6 (the PSI zero-clamp floor), got $refShares")
     require(math.abs(refShares.sum - 1.0) < 1e-6,
       s"refShares must sum to 1, got ${refShares.sum}")
     val nBins = refBoundaries.size + 1
@@ -92,8 +93,9 @@ object StreamingDaily {
     val total = (0 until nBins).map(i => col(s"n$i")).reduce(_ + _)
     val psi = refShares.zipWithIndex.map { case (p, i) =>
       val q = greatest(col(s"n$i").cast("double") / total, lit(1e-6))
-      val pc = lit(math.max(p, 1e-6))
-      (pc - q) * log(pc / q)
+      // p >= 1e-6 is require'd above, so no reference-side clamp: the
+      // caller's shares are used exactly as supplied
+      (lit(p) - q) * log(lit(p) / q)
     }.reduce(_ + _)
     agg.select(col("w.start").cast("date").as("date"), total.as("n"),
       round(psi, 6).as("psi"))
