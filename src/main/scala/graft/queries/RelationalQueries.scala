@@ -62,6 +62,35 @@ object RelationalQueries {
           count(lit(1)).as("n_items"))
     }),
 
+    // Q6 (beyond ref): cross-table referential-integrity audit — orphan
+    // foreign keys via left-anti equi-joins (plain hash shuffles at any
+    // scale), one row per FK edge with total child rows and orphan count.
+    // The cross-table complement of Q2's re-agg oracle and Q3's
+    // degeneracy asserts.
+    "q6_ref_integrity" -> ((s, dir) => {
+      def edge(name: String, child: DataFrame, childKey: String,
+               parent: DataFrame, parentKey: String) = {
+        val orphans = child.select(col(childKey))
+          .join(parent.select(col(parentKey)),
+            col(childKey) === col(parentKey), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+        val total = child.agg(count(lit(1)).as("n_child"))
+        total.crossJoin(broadcast(orphans))
+          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
+            (col("n_orphans") === 0).cast("int").as("ok"))
+      }
+      Seq(
+        edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+          Tables.orders(s, dir), "o_orderkey"),
+        edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+          Tables.customer(s, dir), "c_custkey"),
+        edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+          Tables.nation(s, dir), "n_nationkey"),
+        edge("nation->region", Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey"))
+        .reduce(_ unionByName _)
+    }),
+
     // J1: full-outer equi-join of two daily frames.
     "j1_full_outer" -> ((s, dir) =>
       clickDaily(s, dir).select(col("date"), col("v").as("click_v"), col("n").as("click_n"))
@@ -327,6 +356,25 @@ object RelationalQueries {
           count(lit(1)).as("n"))))
 
   def oracles: Map[String, String] = Map(
+    "q6_ref_integrity" -> {
+      def edge(name: String, child: String, childKey: String,
+               parent: String, parentKey: String) =
+        s"""SELECT '$name' AS fk_edge,
+          |  (SELECT count(*) FROM $child) AS n_child,
+          |  (SELECT count(*) FROM $child c WHERE NOT EXISTS
+          |    (SELECT 1 FROM $parent p WHERE p.$parentKey = c.$childKey))
+          |    AS n_orphans,
+          |  CAST((SELECT count(*) FROM $child c WHERE NOT EXISTS
+          |    (SELECT 1 FROM $parent p WHERE p.$parentKey = c.$childKey)) = 0
+          |    AS INT) AS ok""".stripMargin
+      Seq(
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        edge("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("\nUNION ALL\n")
+    },
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
