@@ -913,8 +913,15 @@ object Dedup {
                            saltBuckets: Int = 32): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol))
     val nDocs = keyed.agg(count(lit(1)).as("n_docs"))
+    // Shingle-less docs all share the "-1_…" sentinel block (coalesce of
+    // null minhashes); counting them as mutual candidates would inflate
+    // n_cand quadratically on short-doc-heavy corpora with pairs that can
+    // never verify (empty ∩ empty has no jaccard) — drop the sentinel
+    // block before pairing.
+    val sentinelBlock = Seq.fill(bandHashes)("-1").mkString("_")
     val bandKeyed = keyed.select(col(idCol),
-      minhashBandKey(col(textCol), shingleK, bandHashes).as("block"))
+        minhashBandKey(col(textCol), shingleK, bandHashes).as("block"))
+      .filter(col("block") =!= sentinelBlock)
     val l = bandKeyed.as("l")
     val r = bandKeyed.as("r")
     val cand = l.join(r,

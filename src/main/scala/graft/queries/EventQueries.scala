@@ -465,12 +465,12 @@ object EventQueries {
         |  FROM b),
         |r AS (
         |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
-        |    ORDER BY ts, event_id) AS rk
+        |    ORDER BY ts, event_id, event_type) AS rk
         |  FROM s),
         |ps AS (
         |  SELECT user_id, sess, count(*) AS n_events,
         |    string_agg(CASE WHEN rk <= 8 THEN event_type END, '>'
-        |      ORDER BY ts, event_id) AS path
+        |      ORDER BY ts, event_id, event_type) AS path
         |  FROM r GROUP BY 1, 2)
         |SELECT path, count(*) AS n_sessions,
         |  round(avg(n_events), 6) AS avg_events

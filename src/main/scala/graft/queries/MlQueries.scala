@@ -410,8 +410,10 @@ object MlQueries {
     // replacement (a global multinomial no cluster can draw), each row
     // gets an independent Poisson(1) weight per replicate, drawn from a
     // SHA-derived uniform so both engines replay the identical weights.
-    // One pass: explode 20 replicates, per-replicate weighted accuracy,
-    // then mean + exact 2.5/97.5 percentiles over the 20-row frame.
+    // One pass: explode 64 replicates, per-replicate weighted accuracy,
+    // then mean + exact 2.5/97.5 percentiles over the 64-row frame (at
+    // B=64 the CI endpoints interpolate real order statistics instead of
+    // riding the sample min/max as a B=20 run would).
     "m10_bootstrap_ci" -> ((s, dir) => {
       val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
       // cumulative Poisson(1) CDF; identical literals in the twin
@@ -427,7 +429,7 @@ object MlQueries {
       val perRep = pred
         .select(col("user_id"), col("date"),
           when(col("label") === col("y_pred"), 1L).otherwise(0L).as("correct"),
-          explode(typedLit((0 until 20).toList)).as("b"))
+          explode(typedLit((0 until 64).toList)).as("b"))
         .withColumn("__u", u)
         .withColumn("w", w)
         .groupBy("b")
@@ -821,7 +823,7 @@ object MlQueries {
         |  SELECT user_id, date,
         |    CASE WHEN label = y_pred THEN CAST(1 AS BIGINT)
         |      ELSE CAST(0 AS BIGINT) END AS correct,
-        |    CAST(unnest(range(20)) AS INT) AS b
+        |    CAST(unnest(range(64)) AS INT) AS b
         |  FROM pred WHERE prob IS NOT NULL),
         |weighted AS (
         |  SELECT b, correct,

@@ -719,7 +719,8 @@ object TextQueries {
           |  FROM ${Dedup.tkSourceSqlFrom("d", "text", "doc_id")}),
           |cand AS (
           |  SELECT l.doc_id AS a, r.doc_id AS b FROM sets l JOIN sets r
-          |  ON l.block = r.block AND l.doc_id < r.doc_id),
+          |  ON l.block = r.block AND l.doc_id < r.doc_id
+          |  WHERE l.block <> '-1_-1'),
           |tru AS (
           |  SELECT l.doc_id AS a, r.doc_id AS b,
           |    round(len(list_intersect(l.sh, r.sh)) /
@@ -870,8 +871,8 @@ object TextQueries {
           |      (sqrt(list_inner_product(qv.e, qv.e))
           |        * sqrt(list_inner_product(cv.e, cv.e))), 6) AS sim
           |  FROM cand
-          |  JOIN v qv ON cand.query_id = qv.vec_id
-          |  JOIN v cv ON cand.neighbor_id = cv.vec_id),
+          |  JOIN ok qv ON cand.query_id = qv.vec_id
+          |  JOIN ok cv ON cand.neighbor_id = cv.vec_id),
           |ranked AS (
           |  SELECT query_id, neighbor_id, sim,
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
@@ -892,8 +893,8 @@ object TextQueries {
           |      (sqrt(list_inner_product(av.e, av.e))
           |        * sqrt(list_inner_product(bv.e, bv.e))), 6) AS sim
           |  FROM cand
-          |  JOIN v av ON cand.id_a = av.vec_id
-          |  JOIN v bv ON cand.id_b = bv.vec_id)
+          |  JOIN ok av ON cand.id_a = av.vec_id
+          |  JOIN ok bv ON cand.id_b = bv.vec_id)
           |SELECT id_a, id_b, sim FROM scored WHERE sim >= 0.3""".stripMargin,
 
       // sim3_assign twin: assignment argmin + nProbe probe ranking share
