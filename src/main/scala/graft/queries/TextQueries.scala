@@ -168,7 +168,9 @@ object TextQueries {
       Similarity.lshCosineRange(Tables.embeddings(s, dir), "vec_id",
         "embedding", minSim = 0.3, numPlanes = 6, dims = 64, numTables = 8)),
 
-    // IVF ANN: kmeans coarse quantizer + multi-probe (engine-only).
+    // IVF ANN: kmeans coarse quantizer + multi-probe. The seeded fit is
+    // deterministic on fixed data, so the output is pinned-expected
+    // (rows+schema+hash) since round 7.
     "sim3_ann_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 20), emb,
@@ -270,10 +272,11 @@ object TextQueries {
     }),
 
     // Recall of the production KMeans IVF BUILD path (sim3_ann_ivf) vs
-    // the exact baseline — the one stage whose output legitimately moves
-    // with quantizer knobs, kept rows-only so a KMeans-build quality
-    // regression stays visible in CORRECTNESS/BENCH artifacts (not only
-    // behind DriftDedupSpec's synthetic 0.8 floor).
+    // the exact baseline. Seeded KMeans on fixed data is run-to-run
+    // deterministic, so (since round 7) this frame is gated by a
+    // pinned-expected oracle like sim_recall — a KMeans-build quality
+    // regression now fails the hash gate, not just DriftDedupSpec's
+    // synthetic 0.8 floor.
     "sim_recall_build" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qs = emb.filter(col("vec_id") < 20)
@@ -858,6 +861,21 @@ object TextQueries {
       "sim_recall" ->
         """SELECT method, n_queries, mean_recall
           |FROM read_parquet('/root/repo/src/test/resources/expected/sim_recall_sf0.01.parquet')""".stripMargin,
+
+      // sim3_ann_ivf / sim_recall_build twins: seeded MLlib KMeans on
+      // fixed data is run-to-run deterministic (double-dump diff in
+      // tools/pin_expected.py provenance), so the BUILD path's output is
+      // pinnable like d1_adwin/s5 — closing the last two no_oracle rows.
+      // Regenerate via tools/pin_expected.py ONLY after a deliberate
+      // quantizer-knob or Spark-version change, and eyeball the recall
+      // diff before committing.
+      "sim3_ann_ivf" ->
+        """SELECT query_id, neighbor_id, sim, rk
+          |FROM read_parquet('/root/repo/src/test/resources/expected/sim3_ann_ivf_sf0.01.parquet')""".stripMargin,
+
+      "sim_recall_build" ->
+        """SELECT method, n_queries, mean_recall
+          |FROM read_parquet('/root/repo/src/test/resources/expected/sim_recall_build_sf0.01.parquet')""".stripMargin,
 
       "sim2_ann_lsh" ->
         s"""WITH $hyperplaneBucketCtes,

@@ -28,6 +28,11 @@ PINS = {
     "sim_recall": "src/test/resources/expected/sim_recall_sf0.01.parquet",
     # deterministic GD/tree fits (ModelsSpec pins run-to-run identity)
     "m6_model_families": "src/test/resources/expected/m6_model_families_sf0.01.parquet",
+    # seeded MLlib KMeans on fixed data is run-to-run deterministic
+    # (verified by double-dump diff); pinning closes the last two
+    # no_oracle rows so the IVF BUILD path is rows+schema+hash-gated too
+    "sim3_ann_ivf": "src/test/resources/expected/sim3_ann_ivf_sf0.01.parquet",
+    "sim_recall_build": "src/test/resources/expected/sim_recall_build_sf0.01.parquet",
 }
 
 
