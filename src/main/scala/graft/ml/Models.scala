@@ -82,6 +82,36 @@ object Models {
                            features: Seq[String], labelCol: String,
                            iters: Int = 3, lr: Double = 0.5): DataFrame = {
     import graft.functions.Canon
+    val fit = fitLogisticGD(train, features, labelCol, iters, lr)
+    val prob = Canon.round(
+      lit(1.0) / (lit(1.0) + exp(-gdMargin(fit.zCols(features), fit.b))), 6)
+    // a null feature propagates to a null prob; keep y_pred null too (the
+    // SQL twin's CASE WHEN would otherwise fall to ELSE 0 and silently
+    // diverge from the engine on nullable feature frames)
+    test.withColumn("prob", prob)
+      .withColumn("y_pred",
+        when(col("prob").isNotNull, (col("prob") >= 0.5).cast("int")))
+  }
+
+  /** The fitted GD-LR state: per-feature (train mean, guarded std) and
+    * the coefficient vector (intercept first) — O(p) driver scalars. */
+  final case class GdLrFit(stats: IndexedSeq[(Double, Double)], b: Array[Double]) {
+    /** Standardized feature columns under the fitted train stats. */
+    def zCols(features: Seq[String]): Seq[Column] =
+      features.zip(stats).map { case (f, (m, s)) => (col(f) - lit(m)) / lit(s) }
+  }
+
+  private def gdMargin(zs: Seq[Column], b: Array[Double]): Column =
+    zs.zipWithIndex.foldLeft(lit(b(0)): Column) { case (acc, (z, j)) =>
+      acc + lit(b(j + 1)) * z
+    }
+
+  /** The training path of [[logisticRegressionGD]], exposed so attribution
+    * ([[logisticRegressionGDAttribution]]) can reuse the identical
+    * coefficients without refitting drift. */
+  def fitLogisticGD(train: DataFrame, features: Seq[String], labelCol: String,
+                    iters: Int, lr: Double): GdLrFit = {
+    import graft.functions.Canon
     // the fit is 1 + iters driver actions over the train fold; checkpoint
     // it once so each action aggregates the (fold-sized, tiny) table
     // instead of re-deriving it from the raw scan. Partitioning is
@@ -100,18 +130,13 @@ object Models {
       val m = statRow.getDouble(2 * i)
       val s0 = if (statRow.isNullAt(2 * i + 1)) 0.0 else statRow.getDouble(2 * i + 1)
       (m, if (s0 == 0.0 || s0.isNaN) 1.0 else s0)
-    }
-    def zCols(df: DataFrame): Seq[Column] =
-      features.zip(stats).map { case (f, (m, s)) => (col(f) - lit(m)) / lit(s) }
-    def margin(zs: Seq[Column], b: Array[Double]): Column =
-      zs.zipWithIndex.foldLeft(lit(b(0)): Column) { case (acc, (z, j)) =>
-        acc + lit(b(j + 1)) * z
-      }
+    }.toIndexedSeq
+    val fit0 = GdLrFit(stats, Array.fill(features.size + 1)(0.0))
     val y = col(labelCol).cast("double")
-    var b = Array.fill(features.size + 1)(0.0)
+    var b = fit0.b
     (1 to iters).foreach { _ =>
-      val zs = zCols(trainM)
-      val p = lit(1.0) / (lit(1.0) + exp(-margin(zs, b)))
+      val zs = fit0.zCols(features)
+      val p = lit(1.0) / (lit(1.0) + exp(-gdMargin(zs, b)))
       val gradAggs = Canon.round(avg(p - y), 8).as("g0") +:
         zs.zipWithIndex.map { case (z, j) =>
           Canon.round(avg((p - y) * z), 8).as(s"g${j + 1}")
@@ -119,13 +144,46 @@ object Models {
       val g = trainM.agg(gradAggs.head, gradAggs.tail: _*).head()
       b = b.indices.map(j => b(j) - lr * g.getDouble(j)).toArray
     }
-    val prob = Canon.round(lit(1.0) / (lit(1.0) + exp(-margin(zCols(test), b))), 6)
-    // a null feature propagates to a null prob; keep y_pred null too (the
-    // SQL twin's CASE WHEN would otherwise fall to ELSE 0 and silently
-    // diverge from the engine on nullable feature frames)
-    test.withColumn("prob", prob)
-      .withColumn("y_pred",
-        when(col("prob").isNotNull, (col("prob") >= 0.5).cast("int")))
+    GdLrFit(stats, b)
+  }
+
+  /** M12 — linear feature attribution over the deterministic GD-LR: the
+    * per-row SHAP value of a linear model is coef_j·(z_j − E[z_j])
+    * (LinearExplainer's closed form; the reference computes it via shap on
+    * its per-fold sklearn LR, `src/etl/ml7_analysis.py:238-320`). The
+    * background mean of z over the train fold is 0 by construction (z is
+    * centered on the train mean), so the contribution is coef_j·z_j; the
+    * report aggregates mean |contribution| per feature over the test fold
+    * and ranks — the reference's "top-5 features by mean |SHAP|" table as
+    * one bounded (p-row) frame.
+    *
+    * Distributed shape: one codegen'd aggregation over the test fold (p
+    * abs-averages), then a literal p-entry explode — no per-row
+    * materialization of the attribution matrix, no shuffle beyond the
+    * single agg. */
+  def logisticRegressionGDAttribution(train: DataFrame, test: DataFrame,
+      features: Seq[String], labelCol: String,
+      iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    import graft.functions.Canon
+    val fit = fitLogisticGD(train, features, labelCol, iters, lr)
+    val aggs = features.zip(fit.zCols(features)).zipWithIndex.map {
+      case ((f, z), j) =>
+        Canon.round(avg(abs(lit(fit.b(j + 1)) * z)), 6).as(s"__a_$f")
+    }
+    val entries = features.zipWithIndex.map { case (f, j) =>
+      struct(lit(f).as("feature"),
+        Canon.round(lit(fit.b(j + 1)), 6).as("coef"),
+        col(s"__a_$f").as("mean_abs_contrib"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("mean_abs_contrib").desc, col("feature"))
+    test.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.feature").as("feature"), col("e.coef").as("coef"),
+        col("e.mean_abs_contrib").as("mean_abs_contrib"))
+      // unpartitioned window over the p-row literal frame — bounded by
+      // the feature count, not the data
+      .withColumn("rk", row_number().over(w).cast("long"))
   }
 
   /** Deterministic sorted distinct labels of the train fold — the shared

@@ -93,6 +93,56 @@ object MlQueries {
       Intervals.dailyDurations(intervals, "start_ts", "end_ts")
     }),
 
+    // A11: naps-JSON aggregation. Testdata has no JSON interval column,
+    // so the query synthesizes one deterministically from events — each
+    // row becomes a 2-nap array: [ts, ts+floor(value)s] (positive) and
+    // [ts, ts-30min] (negative, must be clamped to 0). The engine round-
+    // trips it through from_json + higher-order aggregate (the real A11
+    // path); the twin computes the durations independently from the raw
+    // columns — a cross-representation check, not a replay.
+    "a11_naps_daily" -> ((s, dir) => {
+      val f = "yyyy-MM-dd HH:mm:ss"
+      val startS = date_format(col("ts"), f)
+      val jsonNaps = concat(
+        lit("[{\"start\":\""), startS, lit("+0000\",\"end\":\""),
+        date_format(
+          expr("timestampadd(SECOND, CAST(floor(value) AS INT), ts)"), f),
+        lit("+0000\"},{\"start\":\""), startS, lit("+0000\",\"end\":\""),
+        date_format(expr("timestampadd(SECOND, -1800, ts)"), f),
+        lit("+0000\"}]"))
+      Intervals.napsDaily(
+        Tables.events(s, dir)
+          .select(to_date(col("ts")).as("date"), jsonNaps.as("naps")),
+        "date", "naps")
+    }),
+
+    // C4: two-phase data-dependent unit conversion — phase 1 collects the
+    // whole-column max per event_type (bounded by |event_type|, the
+    // global-stat driver round-trip), phase 2 applies the minutes->hours
+    // decision as literals. Never per-partition (SURVEY §7.5.5).
+    "c4_units" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val decisions = ev.groupBy(col("event_type"))
+        .agg(max(col("value")).as("mx")).collect()
+        .map(r => r.getString(0) -> (!r.isNullAt(1) && r.getDouble(1) > 24.0))
+        .toMap
+      val convertedFlag = decisions.foldLeft(lit(null).cast("int")) {
+        case (acc, (t, dec)) =>
+          when(col("event_type") === lit(t), lit(if (dec) 1 else 0)).otherwise(acc)
+      }
+      val vH = decisions.foldLeft(lit(null).cast("double")) {
+        case (acc, (t, dec)) =>
+          when(col("event_type") === lit(t),
+            TimeParse.convertIf(col("value"), dec, 1.0 / 60.0)).otherwise(acc)
+      }
+      ev.select(col("event_type"), convertedFlag.as("converted"), vH.as("v_h"),
+          col("value"))
+        .groupBy("event_type", "converted")
+        .agg(round(max("value"), 6).as("max_raw"),
+          round(sum("v_h"), 6).as("total_h"))
+        .select("event_type", "max_raw", "converted", "total_h")
+    }),
+
     // A15: instability — variance of per-segment feature means, max-normed.
     "a15_instability" -> ((s, dir) => {
       val segmented = dailyUser(s, dir).withColumn("segment_id", col("user_id"))
@@ -444,6 +494,19 @@ object MlQueries {
         round(percentile(col("acc"), lit(0.975)), 6).as("ci_hi"))
     }),
 
+    // M12: linear feature attribution (the reference's per-fold SHAP
+    // table, src/etl/ml7_analysis.py:238-320, via LinearExplainer's
+    // closed form coef·z): mean |contribution| per feature over the test
+    // fold + coefficient + rank — pure column arithmetic over the
+    // deterministic GD-LR, exact DuckDB twin off the shared m5 fit CTEs.
+    "m12_attribution" -> ((s, dir) => {
+      val daily = labeledDaily(s, dir)
+      val train = daily.filter(col("date") < lit(TrainEnd).cast("date"))
+      val test = daily.filter(col("date") >= lit(TrainEnd).cast("date"))
+      graft.ml.Models.logisticRegressionGDAttribution(train, test,
+        Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
@@ -665,20 +728,24 @@ object MlQueries {
         .select("user_id", "date", "label", "label_modal")
     }))
 
-  /** DuckDB replay of [[graft.ml.Models.logisticRegressionGD]]: the same
-    * canonical roundings at every cross-engine boundary make the unrolled
-    * iteration CTEs produce bit-identical coefficients. */
-  private def m5OracleSql(iters: Int, trainEnd: String = TrainEnd): String = {
-    def p(b: String) = s"1/(1+exp(-($b.c0 + $b.c1*z1 + $b.c2*z2)))"
+  /** DuckDB replay of [[graft.ml.Models.logisticRegressionGD]]'s fit: the
+    * same canonical roundings at every cross-engine boundary make the
+    * unrolled iteration CTEs produce bit-identical coefficients. Produces
+    * the pre-stripped CTE body through `b$iters` (coefficients) and `te`
+    * (standardized test fold) so m5's prediction twin and m12's
+    * attribution twin share one fit chain. */
+  private def m5GdSigmoid(b: String) = s"1/(1+exp(-($b.c0 + $b.c1*z1 + $b.c2*z2)))"
+
+  private def m5CtesSql(iters: Int, trainEnd: String): String = {
     val iterCtes = (1 to iters).map { k =>
       val prev = s"b${k - 1}"
-      s"""g$k AS (SELECT round(avg(${p(prev)} - y), 8) AS ga,
-         |  round(avg((${p(prev)} - y) * z1), 8) AS gb,
-         |  round(avg((${p(prev)} - y) * z2), 8) AS gc FROM tr, $prev),
+      s"""g$k AS (SELECT round(avg(${m5GdSigmoid(prev)} - y), 8) AS ga,
+         |  round(avg((${m5GdSigmoid(prev)} - y) * z1), 8) AS gb,
+         |  round(avg((${m5GdSigmoid(prev)} - y) * z2), 8) AS gc FROM tr, $prev),
          |b$k AS (SELECT $prev.c0 - 0.5*ga AS c0, $prev.c1 - 0.5*gb AS c1,
          |  $prev.c2 - 0.5*gc AS c2 FROM $prev, g$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH d AS ($dailyUserSql),
+    s"""d AS ($dailyUserSql),
        |base AS (SELECT user_id, date, f_mean, f_n,
        |  CASE WHEN f_purchase > 0 THEN 1.0 ELSE 0.0 END AS label FROM d),
        |tr0 AS (SELECT * FROM base WHERE date < DATE '$trainEnd'),
@@ -691,13 +758,16 @@ object MlQueries {
        |b0 AS (SELECT 0.0 AS c0, 0.0 AS c1, 0.0 AS c2),
        |$iterCtes,
        |te AS (SELECT user_id, date, label, (f_mean - m1) / s1 AS z1,
-       |  (f_n - m2) / s2 AS z2 FROM base, stg WHERE date >= DATE '$TrainEnd'),
+       |  (f_n - m2) / s2 AS z2 FROM base, stg WHERE date >= DATE '$TrainEnd')""".stripMargin
+  }
+
+  private def m5OracleSql(iters: Int, trainEnd: String = TrainEnd): String =
+    s"""WITH ${m5CtesSql(iters, trainEnd)},
        |pred AS (SELECT user_id, date, label,
-       |  round(${p(s"b$iters")}, 6) AS prob FROM te, b$iters)
+       |  round(${m5GdSigmoid(s"b$iters")}, 6) AS prob FROM te, b$iters)
        |SELECT user_id, date, label, prob,
        |  CASE WHEN prob IS NULL THEN NULL
        |       WHEN prob >= 0.5 THEN 1 ELSE 0 END AS y_pred FROM pred""".stripMargin
-  }
 
   /** m8's DuckDB twin, shared with m11's wrapper. */
   private lazy val m8OracleSql: String =
@@ -725,6 +795,37 @@ object MlQueries {
       |FROM s""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // a11 twin: the engine builds a JSON naps array per event and parses
+    // it back (from_json + higher-order aggregate); the twin computes the
+    // same durations straight from the raw columns — the two naps are
+    // [ts, ts+floor(value)s] and [ts, ts-30min], so the per-row clamped
+    // sum is floor(value)/3600 when floor(value) >= 1, else 0.
+    "a11_naps_daily" ->
+      """WITH n AS (
+        |  SELECT CAST(ts AS DATE) AS date,
+        |    CASE WHEN floor(value) > 0 THEN floor(value) / 3600.0
+        |      ELSE 0.0 END AS nap_h
+        |  FROM events)
+        |SELECT date, round(sum(nap_h), 6) AS nap_hours,
+        |  CAST(sum(CASE WHEN nap_h > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS days_with_naps
+        |FROM n GROUP BY date""".stripMargin,
+
+    // c4 twin: the whole-column max decision as a per-type join instead
+    // of the engine's driver round-trip; the conversion multiplies by the
+    // identical double constant (1.0/60.0) so the products are
+    // bit-identical to the engine's convertIf.
+    "c4_units" ->
+      """WITH mx AS (
+        |  SELECT event_type, max(value) AS mxv FROM events GROUP BY 1)
+        |SELECT e.event_type,
+        |  round(max(e.value), 6) AS max_raw,
+        |  CAST(CASE WHEN mx.mxv > 24.0 THEN 1 ELSE 0 END AS INT) AS converted,
+        |  round(sum(CASE WHEN mx.mxv > 24.0 THEN e.value * (1.0/60.0)
+        |    ELSE e.value END), 6) AS total_h
+        |FROM events e JOIN mx USING (event_type)
+        |GROUP BY e.event_type, mx.mxv""".stripMargin,
+
     "m5_logreg_predict" -> m5OracleSql(3),
 
     // m7 twin: m5's full prediction CTE chain as a derived table, then
@@ -842,6 +943,26 @@ object MlQueries {
         |  round(quantile_cont(acc, 0.975), 6) AS ci_hi
         |FROM per""".stripMargin
     },
+
+    // m12 twin: the shared m5 fit CTE chain (coefficients b3, test z's),
+    // then per-feature mean |coef·z| over the test fold and the
+    // (importance DESC, feature) rank — LinearExplainer's closed form
+    // replayed relationally.
+    "m12_attribution" ->
+      s"""WITH ${m5CtesSql(3, TrainEnd)},
+        |per AS (SELECT
+        |    round(avg(abs(b3.c1 * z1)), 6) AS a1,
+        |    round(avg(abs(b3.c2 * z2)), 6) AS a2,
+        |    round(any_value(b3.c1), 6) AS coef1,
+        |    round(any_value(b3.c2), 6) AS coef2
+        |  FROM te, b3),
+        |u AS (
+        |  SELECT 'f_mean' AS feature, coef1 AS coef, a1 AS mean_abs_contrib FROM per
+        |  UNION ALL
+        |  SELECT 'f_n' AS feature, coef2 AS coef, a2 AS mean_abs_contrib FROM per)
+        |SELECT feature, coef, mean_abs_contrib,
+        |  row_number() OVER (ORDER BY mean_abs_contrib DESC, feature) AS rk
+        |FROM u""".stripMargin,
 
     // m8 twin: m5's prediction CTEs, cross-joined with an unnested
     // threshold list (cast to DOUBLE — DuckDB parses the literals as

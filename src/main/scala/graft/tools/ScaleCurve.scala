@@ -57,7 +57,7 @@ object ScaleCurve {
     "e6_session_paths", "e7_rfm", "e8_transitions",
     "w12_rolling_mad", "d5_psi", "m8_roc_sweep",
     "m9_learning_curve", "m10_bootstrap_ci", "m11_best_threshold",
-    "e9_survival")
+    "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 
