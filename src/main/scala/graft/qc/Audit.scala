@@ -52,6 +52,35 @@ object Audit {
     issues.filter(col("severity") === "CRITICAL" && col("n_violations") > 0)
       .isEmpty
 
+  /** One referential-integrity edge: `child.childKey` must resolve in
+    * `parent.parentKey`. */
+  case class FkEdge(name: String, child: DataFrame, childKey: String,
+                    parent: DataFrame, parentKey: String)
+
+  /** Q6/Q7 — cross-table referential-integrity audit over arbitrary FK
+    * edges: orphan foreign keys via left-anti equi-joins (plain hash
+    * shuffles at any scale), one row per edge with total child rows and
+    * orphan count. Parameterized so the same audit runs on the TPC-H FK
+    * chain and on pipeline-derived corpus tables (chunk/signature/cluster
+    * doc_id integrity). Each orphan count is a 1-row frame broadcast into
+    * the per-edge result (the global-stat pattern); the union is bounded
+    * by the edge list, not the data. */
+  def refIntegrity(edges: Seq[FkEdge]): DataFrame = {
+    require(edges.nonEmpty, "refIntegrity: no edges")
+    edges.map { e =>
+      // alias the parent key so same-named FK columns (doc_id -> doc_id
+      // on derived corpus tables) don't make the equi-condition ambiguous
+      val orphans = e.child.select(col(e.childKey))
+        .join(e.parent.select(col(e.parentKey).as("__parent_key")),
+          col(e.childKey) === col("__parent_key"), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      val total = e.child.agg(count(lit(1)).as("n_child"))
+      total.crossJoin(broadcast(orphans))
+        .select(lit(e.name).as("fk_edge"), col("n_child"), col("n_orphans"),
+          (col("n_orphans") === 0).cast("int").as("ok"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Q3 — degenerate-label assertion: a label column must carry more than
     * one distinct value (`src/labels/build_pbsi.py:276-277`). */
   def assertNonDegenerate(df: DataFrame, labelCol: String): Unit = {

@@ -68,27 +68,35 @@ object RelationalQueries {
     // The cross-table complement of Q2's re-agg oracle and Q3's
     // degeneracy asserts.
     "q6_ref_integrity" -> ((s, dir) => {
-      def edge(name: String, child: DataFrame, childKey: String,
-               parent: DataFrame, parentKey: String) = {
-        val orphans = child.select(col(childKey))
-          .join(parent.select(col(parentKey)),
-            col(childKey) === col(parentKey), "left_anti")
-          .agg(count(lit(1)).as("n_orphans"))
-        val total = child.agg(count(lit(1)).as("n_child"))
-        total.crossJoin(broadcast(orphans))
-          .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"),
-            (col("n_orphans") === 0).cast("int").as("ok"))
-      }
-      Seq(
-        edge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+      import graft.qc.Audit.FkEdge
+      graft.qc.Audit.refIntegrity(Seq(
+        FkEdge("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
           Tables.orders(s, dir), "o_orderkey"),
-        edge("orders->customer", Tables.orders(s, dir), "o_custkey",
+        FkEdge("orders->customer", Tables.orders(s, dir), "o_custkey",
           Tables.customer(s, dir), "c_custkey"),
-        edge("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        FkEdge("customer->nation", Tables.customer(s, dir), "c_nationkey",
           Tables.nation(s, dir), "n_nationkey"),
-        edge("nation->region", Tables.nation(s, dir), "n_regionkey",
-          Tables.region(s, dir), "r_regionkey"))
-        .reduce(_ unionByName _)
+        FkEdge("nation->region", Tables.nation(s, dir), "n_regionkey",
+          Tables.region(s, dir), "r_regionkey")))
+    }),
+
+    // Q7: the same parameterized integrity audit over pipeline-DERIVED
+    // corpus tables — the QC a real training-data pipeline runs between
+    // stages: every chunk and every exact-dedup keep pointer must resolve
+    // to a document, and the embedding store's ids are checked against the
+    // document ids (a genuine cross-store edge that CAN have orphans —
+    // the audit reports rather than assumes).
+    "q7_corpus_integrity" -> ((s, dir) => {
+      import graft.qc.Audit.FkEdge
+      val docs = Tables.documents(s, dir)
+      val chunks = graft.operators.TextAnalysis.chunkDocuments(
+        docs, "doc_id", "text", 30, 5)
+      val keep = graft.operators.Dedup.exactDups(docs, "doc_id", "text")
+      graft.qc.Audit.refIntegrity(Seq(
+        FkEdge("chunks->documents", chunks, "doc_id", docs, "doc_id"),
+        FkEdge("dedup_keep->documents", keep, "keep_id", docs, "doc_id"),
+        FkEdge("embeddings->documents", Tables.embeddings(s, dir), "vec_id",
+          docs, "doc_id")))
     }),
 
     // J1: full-outer equi-join of two daily frames.
@@ -373,6 +381,31 @@ object RelationalQueries {
         edge("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
         edge("nation->region", "nation", "n_regionkey", "region", "r_regionkey"))
         .mkString("\nUNION ALL\n")
+    },
+
+    // q7 twin: the derived corpus tables rebuilt as CTEs (chunking via the
+    // shared t13 twin, exact-dedup keep pointers via the dd1 group-min),
+    // then the same NOT EXISTS orphan arithmetic per edge.
+    "q7_corpus_integrity" -> {
+      def edge(name: String, child: String, childKey: String) =
+        s"""SELECT '$name' AS fk_edge,
+          |  (SELECT count(*) FROM $child) AS n_child,
+          |  (SELECT count(*) FROM $child c WHERE NOT EXISTS
+          |    (SELECT 1 FROM documents p WHERE p.doc_id = c.$childKey))
+          |    AS n_orphans,
+          |  CAST((SELECT count(*) FROM $child c WHERE NOT EXISTS
+          |    (SELECT 1 FROM documents p WHERE p.doc_id = c.$childKey)) = 0
+          |    AS INT) AS ok""".stripMargin
+      val chunksSql =
+        graft.operators.TextAnalysis.chunkDocumentsSql("doc_id", "text", 30, 5)
+      s"""WITH chunks AS (SELECT * FROM ($chunksSql)),
+        |keep AS (
+        |  SELECT min(doc_id) AS keep_id FROM documents GROUP BY sha256(text))
+        |${Seq(
+          edge("chunks->documents", "chunks", "doc_id"),
+          edge("dedup_keep->documents", "keep", "keep_id"),
+          edge("embeddings->documents", "embeddings", "vec_id"))
+          .mkString("\nUNION ALL\n")}""".stripMargin
     },
 
     "q1_pricing_summary" ->

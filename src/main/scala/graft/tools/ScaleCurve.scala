@@ -50,7 +50,7 @@ object ScaleCurve {
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc", "sim7_cosine_range",
     "dd18_lsh_quality", "t18_zipf", "t19_source_overlap",
-    "e2e_corpus_assembly",
+    "q7_corpus_integrity", "e2e_corpus_assembly",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
