@@ -187,6 +187,77 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL pixel decode (no stub): decode the payload through the JDK's
+    * own ImageIO codec and average-pool the raster into a fixed
+    * `thumb`×`thumb` grayscale thumbnail — the canonical
+    * decode-and-downsample stage of an image training-data pipeline.
+    *
+    * Cell (i, j) covers pixel block [i·H/T, (i+1)·H/T) × [j·W/T,
+    * (j+1)·W/T) (integer division, every cell widened to at least one
+    * pixel so images smaller than the thumbnail upsample by nearest
+    * block). Grayscale uses the integer luma weights (299·R + 587·G +
+    * 114·B), accumulated as exact integers per cell; the cell feature is
+    * the single double division sum/(1000·n) — bit-reproducible by any
+    * engine that replays the same operands, which is what lets the mm3
+    * oracle recompute a LOSSLESS (PNG) payload's thumbnail in SQL.
+    *
+    * Unrecognized / truncated / null payloads yield null decode columns
+    * (preserved for QC accounting, same contract as [[decodeHeaders]]).
+    * Same mapPartitions batch shape as [[extractFeatures]]. */
+  def decodePixels(media: DataFrame, payloadCol: String,
+                   thumb: Int = 8): DataFrame = {
+    require(thumb > 0, s"decodePixels: thumb must be > 0, got $thumb")
+    val outSchema = media.schema
+      .add("px_width", IntegerType).add("px_height", IntegerType)
+      .add("gray_thumb", ArrayType(DoubleType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
+        else {
+          val w = img.getWidth
+          val h = img.getHeight
+          val feats = new Array[Double](thumb * thumb)
+          var i = 0
+          while (i < thumb) {
+            val y0 = i * h / thumb
+            val y1 = math.min(math.max((i + 1) * h / thumb, y0 + 1), h)
+            var j = 0
+            while (j < thumb) {
+              val x0 = j * w / thumb
+              val x1 = math.min(math.max((j + 1) * w / thumb, x0 + 1), w)
+              var s = 0L
+              var n = 0L
+              var y = y0
+              while (y < y1) {
+                var x = x0
+                while (x < x1) {
+                  val v = img.getRGB(x, y)
+                  s += 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
+                    114L * (v & 0xff)
+                  n += 1
+                  x += 1
+                }
+                y += 1
+              }
+              feats(i * thumb + j) = s.toDouble / (1000.0 * n)
+              j += 1
+            }
+            i += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq(w, h, feats.toSeq))
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL image payload for fixtures/queries: encode a
     * `width`×`height` RGB image whose pixel (x, y) is a fixed function of
     * (seed, x, y), through the JDK's own ImageIO codec ("png" or "jpg").

@@ -412,6 +412,38 @@ object TextQueries {
           col("channels"))
     }),
 
+    // Multimodal REAL pixel decode: PNG payloads (lossless — the decoded
+    // raster round-trips the generator's pixel formula exactly), decoded
+    // through the JDK's ImageIO and average-pooled to the 8×8 grayscale
+    // thumbnail. The oracle recomputes five thumbnail cells straight from
+    // the pixel formula — no codec — so a decode bug, pooling-bounds slip
+    // or luma-weight drift hash-diverges. (JPEG stays header-only in mm2:
+    // lossy rasters aren't SQL-recomputable.)
+    "mm3_pixels" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 13 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, "png", w, h))
+        }
+      }(enc)
+      Multimodal.decodePixels(withPayload, "payload")
+        .select(col("doc_id"), col("px_width"), col("px_height"),
+          round(element_at(col("gray_thumb"), 1), 6).as("t00"),
+          round(element_at(col("gray_thumb"), 8), 6).as("t07"),
+          round(element_at(col("gray_thumb"), 28), 6).as("t33"),
+          round(element_at(col("gray_thumb"), 57), 6).as("t70"),
+          round(element_at(col("gray_thumb"), 64), 6).as("t77"))
+    }),
+
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
     // deduped against the 80% corpus THROUGH its STORED digest +
     // signature tables ([[dd13StateFixture]] — the at-scale overload;
@@ -1446,6 +1478,50 @@ object TextQueries {
           |  CAST(doc_id % 13 + 1 AS INTEGER) AS width,
           |  CAST(doc_id % 7 + 1 AS INTEGER) AS height,
           |  CAST(3 AS INTEGER) AS channels
-          |FROM documents""".stripMargin)
+          |FROM documents""".stripMargin,
+
+      // mm3 twin: PNG is lossless, so the decoded raster equals the
+      // generator formula pixel (x,y) = (doc_id*31 + 7x + 13y) & 0xffffff
+      // — the five checked thumbnail cells are recomputed from that
+      // formula with the engine's exact pooling bounds (integer division,
+      // >= 1 pixel per cell) and integer luma sum; the final
+      // sum/(1000·n) division is the only float op, identical operands on
+      // both sides.
+      "mm3_pixels" ->
+        """WITH p AS (
+          |  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+          |  FROM documents),
+          |cells AS (
+          |  SELECT * FROM (VALUES (0, 0, 't00'), (0, 7, 't07'), (3, 3, 't33'),
+          |    (7, 0, 't70'), (7, 7, 't77')) AS c(ci, cj, cname)),
+          |b AS (
+          |  SELECT doc_id, w, h, cname,
+          |    (cj * w) // 8 AS x0,
+          |    least(greatest(((cj + 1) * w) // 8, (cj * w) // 8 + 1), w) AS x1,
+          |    (ci * h) // 8 AS y0,
+          |    least(greatest(((ci + 1) * h) // 8, (ci * h) // 8 + 1), h) AS y1
+          |  FROM p CROSS JOIN cells),
+          |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM b),
+          |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
+          |g AS (
+          |  SELECT doc_id, w, h, cname,
+          |    299 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) // 65536)
+          |      + 587 * ((((doc_id * 31 + x * 7 + y * 13) % 16777216) // 256) % 256)
+          |      + 114 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) % 256)
+          |      AS luma
+          |  FROM bxy),
+          |cv AS (
+          |  SELECT doc_id, any_value(w) AS w, any_value(h) AS h, cname,
+          |    round(CAST(sum(luma) AS DOUBLE) / (1000.0 * count(*)), 6) AS val
+          |  FROM g GROUP BY doc_id, cname)
+          |SELECT doc_id,
+          |  CAST(any_value(w) AS INTEGER) AS px_width,
+          |  CAST(any_value(h) AS INTEGER) AS px_height,
+          |  max(CASE WHEN cname = 't00' THEN val END) AS t00,
+          |  max(CASE WHEN cname = 't07' THEN val END) AS t07,
+          |  max(CASE WHEN cname = 't33' THEN val END) AS t33,
+          |  max(CASE WHEN cname = 't70' THEN val END) AS t70,
+          |  max(CASE WHEN cname = 't77' THEN val END) AS t77
+          |FROM cv GROUP BY doc_id""".stripMargin)
   }
 }

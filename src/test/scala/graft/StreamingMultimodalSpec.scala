@@ -336,6 +336,47 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(decodeImageHeader(encodeTestImage(6L, "jpg", 31, 2).take(4)) === None)
   }
 
+  test("multimodal REAL pixel decode: ImageIO raster -> 8x8 gray thumbnail") {
+    import graft.multimodal.Multimodal
+    import Multimodal.encodeTestImage
+    // the generator's pixel/luma formula, recomputed independently
+    def luma(seed: Long, x: Int, y: Int): Long = {
+      val v = (seed * 31 + x * 7 + y * 13) & 0xffffff
+      299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+    }
+    def cell(seed: Long, w: Int, h: Int, ci: Int, cj: Int): Double = {
+      val x0 = cj * w / 8; val x1 = math.min(math.max((cj + 1) * w / 8, x0 + 1), w)
+      val y0 = ci * h / 8; val y1 = math.min(math.max((ci + 1) * h / 8, y0 + 1), h)
+      val px = for (y <- y0 until y1; x <- x0 until x1) yield luma(seed, x, y)
+      px.sum.toDouble / (1000.0 * px.size)
+    }
+    val media = Seq(
+      (1L, encodeTestImage(1L, "png", 1, 1)), // smaller than the thumbnail
+      (2L, encodeTestImage(2L, "png", 13, 7)), // asymmetric, multi-pixel cells
+      (3L, null.asInstanceOf[Array[Byte]]), // null payload
+      (4L, "not an image at all".getBytes("UTF-8"))) // garbage payload
+      .toDF("media_id", "payload")
+    val out = Multimodal.decodePixels(media, "payload").orderBy("media_id").collect()
+    // 1x1 upsamples: every cell is the single pixel's luma
+    assert(out(0).getAs[Int]("px_width") === 1)
+    assert(out(0).getAs[Int]("px_height") === 1)
+    val t1 = out(0).getAs[scala.collection.Seq[Double]]("gray_thumb")
+    assert(t1.length === 64)
+    assert(t1.forall(_ === cell(1L, 1, 1, 0, 0)))
+    // 13x7: corners + center match the independent recompute (lossless
+    // PNG round-trip means the decoded raster IS the formula)
+    val t2 = out(1).getAs[scala.collection.Seq[Double]]("gray_thumb")
+    assert(out(1).getAs[Int]("px_width") === 13)
+    assert(out(1).getAs[Int]("px_height") === 7)
+    for ((ci, cj) <- Seq((0, 0), (0, 7), (3, 3), (7, 0), (7, 7)))
+      assert(t2(ci * 8 + cj) === cell(2L, 13, 7, ci, cj), s"cell ($ci,$cj)")
+    // undecodable payloads -> null decode columns, rows preserved
+    for (i <- Seq(2, 3)) {
+      assert(out(i).isNullAt(out(i).fieldIndex("px_width")))
+      assert(out(i).isNullAt(out(i).fieldIndex("gray_thumb")))
+    }
+  }
+
   test("streaming funnel: pure state machine — order, window, dedupe, completion") {
     import StreamingDaily.{funnelStep, FunnelEvent, FunnelState}
     val steps = Seq("view", "click", "buy")
