@@ -446,6 +446,107 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("chaos replay: simhash dedup under out-of-order arrivals and beyond-watermark lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "doc_id", "text")
+    val deduped = StreamingDaily.streamingSimhashDedup(df, "ts", "text",
+      watermark = "1 day")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("simdedup_chaos").start()
+    def emitted: Seq[Long] =
+      spark.sql("SELECT doc_id FROM simdedup_chaos ORDER BY doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    try {
+      // batch 1: two distinct signatures
+      input.addData(
+        (ts("2024-01-01 08:00:00"), 1L, "alpha beta"),
+        (ts("2024-01-01 09:00:00"), 2L, "gamma delta"))
+      q.processAllAvailable()
+      assert(emitted === Seq(1L, 2L))
+      // batch 2: LATE out-of-order duplicate of sig A — event time EARLIER
+      // than the already-emitted copy but inside the watermark horizon ->
+      // dropped, no emission
+      input.addData((ts("2024-01-01 07:00:00"), 3L, "alpha beta"))
+      q.processAllAvailable()
+      assert(emitted === Seq(1L, 2L))
+      // batch 3: fresh signature 9 days later advances the watermark to
+      // Jan 9 08:00 and evicts every Jan-1 state entry
+      input.addData((ts("2024-01-10 08:00:00"), 4L, "epsilon zeta"))
+      q.processAllAvailable()
+      assert(emitted === Seq(1L, 2L, 4L))
+      // batch 4: sig A re-arrives AFTER its state's horizon passed ->
+      // re-emits (the documented horizon-bounded contract); a late
+      // within-watermark duplicate of sig C is still dropped
+      input.addData(
+        (ts("2024-01-09 23:00:00"), 5L, "alpha beta"),
+        (ts("2024-01-10 07:00:00"), 6L, "epsilon zeta"))
+      q.processAllAvailable()
+      assert(emitted === Seq(1L, 2L, 4L, 5L))
+      // batch-equivalence on the surviving set: a batch dedup over the
+      // same rows keyed (signature, 1-day event-time session) keeps
+      // {A: Jan1 group + Jan9 group, B: 1, C: 1} = 4 survivors — the
+      // streaming surviving set has exactly that per-signature shape
+      // (which arrival represents a group differs: batch keeps the
+      // event-time min, the stream keeps the first ARRIVAL).
+      assert(emitted.size === 4)
+    } finally q.stop()
+  }
+
+  test("chaos replay: streaming funnel vs batch replay under disorder and lateness") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDaily.{FunnelEvent, FunnelOut}
+    val steps = Seq("view", "click", "buy")
+    val input = MemoryStream[FunnelEvent]
+    val out = StreamingDaily.streamingFunnel(input.toDS(), steps)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("funnel_chaos").start()
+    try {
+      // u1: disorder WITHIN each batch (sorted by event time before
+      // folding) + a stale re-delivered view in batch 2
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        // u2: steps arrive across batches in fully REVERSED order
+        FunnelEvent(2L, ts("2024-01-01 10:20:00"), "buy"))
+      q.processAllAvailable()
+      input.addData(
+        FunnelEvent(1L, ts("2024-01-01 10:01:00"), "view"), // late re-delivery
+        FunnelEvent(1L, ts("2024-01-01 10:06:00"), "buy"),
+        FunnelEvent(2L, ts("2024-01-01 10:10:00"), "click"))
+      q.processAllAvailable()
+      input.addData(FunnelEvent(2L, ts("2024-01-01 10:00:00"), "view"))
+      q.processAllAvailable()
+      val rows = spark.table("funnel_chaos").as[FunnelOut].collect()
+      val got = rows.groupBy(_.user_id).view
+        .mapValues(_.map(_.step_idx).toSet).toMap
+      // the batch oracle: the SAME pure state machine replayed over each
+      // user's full event set in one sorted pass
+      def batchReplay(uid: Long, evs: Seq[FunnelEvent]): Set[Long] =
+        StreamingDaily.funnelStep(uid, evs, None, steps, None)
+          ._2.map(_.step_idx).toSet
+      val u1Batch = batchReplay(1L, Seq(
+        FunnelEvent(1L, ts("2024-01-01 10:05:00"), "click"),
+        FunnelEvent(1L, ts("2024-01-01 10:00:00"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 10:01:00"), "view"),
+        FunnelEvent(1L, ts("2024-01-01 10:06:00"), "buy")))
+      // u1's disorder was batch-local -> streaming == batch replay exactly
+      assert(got(1L) === u1Batch)
+      assert(got(1L) === Set(0L, 1L, 2L))
+      // u2's cross-batch reversal exceeds the funnel's reordering
+      // tolerance: the stream can only enter at the (late) view — the
+      // surviving emissions are a monotone PREFIX of the batch replay,
+      // never phantom steps
+      val u2Batch = batchReplay(2L, Seq(
+        FunnelEvent(2L, ts("2024-01-01 10:20:00"), "buy"),
+        FunnelEvent(2L, ts("2024-01-01 10:10:00"), "click"),
+        FunnelEvent(2L, ts("2024-01-01 10:00:00"), "view")))
+      assert(u2Batch === Set(0L, 1L, 2L))
+      assert(got(2L) === Set(0L))
+      assert(got(2L).subsetOf(u2Batch))
+    } finally q.stop()
+  }
+
   test("multimodal REAL decode: decodeHeaders null-pads unparseable payloads") {
     import graft.multimodal.Multimodal
     val media = Seq(
