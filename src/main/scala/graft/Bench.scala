@@ -117,7 +117,14 @@ object Bench {
     val runs = results.map { case (k, (_, n)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}"""
+    // system load average (1-min, sampled at suite end): a polluted run —
+    // Bench sharing the machine with sbt/PlanAudit — self-identifies in
+    // the artifact instead of masquerading as a regression (the r6
+    // e2e 7s->49s incident). On this 32-cpu host a clean run sits near
+    // the suite's own parallelism; anything far above it means contention.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"load_avg":$loadAvg,"sf":"$sfDir"}"""
     println(line)
     // The driver tail-truncates Bench stdout, which destroyed the per-query
     // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist

@@ -59,6 +59,23 @@ object ScaleCurve {
     "m9_learning_curve", "m10_bootstrap_ci", "m11_best_threshold",
     "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival")
 
+  /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
+    * family whose 100-TB structural claims rest on the measured curve —
+    * a single decade can hide super-linear terms that only emerge once
+    * absolute sizes grow. Excludes the output-quadratic audit forms
+    * (dd10/sim7 — their >10 ratios are already structurally explained
+    * and grow ~100x per decade by design) and the dd8-derived attach
+    * variants (dd9/dd11 — dd8 itself carries the star-contraction
+    * claim). One timed run at sf10g (not min-of-2): the absolute times
+    * are large enough that scheduling jitter is relatively small. */
+  private val CurveDeep: Set[String] = Set(
+    "dd1_exact_dedup", "dd2_minhash_sig", "dd3_lsh_candidates", "dd4_simhash",
+    "dd5_ngram_jaccard", "dd7_lsh_verified", "dd8_dup_clusters",
+    "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
+    "dd15_bloom_membership", "dd17_source_cap", "dd18_lsh_quality",
+    "t7_contamination", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
+    "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc")
+
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 
   /** documents.parquet at `path`: deterministic word-salad docs with
@@ -162,10 +179,12 @@ object ScaleCurve {
 
     val small = "/tmp/graft_scale/sf0.1g"
     val large = "/tmp/graft_scale/sf1g"
+    val deep = "/tmp/graft_scale/sf10g"
     ensureScale(spark, small, 5000L, 2000L, 20000L, 300L)
     ensureScale(spark, large, 50000L, 20000L, 200000L, 3000L)
+    ensureScale(spark, deep, 500000L, 200000L, 2000000L, 30000L)
     // out-of-timing warm-up per dir: table counts + dd13's stored state
-    Seq(small, large).foreach { d =>
+    Seq(small, large, deep).foreach { d =>
       graft.core.Tables.documents(spark, d).count()
       spark.read.parquet(s"$d/embeddings.parquet").count()
       graft.core.Tables.events(spark, d).count()
@@ -187,9 +206,12 @@ object ScaleCurve {
       runOnce(spark, fn, small)
       val (tS, nS) = best(small)
       val (tL, nL) = best(large)
+      // second decade for the dedup/sim family: one timed run at sf10g
+      val dRes = if (CurveDeep(name)) Some(runOnce(spark, fn, deep)) else None
+      val deepStr = dRes.fold("")(d => f" -> ${d._1}%6.2f (x${d._1 / tL}%4.1f)")
       System.err.println(f"[scale] $name%-22s ${tS}%6.2f -> ${tL}%6.2f  " +
-        f"x${tL / tS}%5.1f  rows $nS%7d -> $nL%8d")
-      (name, tS, tL, tL / tS, nS, nL)
+        f"x${tL / tS}%5.1f  rows $nS%7d -> $nL%8d$deepStr")
+      (name, tS, tL, tL / tS, nS, nL, dRes)
     }
 
     val sb = new StringBuilder
@@ -200,7 +222,12 @@ object ScaleCurve {
       "`tools/ScaleCurve.scala` scaladoc for the distribution contract):\n\n"
     sb ++= "| scale | documents | embeddings | events (users) |\n|---|---|---|---|\n"
     sb ++= "| sf0.1g | 5,000 | 2,000 | 20,000 (300) |\n" +
-      "| sf1g | 50,000 | 20,000 | 200,000 (3,000) |\n\n"
+      "| sf1g | 50,000 | 20,000 | 200,000 (3,000) |\n" +
+      "| sf10g | 500,000 | 200,000 | 2,000,000 (30,000) |\n\n" +
+      "The dedup/sim family is additionally measured over a SECOND " +
+      "decade (sf1g -> sf10g, single timed run) — two decades catch " +
+      "super-linear terms one can hide; the second-decade columns are " +
+      "blank for queries outside that family.\n\n"
     sb ++= "A ratio near 10 on a 10x corpus means the operator's cost is " +
       "dominated by per-row work (the plan a 1000-executor cluster can " +
       "spread); sub-10 means fixed scheduling/setup overhead still " +
@@ -221,14 +248,24 @@ object ScaleCurve {
       "bucket equi-join). Range search is the AUDIT/serving form; the " +
       "corpus-dedup surface at scale is dd16's SemDeDup path " +
       "(quantizer cells + per-cell dedup, cluster-shaped output).\n\n"
-    sb ++= "| query | sf0.1g sec | sf1g sec | ratio | rows sf0.1g | rows sf1g |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
-    rows.foreach { case (name, tS, tL, r, nS, nL) =>
-      sb ++= f"| $name | $tS%.2f | $tL%.2f | $r%.1f | $nS | $nL |\n"
+    sb ++= "| query | sf0.1g sec | sf1g sec | ratio | sf10g sec | ratio2 | rows sf0.1g | rows sf1g | rows sf10g |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|---|\n"
+    rows.foreach { case (name, tS, tL, r, nS, nL, dRes) =>
+      val (tD, r2, nD) = dRes.fold(("", "", ""))(d =>
+        (f"${d._1}%.2f", f"${d._1 / tL}%.1f", s"${d._2}"))
+      sb ++= f"| $name | $tS%.2f | $tL%.2f | $r%.1f | $tD | $r2 | $nS | $nL | $nD |\n"
     }
     val geo = math.exp(rows.map(r => math.log(r._4)).sum / rows.size)
     sb ++= f"\nGeometric-mean ratio over ${rows.size} queries: **${geo}%.1f** " +
-      "(10x data).\n\n"
+      "(10x data).\n"
+    val deepRows = rows.flatMap(r => r._7.map(d => (r._3, d._1)))
+    if (deepRows.nonEmpty) {
+      val geo2 = math.exp(
+        deepRows.map { case (tL, tD) => math.log(tD / tL) }.sum / deepRows.size)
+      sb ++= f"Second-decade geometric-mean ratio over ${deepRows.size} " +
+        f"dedup/sim queries: **${geo2}%.1f** (10x data, sf1g -> sf10g).\n"
+    }
+    sb ++= "\n"
     sb ++= "Excluded by contract: `dd6_embed_dups` (all-pairs-within-block " +
       "baseline — quadratic per block by definition; the corpus-scale " +
       "near-dup path is sim2/dd7), `dd16_semantic_dedup` (its oracle " +
