@@ -1007,4 +1007,56 @@ object Dedup {
         inter.as("i"), size(col("l.sh")).as("na"), size(col("r.sh")).as("nb")),
       minJaccard)
   }
+
+  /** t20 — asymmetric n-gram CONTAINMENT for pairs blocked by
+    * `blockCol`: C(A⊂B) = |A∩B| / |A| over distinct shingle sets —
+    * near 1 when A is quoted/embedded inside B even when their Jaccard
+    * is tiny, the doc-in-doc signal symmetric near-dup misses (the
+    * quote/subset-detection filter of a training-data pipeline). Same
+    * one-hash-pass, fragment-replicate salting and no-op aggregation
+    * boundary as [[ngramJaccardPairs]]; emits BOTH directions per
+    * unordered pair and keeps pairs where either direction clears
+    * `minContainment`.
+    *
+    * Two deliberate differences from the Jaccard path: (1) NO size-ratio
+    * prune — containment is maximized by small-vs-large pairs, exactly
+    * what that prune discards; (2) shingle-less docs are dropped (their
+    * containment is 0/0). Blocking caveat, documented not hidden:
+    * MinHash-banded block keys approximate JACCARD, so they under-recall
+    * tiny-in-huge containment — run this under a bounded sample or an
+    * inverted-index blocking for subset mining (as the t20 query's
+    * absolute SHA-rank sample does). */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleK: Int, minContainment: Double,
+                       saltBuckets: Int = 1): DataFrame = {
+    val withSets = docs.select(
+        col(blockCol), col(idCol),
+        hashedShingleSet(col(textCol), shingleK).as("sh"))
+      .withColumn("nsh", size(col("sh")))
+      .filter(col("nsh") > 0)
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val inter = graft.functions.SortedLongIntersectCount(col("l.sh"), col("r.sh"))
+    val blockCond = col(s"l.$blockCol") === col(s"r.$blockCol") &&
+      col(s"l.$idCol") < col(s"r.$idCol")
+    val joined =
+      if (saltBuckets <= 1)
+        withSets.repartition(par).as("l")
+          .join(withSets.repartition(par).as("r"), blockCond)
+      else {
+        val ls = withSets.repartition(par)
+          .withColumn("salt", pmod(hash(col(idCol)), lit(saltBuckets))).as("l")
+        val rs = withSets.repartition(par)
+          .withColumn("salt", explode(array((0 until saltBuckets).map(lit): _*))).as("r")
+        ls.join(rs, blockCond && col("l.salt") === col("r.salt"))
+      }
+    joined.select(
+        col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        inter.as("i"), col("l.nsh").as("na"), col("r.nsh").as("nb"))
+      .groupBy("id_a", "id_b")
+      .agg(first("i").as("i"), first("na").as("na"), first("nb").as("nb"))
+      .select(col("id_a"), col("id_b"),
+        round(col("i").cast("double") / col("na"), 6).as("cont_a_in_b"),
+        round(col("i").cast("double") / col("nb"), 6).as("cont_b_in_a"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
+  }
 }

@@ -375,6 +375,34 @@ object EventQueries {
       EventAnalytics.transitionMatrix(ev(s, dir), "user_id", "ts", "event_id",
         "event_type", gapSecs = 1800L)),
 
+    // E10: cohort retention matrix — users bucketed by first-seen ISO
+    // week, activity counted at week offsets, retention = active/cohort
+    // size. The classic triangular cohort heatmap as one frame. Shuffle
+    // story: first-seen is one agg on user_id, the cohort attach is a
+    // user_id equi-join, and the per-(cohort, offset) distinct count
+    // shuffles on a bounded composite key; cohort sizes (bounded by the
+    // observation span in weeks) broadcast into the final attach.
+    "e10_cohort_matrix" -> ((s, dir) => {
+      val evd = ev(s, dir).select(col("user_id"), to_date(col("ts")).as("d"))
+      val cohorts = evd.groupBy("user_id")
+        .agg(min(col("d")).as("fd"))
+        .select(col("user_id"),
+          date_trunc("week", col("fd")).cast("date").as("cohort_week"))
+      val sizes = cohorts.groupBy("cohort_week")
+        .agg(count(lit(1)).as("cohort_size"))
+      evd.join(cohorts, "user_id")
+        .select(col("cohort_week"), col("user_id"),
+          (datediff(date_trunc("week", col("d")).cast("date"),
+            col("cohort_week")) / 7).cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct("user_id").as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .select(col("cohort_week"), col("week_offset"), col("n_active"),
+          col("cohort_size"),
+          round(col("n_active").cast("double") / col("cohort_size"), 6)
+            .as("retention"))
+    }),
+
     // J13: interval overlap join — per-user daily activity spans x
     // per-type daily spans, matched on overlap via the bucketed
     // equi-join (responsibility-bucket dedupe, no distinct). Day-wide
@@ -475,6 +503,31 @@ object EventQueries {
         |SELECT path, count(*) AS n_sessions,
         |  round(avg(n_events), 6) AS avg_events
         |FROM ps GROUP BY path""".stripMargin,
+
+    // e10 twin: both week columns date_trunc to the ISO Monday (Spark and
+    // DuckDB agree); offsets are exact multiples of 7 days so the
+    // integer division is lossless.
+    "e10_cohort_matrix" ->
+      """WITH evd AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |cohorts AS (
+        |  SELECT user_id, date_trunc('week', min(d)) AS cohort_week
+        |  FROM evd GROUP BY user_id),
+        |sizes AS (
+        |  SELECT cohort_week, count(*) AS cohort_size
+        |  FROM cohorts GROUP BY cohort_week),
+        |act AS (
+        |  SELECT c.cohort_week,
+        |    date_diff('day', c.cohort_week, date_trunc('week', e.d)) // 7
+        |      AS week_offset,
+        |    count(DISTINCT e.user_id) AS n_active
+        |  FROM evd e JOIN cohorts c USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_week, CAST(a.week_offset AS BIGINT) AS week_offset,
+        |  CAST(a.n_active AS BIGINT) AS n_active,
+        |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+        |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
 
     "e7_rfm" ->
       """WITH pu AS (

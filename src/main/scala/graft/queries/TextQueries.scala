@@ -144,6 +144,22 @@ object TextQueries {
       Dedup.bandedJaccardQuality(sample, "doc_id", "text", 2, 2, 0.05)
     }),
 
+    // t20: asymmetric n-gram containment — quote / doc-in-doc detection
+    // on a deterministic SHA-rank sample of 300 docs (same absolute-bound
+    // eval contract as dd18: the all-pairs stage has a fixed budget at
+    // any corpus size; the operator itself takes any blocking column).
+    // Single constant block + 32-way salt so the quadratic verify spreads
+    // over every core.
+    "t20_containment" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          graft.functions.Hashing.sha28(col("doc_id")).as("__k"))
+        .orderBy(col("__k"), col("doc_id")).limit(300)
+        .drop("__k")
+      Dedup.containmentPairs(sample.withColumn("__all", lit(0)),
+        "doc_id", "text", "__all", K, minContainment = 0.5, saltBuckets = 32)
+    }),
+
     // Brute-force cosine top-5 for the first 20 vectors.
     "sim1_knn" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -775,6 +791,33 @@ object TextQueries {
           |  round(CASE WHEN n_true > 0 THEN CAST(n_found AS DOUBLE) / n_true END, 6)
           |    AS recall
           |FROM n""".stripMargin
+      },
+
+      // t20 twin: the dd18 SHA-rank sample, distinct hashed shingle sets,
+      // all pairs (no size prune — containment is maximized by
+      // small-vs-large), both directions rounded BEFORE the greatest()
+      // threshold, exactly as the engine filters.
+      "t20_containment" -> {
+        val shExpr = Dedup.shinglesOverTkSql(K)
+        val sha = graft.functions.Hashing.sha28Sql("CAST(doc_id AS VARCHAR)")
+        s"""WITH d AS (SELECT doc_id, text FROM documents
+          |  ORDER BY $sha, doc_id LIMIT 300),
+          |sets AS (
+          |  SELECT doc_id,
+          |    list_distinct(list_transform($shExpr, s -> ${graft.functions.Hashing.sha28Sql("s")})) AS sh
+          |  FROM ${Dedup.tkSourceSqlFrom("d", "text", "doc_id")}),
+          |ns AS (SELECT doc_id, sh, len(sh) AS n FROM sets WHERE len(sh) > 0),
+          |pairs AS (
+          |  SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+          |    len(list_intersect(l.sh, r.sh)) AS i, l.n AS na, r.n AS nb
+          |  FROM ns l JOIN ns r ON l.doc_id < r.doc_id),
+          |sc AS (
+          |  SELECT id_a, id_b,
+          |    round(CAST(i AS DOUBLE) / na, 6) AS cont_a_in_b,
+          |    round(CAST(i AS DOUBLE) / nb, 6) AS cont_b_in_a
+          |  FROM pairs)
+          |SELECT id_a, id_b, cont_a_in_b, cont_b_in_a FROM sc
+          |WHERE greatest(cont_a_in_b, cont_b_in_a) >= 0.5""".stripMargin
       },
 
       "dd7_lsh_verified" ->

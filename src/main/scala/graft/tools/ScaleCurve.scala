@@ -50,11 +50,11 @@ object ScaleCurve {
     "sim1_knn", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc", "sim7_cosine_range",
     "dd18_lsh_quality", "t18_zipf", "t19_source_overlap",
-    "q7_corpus_integrity", "e2e_corpus_assembly",
+    "t20_containment", "q7_corpus_integrity", "e2e_corpus_assembly",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
-    "e6_session_paths", "e7_rfm", "e8_transitions",
+    "e6_session_paths", "e7_rfm", "e8_transitions", "e10_cohort_matrix",
     "w12_rolling_mad", "d5_psi", "m8_roc_sweep",
     "m9_learning_curve", "m10_bootstrap_ci", "m11_best_threshold",
     "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival")
