@@ -72,10 +72,16 @@ object Multimodal {
       .add("frame_idx", IntegerType)
       .add("frame_bytes", BinaryType)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    // positional access resolved from the input schema OUTSIDE the lambda:
+    // adjacent mapPartitions stages fuse without an exchange, so rows may
+    // arrive as schemaless GenericRows from an upstream iterator
+    val idIdx = media.schema.fieldIndex("media_id")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    val nFramesIdx = media.schema.fieldIndex("n_frames")
     media.mapPartitions { rows =>
       rows.flatMap { r =>
-        val payload = r.getAs[Array[Byte]]("payload")
-        val nFrames = r.getAs[Int]("n_frames")
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val nFrames = r.getAs[Int](nFramesIdx)
         if (payload == null || nFrames <= 0) Iterator.empty
         else {
           val frameLen = math.max(payload.length / nFrames, 1)
@@ -86,10 +92,43 @@ object Multimodal {
           (0 until maxFrames by stride).iterator.map { f =>
             val from = f * frameLen
             val until = math.min(from + frameLen, payload.length)
-            Row(r.getAs[Long]("media_id"), f,
+            Row(r.getAs[Long](idIdx), f,
               java.util.Arrays.copyOfRange(payload, from, until))
           }
         }
+      }
+    }(enc)
+  }
+
+  /** Per-frame byte statistics over [[sampleFrames]] output — the
+    * cheap QC pass a video pipeline runs right after demuxing (frame
+    * length + byte checksum + boundary bytes catch slicing off-by-ones
+    * and truncated containers before the expensive decode). Same
+    * mapPartitions batch shape as the other kernels; stats are pure
+    * integer arithmetic so the oracle can recompute them exactly from
+    * the payload generator formula. */
+  def frameStats(frames: DataFrame): DataFrame = {
+    val outSchema = new StructType()
+      .add("media_id", LongType)
+      .add("frame_idx", IntegerType)
+      .add("frame_len", LongType)
+      .add("byte_sum", LongType)
+      .add("first_byte", IntegerType)
+      .add("last_byte", IntegerType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idIdx = frames.schema.fieldIndex("media_id")
+    val frameIdx = frames.schema.fieldIndex("frame_idx")
+    val bytesIdx = frames.schema.fieldIndex("frame_bytes")
+    frames.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](bytesIdx)
+        var s = 0L
+        var i = 0
+        while (i < b.length) { s += (b(i) & 0xff); i += 1 }
+        Row(r.getAs[Long](idIdx), r.getAs[Int](frameIdx),
+          b.length.toLong, s,
+          if (b.isEmpty) -1 else b(0) & 0xff,
+          if (b.isEmpty) -1 else b(b.length - 1) & 0xff)
       }
     }(enc)
   }

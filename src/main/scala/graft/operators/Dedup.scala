@@ -1059,4 +1059,92 @@ object Dedup {
         round(col("i").cast("double") / col("nb"), 6).as("cont_b_in_a"))
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
   }
+
+  /** Corpus-level exact-substring dedup at chunk granularity — the
+    * shuffle-friendly approximation of suffix-array substring dedup
+    * (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    * Models Better"; the true ExactSubstr needs a corpus-wide suffix
+    * array, which has no bounded-memory shuffle formulation). Reference
+    * analog: the reference dedups whole rows on a key
+    * (`src/etl/stage_unify_daily.py` drop_duplicates); this is the
+    * within-document generalization a training corpus needs.
+    *
+    * The document is cut into non-overlapping `chunkTokens`-token
+    * windows ([[TextAnalysis.chunkDocuments]]); a chunk occurrence
+    * survives iff it is the globally FIRST occurrence of its content
+    * (min (doc_id, chunk_id) over the chunk's SHA) — every later copy
+    * of a ≥`chunkTokens`-token repeated span is dropped, exactly the
+    * C4/RefinedWeb policy of keeping one canonical copy rather than
+    * deleting all. Emits one row per document: chunk counts, surviving
+    * token count, and the reassembled deduped text (kept chunks joined
+    * in position order).
+    *
+    * Scale shape: one per-row generate (chunking), one aggregation on
+    * chunk_sha (the global-min occurrence — map-side combinable min of
+    * a (doc_id, chunk_id) struct), one equi-join back on chunk_sha, one
+    * aggregation on doc_id. No pairwise stage at all — cost is linear
+    * in corpus tokens, and the chunk_sha key's cardinality grows with
+    * the corpus so the shuffle stays spread. At 100 TB both
+    * aggregations are plain hash shuffles on high-cardinality keys. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                 chunkTokens: Int): DataFrame = {
+    val chunks = TextAnalysis.chunkDocuments(docs, idCol, textCol,
+      chunkTokens, overlapTokens = 0, keepText = true)
+    // Global first occurrence per content hash. min over a struct is
+    // lexicographic on (doc_id, chunk_id) — one map-side-combinable agg.
+    val firstOcc = chunks.groupBy("chunk_sha").agg(
+      min(struct(col(idCol), col("chunk_id"))).as("first_occ"),
+      count(lit(1)).as("n_occ"))
+    val kept = chunks.join(firstOcc, "chunk_sha")
+      .withColumn("is_first",
+        col("n_occ") === 1 ||
+          (col(s"first_occ.$idCol") === col(idCol) &&
+            col("first_occ.chunk_id") === col("chunk_id")))
+    val perDoc = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_chunks"),
+      sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(col("is_first"), col("n_chunk_tokens")).otherwise(0L))
+        .as("tokens_kept"),
+      // position-ordered reassembly of surviving chunks; array_sort on
+      // (chunk_id, text) structs keeps this a pure aggregation (no
+      // window / secondary sort needed)
+      concat_ws(" ", transform(
+        array_sort(collect_list(when(col("is_first"),
+          struct(col("chunk_id"), col("chunk_text"))))),
+        s => s.getField("chunk_text"))).as("dedup_text"))
+    docs.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** DuckDB twin of [[chunkDedup]] over `documents`. */
+  def chunkDedupSql(idCol: String, textExpr: String, chunkTokens: Int,
+                    from: String = "documents"): String = {
+    val chunksSql = TextAnalysis.chunkDocumentsSql(idCol, textExpr,
+      chunkTokens, overlapTokens = 0, from = from, keepText = true)
+    s"""WITH chunks AS ($chunksSql),
+       |kept AS (
+       |  SELECT *, row_number() OVER (PARTITION BY chunk_sha
+       |    ORDER BY $idCol, chunk_id) = 1 AS is_first
+       |  FROM chunks),
+       |per_doc AS (
+       |  SELECT $idCol,
+       |    count(*) AS n_chunks,
+       |    sum(CASE WHEN is_first THEN 1 ELSE 0 END) AS n_kept,
+       |    sum(CASE WHEN is_first THEN n_chunk_tokens ELSE 0 END)
+       |      AS tokens_kept,
+       |    coalesce(array_to_string(
+       |      list(chunk_text ORDER BY chunk_id) FILTER (WHERE is_first),
+       |      ' '), '') AS dedup_text
+       |  FROM kept GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |  CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       |  CAST(coalesce(p.n_kept, 0) AS BIGINT) AS n_kept,
+       |  CAST(coalesce(p.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+       |  coalesce(p.dedup_text, '') AS dedup_text
+       |FROM $from d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
+  }
 }

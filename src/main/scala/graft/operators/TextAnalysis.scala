@@ -289,6 +289,96 @@ object TextAnalysis {
         graft.functions.Canon.round(exp(-col("avg_logp")), 6).as("ppl"))
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * fit two bag-of-hashed-n-grams models — one on a small TARGET corpus
+    * (the distribution you want more of), one on the RAW corpus (the
+    * proposal) — and score every raw document with the log importance
+    * ratio `log p_target(x) − log p_raw(x)` under the bucketed add-one-
+    * smoothed models. Sampling ∝ exp(log_w) then tilts the raw corpus
+    * toward the target domain. Features are word unigrams + bigrams
+    * hashed into `buckets` buckets ([[graft.functions.Hashing.sha28]]
+    * mod B — portable to the oracle).
+    *
+    * Scale shape: the model side is two aggregations that each reduce to
+    * `buckets` rows (map-side combinable count on a bounded key) and the
+    * scoring side is one generate + one broadcast attach of the B-row
+    * log-ratio table + one aggregation on the doc id. No shuffle keyed
+    * on anything wider than the bucket id until the final per-doc sum;
+    * the target corpus is typically orders of magnitude smaller than the
+    * raw corpus and never joins against it row-to-row. */
+  def dsirWeights(targetDocs: DataFrame, rawDocs: DataFrame,
+                  idCol: String, textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be positive ($buckets)")
+    val spark = rawDocs.sparkSession
+    def feats(df: DataFrame): DataFrame = df.select(col(idCol),
+        explode(concat(
+          filter(tokens(col(textCol)), t => t =!= ""),
+          Dedup.shingles(col(textCol), 2))).as("feat"))
+      .withColumn("bucket", pmod(Hashing.sha28(col("feat")), lit(buckets)))
+    val tgtCnt = feats(targetDocs).groupBy("bucket")
+      .agg(count(lit(1)).as("c_t"))
+    val rawFeats = feats(rawDocs)
+    val rawCnt = rawFeats.groupBy("bucket").agg(count(lit(1)).as("c_r"))
+    // two scalars (total feature mass per model) — the A13-style
+    // two-phase pattern; both single-row aggregates of B-row frames
+    val nT = tgtCnt.agg(coalesce(sum("c_t"), lit(0L))).head().getLong(0)
+    val nR = rawCnt.agg(coalesce(sum("c_r"), lit(0L))).head().getLong(0)
+    // full bucket spine so feats hashing into a bucket unseen by either
+    // model still get the smoothed floor, not a dropped row
+    val ratio = spark.range(buckets).select(col("id").cast("long").as("bucket"))
+      .join(tgtCnt, Seq("bucket"), "left")
+      .join(rawCnt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("c_t"), lit(0L)) + 1.0) /
+            lit(nT.toDouble + buckets)) -
+          log((coalesce(col("c_r"), lit(0L)) + 1.0) /
+            lit(nR.toDouble + buckets))).as("log_ratio"))
+    val scored = rawFeats.join(broadcast(ratio), Seq("bucket"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        graft.functions.Canon.round(sum("log_ratio"), 6).as("log_w"))
+    rawDocs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("log_w"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]] over `documents`; `targetPred` is the
+    * SQL predicate selecting the target subset. */
+  def dsirWeightsSql(idCol: String, textExpr: String, targetPred: String,
+                     buckets: Int, from: String = "documents"): String = {
+    val bigrams = Dedup.shinglesOverTkSql(2)
+    def featsCte(src: String) =
+      s"""SELECT $idCol,
+         |    (${Hashing.sha28Sql("f")}) % $buckets AS bucket
+         |  FROM (SELECT $idCol,
+         |      unnest(list_concat(list_filter(tk, t -> t <> ''), $bigrams)) AS f
+         |    FROM ${Dedup.tkSourceSqlFrom(src, textExpr, idCol)})""".stripMargin
+    s"""WITH tgt_feats AS (
+       |  ${featsCte(s"(SELECT * FROM $from WHERE $targetPred)")}),
+       |raw_feats AS (
+       |  ${featsCte(from)}),
+       |tc AS (SELECT bucket, count(*) AS c_t FROM tgt_feats GROUP BY bucket),
+       |rc AS (SELECT bucket, count(*) AS c_r FROM raw_feats GROUP BY bucket),
+       |nt AS (SELECT count(*) AS n_t FROM tgt_feats),
+       |nr AS (SELECT count(*) AS n_r FROM raw_feats),
+       |ratio AS (
+       |  SELECT s.range AS bucket,
+       |    ln((coalesce(tc.c_t, 0) + 1.0) / (nt.n_t + $buckets)) -
+       |    ln((coalesce(rc.c_r, 0) + 1.0) / (nr.n_r + $buckets)) AS log_ratio
+       |  FROM range(0, $buckets) s
+       |  LEFT JOIN tc ON tc.bucket = s.range
+       |  LEFT JOIN rc ON rc.bucket = s.range, nt, nr),
+       |scored AS (
+       |  SELECT f.$idCol, count(*) AS n_feats,
+       |    round(sum(r.log_ratio), 6) AS log_w
+       |  FROM raw_feats f JOIN ratio r USING (bucket)
+       |  GROUP BY f.$idCol)
+       |SELECT d.$idCol, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+       |  s.log_w
+       |FROM $from d LEFT JOIN scored s USING ($idCol)""".stripMargin
+  }
+
   /** SHA-prefix bucket id: the numeric value of the first `hexLen` hex
     * chars of sha256(id). Because the bucket is a PREFIX of the
     * (sha, id) sort key, ordering by (bucket, sha, id) is identical to
@@ -511,7 +601,8 @@ object TextAnalysis {
     * downstream without re-tokenizing. Pure per-row generate + project —
     * no shuffle. */
   def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
-                     chunkTokens: Int, overlapTokens: Int): DataFrame = {
+                     chunkTokens: Int, overlapTokens: Int,
+                     keepText: Boolean = false): DataFrame = {
     require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
       s"chunkDocuments: need 0 <= overlap ($overlapTokens) < chunk ($chunkTokens)")
     val stride = chunkTokens - overlapTokens
@@ -534,19 +625,27 @@ object TextAnalysis {
       .withColumn("start_tok", col("chunk_id") * stride)
       .withColumn("chunk",
         slice(col("tok"), (col("start_tok") + 1).cast("int"), lit(chunkTokens)))
-      .select(col(idCol), col("chunk_id"), col("start_tok"),
+      .select(Seq(col(idCol), col("chunk_id"), col("start_tok"),
         size(col("chunk")).cast("long").as("n_chunk_tokens"),
         // full-width SHA-256: this is a DEDUP KEY — a truncated 64-bit
         // prefix would silently collapse distinct chunks by collision at
         // 10^11+-chunk corpus scale
-        sha2(concat_ws(" ", col("chunk")), 256).as("chunk_sha"))
+        sha2(concat_ws(" ", col("chunk")), 256).as("chunk_sha")) ++
+        // chunk_text only on request ([[graft.operators.Dedup.chunkDedup]]
+        // reassembly) — the default chunk-indexing path ships hashes, not
+        // a second copy of the corpus, through the shuffle
+        (if (keepText) Seq(concat_ws(" ", col("chunk")).as("chunk_text"))
+         else Seq.empty): _*)
   }
 
   /** DuckDB twin of [[chunkDocuments]] over `documents`. */
   def chunkDocumentsSql(idCol: String, textExpr: String, chunkTokens: Int,
                         overlapTokens: Int,
-                        from: String = "documents"): String = {
+                        from: String = "documents",
+                        keepText: Boolean = false): String = {
     val stride = chunkTokens - overlapTokens
+    val textCol =
+      if (keepText) ",\n  array_to_string(chunk, ' ') AS chunk_text" else ""
     s"""WITH toks AS (
        |  SELECT $idCol,
        |    list_filter(string_split_regex(lower($textExpr), '\\s+'),
@@ -565,7 +664,7 @@ object TextAnalysis {
        |  FROM ex)
        |SELECT $idCol, chunk_id, start_tok,
        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
-       |  sha256(array_to_string(chunk, ' ')) AS chunk_sha
+       |  sha256(array_to_string(chunk, ' ')) AS chunk_sha$textCol
        |FROM ch""".stripMargin
   }
 

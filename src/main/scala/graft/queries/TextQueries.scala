@@ -460,6 +460,59 @@ object TextQueries {
           round(element_at(col("gray_thumb"), 64), 6).as("t77"))
     }),
 
+    // Multimodal frame sampling: video-like payloads (bytes a pure
+    // function of (media_id, offset), demux-shaped n_frames metadata)
+    // sliced into frames by [[Multimodal.sampleFrames]] (every 2nd
+    // frame kept), then per-frame byte QC stats. The oracle recomputes
+    // length/checksum/boundary bytes straight from the byte formula —
+    // so a slicing off-by-one, stride slip or remainder-handling bug
+    // hash-diverges. Payload lengths deliberately leave a non-zero
+    // remainder (plen % n_frames != 0) to pin the drop-the-tail
+    // contract.
+    "mm4_frames" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("media_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+        .add("n_frames", org.apache.spark.sql.types.IntegerType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = (id % 7 + 2).toInt
+          val plen = (nf * (id % 5 + 4) + id % 3).toInt
+          val payload = Array.tabulate[Byte](plen)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          org.apache.spark.sql.Row(id, payload, nf)
+        }
+      }(enc)
+      Multimodal.frameStats(Multimodal.sampleFrames(withPayload, stride = 2))
+    }),
+
+    // dd19: corpus-level exact-substring dedup at chunk granularity —
+    // the shuffle-friendly form of suffix-array substring dedup: every
+    // repeated >=k-token span keeps exactly its globally-first
+    // occurrence; later copies are cut out of their documents and the
+    // surviving text reassembled in position order. k=3 on the
+    // word-soup fixture so both the duplicated and the unique path
+    // carry real traffic (a production k of 50-100 is the same plan).
+    "dd19_chunk_dedup" -> ((s, dir) =>
+      Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // t21: DSIR importance weights for data selection — bucketed
+    // unigram+bigram LMs fit on a 4-source "curated" target vs the
+    // whole corpus as proposal; every doc scored with the smoothed
+    // log importance ratio. 256 buckets (the model table stays a
+    // broadcast literal at any corpus size).
+    "t21_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val target = docs.filter(col("source")
+        .isin("src1", "src2", "src3", "src4"))
+      TextAnalysis.dsirWeights(target, docs, "doc_id", "text", 256)
+    }),
+
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
     // deduped against the 80% corpus THROUGH its STORED digest +
     // signature tables ([[dd13StateFixture]] — the at-scale overload;
@@ -1565,6 +1618,49 @@ object TextQueries {
           |  max(CASE WHEN cname = 't33' THEN val END) AS t33,
           |  max(CASE WHEN cname = 't70' THEN val END) AS t70,
           |  max(CASE WHEN cname = 't77' THEN val END) AS t77
-          |FROM cv GROUP BY doc_id""".stripMargin)
+          |FROM cv GROUP BY doc_id""".stripMargin,
+
+      // mm4 twin: frame slicing arithmetic recomputed from the byte
+      // formula byte[i] = (media_id*31 + 7i) % 256 — frameLen is an
+      // integer division of the payload length, kept frames are every
+      // 2nd index below min(n_frames, plen), and the trailing
+      // plen % n_frames remainder belongs to NO frame (the engine's
+      // copyOfRange bound), which the x1 = least(f0 + flen, plen) clamp
+      // mirrors.
+      "mm4_frames" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    doc_id % 7 + 2 AS nf,
+          |    (doc_id % 7 + 2) * (doc_id % 5 + 4) + doc_id % 3 AS plen
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, plen,
+          |    greatest(plen // nf, 1) AS flen,
+          |    least(nf, plen) AS mf
+          |  FROM p),
+          |fr AS (SELECT doc_id, plen, flen,
+          |    unnest(range(0, mf, 2)) AS frame_idx FROM f),
+          |b AS (
+          |  SELECT doc_id, frame_idx, frame_idx * flen AS f0,
+          |    least(frame_idx * flen + flen, plen) AS f1
+          |  FROM fr),
+          |bytes AS (SELECT doc_id, frame_idx, f0, f1,
+          |    unnest(range(f0, f1)) AS i FROM b)
+          |SELECT doc_id AS media_id,
+          |  CAST(frame_idx AS INTEGER) AS frame_idx,
+          |  CAST(f1 - f0 AS BIGINT) AS frame_len,
+          |  CAST(sum((doc_id * 31 + 7 * i) % 256) AS BIGINT) AS byte_sum,
+          |  CAST(min((doc_id * 31 + 7 * i) % 256)
+          |    FILTER (WHERE i = f0) AS INTEGER) AS first_byte,
+          |  CAST(min((doc_id * 31 + 7 * i) % 256)
+          |    FILTER (WHERE i = f1 - 1) AS INTEGER) AS last_byte
+          |FROM bytes GROUP BY doc_id, frame_idx, f0, f1""".stripMargin,
+
+      "dd19_chunk_dedup" ->
+        Dedup.chunkDedupSql("doc_id", "text", 3),
+
+      "t21_dsir_weights" ->
+        TextAnalysis.dsirWeightsSql("doc_id", "text",
+          "source IN ('src1', 'src2', 'src3', 'src4')", 256))
   }
 }

@@ -304,6 +304,34 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(frames.forall(_.getAs[Array[Byte]]("frame_bytes").length === 10))
   }
 
+  test("multimodal: frameStats checksums match the sliced bytes exactly") {
+    // payload 0..99, 10 frames of 10 bytes; stride 2 keeps 0,2,4,6,8
+    val payload = (0 until 100).map(_.toByte).toArray
+    val media = Seq((7L, "video", payload, 0, 0, 0, 10))
+      .toDF("media_id", "modality", "payload", "width", "height", "sample_rate", "n_frames")
+    val stats = Multimodal.frameStats(Multimodal.sampleFrames(media, stride = 2))
+      .orderBy("frame_idx").collect()
+    assert(stats.map(_.getAs[Int]("frame_idx")).toSeq === Seq(0, 2, 4, 6, 8))
+    stats.foreach { r =>
+      val f = r.getAs[Int]("frame_idx")
+      assert(r.getAs[Long]("frame_len") === 10L)
+      // frame f covers bytes 10f..10f+9: sum = 10*(10f) + 45
+      assert(r.getAs[Long]("byte_sum") === 100L * f + 45L)
+      assert(r.getAs[Int]("first_byte") === 10 * f)
+      assert(r.getAs[Int]("last_byte") === 10 * f + 9)
+    }
+    // remainder bytes past n_frames*frameLen are dropped, not absorbed:
+    // 23 bytes / 4 frames -> frameLen 5, frames at 0,10 with stride 2,
+    // bytes 20..22 belong to no frame
+    val ragged = Seq((8L, "video", (0 until 23).map(_.toByte).toArray, 0, 0, 0, 4))
+      .toDF("media_id", "modality", "payload", "width", "height", "sample_rate", "n_frames")
+    val rs = Multimodal.frameStats(Multimodal.sampleFrames(ragged, stride = 2))
+      .orderBy("frame_idx").collect()
+    assert(rs.map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_len"),
+      r.getAs[Int]("first_byte"), r.getAs[Int]("last_byte"))).toSeq ===
+      Seq((0, 5L, 0, 4), (2, 5L, 10, 14)))
+  }
+
   test("multimodal: resize re-buckets features to the target dim") {
     val df = Seq((1L, Seq(1.0f, 2.0f, 3.0f))).toDF("id", "features")
     val out = Multimodal.resizeFeatures(df, "features", 5)

@@ -169,6 +169,46 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(again === out.map(_.getString(4)).toSeq)
   }
 
+  test("chunkDedup: repeated spans keep only the globally-first occurrence") {
+    val docs = Seq(
+      (1L, "x1 x2 x3 a b c x4 x5 x6"), // chunks: [x1 x2 x3][a b c][x4 x5 x6]
+      (2L, "a b c y1 y2 y3"),          // [a b c] repeats doc1's chunk 1
+      (3L, "z1 z2"),                   // single short chunk, unique
+      (4L, ""),                        // no chunks at all
+      (5L, "p q r p q r"))             // within-doc repeat: 2nd chunk dropped
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.chunkDedup(docs, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(out(0) === ((1L, 3L, 3L, 9L, "x1 x2 x3 a b c x4 x5 x6")))
+    // doc 2 loses the copied span but keeps its own tail, order preserved
+    assert(out(1) === ((2L, 2L, 1L, 3L, "y1 y2 y3")))
+    assert(out(2) === ((3L, 1L, 1L, 2L, "z1 z2")))
+    assert(out(3) === ((4L, 0L, 0L, 0L, "")))
+    assert(out(4) === ((5L, 2L, 1L, 3L, "p q r")))
+  }
+
+  test("dsirWeights: target-like docs outscore off-target docs") {
+    val docs = Seq(
+      (1L, "aa bb aa bb aa"),  // target-vocabulary doc
+      (2L, "aa bb aa bb"),
+      (3L, "zz ww zz ww zz"),  // off-target vocabulary
+      (4L, ""))                // no features at all
+      .toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2)
+    val out = TextAnalysis.dsirWeights(target, docs, "doc_id", "text", 4096)
+      .orderBy("doc_id").collect()
+    // unigrams + bigrams: doc 1 has 5 + 4 = 9 features
+    assert(out(0).getLong(1) === 9L)
+    val w = out.map(r => if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+    // target-vocab docs carry positive log importance, off-target negative
+    assert(w(0).get > w(2).get)
+    assert(w(0).get > 0.0 && w(2).get < 0.0)
+    // empty doc: zero features, null weight (not a fabricated 0)
+    assert(out(3).getLong(1) === 0L && w(3).isEmpty)
+  }
+
   test("chunkDocuments invariants: full token coverage, exact overlap, no subset chunks") {
     val rnd = new scala.util.Random(11)
     val cases = (0 until 20).map { i =>
