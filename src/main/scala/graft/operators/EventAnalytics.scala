@@ -303,4 +303,40 @@ object EventAnalytics {
         .select(lit(i.toLong).as("step_idx"), lit(step).as("step"), col("n_users"))
     }.reduce(_ unionByName _)
   }
+
+  /** Last-touch conversion attribution: each `convType` event is credited
+    * to the user's most recent PRECEDING `touchTypes` event, provided it
+    * happened within `windowSecs`; conversions with no in-window touch
+    * are `organic`. Emits per-channel conversion counts and revenue —
+    * the classic marketing-attribution rollup (first/linear variants are
+    * frame tweaks of the same window).
+    *
+    * One window pass per user timeline (hash-partitioned on the user
+    * key, ordered by (ts, idCol) so simultaneous events attribute
+    * deterministically) + one aggregation on the tiny channel key. The
+    * touch lookup is `last(..., ignoreNulls)` over the strictly-
+    * preceding frame — no self-join, no per-conversion range scan. */
+  def lastTouchAttribution(events: DataFrame, userCol: String, idCol: String,
+                           tsCol: String, typeCol: String, valueCol: String,
+                           touchTypes: Seq[String], convType: String,
+                           windowSecs: Long): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val touched = events
+      .withColumn("__touch_ts",
+        last(when(isTouch, col(tsCol)), ignoreNulls = true).over(w))
+      .withColumn("__touch_type",
+        last(when(isTouch, col(typeCol)), ignoreNulls = true).over(w))
+    touched.filter(col(typeCol) === convType)
+      .withColumn("attr_type",
+        when(col("__touch_ts").isNull ||
+            unix_timestamp(col(tsCol)) - unix_timestamp(col("__touch_ts")) >
+              windowSecs, lit("organic"))
+          .otherwise(col("__touch_type")))
+      .groupBy("attr_type")
+      .agg(count(lit(1)).as("n_conversions"),
+        round(sum(col(valueCol)), 6).as("revenue"))
+  }
 }

@@ -105,6 +105,50 @@ object Similarity {
     scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
   }
 
+  /** Exact maximum-inner-product search (MIPS) top-k: recommendation /
+    * retrieval scoring where vector magnitude matters (user·item,
+    * query·document with learned norms), so cosine's normalization is
+    * WRONG — the score is the raw dot product. Same blocked-join + rank
+    * shape as [[bruteForceTopK]]; O(Q·N) exact baseline. The scale path
+    * is [[augmentForMips]]: the Neyshabur–Srebro transform makes every
+    * corpus norm equal, after which MIPS order IS cosine order and the
+    * whole [[lshTopK]] hyperplane machinery applies unchanged
+    * (spec-pinned rank equivalence in TextAnalysisSpec). */
+  def mipsTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+               vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .repartition(queries.sparkSession.sparkContext.defaultParallelism)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")), 6).as("ip"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ip").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
+  /** MIPS→cosine reduction (Neyshabur & Srebro 2015, "simple LSH"):
+    * append one coordinate — corpus x → [x, √(M²−‖x‖²)] with M the max
+    * corpus norm, query q → [q, 0]. Every augmented corpus vector has
+    * norm exactly M, so cos(q̂, x̂) = q·x / (‖q‖·M) — a fixed positive
+    * per-query scale of the inner product — and cosine ranking equals
+    * MIPS ranking. Returns (augmented queries, augmented corpus) ready
+    * for [[lshTopK]]/[[bruteForceTopK]]. M is the A13-style two-phase
+    * scalar: one single-row aggregate, then a literal in the projection
+    * (no join, no skew). */
+  def augmentForMips(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String): (DataFrame, DataFrame) = {
+    val maxNorm2 = corpus
+      .agg(max(dot(col(vecCol), col(vecCol)))).head().getDouble(0)
+    val aug = concat(col(vecCol).cast("array<double>"),
+      array(sqrt(greatest(lit(maxNorm2) - dot(col(vecCol), col(vecCol)),
+        lit(0.0)))))
+    val qAug = concat(col(vecCol).cast("array<double>"), array(lit(0.0)))
+    (queries.select(col(idCol), qAug.as(vecCol)),
+      corpus.select(col(idCol), aug.as(vecCol)))
+  }
+
   /** IVF-style ANN: a k-means coarse quantizer (MLlib, seeded) assigns
     * every corpus vector to a cell; each query probes its `nProbe`
     * nearest centroids and ranks only those cells' vectors. Candidate

@@ -316,25 +316,26 @@ object TextAnalysis {
           filter(tokens(col(textCol)), t => t =!= ""),
           Dedup.shingles(col(textCol), 2))).as("feat"))
       .withColumn("bucket", pmod(Hashing.sha28(col("feat")), lit(buckets)))
+    // each model collapses to <= `buckets` (bucket, count) rows — a
+    // bounded-by-contract collect (the centroid-table pattern), so the
+    // whole B-row log-ratio table is computed driver-side in one job per
+    // model instead of re-executing the explode chain for the totals
     val tgtCnt = feats(targetDocs).groupBy("bucket")
-      .agg(count(lit(1)).as("c_t"))
-    val rawFeats = feats(rawDocs)
-    val rawCnt = rawFeats.groupBy("bucket").agg(count(lit(1)).as("c_r"))
-    // two scalars (total feature mass per model) — the A13-style
-    // two-phase pattern; both single-row aggregates of B-row frames
-    val nT = tgtCnt.agg(coalesce(sum("c_t"), lit(0L))).head().getLong(0)
-    val nR = rawCnt.agg(coalesce(sum("c_r"), lit(0L))).head().getLong(0)
+      .agg(count(lit(1)).as("c_t")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rawCnt = feats(rawDocs).groupBy("bucket")
+      .agg(count(lit(1)).as("c_r")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nT = tgtCnt.valuesIterator.sum
+    val nR = rawCnt.valuesIterator.sum
     // full bucket spine so feats hashing into a bucket unseen by either
     // model still get the smoothed floor, not a dropped row
-    val ratio = spark.range(buckets).select(col("id").cast("long").as("bucket"))
-      .join(tgtCnt, Seq("bucket"), "left")
-      .join(rawCnt, Seq("bucket"), "left")
-      .select(col("bucket"),
-        (log((coalesce(col("c_t"), lit(0L)) + 1.0) /
-            lit(nT.toDouble + buckets)) -
-          log((coalesce(col("c_r"), lit(0L)) + 1.0) /
-            lit(nR.toDouble + buckets))).as("log_ratio"))
-    val scored = rawFeats.join(broadcast(ratio), Seq("bucket"))
+    import spark.implicits._
+    val ratio = (0L until buckets.toLong).map { b =>
+      (b, math.log((tgtCnt.getOrElse(b, 0L) + 1.0) / (nT.toDouble + buckets)) -
+        math.log((rawCnt.getOrElse(b, 0L) + 1.0) / (nR.toDouble + buckets)))
+    }.toDF("bucket", "log_ratio")
+    val scored = feats(rawDocs).join(broadcast(ratio), Seq("bucket"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),
         graft.functions.Canon.round(sum("log_ratio"), 6).as("log_w"))

@@ -403,6 +403,15 @@ object EventQueries {
             .as("retention"))
     }),
 
+    // E11: last-touch conversion attribution — every purchase credited
+    // to the user's most recent preceding click/view within 7 days,
+    // otherwise organic; per-channel conversions + revenue. One window
+    // pass on the user timeline, no self-join.
+    "e11_attribution" -> ((s, dir) =>
+      EventAnalytics.lastTouchAttribution(ev(s, dir), "user_id", "event_id",
+        "ts", "event_type", "value", Seq("click", "view"), "purchase",
+        windowSecs = 7L * 86400)),
+
     // J13: interval overlap join — per-user daily activity spans x
     // per-type daily spans, matched on overlap via the bucketed
     // equi-join (responsibility-bucket dedupe, no distinct). Day-wide
@@ -528,6 +537,29 @@ object EventQueries {
         |  CAST(s.cohort_size AS BIGINT) AS cohort_size,
         |  round(CAST(a.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
         |FROM act a JOIN sizes s USING (cohort_week)""".stripMargin,
+
+    // e11 twin: the strictly-preceding frame + IGNORE NULLS mirrors the
+    // engine's last(when(touch)) window; both sides floor timestamps to
+    // epoch seconds before the 7-day age test, and ties on ts break on
+    // event_id in both engines.
+    "e11_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value, ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+        |      IGNORE NULLS) OVER w AS touch_ts,
+        |    last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type END
+        |      IGNORE NULLS) OVER w AS touch_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |c AS (
+        |  SELECT CASE WHEN touch_ts IS NULL
+        |      OR epoch_us(ts) // 1000000 - epoch_us(touch_ts) // 1000000 > 604800
+        |      THEN 'organic' ELSE touch_type END AS attr_type, value
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT attr_type, count(*) AS n_conversions,
+        |  round(sum(value), 6) AS revenue
+        |FROM c GROUP BY attr_type""".stripMargin,
 
     "e7_rfm" ->
       """WITH pu AS (

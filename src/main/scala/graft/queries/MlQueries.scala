@@ -507,6 +507,35 @@ object MlQueries {
         Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
     }),
 
+    // M13: the fig07 correlation-heatmap artifact
+    // (/root/reference/scripts/generate_dissertation_figures.py:393-407):
+    // pairwise Pearson over the daily feature frame on COMPLETE CASES
+    // (the reference's dropna()), emitted long-form. One scan + one
+    // pivot-aggregate to the daily grain, then a single-row aggregation
+    // computing all F(F-1)/2 correlations at once (each corr is one
+    // co-moment pass; F is a fixed feature list, so the row stays tiny
+    // at any corpus size) unpivoted via stack — no per-pair scans.
+    "m13_feature_corr" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .pivot("event_type", types).agg(avg("value"))
+      val complete = daily.na.drop(types)
+      val pairs = for {
+        i <- types.indices; j <- (i + 1) until types.size
+      } yield (types(i), types(j))
+      val aggRow = complete.agg(
+        count(lit(1)).as("__n"),
+        pairs.map { case (a, b) =>
+          round(corr(col(a), col(b)), 6).as(s"${a}__$b") }: _*)
+      val stackArgs = pairs
+        .map { case (a, b) => s"'$a', '$b', ${a}__$b" }.mkString(", ")
+      aggRow.select(
+          expr(s"stack(${pairs.size}, $stackArgs) AS (feat_a, feat_b, pearson_r)"),
+          col("__n").as("n_days"))
+        .select("feat_a", "feat_b", "pearson_r", "n_days")
+    }),
+
     // M4: deterministic best-config selection — per-config metrics, winner
     // picked by (metric DESC, config ASC) exactly as Folds.bestConfig.
     "m4_ablation_choice" -> ((s, dir) => {
@@ -963,6 +992,31 @@ object MlQueries {
         |SELECT feature, coef, mean_abs_contrib,
         |  row_number() OVER (ORDER BY mean_abs_contrib DESC, feature) AS rk
         |FROM u""".stripMargin,
+
+    // m13 twin: conditional-aggregate pivot to the daily grain, the same
+    // complete-cases filter, one corr() per pair. Both engines compute
+    // sample Pearson in double; round(6) absorbs co-moment accumulation
+    // order.
+    "m13_feature_corr" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivots = types.map(t =>
+        s"avg(value) FILTER (WHERE event_type = '$t') AS $t").mkString(",\n  ")
+      val completePred = types.map(t => s"$t IS NOT NULL").mkString(" AND ")
+      val pairs = for {
+        i <- types.indices; j <- (i + 1) until types.size
+      } yield (types(i), types(j))
+      val arms = pairs.map { case (a, b) =>
+        s"""SELECT '$a' AS feat_a, '$b' AS feat_b,
+           |  round(corr($a, $b), 6) AS pearson_r,
+           |  count(*) AS n_days FROM complete""".stripMargin }
+        .mkString("\nUNION ALL\n")
+      s"""WITH daily AS (
+         |  SELECT CAST(ts AS DATE) AS date,
+         |  $pivots
+         |  FROM events GROUP BY 1),
+         |complete AS (SELECT * FROM daily WHERE $completePred)
+         |$arms""".stripMargin
+    },
 
     // m8 twin: m5's prediction CTEs, cross-joined with an unnested
     // threshold list (cast to DOUBLE — DuckDB parses the literals as

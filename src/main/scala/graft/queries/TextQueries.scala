@@ -184,6 +184,17 @@ object TextQueries {
       Similarity.lshCosineRange(Tables.embeddings(s, dir), "vec_id",
         "embedding", minSim = 0.3, numPlanes = 6, dims = 64, numTables = 8)),
 
+    // sim8: exact maximum-inner-product top-5 (recommendation scoring —
+    // magnitude matters, cosine is the wrong metric). The scale path is
+    // the Neyshabur–Srebro augmentation ([[Similarity.augmentForMips]])
+    // which reduces MIPS to cosine LSH; rank equivalence is spec-pinned,
+    // the oracle gates the exact form.
+    "sim8_mips" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.mipsTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", 5)
+    }),
+
     // IVF ANN: kmeans coarse quantizer + multi-probe. The seeded fit is
     // deterministic on fixed data, so the output is pinned-expected
     // (rows+schema+hash) since round 7.
@@ -972,6 +983,20 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
           |  FROM scored)
           |SELECT query_id, neighbor_id, sim, rk FROM ranked WHERE rk <= 5""".stripMargin,
+
+      "sim8_mips" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |    round(list_inner_product(q.e, c.e), 6) AS ip
+          |  FROM v q JOIN v c ON q.vec_id < 20 AND q.vec_id <> c.vec_id),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, ip,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY ip DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, ip, rk FROM ranked WHERE rk <= 5""".stripMargin,
 
       // sim2 twin: the hyperplane components are SHA-derived (no RNG
       // state), so the ENTIRE LSH pipeline — plane matrix, sign-bit

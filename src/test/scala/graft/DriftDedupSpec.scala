@@ -231,6 +231,32 @@ class DriftDedupSpec extends SparkTestBase {
     }
   }
 
+  test("sim8: MIPS ranking ≠ cosine ranking; augmentation makes cosine recover it") {
+    // vectors with deliberately spread norms so magnitude matters: the
+    // high-norm vector wins inner product even when a unit vector is
+    // better aligned
+    val vecs = (0 until 24).map { i =>
+      val scale = 0.5f + (i % 5)
+      (i.toLong, Array.tabulate(6)(d => (math.sin(i * 6 + d) * scale).toFloat))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val mips = Similarity.mipsTopK(q, vecs, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // MIPS order differs from cosine order on this fixture (norms vary)
+    val cosine = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(mips !== cosine)
+    // Neyshabur–Srebro augmentation: cosine top-k on the augmented
+    // vectors recovers the exact MIPS neighbor ranking
+    val (qAug, cAug) = Similarity.augmentForMips(q, vecs, "vec_id", "embedding")
+    val viaCosine = Similarity.bruteForceTopK(qAug, cAug, "vec_id", "embedding", 5)
+      .orderBy("query_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaCosine === mips)
+  }
+
   test("sim5: ivfAssign picks the nearest cell, ties to the smallest cell id, no shuffle") {
     val centroids = Seq(
       (0L, Array(0f, 0f)), (1L, Array(10f, 0f)), (2L, Array(0f, 10f)))
