@@ -55,6 +55,7 @@ object PlanAudit {
     "t12_mixture" -> (1 -> "1-row corpus token-total frame (mixture budgets)"),
     "j8_range_attach" -> (1 -> "segment table broadcast: segments are O(study length), bounded (non-equi range join by design)"),
     "sim1_knn" -> (1 -> "documented O(Q*N) exact baseline; query side bounded by contract"),
+    "sim8_mips" -> (1 -> "documented O(Q*N) exact MIPS baseline (sim1 shape); scale path is augmentForMips + LSH"),
     "e2e_corpus_assembly" -> (1 -> "t12's 1-row corpus token-total frame (mixture budgets) inside the composed pipeline"),
     "sim_recall" -> (2 -> "contains sim1's exact baseline twice (LSH recall + IVF recall)"),
     "sim_recall_build" -> (1 -> "contains sim1's exact baseline once (KMeans-build IVF recall)"),
