@@ -1060,6 +1060,55 @@ object Dedup {
       .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= minContainment)
   }
 
+  /** PageRank-style centrality over a candidate-pair graph — the
+    * corpus-curation signal web-scale pipelines compute over their link
+    * or similarity graphs (CommonCrawl ranks seed hosts by centrality;
+    * here the graph is the banded-LSH near-dup candidate graph, so a
+    * high rank marks template/boilerplate hubs worth down-weighting).
+    * Pairs arrive deduped (idA < idB) and are symmetrized; nodes are the
+    * documents that appear in at least one pair (isolated documents have
+    * no centrality in this graph, by definition). `iters` fixed-point
+    * rounds of r' = (1−d)/N + d·Σ_in r/deg — deterministic, so the
+    * oracle replays the same unrolled arithmetic.
+    *
+    * Scale shape: the classic Pregel-lite loop — the edge list is
+    * materialized ONCE (localCheckpoint; at cluster scale a persisted
+    * shuffle-partitioned table) and every round is one equi-join of
+    * edges against the (id, deg, r) state plus one aggregation on the
+    * destination key; state is re-checkpointed every 3 rounds so plan
+    * lineage stays bounded. No collect, no driver-side graph. */
+  def pagerankOverPairs(pairs: DataFrame, idA: String, idB: String,
+                        damping: Double, iters: Int): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    val n = deg.count()
+    if (n == 0) {
+      return pairs.sparkSession.createDataFrame(
+        new java.util.ArrayList[Row](),
+        StructType(Seq(
+          StructField("doc_id", pairs.schema(idA).dataType),
+          StructField("deg", org.apache.spark.sql.types.LongType),
+          StructField("centrality", org.apache.spark.sql.types.DoubleType))))
+    }
+    val base = lit((1.0 - damping) / n)
+    var state = deg.withColumn("r", lit(1.0 / n))
+    for (i <- 0 until iters) {
+      val contrib = edges
+        .join(state.select(col("id").as("src"), (col("r") / col("deg")).as("c")),
+          "src")
+        .groupBy(col("dst").as("id")).agg(sum("c").as("in_r"))
+      state = deg.join(contrib, Seq("id"), "left")
+        .select(col("id"), col("deg"),
+          (base + lit(damping) * coalesce(col("in_r"), lit(0.0))).as("r"))
+      if (i % 3 == 2) state = state.localCheckpoint()
+    }
+    state.select(col("id").as("doc_id"), col("deg"),
+      round(col("r"), 6).as("centrality"))
+  }
+
   /** Corpus-level exact-substring dedup at chunk granularity — the
     * shuffle-friendly approximation of suffix-array substring dedup
     * (Lee et al. 2021, "Deduplicating Training Data Makes Language

@@ -66,6 +66,18 @@ object TextQueries {
       Dedup.lshCandidatesEager(sig, "doc_id", 4, 2)
     }),
 
+    // t22: PageRank centrality over the dd3 banded-LSH candidate graph —
+    // the corpus-curation hub signal (template/boilerplate clusters rank
+    // high). 6 fixed-point rounds at d=0.85; edges materialized once,
+    // each round one equi-join + one aggregation.
+    "t22_centrality" -> ((s, dir) => {
+      val sig = Dedup.minhashSignature(Tables.documents(s, dir),
+        "doc_id", "text", 2, 4)
+      val pairs = Dedup.lshCandidatesEager(sig, "doc_id", 4, 2)
+      Dedup.pagerankOverPairs(pairs, "id_a", "id_b", damping = 0.85,
+        iters = 6)
+    }),
+
     // SimHash (16-bit) signature per document. Two-step: hash tokens once
     // into a column, then fold the 16 bit-aggregates over it.
     "dd4_simhash" -> ((s, dir) =>
@@ -805,6 +817,46 @@ object TextQueries {
 
       "dd4_simhash" ->
         s"SELECT doc_id, CAST(${Dedup.simhashSql("text", 16)} AS BIGINT) AS simhash16 FROM documents",
+
+      // t22 twin: dd3's candidate CTEs, then the 6 fixed-point rounds
+      // unrolled. All arithmetic forced to DOUBLE (DuckDB parses bare
+      // numeric literals as DECIMAL, whose exact 0.15 differs from the
+      // engine's binary 1.0-0.85) so both engines replay identical IEEE
+      // operations; round(6) absorbs per-node summation order.
+      "t22_centrality" -> {
+        val cols = (0 until 4)
+          .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
+        val d = "CAST(0.85 AS DOUBLE)"
+        val iterCtes = (1 to 6).map { k =>
+          s"""c$k AS (
+             |  SELECT e.dst AS id, sum(p.r / p.deg) AS in_r
+             |  FROM edges e JOIN r${k - 1} p ON p.id = e.src
+             |  GROUP BY e.dst),
+             |r$k AS (
+             |  SELECT d.id, d.deg,
+             |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * coalesce(c.in_r,
+             |      CAST(0.0 AS DOUBLE)) AS r
+             |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON c.id = d.id)"""
+            .stripMargin }.mkString(",\n")
+        s"""WITH sig AS (SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
+          |bands AS (
+          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig),
+          |cand AS (
+          |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+          |  FROM bands l JOIN bands r
+          |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          |  UNION ALL SELECT id_b, id_a FROM cand),
+          |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+          |nn AS (SELECT count(*) AS n FROM deg),
+          |r0 AS (SELECT id, deg, CAST(1.0 AS DOUBLE) / nn.n AS r
+          |  FROM deg CROSS JOIN nn),
+          |$iterCtes
+          |SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg,
+          |  round(r, 6) AS centrality
+          |FROM r6""".stripMargin
+      },
 
       "dd5_ngram_jaccard" -> {
         val shExpr = Dedup.shinglesOverTkSql(2)

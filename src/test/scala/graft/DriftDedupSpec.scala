@@ -231,6 +231,25 @@ class DriftDedupSpec extends SparkTestBase {
     }
   }
 
+  test("t22: pagerank centrality — hub outranks leaves, mass conserved, empty graph") {
+    // star 0—{1..5} plus the disjoint pair 6—7
+    val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.pagerankOverPairs(pairs, "id_a", "id_b", 0.85, 6).collect()
+    val ranks = out.map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ranks(0L) > ranks(1L))
+    // leaves are symmetric: identical centrality
+    (2L to 5L).foreach(i => assert(ranks(i) === ranks(1L)))
+    assert(ranks(6L) === ranks(7L))
+    // symmetric graph, no dangling nodes: total mass stays ~1
+    assert(math.abs(out.map(_.getDouble(2)).sum - 1.0) < 1e-3)
+    // empty pair set degenerates to an empty, correctly-shaped frame
+    val empty = Dedup.pagerankOverPairs(
+      pairs.filter(col("id_a") < -1), "id_a", "id_b", 0.85, 3)
+    assert(empty.isEmpty)
+    assert(empty.columns.toSeq === Seq("doc_id", "deg", "centrality"))
+  }
+
   test("sim8: MIPS ranking ≠ cosine ranking; augmentation makes cosine recover it") {
     // vectors with deliberately spread norms so magnitude matters: the
     // high-norm vector wins inner product even when a unit vector is
