@@ -289,6 +289,83 @@ object TextAnalysis {
         graft.functions.Canon.round(exp(-col("avg_logp")), 6).as("ppl"))
   }
 
+  /** Fixed BPE merge table for [[bpeTokenCounts]] — the APPLY side of
+    * byte-pair encoding (Sennrich et al. 2016): merges are applied in
+    * priority order, each as a global leftmost non-overlapping replace
+    * over the space-separated symbol sequence, exactly how a trained BPE
+    * vocabulary tokenizes at inference. The table is a fixed literal
+    * (training the table is a corpus-level count loop out of scope
+    * here); later merges may reference earlier merge outputs. */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "e r" -> "er", "t h" -> "th", "a n" -> "an", "i n" -> "in",
+    "s t" -> "st", "a r" -> "ar", "l e" -> "le", "u e" -> "ue",
+    "q ue" -> "que", "v a" -> "va", "va l" -> "val", "b le" -> "ble")
+
+  /** BPE tokenization counts: the subword token count a fixed BPE
+    * vocabulary produces per document — the number that actually fills
+    * a training shard (whitespace counts under-estimate it, char counts
+    * over-estimate). Per word: split to characters, fold the merge
+    * table, count remaining symbols; per doc: words + subwords + the
+    * chars-per-subword compression ratio. Pure per-row higher-order
+    * column expressions (no UDF, no shuffle) — the merge fold compiles
+    * to a chain of `replace` calls inside whole-stage codegen. */
+  def bpeTokenCounts(docs: DataFrame, idCol: String,
+                     textCol: String): DataFrame = {
+    val words = filter(tokens(col(textCol)), w => w =!= "")
+    // sentinel-space form " v a l u e ": a merge pattern " A B " -> " AB "
+    // can only match COMPLETE symbols (a bare replace("u e","ue") would
+    // also fire inside "u er", merging a pair the table never contained).
+    // Each merge runs twice: leftmost non-overlapping replace skips every
+    // second occurrence of an adjacent repeat (" a b a b "), and the
+    // second pass picks those up — exact unless a pair repeats >2 times
+    // consecutively within one word, which the doc notes as the contract.
+    def spaced(w: Column): Column =
+      concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+    def merged(w: Column): Column =
+      bpeMerges.foldLeft(spaced(w)) { case (c, (p, r)) =>
+        val pat = lit(s" $p ")
+        val rep = lit(s" $r ")
+        replace(replace(c, pat, rep), pat, rep) }
+    val subPerWord = transform(words, w => size(split(trim(merged(w)), " ")))
+    docs.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        aggregate(subPerWord, lit(0L), (a, b) => a + b).as("n_subwords"),
+        aggregate(transform(words, w => length(w)), lit(0L), (a, b) => a + b)
+          .as("n_chars"))
+      .withColumn("chars_per_subword",
+        when(col("n_subwords") > 0,
+          graft.functions.Canon.round(
+            col("n_chars").cast("double") / col("n_subwords"), 6)))
+  }
+
+  /** DuckDB twin of [[bpeTokenCounts]] over `documents`. */
+  def bpeTokenCountsSql(idCol: String, textExpr: String,
+                        from: String = "documents"): String = {
+    val mergeChain = bpeMerges.foldLeft(
+      s"' ' || trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || ' '") {
+      case (c, (p, r)) =>
+        s"replace(replace($c, ' $p ', ' $r '), ' $p ', ' $r ')" }
+    s"""WITH toks AS (
+       |  SELECT $idCol,
+       |    list_filter(string_split_regex(lower($textExpr), '\\s+'),
+       |      t -> t <> '') AS words
+       |  FROM $from),
+       |counts AS (
+       |  SELECT $idCol,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CAST(coalesce(list_sum(list_transform(words,
+       |      w -> len(string_split(trim($mergeChain), ' ')))), 0) AS BIGINT)
+       |      AS n_subwords,
+       |    CAST(coalesce(list_sum(list_transform(words, w -> length(w))), 0)
+       |      AS BIGINT) AS n_chars
+       |  FROM toks)
+       |SELECT $idCol, n_words, n_subwords, n_chars,
+       |  CASE WHEN n_subwords > 0
+       |    THEN round(CAST(n_chars AS DOUBLE) / n_subwords, 6) END
+       |    AS chars_per_subword
+       |FROM counts""".stripMargin
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * fit two bag-of-hashed-n-grams models — one on a small TARGET corpus

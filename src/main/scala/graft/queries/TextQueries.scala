@@ -524,6 +524,13 @@ object TextQueries {
     "dd19_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 3)),
 
+    // t23: BPE-apply tokenization counts — the subword count a fixed
+    // merge table produces (what actually fills a training shard);
+    // per-row higher-order expressions, the merge fold is a codegen'd
+    // replace chain.
+    "t23_bpe" -> ((s, dir) =>
+      TextAnalysis.bpeTokenCounts(Tables.documents(s, dir), "doc_id", "text")),
+
     // t21: DSIR importance weights for data selection — bucketed
     // unigram+bigram LMs fit on a 4-source "curated" target vs the
     // whole corpus as proposal; every doc scored with the smoothed
@@ -1738,6 +1745,9 @@ object TextQueries {
 
       "t21_dsir_weights" ->
         TextAnalysis.dsirWeightsSql("doc_id", "text",
-          "source IN ('src1', 'src2', 'src3', 'src4')", 256))
+          "source IN ('src1', 'src2', 'src3', 'src4')", 256),
+
+      "t23_bpe" ->
+        TextAnalysis.bpeTokenCountsSql("doc_id", "text"))
   }
 }

@@ -189,6 +189,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4) === ((5L, 2L, 1L, 3L, "p q r")))
   }
 
+  test("bpeTokenCounts: priority-ordered merges produce the hand-derived subwords") {
+    // value: v a l u e -(u e)-> v a l ue -(v a)-> va l ue -(va l)-> val ue = 2
+    // table: t a b l e -(l e)-> t a b le -(b le)-> t a ble             = 3
+    // query: q u e r y -(e r, before u e in priority)-> q u er y       = 4
+    val docs = Seq((1L, "value table query"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.bpeTokenCounts(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(out(0).getLong(1) === 3L)
+    assert(out(0).getLong(2) === 9L)
+    assert(out(0).getLong(3) === 15L)
+    assert(math.abs(out(0).getDouble(4) - 15.0 / 9.0) < 1e-6)
+    // empty doc: zero counts, null ratio
+    assert(out(1).getLong(1) === 0L && out(1).getLong(2) === 0L &&
+      out(1).isNullAt(4))
+  }
+
   test("dsirWeights: target-like docs outscore off-target docs") {
     val docs = Seq(
       (1L, "aa bb aa bb aa"),  // target-vocabulary doc
