@@ -163,6 +163,41 @@ object Drift {
     * cut `eps = sqrt((1/(2m)) * ln(4/delta))` with m the harmonic mean of
     * the split sizes, drop the left side and emit a change point.
     * Emits (key, order, value, is_change). */
+  /** One-sided CUSUM changepoint detection over a per-entity ordered
+    * series (Page 1954): s_t = max(0, s_{t−1} + x_t − μ − κ), alarm when
+    * s_t > h. The recursion has the closed form s_t = P_t − min_{j≤t} P_j
+    * with P the running sum of (x − μ − κ), so the whole detector is two
+    * window functions — cumulative sum and running min — with NO
+    * sequential state (unlike ADWIN, which genuinely needs the bucket
+    * list and stays mapPartitions). μ/σ are per-entity whole-partition
+    * aggregates; κ = `slackSigmas`·σ, h = `threshSigmas`·σ — the
+    * standard self-referenced parameterization. Emits the statistic and
+    * the alarm flag per row; entities with σ = 0 never alarm.
+    *
+    * One hash exchange on the entity key; every window shares it. */
+  def cusum(df: DataFrame, keyCol: String, orderCol: String,
+            valueCol: String, slackSigmas: Double,
+            threshSigmas: Double): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val dev = col(valueCol) - col("__mu") - lit(slackSigmas) * col("__sd")
+    df.withColumn("__mu", avg(col(valueCol)).over(wAll))
+      .withColumn("__sd", coalesce(stddev_samp(col(valueCol)).over(wAll),
+        lit(0.0)))
+      .withColumn("__p", sum(dev).over(wRun))
+      .withColumn("__pmin", least(min(col("__p")).over(wRun), lit(0.0)))
+      .select(col(keyCol), col(orderCol), col(valueCol),
+        round(col("__p") - col("__pmin"), 6).as("cusum_stat"),
+        // threshold test on canonically ROUNDED operands: raw doubles
+        // sitting on the 4σ boundary would let summation-order ulps flip
+        // the flag between engines
+        when(col("__sd") > 0 &&
+            round(col("__p") - col("__pmin"), 6) >
+              round(lit(threshSigmas) * col("__sd"), 6), 1)
+          .otherwise(0).as("is_alarm"))
+  }
+
   def adwin(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
             delta: Double): DataFrame = {
     val spark = df.sparkSession

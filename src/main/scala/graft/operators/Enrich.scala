@@ -244,4 +244,33 @@ object Enrich {
           .otherwise(0))
       .drop("__win", "__med", "__mad", "__ok")
   }
+
+  /** Day-of-week seasonal decomposition of a daily series — the
+    * weekday-profile form of classical seasonal adjustment (the
+    * reference normalizes per segment; production daily metrics also
+    * need the weekly cycle removed before drift/outlier logic so a
+    * quiet Sunday doesn't read as anomaly). Per entity: the weekday
+    * profile mean, the seasonal component (profile − entity mean), the
+    * seasonally-adjusted series and the residual. `dow` is 0=Monday.
+    *
+    * Shuffle story: two whole-partition windows, keyed (entity, dow)
+    * and (entity) — both hash exchanges on keys prefixed by the entity
+    * id, no global stage; profile cardinality is entities×7. */
+  def seasonalDecompose(daily: DataFrame, keyCol: String, dateCol: String,
+                        feature: String): DataFrame = {
+    val wDow = Window.partitionBy(col(keyCol), col("dow"))
+    val wKey = Window.partitionBy(col(keyCol))
+    daily
+      .withColumn("dow", weekday(col(dateCol)))
+      .withColumn("__dow_mean", avg(col(feature)).over(wDow))
+      .withColumn("__key_mean", avg(col(feature)).over(wKey))
+      .select(col(keyCol), col(dateCol), col(feature), col("dow"),
+        round(col("__dow_mean"), 6).as(s"${feature}_dow_mean"),
+        round(col("__dow_mean") - col("__key_mean"), 6)
+          .as(s"${feature}_seasonal"),
+        round(col(feature) - (col("__dow_mean") - col("__key_mean")), 6)
+          .as(s"${feature}_adjusted"),
+        round(col(feature) - col("__dow_mean"), 6)
+          .as(s"${feature}_residual"))
+  }
 }

@@ -342,6 +342,14 @@ object EventQueries {
           alpha = 0.3, window = 20)
         .select("user_id", "date", "f_mean", "f_mean_ewma")),
 
+    // W13: day-of-week seasonal decomposition of the per-user daily
+    // series — weekday profile, seasonal component, adjusted series,
+    // residual. Two entity-prefixed window exchanges, profile
+    // cardinality users×7.
+    "w13_seasonal" -> ((s, dir) =>
+      Enrich.seasonalDecompose(dailyUser(s, dir), "user_id", "date",
+        "f_mean")),
+
     // E9: Kaplan-Meier survival of time-to-first-purchase — users enter
     // at first event, right-censored at corpus end; S(t) as the running
     // product over the duration-bounded risk table.
@@ -465,6 +473,25 @@ object EventQueries {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
         |  END AS survival
         |FROM r""".stripMargin,
+
+    // w13 twin: Spark weekday() is 0=Monday == DuckDB isodow−1; both
+    // engines average the same partitions, round(6) absorbs summation
+    // order.
+    "w13_seasonal" ->
+      s"""WITH daily AS ($dailyUserSql),
+        |d AS (SELECT user_id, date, f_mean,
+        |  CAST(isodow(date) - 1 AS INTEGER) AS dow FROM daily),
+        |w AS (
+        |  SELECT user_id, date, f_mean, dow,
+        |    avg(f_mean) OVER (PARTITION BY user_id, dow) AS dow_mean,
+        |    avg(f_mean) OVER (PARTITION BY user_id) AS key_mean
+        |  FROM d)
+        |SELECT user_id, date, f_mean, dow,
+        |  round(dow_mean, 6) AS f_mean_dow_mean,
+        |  round(dow_mean - key_mean, 6) AS f_mean_seasonal,
+        |  round(f_mean - (dow_mean - key_mean), 6) AS f_mean_adjusted,
+        |  round(f_mean - dow_mean, 6) AS f_mean_residual
+        |FROM w""".stripMargin,
 
     "w12_rolling_mad" ->
       s"""WITH daily AS ($dailyUserSql),

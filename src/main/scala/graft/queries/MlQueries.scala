@@ -384,6 +384,15 @@ object MlQueries {
         .limit(1)
         .select("thr", "tpr", "fpr", "youden")),
 
+    // D6 (beyond ref): one-sided CUSUM changepoint over the per-user
+    // daily series — Page's recursion via its closed form (running sum
+    // minus running min), so the whole detector is two windows sharing
+    // one entity exchange, no sequential state (contrast D1 ADWIN).
+    // Self-referenced parameters: slack 0.5σ, threshold 4σ.
+    "d6_cusum" -> ((s, dir) =>
+      Drift.cusum(dailyUser(s, dir), "user_id", "date", "f_mean",
+        slackSigmas = 0.5, threshSigmas = 4.0)),
+
     // D5 (beyond ref): population stability index — the binned
     // industry-standard drift monitor next to D2's KS. Train deciles from
     // ONE exact-percentile row broadcast (no global sort), both splits
@@ -872,6 +881,37 @@ object MlQueries {
         |SELECT bin, n, conf, acc, gap,
         |  round(sum(gap * n) OVER () / sum(n) OVER (), 6) AS ece
         |FROM g""".stripMargin,
+
+    // d6 twin: the same closed form — cumulative sum of (x − μ − κ)
+    // minus its running min (floored at 0 for the empty prefix), alarm
+    // when the statistic exceeds h = 4σ; μ/σ are whole-partition
+    // windows.
+    "d6_cusum" ->
+      s"""WITH d AS ($dailyUserSql),
+        |s AS (
+        |  SELECT user_id, date, f_mean,
+        |    avg(f_mean) OVER (PARTITION BY user_id) AS mu,
+        |    coalesce(stddev_samp(f_mean) OVER (PARTITION BY user_id),
+        |      CAST(0.0 AS DOUBLE)) AS sd
+        |  FROM d),
+        |p1 AS (
+        |  SELECT user_id, date, f_mean, sd,
+        |    sum(f_mean - mu - CAST(0.5 AS DOUBLE) * sd) OVER win AS pr
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |p AS (
+        |  SELECT user_id, date, f_mean, sd, pr,
+        |    least(min(pr) OVER win, CAST(0.0 AS DOUBLE)) AS pmin
+        |  FROM p1
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, date, f_mean,
+        |  round(pr - pmin, 6) AS cusum_stat,
+        |  CASE WHEN sd > 0 AND round(pr - pmin, 6) >
+        |      round(CAST(4.0 AS DOUBLE) * sd, 6)
+        |    THEN 1 ELSE 0 END AS is_alarm
+        |FROM p""".stripMargin,
 
     // d5 twin: train deciles -> comparison bins -> clamped (p-q)·ln(p/q),
     // corpus total as a window over the <= 10 bin rows.

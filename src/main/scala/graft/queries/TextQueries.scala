@@ -524,6 +524,25 @@ object TextQueries {
     "dd19_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 3)),
 
+    // q8: per-source dataset card — the corpus-governance rollup a
+    // training-data release ships (docs, token mass, quality, language
+    // spread, exact-dup rate per source). One quality pass + one
+    // window on the content hash + one aggregation on the source key.
+    "q8_dataset_card" -> ((s, dir) => {
+      val q = TextAnalysis.qualityColumns(Tables.documents(s, dir), "text")
+      val withDup = q.withColumn("__n_sha", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(sha2(col("text"), 256))))
+      withDup.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        round(avg("quality_score"), 6).as("mean_quality"),
+        countDistinct("lang").as("n_langs"),
+        round(sum(when(col("__n_sha") > 1, 1).otherwise(0)).cast("double") /
+          count(lit(1)), 6).as("dup_rate"),
+        round(avg(col("n_chars").cast("double")), 6).as("mean_chars"))
+    }),
+
     // t23: BPE-apply tokenization counts — the subword count a fixed
     // merge table produces (what actually fills a training shard);
     // per-row higher-order expressions, the merge fold is a codegen'd
@@ -1748,6 +1767,25 @@ object TextQueries {
           "source IN ('src1', 'src2', 'src3', 'src4')", 256),
 
       "t23_bpe" ->
-        TextAnalysis.bpeTokenCountsSql("doc_id", "text"))
+        TextAnalysis.bpeTokenCountsSql("doc_id", "text"),
+
+      "q8_dataset_card" -> {
+        val qm = TextAnalysis.qualitySql("text")
+        s"""WITH q AS (
+          |  SELECT source, lang, n_chars,
+          |    CAST(${qm("n_words")} AS BIGINT) AS n_words,
+          |    ${qm("quality_score")} AS quality_score,
+          |    count(*) OVER (PARTITION BY sha256(text)) AS n_sha
+          |  FROM documents)
+          |SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(n_words) AS BIGINT) AS total_words,
+          |  round(avg(quality_score), 6) AS mean_quality,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  round(sum(CASE WHEN n_sha > 1 THEN 1 ELSE 0 END) /
+          |    CAST(count(*) AS DOUBLE), 6) AS dup_rate,
+          |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS mean_chars
+          |FROM q GROUP BY source""".stripMargin
+      })
   }
 }

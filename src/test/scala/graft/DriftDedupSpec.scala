@@ -231,6 +231,27 @@ class DriftDedupSpec extends SparkTestBase {
     }
   }
 
+  test("d6: CUSUM closed form == sequential recursion; alarms only after the shift") {
+    val vals = (0 until 20).map(i =>
+      if (i < 10) 1.0 + 0.05 * (i % 3) else 6.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i, v) }
+      .toDF("user_id", "idx", "v")
+    val out = graft.operators.Drift.cusum(df, "user_id", "idx", "v", 0.5, 4.0)
+      .orderBy("idx").collect()
+    // literal Page recursion replayed in Scala
+    val mu = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / (vals.size - 1))
+    var s = 0.0
+    val ref = vals.map { x =>
+      s = math.max(0.0, s + x - mu - 0.5 * sd); s }
+    out.zip(ref).foreach { case (r, expect) =>
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6) }
+    // the level shift alarms; the stable prefix never does
+    val alarms = out.map(r => r.getInt(4))
+    assert(alarms.take(10).forall(_ == 0))
+    assert(alarms.drop(10).exists(_ == 1))
+  }
+
   test("t22: pagerank centrality — hub outranks leaves, mass conserved, empty graph") {
     // star 0—{1..5} plus the disjoint pair 6—7
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (6L, 7L))
