@@ -191,4 +191,25 @@ object Unify {
         valueCols.map(v => col(payCol).getField(v).as(v)) :+
         col(payCol).getField(matchedTsCol).as(matchedTsCol): _*)
   }
+
+  /** Type-2 slowly-changing-dimension build: turn a change log (one row
+    * per (keys, ts) — pre-deduplicate upstream, e.g. groupBy+max as the
+    * j14 query does) into validity intervals [valid_from, valid_to) with
+    * the open
+    * current row flagged — the standard warehouse dimension shape. Each
+    * interval closes at the NEXT change's timestamp (lead window), so
+    * intervals partition time per key and a point-in-time lookup has
+    * exactly one match; the PIT attach itself should go through
+    * [[asofJoin]] (backward match ≡ containing interval — no range
+    * join needed). One window pass, one exchange on the key. */
+  def scd2Build(changes: DataFrame, keys: Seq[String], tsCol: String,
+                valueCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tsCol))
+    val out = changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", when(col("valid_to").isNull, 1).otherwise(0))
+      .withColumnRenamed(tsCol, "valid_from")
+    out.select((keys.map(col) ++ valueCols.map(col) ++
+      Seq(col("valid_from"), col("valid_to"), col("is_current"))): _*)
+  }
 }

@@ -314,6 +314,25 @@ object EventQueries {
             .as("purchase_age_s"))
     }),
 
+    // J14: SCD2 dimension build + point-in-time fact attach — the user's
+    // 'view'-event value as a type-2 status dimension (validity
+    // intervals, current flag), purchases looked up at their own
+    // timestamp. The PIT attach is the as-of union-merge plan (backward
+    // match ≡ containing interval), NOT a range join.
+    "j14_scd2" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val changes = e.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(round(max("value"), 6).as("status"))
+      val dim = Unify.scd2Build(changes, Seq("user_id"), "ts", Seq("status"))
+      val facts = e.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      Unify.asofJoin(facts, dim, Seq("user_id"), "ts", "valid_from",
+          Seq("status", "valid_to", "is_current"),
+          matchedTsCol = "valid_from")
+        .select("event_id", "user_id", "ts", "value", "status",
+          "valid_from", "valid_to", "is_current")
+    }),
+
     // E3: weekly cohort retention — users cohorted by first-seen week,
     // distinct-active counts per (cohort_week, week_offset).
     "e3_retention" -> ((s, dir) =>
@@ -473,6 +492,28 @@ object EventQueries {
         |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6)
         |  END AS survival
         |FROM r""".stripMargin,
+
+    // j14 twin: the dimension CTE computes intervals + current flag
+    // BEFORE the join (so unmatched facts null every dim column,
+    // matching the engine's null payload); the PIT lookup is the
+    // textbook half-open range predicate, unique by construction.
+    "j14_scd2" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, round(max(value), 6) AS status
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |dim AS (
+        |  SELECT user_id, status, ts AS valid_from,
+        |    lead(ts) OVER w AS valid_to,
+        |    CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS is_current
+        |  FROM ch WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |f AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.ts, f.value, d.status,
+        |  d.valid_from, d.valid_to, d.is_current
+        |FROM f LEFT JOIN dim d ON d.user_id = f.user_id
+        |  AND d.valid_from <= f.ts
+        |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)""".stripMargin,
 
     // w13 twin: Spark weekday() is 0=Monday == DuckDB isodow−1; both
     // engines average the same partitions, round(6) absorbs summation

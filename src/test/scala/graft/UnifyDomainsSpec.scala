@@ -20,6 +20,41 @@ class UnifyDomainsSpec extends SparkTestBase {
     ("2021-05-02", 5.0, 50.0), ("2021-05-03", 6.0, 70.0))
     .toDF("date", "sleep_hours", "sleep_quality_score")
 
+  test("j14: scd2Build — half-open intervals partition time, one current row per key") {
+    import spark.implicits._
+    val changes = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 10.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), 20.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-09 00:00:00"), 30.0),
+      (2L, java.sql.Timestamp.valueOf("2024-02-01 00:00:00"), 7.0))
+      .toDF("user_id", "ts", "status")
+    val dim = graft.operators.Unify.scd2Build(changes, Seq("user_id"), "ts",
+        Seq("status"))
+      .orderBy("user_id", "valid_from").collect()
+    // each interval closes at the next change; exactly one open row per key
+    assert(dim.map(r => (r.getLong(0), r.getDouble(1),
+      Option(r.getTimestamp(3)).map(_.toString), r.getInt(4))).toSeq === Seq(
+      (1L, 10.0, Some("2024-01-05 00:00:00.0"), 0),
+      (1L, 20.0, Some("2024-01-09 00:00:00.0"), 0),
+      (1L, 30.0, None, 1),
+      (2L, 7.0, None, 1)))
+    // PIT via asofJoin lands in the containing interval, boundary to the
+    // NEW interval (valid_from inclusive), pre-history unmatched
+    val facts = Seq(
+      (100L, 1L, java.sql.Timestamp.valueOf("2024-01-05 00:00:00")), // boundary
+      (101L, 1L, java.sql.Timestamp.valueOf("2024-01-06 12:00:00")),
+      (102L, 1L, java.sql.Timestamp.valueOf("2023-12-30 00:00:00"))) // pre-history
+      .toDF("event_id", "user_id", "ts")
+    val dimDf = graft.operators.Unify.scd2Build(changes, Seq("user_id"), "ts",
+      Seq("status"))
+    val pit = graft.operators.Unify.asofJoin(facts, dimDf, Seq("user_id"),
+        "ts", "valid_from", Seq("status"), matchedTsCol = "valid_from")
+      .orderBy("event_id").collect()
+    assert(pit(0).getDouble(3) === 20.0)
+    assert(pit(1).getDouble(3) === 20.0)
+    assert(pit(2).isNullAt(3))
+  }
+
   test("sleep: Apple wins shared dates, Zepp fills the gap") {
     val out = unifySleepDomains(Some(appleSleep), Some(zeppSleep)).get
       .orderBy("date").collect()
