@@ -26,6 +26,12 @@ object Canon {
   def round(c: Column, scale: Int): Column =
     org.apache.spark.sql.functions.round(c + lit(eps(scale)), scale)
 
+  /** Scala-side twin of [[round]] for driver/state code (streaming state
+    * machines, pinned fixtures): same epsilon shift, same HALF_UP. */
+  def roundDouble(v: Double, scale: Int): Double =
+    BigDecimal(v + eps(scale))
+      .setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** Rewrite every `round(EXPR, s)` in a DuckDB SQL string to
     * `round(EXPR + eps, s)` via balanced-paren scanning (regex can't nest). */
   def epsifySql(sql: String): String = {

@@ -133,6 +133,58 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL PCM16 audio decode + frame QC stats: parse the payload as
+    * little-endian signed 16-bit samples and compute the standard audio
+    * triage metrics — RMS level, zero-crossing rate (the cheap
+    * voiced/unvoiced + silence discriminator) and absolute peak — the
+    * pass an audio training pipeline runs before any expensive
+    * feature extraction. Integer accumulation (sum of x², sign
+    * products), one double sqrt/division at the end, so the oracle can
+    * recompute every value from the sample formula; a byte-order slip
+    * or off-by-one in the 16-bit unpack hash-diverges. Odd trailing
+    * bytes are ignored (a truncated final sample is not a sample).
+    * Same mapPartitions batch shape as the other kernels. */
+  def pcmStats(media: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = media.schema
+      .add("n_samples", LongType)
+      .add("rms", DoubleType)
+      .add("zcr", DoubleType)
+      .add("peak", IntegerType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]](idx)
+        if (b == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val n = b.length / 2
+          var i = 0
+          var sumSq = 0L
+          var crossings = 0L
+          var peak = 0
+          var prev = 0
+          while (i < n) {
+            // little-endian int16: low byte unsigned, high byte signed
+            val x = ((b(2 * i) & 0xff) | (b(2 * i + 1) << 8)).toShort.toInt
+            sumSq += x.toLong * x
+            if (i > 0 && prev * x < 0) crossings += 1
+            if (math.abs(x) > peak) peak = math.abs(x)
+            prev = x
+            i += 1
+          }
+          val rms = if (n == 0) null
+            else java.lang.Double.valueOf(graft.functions.Canon.roundDouble(
+              math.sqrt(sumSq.toDouble / n), 6))
+          val zcr = if (n < 2) null
+            else java.lang.Double.valueOf(graft.functions.Canon.roundDouble(
+              crossings.toDouble / (n - 1), 6))
+          Row.fromSeq(r.toSeq ++ Seq(n.toLong, rms, zcr,
+            if (n == 0) null else Integer.valueOf(peak)))
+        }
+      }
+    }(enc)
+  }
+
   /** Resize stub: deterministic re-bucketing of the stub features to a new
     * dimension — stands in for bilinear resize; contract = (features,
     * newDims) -> features'. */

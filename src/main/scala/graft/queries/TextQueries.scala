@@ -514,6 +514,41 @@ object TextQueries {
       Multimodal.frameStats(Multimodal.sampleFrames(withPayload, stride = 2))
     }),
 
+    // Multimodal REAL audio decode: PCM16-LE payloads (samples a pure
+    // function of (media_id, index)), unpacked by the byte-walking
+    // kernel into RMS / zero-crossing-rate / peak — the audio triage
+    // pass. Every 4th payload carries an odd trailing byte to pin the
+    // truncated-final-sample contract; the oracle recomputes all stats
+    // from the sample formula, so an endianness or unpack slip
+    // hash-diverges.
+    "mm5_audio" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (id % 50 + 10).toInt
+          val extra = if (id % 4 == 0) 1 else 0
+          val b = new Array[Byte](2 * n + extra)
+          var i = 0
+          while (i < n) {
+            val x = ((id * 7 + i * 13) % 201 - 100).toInt
+            b(2 * i) = (x & 0xff).toByte
+            b(2 * i + 1) = ((x >> 8) & 0xff).toByte
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, b)
+        }
+      }(enc)
+      Multimodal.pcmStats(withPayload, "payload")
+        .select("doc_id", "n_samples", "rms", "zcr", "peak")
+    }),
+
     // dd19: corpus-level exact-substring dedup at chunk granularity —
     // the shuffle-friendly form of suffix-array substring dedup: every
     // repeated >=k-token span keeps exactly its globally-first
@@ -523,6 +558,32 @@ object TextQueries {
     // carry real traffic (a production k of 50-100 is the same plan).
     "dd19_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 3)),
+
+    // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
+    // exact-substring chunk dedup (dd19) feeds DSIR target-domain
+    // selection (t21, fit on the DEDUPED text so selection can't
+    // resurrect boilerplate), positive-weight docs survive, and the BPE
+    // tokenizer (t23) prices the surviving corpus per source. Every
+    // stage is the already-gated operator; the twin composes the same
+    // three SQL fragments.
+    "e2e_llm_prep" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = Dedup.chunkDedup(docs, "doc_id", "text", 3)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val target = base.filter(col("source")
+        .isin("src1", "src2", "src3", "src4"))
+      val weights = TextAnalysis.dsirWeights(target, base, "doc_id",
+        "dedup_text", 256)
+      val kept = base.join(
+        weights.filter(col("log_w") > 0).select("doc_id"), "doc_id")
+      TextAnalysis.bpeTokenCounts(kept, "doc_id", "dedup_text")
+        .join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_subwords")).as("total_subwords"),
+          round(avg(col("chars_per_subword")), 6).as("mean_cps"))
+    }),
 
     // q8: per-source dataset card — the corpus-governance rollup a
     // training-data release ships (docs, token mass, quality, language
@@ -1762,12 +1823,55 @@ object TextQueries {
       "dd19_chunk_dedup" ->
         Dedup.chunkDedupSql("doc_id", "text", 3),
 
+      // mm5 twin: integer sample/sum arithmetic from the generator
+      // formula; the single double division + sqrt replays the engine's
+      // exact operands (sum of squares stays integral until the cast).
+      "mm5_audio" ->
+        """WITH p AS (SELECT doc_id, doc_id % 50 + 10 AS n FROM documents),
+          |s AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM p),
+          |x AS (SELECT doc_id, n, i,
+          |  (doc_id * 7 + i * 13) % 201 - 100 AS v FROM s),
+          |w AS (SELECT doc_id, n, v,
+          |  lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM x)
+          |SELECT doc_id,
+          |  CAST(any_value(n) AS BIGINT) AS n_samples,
+          |  round(sqrt(CAST(sum(v * v) AS DOUBLE) / any_value(n)), 6) AS rms,
+          |  round(sum(CASE WHEN pv IS NOT NULL AND pv * v < 0
+          |      THEN 1 ELSE 0 END) /
+          |    CAST(any_value(n) - 1 AS DOUBLE), 6) AS zcr,
+          |  CAST(max(abs(v)) AS INTEGER) AS peak
+          |FROM w GROUP BY doc_id""".stripMargin,
+
       "t21_dsir_weights" ->
         TextAnalysis.dsirWeightsSql("doc_id", "text",
           "source IN ('src1', 'src2', 'src3', 'src4')", 256),
 
       "t23_bpe" ->
         TextAnalysis.bpeTokenCountsSql("doc_id", "text"),
+
+      // e2e_llm_prep twin: the dd19/t21/t23 fragments composed. DuckDB
+      // permits a WITH inside a derived table, which is how each
+      // self-contained fragment nests into this chain unchanged.
+      "e2e_llm_prep" -> {
+        val dd = Dedup.chunkDedupSql("doc_id", "text", 3)
+        val dsir = TextAnalysis.dsirWeightsSql("doc_id", "dedup_text",
+          "source IN ('src1', 'src2', 'src3', 'src4')", 256, from = "base")
+        val bpe = TextAnalysis.bpeTokenCountsSql("doc_id", "dedup_text",
+          from = "kept")
+        s"""WITH base AS (
+          |  SELECT dd.doc_id, dd.dedup_text, d.source
+          |  FROM ($dd) dd JOIN documents d USING (doc_id)),
+          |w AS (SELECT * FROM ($dsir) ww WHERE ww.log_w > 0),
+          |kept AS (
+          |  SELECT b.doc_id, b.dedup_text, b.source
+          |  FROM base b JOIN w USING (doc_id))
+          |SELECT k.source,
+          |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+          |  CAST(sum(c.n_subwords) AS BIGINT) AS total_subwords,
+          |  round(avg(c.chars_per_subword), 6) AS mean_cps
+          |FROM ($bpe) c JOIN kept k USING (doc_id)
+          |GROUP BY k.source""".stripMargin
+      },
 
       "q8_dataset_card" -> {
         val qm = TextAnalysis.qualitySql("text")

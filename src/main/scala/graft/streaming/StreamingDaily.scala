@@ -311,4 +311,66 @@ object StreamingDaily {
           }
         })
   }
+
+  // ---- D6 on a stream: online CUSUM changepoint ------------------------
+
+  case class CusumEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  case class CusumState(s: Double, nSeen: Long)
+  case class CusumAlarm(user_id: Long, ts_epoch: Long, stat: Double,
+                        n_seen: Long)
+
+  /** Pure per-key online CUSUM fold (the D6 recursion deployed as the
+    * classic online detector): parameters (μ, κ, h) are FIXED — fitted
+    * offline on a training window, exactly what the batch `Drift.cusum`
+    * self-referenced form provisions — because a streaming detector must
+    * not peek at the full series for its own mean. One alarm row is
+    * emitted whenever s = max(0, s + x − μ − κ) crosses h, and the
+    * statistic RESTARTS at 0 (the standard post-alarm reset, so repeated
+    * alarms need fresh evidence). Events fold in (event-time, value)
+    * order within the batch; state is two numbers per key. */
+  def cusumStep(uid: Long, events: Seq[CusumEvent], st0: Option[CusumState],
+                mu: Double, kappa: Double,
+                h: Double): (Option[CusumState], Seq[CusumAlarm]) = {
+    var st = st0.getOrElse(CusumState(0.0, 0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[CusumAlarm]
+    events.sortBy(e => (tsMicros(e.ts), e.value)).foreach { e =>
+      val s1 = math.max(0.0, st.s + e.value - mu - kappa)
+      val n1 = st.nSeen + 1
+      if (s1 > h) {
+        out += CusumAlarm(uid,
+          Math.floorDiv(tsMicros(e.ts), 1000000L),
+          graft.functions.Canon.roundDouble(s1, 6), n1)
+        st = CusumState(0.0, n1)
+      } else st = CusumState(s1, n1)
+    }
+    (if (st.nSeen == 0) None else Some(st), out.toSeq)
+  }
+
+  /** [[cusumStep]] bound as `flatMapGroupsWithState` in append mode —
+    * one row per alarm, so `groupBy(user_id).count` over the sink IS the
+    * live alarm census. `idleTimeout` reclaims keys that stop sending. */
+  def streamingCusum(events: Dataset[CusumEvent], mu: Double, kappa: Double,
+                     h: Double,
+                     idleTimeout: Option[String] = None): Dataset[CusumAlarm] = {
+    import events.sparkSession.implicits._
+    val timeoutConf = idleTimeout.fold(GroupStateTimeout.NoTimeout)(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (uid: Long, rows: Iterator[CusumEvent], state: GroupState[CusumState]) => {
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val (next, out) = cusumStep(uid, rows.toSeq, state.getOption,
+              mu, kappa, h)
+            next match {
+              case Some(st) =>
+                state.update(st)
+                idleTimeout.foreach(state.setTimeoutDuration)
+              case None => if (state.exists) state.remove()
+            }
+            out.iterator
+          }
+        })
+  }
 }

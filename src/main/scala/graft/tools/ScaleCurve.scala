@@ -51,13 +51,17 @@ object ScaleCurve {
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc", "sim7_cosine_range",
     "dd18_lsh_quality", "t18_zipf", "t19_source_overlap",
     "t20_containment", "q7_corpus_integrity", "e2e_corpus_assembly",
+    "dd19_chunk_dedup", "t21_dsir_weights", "t22_centrality", "t23_bpe",
+    "q8_dataset_card", "sim8_mips",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
     "e6_session_paths", "e7_rfm", "e8_transitions", "e10_cohort_matrix",
     "w12_rolling_mad", "d5_psi", "m8_roc_sweep",
     "m9_learning_curve", "m10_bootstrap_ci", "m11_best_threshold",
-    "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival")
+    "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival",
+    "e11_attribution", "w13_seasonal", "d6_cusum", "j14_scd2",
+    "m13_feature_corr")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -74,7 +78,14 @@ object ScaleCurve {
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "dd15_bloom_membership", "dd17_source_cap", "dd18_lsh_quality",
     "t7_contamination", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
-    "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc")
+    "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc",
+    // t22_centrality deliberately NOT deep: its input is the dd3
+    // candidate graph, whose second-decade growth (x68/decade) is the
+    // generator's 30-word vocabulary saturating the band-key space — an
+    // already-explained fixture artifact. PageRank over 100x that edge
+    // set measures the artifact, not the operator; the first decade
+    // (3.9M edges) carries t22's linear-rounds claim.
+    "dd19_chunk_dedup", "t21_dsir_weights")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

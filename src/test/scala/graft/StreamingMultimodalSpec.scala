@@ -109,6 +109,57 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming D6: CUSUM fold == reference recursion; split-invariant; restarts after alarm") {
+    import StreamingDaily.{CusumEvent, CusumState, cusumStep}
+    val mu = 2.0; val kappa = 0.5; val h = 4.0
+    val vals = Seq(2.0, 2.1, 1.9, 6.0, 6.0, 2.0, 2.0, 7.0, 7.0)
+    val evs = vals.zipWithIndex.map { case (v, i) =>
+      CusumEvent(1L, ts(f"2024-01-01 08:00:${i}%02d"), v) }
+    // reference recursion with post-alarm restart
+    var s = 0.0; var alarms = 0
+    vals.foreach { v =>
+      s = math.max(0.0, s + v - mu - kappa)
+      if (s > h) { alarms += 1; s = 0.0 } }
+    val (stAll, outAll) = cusumStep(1L, evs, None, mu, kappa, h)
+    // hand-trace: 6.0,6.0 fires (3.5+3.5), resets; 7.0 fires (4.5),
+    // resets; the second 7.0 fires again on fresh evidence
+    assert(outAll.length === alarms && alarms === 3)
+    assert(stAll.get.nSeen === vals.length)
+    assert(math.abs(stAll.get.s - s) < 1e-12)
+    // arbitrary micro-batch split replays to the identical alarm set
+    (1 until evs.length).foreach { cut =>
+      val (st1, o1) = cusumStep(1L, evs.take(cut), None, mu, kappa, h)
+      val (st2, o2) = cusumStep(1L, evs.drop(cut), st1, mu, kappa, h)
+      assert(o1 ++ o2 === outAll, s"split at $cut diverged")
+      assert(st2 === stAll)
+    }
+  }
+
+  test("streaming D6: end-to-end alarms over a memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingDaily.{CusumAlarm, CusumEvent}
+    val input = MemoryStream[CusumEvent]
+    val alarms = StreamingDaily.streamingCusum(input.toDS(), mu = 1.0,
+      kappa = 0.2, h = 3.0)
+    val q = alarms.writeStream.outputMode("append")
+      .format("memory").queryName("cusum_out").start()
+    try {
+      input.addData(
+        CusumEvent(1L, ts("2024-01-01 08:00:00"), 1.0),
+        CusumEvent(1L, ts("2024-01-01 08:00:01"), 1.1))
+      q.processAllAvailable()
+      assert(spark.table("cusum_out").count() === 0)
+      // the shift arrives in a later micro-batch; state carries the fold
+      input.addData(
+        CusumEvent(1L, ts("2024-01-01 08:00:02"), 4.0),
+        CusumEvent(1L, ts("2024-01-01 08:00:03"), 4.0))
+      q.processAllAvailable()
+      val got = spark.table("cusum_out").as[CusumAlarm].collect()
+      assert(got.length === 1)
+      assert(got(0).user_id === 1L && got(0).n_seen === 4L)
+    } finally q.stop()
+  }
+
   test("streaming W4: idle-timeout flush path — pure state machine") {
     import StreamingDaily.{sessionFlush, sessionStep, SessionState}
     // batch 1: two events 30min apart -> one open session, nothing emitted
@@ -330,6 +381,29 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(rs.map(r => (r.getAs[Int]("frame_idx"), r.getAs[Long]("frame_len"),
       r.getAs[Int]("first_byte"), r.getAs[Int]("last_byte"))).toSeq ===
       Seq((0, 5L, 0, 4), (2, 5L, 10, 14)))
+  }
+
+  test("multimodal: PCM16 stats — LE unpack incl. negatives, truncated tail, null payload") {
+    val samples = Seq(100, -100, 50, -50)
+    val b = new Array[Byte](2 * samples.length + 1) // odd trailing byte
+    samples.zipWithIndex.foreach { case (x, i) =>
+      b(2 * i) = (x & 0xff).toByte
+      b(2 * i + 1) = ((x >> 8) & 0xff).toByte
+    }
+    b(b.length - 1) = 0x7f // must be ignored, not read as a sample
+    val media = Seq((1L, b), (2L, null.asInstanceOf[Array[Byte]]))
+      .toDF("media_id", "payload")
+    val out = Multimodal.pcmStats(media, "payload")
+      .select("media_id", "n_samples", "rms", "zcr", "peak")
+      .orderBy("media_id").collect()
+    assert(out(0).getLong(1) === 4L)
+    // rms = sqrt((100²+100²+50²+50²)/4) = sqrt(6250)
+    assert(math.abs(out(0).getDouble(2) - math.sqrt(6250.0)) < 1e-5)
+    // every adjacent pair flips sign: zcr = 3/3
+    assert(out(0).getDouble(3) === 1.0)
+    assert(out(0).getInt(4) === 100)
+    // null payload: all stat columns null
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2) && out(1).isNullAt(4))
   }
 
   test("multimodal: resize re-buckets features to the target dim") {
