@@ -387,22 +387,58 @@ object TextAnalysis {
   def dsirWeights(targetDocs: DataFrame, rawDocs: DataFrame,
                   idCol: String, textCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, s"dsirWeights: buckets must be positive ($buckets)")
-    val spark = rawDocs.sparkSession
-    def feats(df: DataFrame): DataFrame = df.select(col(idCol),
-        explode(concat(
-          filter(tokens(col(textCol)), t => t =!= ""),
-          Dedup.shingles(col(textCol), 2))).as("feat"))
-      .withColumn("bucket", pmod(Hashing.sha28(col("feat")), lit(buckets)))
     // each model collapses to <= `buckets` (bucket, count) rows — a
     // bounded-by-contract collect (the centroid-table pattern), so the
     // whole B-row log-ratio table is computed driver-side in one job per
     // model instead of re-executing the explode chain for the totals
-    val tgtCnt = feats(targetDocs).groupBy("bucket")
-      .agg(count(lit(1)).as("c_t")).collect()
+    val tgtCnt = dsirFeats(targetDocs, idCol, textCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("c_t")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val rawCnt = feats(rawDocs).groupBy("bucket")
-      .agg(count(lit(1)).as("c_r")).collect()
+    val rawCnt = dsirFeats(rawDocs, idCol, textCol, buckets)
+      .groupBy("bucket").agg(count(lit(1)).as("c_r")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    dsirScore(rawDocs, idCol, textCol, buckets, tgtCnt, rawCnt)
+  }
+
+  /** [[dsirWeights]] when the target IS a predicate-selected subset of
+    * the raw corpus (the common production setup: "more like these
+    * sources"). Both bucket models come out of ONE pass over the
+    * exploded corpus — per-bucket total and flagged-subset counts in the
+    * same aggregation — so the whole operator is two corpus passes
+    * (count, score) instead of three. Identical output to the general
+    * form (spec-pinned). */
+  def dsirWeightsByPred(docs: DataFrame, targetPred: Column, idCol: String,
+                        textCol: String, buckets: Int): DataFrame = {
+    require(buckets > 0, s"dsirWeights: buckets must be positive ($buckets)")
+    val counts = docs.select(col(idCol), targetPred.as("__is_t"),
+        explode(concat(
+          filter(tokens(col(textCol)), t => t =!= ""),
+          Dedup.shingles(col(textCol), 2))).as("feat"))
+      .filter(col("feat") =!= "")
+      .select(pmod(Hashing.sha28(col("feat")), lit(buckets)).as("bucket"),
+        col("__is_t"))
+      .groupBy("bucket").agg(count(lit(1)).as("c_r"),
+        sum(when(col("__is_t"), 1L).otherwise(0L)).as("c_t"))
+      .collect()
+    val rawCnt = counts.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tgtCnt = counts.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      .filter(_._2 > 0L)
+    dsirScore(docs, idCol, textCol, buckets, tgtCnt, rawCnt)
+  }
+
+  private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
+                        buckets: Int): DataFrame =
+    df.select(col(idCol),
+        explode(concat(
+          filter(tokens(col(textCol)), t => t =!= ""),
+          Dedup.shingles(col(textCol), 2))).as("feat"))
+      .filter(col("feat") =!= "")
+      .withColumn("bucket", pmod(Hashing.sha28(col("feat")), lit(buckets)))
+
+  private def dsirScore(rawDocs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int, tgtCnt: Map[Long, Long],
+                        rawCnt: Map[Long, Long]): DataFrame = {
+    val spark = rawDocs.sparkSession
     val nT = tgtCnt.valuesIterator.sum
     val nR = rawCnt.valuesIterator.sum
     // full bucket spine so feats hashing into a bucket unseen by either
@@ -412,7 +448,8 @@ object TextAnalysis {
       (b, math.log((tgtCnt.getOrElse(b, 0L) + 1.0) / (nT.toDouble + buckets)) -
         math.log((rawCnt.getOrElse(b, 0L) + 1.0) / (nR.toDouble + buckets)))
     }.toDF("bucket", "log_ratio")
-    val scored = feats(rawDocs).join(broadcast(ratio), Seq("bucket"))
+    val scored = dsirFeats(rawDocs, idCol, textCol, buckets)
+      .join(broadcast(ratio), Seq("bucket"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),
         graft.functions.Canon.round(sum("log_ratio"), 6).as("log_w"))

@@ -571,9 +571,8 @@ object TextQueries {
       val base = Dedup.chunkDedup(docs, "doc_id", "text", 3)
         .select(col("doc_id"), col("dedup_text"))
         .join(docs.select("doc_id", "source"), "doc_id")
-      val target = base.filter(col("source")
-        .isin("src1", "src2", "src3", "src4"))
-      val weights = TextAnalysis.dsirWeights(target, base, "doc_id",
+      val weights = TextAnalysis.dsirWeightsByPred(base,
+        col("source").isin("src1", "src2", "src3", "src4"), "doc_id",
         "dedup_text", 256)
       val kept = base.join(
         weights.filter(col("log_w") > 0).select("doc_id"), "doc_id")
@@ -616,12 +615,10 @@ object TextQueries {
     // whole corpus as proposal; every doc scored with the smoothed
     // log importance ratio. 256 buckets (the model table stays a
     // broadcast literal at any corpus size).
-    "t21_dsir_weights" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val target = docs.filter(col("source")
-        .isin("src1", "src2", "src3", "src4"))
-      TextAnalysis.dsirWeights(target, docs, "doc_id", "text", 256)
-    }),
+    "t21_dsir_weights" -> ((s, dir) =>
+      TextAnalysis.dsirWeightsByPred(Tables.documents(s, dir),
+        col("source").isin("src1", "src2", "src3", "src4"),
+        "doc_id", "text", 256)),
 
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
     // deduped against the 80% corpus THROUGH its STORED digest +

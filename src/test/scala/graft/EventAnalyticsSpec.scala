@@ -423,4 +423,53 @@ class EventAnalyticsSpec extends SparkTestBase {
     assert(got === expected)
     assert(got.contains("alpha"))
   }
+
+  test("w13: seasonal identity — adjusted + seasonal == original, dow is 0=Monday") {
+    // 2024-01-01 was a Monday
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 28).map { d =>
+      (1L, java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(d)),
+        math.rint(rnd.nextDouble() * 100) / 10.0)
+    }
+    val out = graft.operators.Enrich.seasonalDecompose(
+        rows.toDF("user_id", "date", "v"), "user_id", "date", "v")
+      .orderBy("date").collect()
+    assert(out(0).getInt(3) === 0) // Monday
+    assert(out(6).getInt(3) === 6) // Sunday
+    out.foreach { r =>
+      val v = r.getDouble(2)
+      // adjusted + seasonal reconstructs the original up to the rounding
+      assert(math.abs(r.getDouble(6) + r.getDouble(5) - v) < 2e-6)
+      // residual == v - dow_mean
+      assert(math.abs(r.getDouble(7) - (v - r.getDouble(4))) < 2e-6)
+    }
+    // each weekday's profile mean is the plain mean of its 4 samples
+    val mondays = rows.zipWithIndex.filter(_._2 % 7 == 0).map(_._1._3)
+    assert(math.abs(out(0).getDouble(4) - mondays.sum / 4) < 2e-6)
+  }
+
+  test("e11: no-touch, expired-touch, and same-ts purchases attribute deterministically") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1: click then purchase inside the window
+      (1L, 1L, t("2024-01-01 10:00:00"), "click", 0.0),
+      (2L, 1L, t("2024-01-02 10:00:00"), "purchase", 5.0),
+      // user 2: view, then purchase 8 days later -> expired -> organic
+      (3L, 2L, t("2024-01-01 10:00:00"), "view", 0.0),
+      (4L, 2L, t("2024-01-09 11:00:00"), "purchase", 7.0),
+      // user 3: purchase with no touch at all -> organic
+      (5L, 3L, t("2024-01-01 10:00:00"), "purchase", 1.0),
+      // user 4: touch and purchase at the SAME ts — touch has lower
+      // event_id, sorts first in the (ts, id) order, so it counts
+      (6L, 4L, t("2024-01-03 09:00:00"), "click", 0.0),
+      (7L, 4L, t("2024-01-03 09:00:00"), "purchase", 2.0))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.operators.EventAnalytics.lastTouchAttribution(ev,
+        "user_id", "event_id", "ts", "event_type", "value",
+        Seq("click", "view"), "purchase", windowSecs = 7L * 86400)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("click") === ((2L, 7.0)))
+    assert(out("organic") === ((2L, 8.0)))
+    assert(!out.contains("view"))
+  }
 }

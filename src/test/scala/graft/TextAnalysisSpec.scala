@@ -223,6 +223,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(w(0).get > 0.0 && w(2).get < 0.0)
     // empty doc: zero features, null weight (not a fabricated 0)
     assert(out(3).getLong(1) === 0L && w(3).isEmpty)
+    // the fused one-pass predicate form is value-identical to the
+    // general two-corpus form
+    val byPred = TextAnalysis.dsirWeightsByPred(docs, col("doc_id") <= 2,
+        "doc_id", "text", 4096)
+      .orderBy("doc_id").collect()
+    assert(byPred.map(_.toSeq).toSeq === out.map(_.toSeq).toSeq)
   }
 
   test("chunkDocuments invariants: full token coverage, exact overlap, no subset chunks") {
