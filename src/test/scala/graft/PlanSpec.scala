@@ -231,4 +231,39 @@ class PlanSpec extends SparkTestBase {
     val row = df.head()
     assert(!row.isNullAt(0) && !row.isNullAt(1) && !row.isNullAt(2))
   }
+
+  test("dd19: chunk dedup aggregates partially and joins on the content hash only") {
+    val plan = planOf("dd19_chunk_dedup")
+    // the global-min-occurrence agg must combine map-side (struct min is
+    // combinable) — a final-only agg would ship every chunk row
+    assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+      "no hash aggregation on the chunk-sha key")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "chunk join degenerated to a product")
+  }
+
+  test("t21: the B-row log-ratio table attaches via broadcast") {
+    val plan = planOf("t21_dsir_weights")
+    assert(plan.contains("BroadcastHashJoin"),
+      "ratio spine not broadcast — would shuffle the exploded corpus")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("w13/d6: decomposition and CUSUM windows hash-partition on the entity key") {
+    for (q <- Seq("w13_seasonal", "d6_cusum")) {
+      val plan = planOf(q)
+      val parted = """hashpartitioning\(user_id#\d+""".r
+      assert(parted.findFirstIn(plan).isDefined,
+        s"$q: window not partitioned by the entity key")
+      assert(!plan.contains("CartesianProduct"), s"$q: unexpected product")
+    }
+  }
+
+  test("j14: SCD2 PIT attach is the union-merge window plan, not a range join") {
+    val plan = planOf("j14_scd2")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "PIT attach degenerated to a product/range join")
+    assert(plan.contains("Window"), "expected the as-of window merge")
+  }
 }
