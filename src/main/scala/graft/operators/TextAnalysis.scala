@@ -410,7 +410,9 @@ object TextAnalysis {
   def dsirWeightsByPred(docs: DataFrame, targetPred: Column, idCol: String,
                         textCol: String, buckets: Int): DataFrame = {
     require(buckets > 0, s"dsirWeights: buckets must be positive ($buckets)")
-    val counts = docs.select(col(idCol), targetPred.as("__is_t"),
+    val counts = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol), targetPred.as("__is_t"),
         explode(concat(
           filter(tokens(col(textCol)), t => t =!= ""),
           Dedup.shingles(col(textCol), 2))).as("feat"))
@@ -428,7 +430,11 @@ object TextAnalysis {
 
   private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
                         buckets: Int): DataFrame =
-    df.select(col(idCol),
+    // round-robin spread first: the explode+SHA pass is CPU-bound and
+    // the source may scan as a single split (the minhashSignature /
+    // sourceOverlap lesson)
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol),
         explode(concat(
           filter(tokens(col(textCol)), t => t =!= ""),
           Dedup.shingles(col(textCol), 2))).as("feat"))

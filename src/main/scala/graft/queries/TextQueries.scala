@@ -388,6 +388,7 @@ object TextQueries {
       // anything else on BOTH sides so the contract survives non-ASCII
       // fixture regeneration
       val media = Tables.documents(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
           regexp_replace(col("text"), "[^\\x00-\\x7F]", "")
             .cast("binary").as("payload"))
@@ -432,6 +433,7 @@ object TextQueries {
     "mm2_decode" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
       val outSchema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("payload", org.apache.spark.sql.types.BinaryType)
@@ -461,6 +463,7 @@ object TextQueries {
     "mm3_pixels" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
       val outSchema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("payload", org.apache.spark.sql.types.BinaryType)
@@ -495,6 +498,7 @@ object TextQueries {
     "mm4_frames" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
       val outSchema = new org.apache.spark.sql.types.StructType()
         .add("media_id", org.apache.spark.sql.types.LongType)
         .add("payload", org.apache.spark.sql.types.BinaryType)
@@ -524,6 +528,7 @@ object TextQueries {
     "mm5_audio" -> ((s, dir) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
       val outSchema = new org.apache.spark.sql.types.StructType()
         .add("doc_id", org.apache.spark.sql.types.LongType)
         .add("payload", org.apache.spark.sql.types.BinaryType)
