@@ -27,6 +27,54 @@ object EventQueries {
         round(sum(when(col("event_type") === "purchase", col("value")).otherwise(0.0)), 6)
           .as("f_purchase"))
 
+  /** The a13 PBSI chain up to the labeled daily frame — shared by the
+    * a13 gate and the fig-family artifacts (m14/m15). */
+  private def pbsiLabeled(s: SparkSession, dir: String): DataFrame = {
+    val daily = dailyUser(s, dir)
+    val z = Labels.groupZScores(daily, Seq("user_id"),
+      Seq("f_mean", "f_n", "f_purchase"))
+    val composite = Labels.weightedComposite(z,
+      Map(
+        "sub_a" -> Seq("z_f_mean" -> 0.6, "z_f_n" -> 0.4),
+        "sub_b" -> Seq("z_f_purchase" -> 0.7, "z_f_mean" -> 0.3)),
+      Seq("sub_a" -> 0.5, "sub_b" -> 0.5), "pbsi_score")
+    Labels.twoPassPercentileLabel(composite, "pbsi_score", 0.25, 0.75)
+  }
+
+  /** The a13 PBSI chain up to the labeled frame, as a reusable CTE chunk
+    * (`WITH $pbsiLabeledCtes SELECT ... FROM labeled`): the fig-family
+    * twins (m14 monthly label counts, m15 by-label histograms) derive
+    * from the same labeled frame the a13 gate pins. */
+  private lazy val pbsiLabeledCtes: String =
+    s"""daily AS ($dailyUserSql),
+      |z AS (
+      |  SELECT user_id, date, f_mean, f_n, f_purchase,
+      |    CASE WHEN stddev_samp(f_mean) OVER w > 0
+      |      THEN (f_mean - avg(f_mean) OVER w) / stddev_samp(f_mean) OVER w ELSE 0.0 END AS z_f_mean,
+      |    CASE WHEN stddev_samp(f_n) OVER w > 0
+      |      THEN (f_n - avg(f_n) OVER w) / stddev_samp(f_n) OVER w ELSE 0.0 END AS z_f_n,
+      |    CASE WHEN stddev_samp(f_purchase) OVER w > 0
+      |      THEN (f_purchase - avg(f_purchase) OVER w) / stddev_samp(f_purchase) OVER w ELSE 0.0 END AS z_f_purchase
+      |  FROM daily WINDOW w AS (PARTITION BY user_id)),
+      |comp AS (
+      |  SELECT user_id, date, f_mean,
+      |    least(greatest(0.6 * z_f_mean + 0.4 * z_f_n, -3.0), 3.0) AS sub_a,
+      |    least(greatest(0.7 * z_f_purchase + 0.3 * z_f_mean, -3.0), 3.0) AS sub_b
+      |  FROM z),
+      |scored AS (
+      |  SELECT user_id, date, f_mean, sub_a, sub_b,
+      |    round(0.5 * sub_a + 0.5 * sub_b, 6) AS pbsi_score FROM comp),
+      |thresholds AS (
+      |  SELECT quantile_cont(pbsi_score, 0.25) AS lo, quantile_cont(pbsi_score, 0.75) AS hi
+      |  FROM scored),
+      |labeled AS (
+      |  SELECT s.user_id, s.date, s.f_mean,
+      |    round(s.sub_a, 6) AS sub_a, round(s.sub_b, 6) AS sub_b,
+      |    s.pbsi_score,
+      |    CASE WHEN s.pbsi_score >= t.hi THEN 1 WHEN s.pbsi_score <= t.lo THEN -1 ELSE 0 END AS label_3cls,
+      |    CASE WHEN s.pbsi_score >= t.hi THEN 1 ELSE 0 END AS label_2cls
+      |  FROM scored s CROSS JOIN thresholds t)""".stripMargin
+
   private val dailyUserSql: String =
     """SELECT user_id, CAST(ts AS DATE) AS date,
       |  round(avg(value), 6) AS f_mean,
@@ -106,19 +154,52 @@ object EventQueries {
 
     // A12+A14+A13: the PBSI slice — per-user z-scores, weighted clipped
     // composite, two-pass percentile labels.
-    "a13_pbsi" -> ((s, dir) => {
-      val daily = dailyUser(s, dir)
-      val z = Labels.groupZScores(daily, Seq("user_id"), Seq("f_mean", "f_n", "f_purchase"))
-      val composite = Labels.weightedComposite(z,
-        Map(
-          "sub_a" -> Seq("z_f_mean" -> 0.6, "z_f_n" -> 0.4),
-          "sub_b" -> Seq("z_f_purchase" -> 0.7, "z_f_mean" -> 0.3)),
-        Seq("sub_a" -> 0.5, "sub_b" -> 0.5), "pbsi_score")
-      Labels.twoPassPercentileLabel(composite, "pbsi_score", 0.25, 0.75)
+    "a13_pbsi" -> ((s, dir) =>
+      pbsiLabeled(s, dir)
         .select(col("user_id"), col("date"),
           round(col("sub_a"), 6).as("sub_a"), round(col("sub_b"), 6).as("sub_b"),
-          col("pbsi_score"), col("label_3cls"), col("label_2cls"))
+          col("pbsi_score"), col("label_3cls"), col("label_2cls"))),
+
+    // M14 (fig06 data): monthly stacked label counts over the labeled
+    // PBSI frame — the label-distribution timeline artifact
+    // (/root/reference/scripts/generate_dissertation_figures.py:388+).
+    "m14_label_timeline" -> ((s, dir) =>
+      pbsiLabeled(s, dir)
+        .groupBy(date_trunc("month", col("date")).cast("date").as("month"),
+          col("label_3cls"))
+        .agg(count(lit(1)).as("n_days"))),
+
+    // M15 (fig02 data): by-label feature histogram — 30 equal-width bins
+    // over the feature's observed [min, max] (the reference's plt.hist
+    // contract), counts per (label, bin). The bin edges come from ONE
+    // single-row min/max aggregate (two driver scalars, the A13
+    // pattern); the top edge folds into the last bin like numpy's
+    // right-closed final bin.
+    "m15_feature_hist" -> ((s, dir) => {
+      val l = pbsiLabeled(s, dir)
+      val row = l.agg(min("f_mean"), max("f_mean")).head()
+      val mn = row.getDouble(0)
+      val mx = row.getDouble(1)
+      val bin =
+        if (mx > mn)
+          least(floor((col("f_mean") - lit(mn)) / lit(mx - mn) * 30.0), lit(29.0))
+        else lit(0.0)
+      l.groupBy(col("label_3cls"), bin.cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
     }),
+
+    // Q9 (fig05 data): yearly data-availability audit — distinct days
+    // seen vs days with the cardio-mapped stream, coverage percentage.
+    "q9_coverage_by_year" -> ((s, dir) =>
+      ev(s, dir)
+        .select(year(col("ts")).as("yr"), to_date(col("ts")).as("d"),
+          col("event_type"))
+        .groupBy("yr")
+        .agg(countDistinct(col("d")).as("days_seen"),
+          countDistinct(when(col("event_type") === "error", col("d")))
+            .as("days_cardio"))
+        .withColumn("coverage_pct",
+          round(col("days_cardio") * 100.0 / col("days_seen"), 6))),
 
     // W1: 7-row rolling mean per user.
     "w1_rolling_mean" -> ((s, dir) =>
@@ -811,32 +892,39 @@ object EventQueries {
         |FROM events GROUP BY event_type""".stripMargin,
 
     "a13_pbsi" ->
-      s"""WITH daily AS ($dailyUserSql),
-        |z AS (
-        |  SELECT user_id, date, f_mean, f_n, f_purchase,
-        |    CASE WHEN stddev_samp(f_mean) OVER w > 0
-        |      THEN (f_mean - avg(f_mean) OVER w) / stddev_samp(f_mean) OVER w ELSE 0.0 END AS z_f_mean,
-        |    CASE WHEN stddev_samp(f_n) OVER w > 0
-        |      THEN (f_n - avg(f_n) OVER w) / stddev_samp(f_n) OVER w ELSE 0.0 END AS z_f_n,
-        |    CASE WHEN stddev_samp(f_purchase) OVER w > 0
-        |      THEN (f_purchase - avg(f_purchase) OVER w) / stddev_samp(f_purchase) OVER w ELSE 0.0 END AS z_f_purchase
-        |  FROM daily WINDOW w AS (PARTITION BY user_id)),
-        |comp AS (
-        |  SELECT user_id, date,
-        |    least(greatest(0.6 * z_f_mean + 0.4 * z_f_n, -3.0), 3.0) AS sub_a,
-        |    least(greatest(0.7 * z_f_purchase + 0.3 * z_f_mean, -3.0), 3.0) AS sub_b
-        |  FROM z),
-        |scored AS (
-        |  SELECT user_id, date, sub_a, sub_b,
-        |    round(0.5 * sub_a + 0.5 * sub_b, 6) AS pbsi_score FROM comp),
-        |thresholds AS (
-        |  SELECT quantile_cont(pbsi_score, 0.25) AS lo, quantile_cont(pbsi_score, 0.75) AS hi
-        |  FROM scored)
-        |SELECT s.user_id, s.date, round(s.sub_a, 6) AS sub_a, round(s.sub_b, 6) AS sub_b,
-        |  s.pbsi_score,
-        |  CASE WHEN s.pbsi_score >= t.hi THEN 1 WHEN s.pbsi_score <= t.lo THEN -1 ELSE 0 END AS label_3cls,
-        |  CASE WHEN s.pbsi_score >= t.hi THEN 1 ELSE 0 END AS label_2cls
-        |FROM scored s CROSS JOIN thresholds t""".stripMargin,
+      s"""WITH $pbsiLabeledCtes
+        |SELECT user_id, date, sub_a, sub_b, pbsi_score, label_3cls, label_2cls
+        |FROM labeled""".stripMargin,
+
+    "m14_label_timeline" ->
+      s"""WITH $pbsiLabeledCtes
+        |SELECT CAST(date_trunc('month', date) AS DATE) AS month, label_3cls,
+        |  count(*) AS n_days
+        |FROM labeled GROUP BY 1, 2""".stripMargin,
+
+    // m15 twin: identical bin arithmetic — subtraction, division by the
+    // range, x30, floor, clamp — on the same rounded f_mean values; the
+    // min/max scalars are exact matches so every IEEE operand is shared.
+    "m15_feature_hist" ->
+      s"""WITH $pbsiLabeledCtes,
+        |mm AS (SELECT min(f_mean) AS mn, max(f_mean) AS mx FROM labeled)
+        |SELECT label_3cls,
+        |  CAST(CASE WHEN mm.mx > mm.mn
+        |    THEN least(floor((f_mean - mm.mn) / (mm.mx - mm.mn) * 30.0), 29.0)
+        |    ELSE 0.0 END AS BIGINT) AS bin,
+        |  count(*) AS n
+        |FROM labeled CROSS JOIN mm
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q9_coverage_by_year" ->
+      """SELECT CAST(year(ts) AS INTEGER) AS yr,
+        |  CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS days_seen,
+        |  CAST(count(DISTINCT CASE WHEN event_type = 'error'
+        |    THEN CAST(ts AS DATE) END) AS BIGINT) AS days_cardio,
+        |  round(count(DISTINCT CASE WHEN event_type = 'error'
+        |      THEN CAST(ts AS DATE) END) * 100.0 /
+        |    count(DISTINCT CAST(ts AS DATE)), 6) AS coverage_pct
+        |FROM events GROUP BY 1""".stripMargin,
 
     "w1_rolling_mean" ->
       s"""WITH daily AS ($dailyUserSql)

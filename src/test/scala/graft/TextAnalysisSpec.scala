@@ -189,6 +189,40 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(4) === ((5L, 2L, 1L, 3L, "p q r")))
   }
 
+  test("dd19 property: global first-occurrence rule == literal Scala reference (randomized)") {
+    val rnd = new scala.util.Random(19)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val k = 3
+    val docs = (0L until 40L).map { id =>
+      val n = rnd.nextInt(30)
+      (id, (0 until n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // literal reference: non-overlapping k-token chunks (== grouped(k)
+    // for overlap 0), an occurrence survives iff it is the global
+    // (doc_id, chunk_id)-min for its content
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val tk = text.split("\\s+").filter(_.nonEmpty).toSeq
+      if (tk.isEmpty) Seq.empty else tk.grouped(k).toSeq
+    }
+    val firstOcc = docs
+      .flatMap { case (id, t) => chunksOf(t).zipWithIndex.map {
+        case (ch, ci) => (ch, (id, ci.toLong)) } }
+      .groupBy(_._1).map { case (ch, os) => ch -> os.map(_._2).min }
+    val expected = docs.map { case (id, t) =>
+      val chs = chunksOf(t).zipWithIndex
+      val kept = chs.filter { case (ch, ci) => firstOcc(ch) == ((id, ci.toLong)) }
+      (id, chs.size.toLong, kept.size.toLong,
+        kept.map(_._1.size.toLong).sum,
+        kept.map(_._1.mkString(" ")).mkString(" "))
+    }
+    val got = graft.operators.Dedup.chunkDedup(
+        docs.toDF("doc_id", "text"), "doc_id", "text", k)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).toSeq
+    assert(got === expected)
+  }
+
   test("bpeTokenCounts: priority-ordered merges produce the hand-derived subwords") {
     // value: v a l u e -(u e)-> v a l ue -(v a)-> va l ue -(va l)-> val ue = 2
     // table: t a b l e -(l e)-> t a b le -(b le)-> t a ble             = 3
