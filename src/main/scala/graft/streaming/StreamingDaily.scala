@@ -312,6 +312,34 @@ object StreamingDaily {
         })
   }
 
+  /** Stream-stream interval join (J8/J13 on unbounded inputs): attach to
+    * every left event the right-stream events of the same key that land
+    * inside `[left.ts, left.ts + windowSecs]` — the canonical Spark
+    * stream-stream join, where BOTH sides are watermarked and the
+    * time-bound condition is what lets the state store evict: a buffered
+    * left row can stop waiting once the right watermark passes its
+    * window end, and vice versa. Without the bound, both sides' state
+    * would grow forever — this is the streaming form of the batch
+    * rangeAttach/intervalJoin contract.
+    *
+    * Inputs need (`keyCol`, `tsCol`, payload) columns; emits one row per
+    * matched pair in append mode (inner join: unmatched rows simply age
+    * out). */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame,
+                            keyCol: String, tsCol: String,
+                            windowSecs: Long,
+                            watermarkDelay: String): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r, expr(
+      s"""l.$keyCol = r.$keyCol AND
+         |r.$tsCol >= l.$tsCol AND
+         |r.$tsCol <= l.$tsCol + interval $windowSecs seconds""".stripMargin))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col(s"l.$tsCol").as("left_ts"),
+        col(s"r.$tsCol").as("right_ts"))
+  }
+
   // ---- D6 on a stream: online CUSUM changepoint ------------------------
 
   case class CusumEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -135,6 +135,35 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("streaming interval join: cross-batch pairing equals the batch join, bound respected") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    val joined = StreamingDaily.streamingIntervalJoin(
+      clicks.toDS().toDF("user_id", "ts"), buys.toDS().toDF("user_id", "ts"),
+      "user_id", "ts", windowSecs = 3600, watermarkDelay = "2 hours")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("sj_out").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // purchases arrive in a LATER micro-batch; the buffered left state
+      // still pairs them — that's the stream-stream join's whole point
+      buys.addData(
+        (1L, ts("2024-01-01 10:30:00")), // inside the hour
+        (1L, ts("2024-01-01 12:30:00")), // outside the bound
+        (2L, ts("2024-01-01 09:30:00")), // before the click
+        (3L, ts("2024-01-01 10:30:00"))) // no matching click key
+      q.processAllAvailable()
+      val got = spark.table("sj_out")
+        .select("user_id", "left_ts", "right_ts").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+          r.getTimestamp(2).toString)).toSet
+      assert(got === Set(
+        (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:30:00.0")))
+    } finally q.stop()
+  }
+
   test("streaming D6: end-to-end alarms over a memory stream") {
     implicit val sqlCtx = spark.sqlContext
     import StreamingDaily.{CusumAlarm, CusumEvent}
