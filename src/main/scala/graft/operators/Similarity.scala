@@ -481,6 +481,67 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVFADC serving — the production ANN shape (Jégou et al. 2011,
+    * FAISS's IndexIVFPQ): the coarse quantizer routes each query to its
+    * `nProbe` nearest cells and ADC scores ONLY those cells' PQ codes.
+    * Composes [[ivfAssign]]'s zero-shuffle cell argmin with [[pqTopK]]'s
+    * distance-table scan, but the corpus side computes cell AND codes in
+    * ONE per-row projection (no self-join) and candidates come from a
+    * pure (cell) equi-join — at 100 TB the scan per query is
+    * corpus/cells × nProbe code rows, never the full corpus, and the
+    * corpus floats never cross the shuffle (codes only). Deterministic
+    * end-to-end (round-6 distances, smallest-cell/-code/-neighbor ties),
+    * so exact-oracle-expressible like sim5/sim6. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                 vecCol: String, k: Int,
+                 centroids: DataFrame, cellCol: String, centroidVecCol: String,
+                 codebook: DataFrame, codeCol: String, cbVecCol: String,
+                 numSubspaces: Int, nProbe: Int): DataFrame = {
+    val cents = centroidRows(centroids, cellCol, centroidVecCol)
+    require(cents.nonEmpty, "ivfAdcTopK: empty centroid table")
+    val cb = centroidRows(codebook, codeCol, cbVecCol)
+    require(cb.nonEmpty && cb.map(_._1).distinct.length == cb.length,
+      "ivfAdcTopK: empty or duplicate-code codebook")
+    val dims = cb.head._2.length
+    require(dims % numSubspaces == 0,
+      s"ivfAdcTopK: $dims dims not divisible into $numSubspaces subspaces")
+    val ds = dims / numSubspaces
+    def sub(m: Int) = cb.map { case (code, v) =>
+      (code, v.slice(m * ds, (m + 1) * ds)) }
+    // corpus: cell + M codes in one projection
+    val bestCell = array_min(centroidDistances(col(vecCol), cents))
+    val codes = array((0 until numSubspaces).map { m =>
+      array_min(centroidDistances(slice(col(vecCol), m * ds + 1, ds), sub(m)))
+        .getField("cell")
+    }: _*)
+    val enc = corpus.select(col(idCol).as("neighbor_id"),
+      bestCell.getField("cell").as("cell"), codes.as("codes"))
+    // queries: probed cells + per-subspace distance-table map literals
+    val q0 = queries.select(col(idCol).as("query_id"), col(vecCol),
+      transform(
+        slice(sort_array(centroidDistances(col(vecCol), cents), asc = true),
+          1, nProbe),
+        s => s.getField("cell")).as("cells"))
+    val q = (0 until numSubspaces).foldLeft(q0) { (df, m) =>
+      val dists = centroidDistances(slice(col(vecCol), m * ds + 1, ds), sub(m))
+      df.withColumn(s"__dt_$m", map_from_arrays(
+        transform(dists, s => s.getField("cell")),
+        transform(dists, s => s.getField("d"))))
+    }.withColumn("cell", explode(col("cells")))
+    // a corpus vector lives in exactly one cell and a query probes
+    // distinct cells -> (query, neighbor) unique, no dedup shuffle
+    val scored = q.join(enc, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round((0 until numSubspaces).map(m =>
+            element_at(col(s"__dt_$m"), element_at(col("codes"), m + 1)))
+          .reduce(_ + _), 6).as("adist"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** sim7 — LSH-bucketed cosine RANGE search: every pair of corpus
     * vectors with similarity >= `minSim` among multi-table hyperplane-LSH
     * candidates. The symmetric self-join counterpart of [[lshTopK]]

@@ -178,8 +178,9 @@ object EventQueries {
     "m15_feature_hist" -> ((s, dir) => {
       val l = pbsiLabeled(s, dir)
       val row = l.agg(min("f_mean"), max("f_mean")).head()
-      val mn = row.getDouble(0)
-      val mx = row.getDouble(1)
+      // empty/all-null frame: degenerate single-bin histogram, not an NPE
+      val mn = if (row.isNullAt(0)) 0.0 else row.getDouble(0)
+      val mx = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
       val bin =
         if (mx > mn)
           least(floor((col("f_mean") - lit(mn)) / lit(mx - mn) * 30.0), lit(29.0))

@@ -292,6 +292,20 @@ object TextQueries {
         numSubspaces = 4)
     }),
 
+    // sim9: the IVFADC composition itself as a gated query — coarse
+    // cells route each query to nProbe=2 of the 8 stored cells, ADC
+    // scores only those cells' PQ codes (sim6's codebook). The
+    // production FAISS IndexIVFPQ serving shape, deterministic
+    // end-to-end.
+    "sim9_ivfadc" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfAdcTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", 5,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        emb.filter(col("vec_id") < 16), "vec_id", "embedding",
+        numSubspaces = 4, nProbe = 2)
+    }),
+
     // Recall-at-k of both ANN SERVING paths vs the exact baseline, as a
     // first-class artifact row. Both arms are deterministic — the LSH arm
     // is sim2's SHA-derived pipeline, the IVF arm is sim3_assign's
@@ -1335,6 +1349,59 @@ object TextQueries {
           |    round(sum(q.d), 6) AS adist
           |  FROM enc JOIN (SELECT * FROM d WHERE vec_id < 20) q
           |    ON enc.m = q.m AND enc.code = q.code
+          |  WHERE q.vec_id <> enc.vec_id
+          |  GROUP BY 1, 2),
+          |ranked AS (
+          |  SELECT query_id, neighbor_id, adist,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, adist, CAST(rk AS BIGINT) AS rk
+          |FROM ranked WHERE rk <= 5""".stripMargin,
+
+      // sim9 twin: sim5's cell CTE over the whole corpus + a probe CTE
+      // (rn <= nProbe of the same distance frame restricted to query
+      // ids) gate sim6's ADC scan to probed cells only.
+      "sim9_ivfadc" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 8),
+          |cb AS (SELECT vec_id AS code, e AS c FROM v WHERE vec_id < 16),
+          |sub AS (SELECT unnest(range(4)) AS m),
+          |cd AS (
+          |  SELECT b.vec_id, c.cell,
+          |    round(list_inner_product(b.e, b.e) - 2 * list_inner_product(b.e, c.c)
+          |      + list_inner_product(c.c, c.c), 6) AS d
+          |  FROM v b CROSS JOIN cent c),
+          |cells AS (
+          |  SELECT vec_id, cell FROM (
+          |    SELECT vec_id, cell,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |    FROM cd) WHERE rn = 1),
+          |probes AS (
+          |  SELECT vec_id AS query_id, cell FROM (
+          |    SELECT vec_id, cell,
+          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |    FROM cd WHERE vec_id < 20) WHERE rn <= 2),
+          |pd AS (
+          |  SELECT b.vec_id, s.m, c.code,
+          |    round(list_inner_product(b.e[s.m*16+1 : s.m*16+16], b.e[s.m*16+1 : s.m*16+16])
+          |      - 2 * list_inner_product(b.e[s.m*16+1 : s.m*16+16], c.c[s.m*16+1 : s.m*16+16])
+          |      + list_inner_product(c.c[s.m*16+1 : s.m*16+16], c.c[s.m*16+1 : s.m*16+16]), 6) AS d
+          |  FROM v b CROSS JOIN cb c CROSS JOIN sub s),
+          |enc AS (
+          |  SELECT vec_id, m, code FROM (
+          |    SELECT vec_id, m, code,
+          |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, code) AS rn
+          |    FROM pd) WHERE rn = 1),
+          |scored AS (
+          |  SELECT q.vec_id AS query_id, enc.vec_id AS neighbor_id,
+          |    round(sum(q.d), 6) AS adist
+          |  FROM enc
+          |  JOIN cells ce ON ce.vec_id = enc.vec_id
+          |  JOIN probes p ON p.cell = ce.cell
+          |  JOIN (SELECT * FROM pd WHERE vec_id < 20) q
+          |    ON q.vec_id = p.query_id AND enc.m = q.m AND enc.code = q.code
           |  WHERE q.vec_id <> enc.vec_id
           |  GROUP BY 1, 2),
           |ranked AS (

@@ -52,7 +52,7 @@ object ScaleCurve {
     "dd18_lsh_quality", "t18_zipf", "t19_source_overlap",
     "t20_containment", "q7_corpus_integrity", "e2e_corpus_assembly",
     "dd19_chunk_dedup", "t21_dsir_weights", "t22_centrality", "t23_bpe",
-    "q8_dataset_card", "sim8_mips",
+    "q8_dataset_card", "sim8_mips", "e2e_llm_prep",
     // events family (reads the generated events.parquet)
     "j12_asof", "j13_interval_join", "e3_retention", "e4_funnel",
     "e5_active_users", "w11_ewma", "a2_daily_stats", "w4_sessionize",
@@ -61,7 +61,8 @@ object ScaleCurve {
     "m9_learning_curve", "m10_bootstrap_ci", "m11_best_threshold",
     "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival",
     "e11_attribution", "w13_seasonal", "d6_cusum", "j14_scd2",
-    "m13_feature_corr")
+    "m13_feature_corr", "m14_label_timeline", "m15_feature_hist",
+    "q9_coverage_by_year")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —

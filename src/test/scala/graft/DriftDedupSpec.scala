@@ -478,4 +478,34 @@ class DriftDedupSpec extends SparkTestBase {
     val recall = exact.intersect(adc).size.toDouble / exact.size
     assert(recall >= 0.4, s"ADC recall $recall")
   }
+
+  test("sim9: IVFADC never leaves probed cells and matches exhaustive ADC inside them") {
+    // same clustered fixture as sim6; one centroid per cluster so the
+    // coarse quantizer routes each query to its own cluster's cell
+    val vecs = (0 until 200).map { i =>
+      val base = Array.tabulate(16)(d => math.sin(i / 20 * 16 + d))
+      (i.toLong, base.map(x => (x + 0.01 * math.cos(i)).toFloat))
+    }.toDF("vec_id", "embedding")
+    val centroids = vecs.filter(col("vec_id") % 20 === 0)
+      .select((col("vec_id") / 20).cast("long").as("cell"), col("embedding"))
+    val codebook = vecs.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") / 10).cast("long").as("code"), col("embedding"))
+    val q = vecs.filter(col("vec_id") < 5)
+    val ivfadc = Similarity.ivfAdcTopK(q, vecs, "vec_id", "embedding", 5,
+        centroids, "cell", "embedding", codebook, "code", "embedding",
+        numSubspaces = 4, nProbe = 1)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // with nProbe=1 the scan is the query's own cluster cell only
+    assert(ivfadc.forall { case (qid, nid) => nid / 20 === qid / 20 },
+      s"IVFADC left the probed cell: $ivfadc")
+    // and inside the probed cell it agrees with the exhaustive ADC scan
+    // restricted to that cell (same codes, same tie-breaks)
+    val cellOnly = Similarity.pqTopK(q,
+        vecs.filter(col("vec_id") < 20), "vec_id", "embedding", 5,
+        codebook, "code", "embedding", numSubspaces = 4)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivfadc === cellOnly)
+  }
 }
