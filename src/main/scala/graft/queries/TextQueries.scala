@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Canon.round
 import graft.core.Tables
 import graft.functions.Hashing
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Similarity, Sketches, TextAnalysis}
 
 /** Training-data-pipeline operators on `documents` and `embeddings`:
   * dedup (exact / MinHash / SimHash / n-gram Jaccard / embedding cosine),
@@ -51,6 +51,22 @@ object TextQueries {
     // Exact dedup by content hash.
     "dd1_exact_dedup" -> ((s, dir) =>
       Dedup.exactDups(Tables.documents(s, dir), "doc_id", "text")),
+
+    // t25: per-source distinct-trigram diversity via the portable
+    // mergeable HyperLogLog (exact-integer registers, SHA-60 hash) —
+    // the ALL row is computed by register-max MERGE of the per-source
+    // sketches, never by re-scanning: the fixed-size-reduce shape that
+    // makes corpus-wide distinct counts free at 100 TB. The exact
+    // distinct column is the audit the sketch replaces at scale.
+    "t25_hll_diversity" -> ((s, dir) =>
+      Sketches.hllShingleDiversity(Tables.documents(s, dir), "source", "text", K)),
+
+    // t26: Count-Min frequency sketch over the trigram stream, probed at
+    // the exact top-10 shingles — the bounded-memory frequency oracle for
+    // vocabularies too wide to GROUP BY exactly. Width is fixture-sized
+    // so the overestimate column shows real collisions.
+    "t26_countmin" -> ((s, dir) =>
+      Sketches.countMinShingles(Tables.documents(s, dir), "text", K, topN = 10)),
 
     // MinHash signatures (6 portable universal hashes over 3-shingles).
     "dd2_minhash_sig" -> ((s, dir) =>
@@ -891,6 +907,12 @@ object TextQueries {
 
   def oracles: Map[String, String] = {
     Map(
+      "t25_hll_diversity" ->
+        Sketches.hllShingleDiversitySql("documents", "source", "text", K),
+
+      "t26_countmin" ->
+        Sketches.countMinShinglesSql("documents", "text", K, topN = 10),
+
       "dd1_exact_dedup" ->
         """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
           |FROM documents GROUP BY 1""".stripMargin,
