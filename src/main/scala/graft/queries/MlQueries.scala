@@ -373,6 +373,53 @@ object MlQueries {
     // the prediction frame (grouped by threshold), not ten scans.
     "m8_roc_sweep" -> ((s, dir) => rocSweep(s, dir)),
 
+    // M16 (beyond ref): average precision (the PR-AUC estimator) over the
+    // GD-LR test predictions — precision@k summed at each positive's rank
+    // under the deterministic (prob desc, user, date) order. The global
+    // window is bounded by contract: the test fold is the fixed study
+    // tail, not corpus-sized.
+    "m16_avg_precision" -> ((s, dir) => {
+      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
+      val ord = org.apache.spark.sql.expressions.Window
+        .orderBy(col("prob").desc, col("user_id"), col("date"))
+      val pos = when(col("label") === 1.0, 1L).otherwise(0L)
+      pred
+        .withColumn("rk", row_number().over(ord))
+        .withColumn("cum_pos", sum(pos).over(ord.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(pos).as("n_pos"),
+          round(sum(when(col("label") === 1.0,
+              col("cum_pos").cast("double") / col("rk"))) / sum(pos), 6)
+            .as("avg_precision"),
+          round(sum(pos).cast("double") / count(lit(1)), 6).as("prevalence"))
+    }),
+
+    // M17 (beyond ref): per-slice eval metrics — the subgroup-regression
+    // check every model release gates on. Slices are day-of-week via the
+    // portable epoch-day modulus (engine-native dayofweek origins differ
+    // across engines, epoch arithmetic doesn't).
+    "m17_slice_metrics" -> ((s, dir) => {
+      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
+      pred
+        .withColumn("dow",
+          pmod(datediff(col("date"), lit("1970-01-01").cast("date")), lit(7)))
+        .groupBy("dow")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("y_pred") === 1 && col("label") === 1.0, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("y_pred") === 1 && col("label") === 0.0, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("y_pred") === 0 && col("label") === 1.0, 1L).otherwise(0L)).as("fn"),
+          sum(when(col("y_pred") === 0 && col("label") === 0.0, 1L).otherwise(0L)).as("tn"))
+        .select(col("dow"), col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+          round((col("tp") + col("tn")).cast("double") / col("n"), 6).as("accuracy"),
+          round(when(col("tp") + col("fn") > 0,
+            col("tp").cast("double") / (col("tp") + col("fn"))), 6).as("tpr"),
+          round(when(col("fp") + col("tn") > 0,
+            col("fp").cast("double") / (col("fp") + col("tn"))), 6).as("fpr"))
+    }),
+
     // M11 (beyond ref): operating-point selection — the threshold
     // maximizing Youden's J (tpr - fpr) over m8's sweep, smaller
     // threshold on ties. TakeOrdered over the 10-row sweep frame.
@@ -1063,6 +1110,42 @@ object MlQueries {
     // DECIMAL, whose correctly-rounded double conversion equals Spark's
     // k/10.0). Sums cast to BIGINT (DuckDB sums ints into HUGEINT).
     "m8_roc_sweep" -> m8OracleSql,
+
+    "m16_avg_precision" ->
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |p AS (SELECT user_id, date, prob, label FROM pred WHERE prob IS NOT NULL),
+        |r AS (
+        |  SELECT label,
+        |    row_number() OVER (ORDER BY prob DESC, user_id, date) AS rk,
+        |    sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY prob DESC, user_id, date ROWS UNBOUNDED PRECEDING)
+        |      AS cum_pos
+        |  FROM p)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  round(sum(CASE WHEN label = 1.0 THEN CAST(cum_pos AS DOUBLE) / rk END)
+        |    / sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END), 6) AS avg_precision,
+        |  round(CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS prevalence
+        |FROM r""".stripMargin,
+
+    "m17_slice_metrics" ->
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |p AS (SELECT user_id, date, prob, y_pred, label FROM pred
+        |  WHERE prob IS NOT NULL),
+        |s AS (
+        |  SELECT CAST((date - DATE '1970-01-01') % 7 AS INTEGER) AS dow,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN y_pred = 1 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN y_pred = 1 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN y_pred = 0 AND label = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN y_pred = 0 AND label = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM p GROUP BY 1)
+        |SELECT dow, n, tp, fp, fn, tn,
+        |  round(CAST(tp + tn AS DOUBLE) / n, 6) AS accuracy,
+        |  round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS tpr,
+        |  round(CASE WHEN fp + tn > 0 THEN CAST(fp AS DOUBLE) / (fp + tn) END, 6) AS fpr
+        |FROM s""".stripMargin,
 
     // m11 twin: m8's sweep as a derived table, Youden argmax with the
     // smaller-threshold tie-break.

@@ -353,6 +353,19 @@ object RelationalQueries {
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))),
 
+    // Q10: full CUBE grouping sets with grouping_id — every subtotal
+    // combination in ONE shuffle (Catalyst expands the grouping sets
+    // map-side; no per-granularity rescan of the fact table).
+    "q10_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), year(col("l_shipdate")).as("ship_year"))
+        .agg(grouping_id().cast("long").as("gid"),
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n"))
+        .select("l_returnflag", "ship_year", "gid", "sum_qty", "revenue", "n")),
+
     // Scan + selective filter + projection: predicate/projection pushdown
     // showcase (F1/F10).
     "f10_pushdown_scan" -> ((s, dir) =>
@@ -716,6 +729,16 @@ object RelationalQueries {
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q10_cube" ->
+      """SELECT l_returnflag,
+        |  CAST(year(CAST(l_shipdate AS DATE)) AS INTEGER) AS ship_year,
+        |  CAST(GROUPING(l_returnflag, year(CAST(l_shipdate AS DATE))) AS BIGINT) AS gid,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, year(CAST(l_shipdate AS DATE)))""".stripMargin,
 
     "f10_pushdown_scan" ->
       """SELECT l_returnflag,
