@@ -198,6 +198,36 @@ object Drift {
           .otherwise(0).as("is_alarm"))
   }
 
+  /** Page-Hinkley mean-shift test — CUSUM's adaptive-mean sibling: the
+    * deviation at step t is measured against the RUNNING mean of the
+    * prefix (the online formulation — no retrospective whole-series
+    * baseline needed, unlike [[cusum]]'s mu). Same closed form as cusum:
+    * two stacked windows sharing one entity exchange, no sequential
+    * state. Self-referenced parameters: delta and lambda in units of the
+    * whole-partition sigma. */
+  def pageHinkley(df: DataFrame, keyCol: String, orderCol: String,
+                  valueCol: String, deltaSigmas: Double,
+                  lambdaSigmas: Double): DataFrame = {
+    val wAll = Window.partitionBy(col(keyCol))
+    val wRun = Window.partitionBy(col(keyCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__sd", coalesce(stddev_samp(col(valueCol)).over(wAll),
+        lit(0.0)))
+      .withColumn("__runmean", avg(col(valueCol)).over(wRun))
+      .withColumn("__mt",
+        sum(col(valueCol) - col("__runmean") - lit(deltaSigmas) * col("__sd"))
+          .over(wRun))
+      .withColumn("__mmin", min(col("__mt")).over(wRun))
+      .select(col(keyCol), col(orderCol), col(valueCol),
+        round(col("__mt") - col("__mmin"), 6).as("ph_stat"),
+        // alarm test on canonically ROUNDED operands (the cusum lesson:
+        // raw doubles on the λσ boundary would let ulps flip the flag)
+        when(col("__sd") > 0 &&
+            round(col("__mt") - col("__mmin"), 6) >
+              round(lit(lambdaSigmas) * col("__sd"), 6), 1)
+          .otherwise(0).as("is_alarm"))
+  }
+
   def adwin(df: DataFrame, keyCol: String, orderCol: String, valueCol: String,
             delta: Double): DataFrame = {
     val spark = df.sparkSession

@@ -430,6 +430,35 @@ object EventQueries {
     "e5_active_users" -> ((s, dir) =>
       EventAnalytics.rollingActiveUsers(ev(s, dir), "user_id", "ts")),
 
+    // E12 (beyond ref): time-to-convert — latency from a user's first
+    // view to their first subsequent purchase, with exact interpolated
+    // percentiles over the bounded per-user latency frame (one row per
+    // converting user, not per event).
+    "e12_time_to_convert" -> ((s, dir) => {
+      val events = ev(s, dir)
+      val fv = events.filter(col("event_type") === "view")
+        .groupBy("user_id")
+        .agg(min(col("ts").cast("long")).as("view_epoch"))
+      val conv = events.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").cast("long").as("p_epoch"))
+        .join(fv, "user_id")
+        .filter(col("p_epoch") >= col("view_epoch"))
+        .groupBy("user_id", "view_epoch")
+        .agg(min("p_epoch").as("conv_epoch"))
+        .select(round((col("conv_epoch") - col("view_epoch")) / 3600.0, 6)
+          .as("lat_hours"))
+      val nv = fv.agg(count(lit(1)).as("n_viewers"))
+      conv
+        .agg(count(lit(1)).as("n_converted"),
+          round(percentile(col("lat_hours"), lit(0.5)), 6).as("p50_hours"),
+          round(percentile(col("lat_hours"), lit(0.9)), 6).as("p90_hours"))
+        .crossJoin(broadcast(nv))
+        .select(col("n_viewers"), col("n_converted"),
+          round(col("n_converted").cast("double") / col("n_viewers"), 6)
+            .as("conversion_rate"),
+          col("p50_hours"), col("p90_hours"))
+    }),
+
     // E4b: the same funnel under a 6-hour conversion window anchored at
     // the user's first view.
     "e4_funnel_windowed" -> ((s, dir) =>
@@ -539,6 +568,30 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "e12_time_to_convert" ->
+      """WITH fv AS (
+        |  SELECT user_id, min(epoch_us(ts) // 1000000) AS view_epoch
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |pur AS (
+        |  SELECT user_id, epoch_us(ts) // 1000000 AS p_epoch
+        |  FROM events WHERE event_type = 'purchase'),
+        |conv AS (
+        |  SELECT p.user_id, f.view_epoch, min(p.p_epoch) AS conv_epoch
+        |  FROM pur p JOIN fv f USING (user_id)
+        |  WHERE p.p_epoch >= f.view_epoch GROUP BY 1, 2),
+        |lat AS (
+        |  SELECT round((conv_epoch - view_epoch) / 3600.0, 6) AS lat_hours
+        |  FROM conv),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_viewers FROM fv),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_converted,
+        |    round(quantile_cont(lat_hours, 0.5), 6) AS p50_hours,
+        |    round(quantile_cont(lat_hours, 0.9), 6) AS p90_hours
+        |  FROM lat)
+        |SELECT t.n_viewers, a.n_converted,
+        |  round(CAST(a.n_converted AS DOUBLE) / t.n_viewers, 6) AS conversion_rate,
+        |  a.p50_hours, a.p90_hours
+        |FROM agg a CROSS JOIN tot t""".stripMargin,
     "e9_survival" ->
       """WITH pu AS (
         |  SELECT user_id, min(CAST(ts AS DATE)) AS first_date,

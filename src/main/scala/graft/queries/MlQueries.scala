@@ -440,6 +440,14 @@ object MlQueries {
       Drift.cusum(dailyUser(s, dir), "user_id", "date", "f_mean",
         slackSigmas = 0.5, threshSigmas = 4.0)),
 
+    // D7 (beyond ref): Page-Hinkley mean-shift detector — d6's
+    // adaptive-mean sibling: deviations are measured against the RUNNING
+    // prefix mean (the online formulation; d6's mu is retrospective), so
+    // the detector needs no separately-estimated baseline level.
+    "d7_page_hinkley" -> ((s, dir) =>
+      Drift.pageHinkley(dailyUser(s, dir), "user_id", "date", "f_mean",
+        deltaSigmas = 0.1, lambdaSigmas = 5.0)),
+
     // D5 (beyond ref): population stability index — the binned
     // industry-standard drift monitor next to D2's KS. Train deciles from
     // ONE exact-percentile row broadcast (no global sort), both splits
@@ -959,6 +967,40 @@ object MlQueries {
         |      round(CAST(4.0 AS DOUBLE) * sd, 6)
         |    THEN 1 ELSE 0 END AS is_alarm
         |FROM p""".stripMargin,
+
+    // d7 twin: running mean + cumulative deviation sum + running min —
+    // the same stacked-window closed form as d6's.
+    "d7_page_hinkley" ->
+      s"""WITH d AS ($dailyUserSql),
+        |s AS (
+        |  SELECT user_id, date, f_mean,
+        |    coalesce(stddev_samp(f_mean) OVER (PARTITION BY user_id),
+        |      CAST(0.0 AS DOUBLE)) AS sd
+        |  FROM d),
+        |rm AS (
+        |  SELECT user_id, date, f_mean, sd,
+        |    avg(f_mean) OVER win AS runmean
+        |  FROM s
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mt AS (
+        |  SELECT user_id, date, f_mean, sd,
+        |    sum(f_mean - runmean - CAST(0.1 AS DOUBLE) * sd) OVER win AS m_t
+        |  FROM rm
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |mm AS (
+        |  SELECT user_id, date, f_mean, sd, m_t,
+        |    min(m_t) OVER win AS m_min
+        |  FROM mt
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, date, f_mean,
+        |  round(m_t - m_min, 6) AS ph_stat,
+        |  CASE WHEN sd > 0 AND round(m_t - m_min, 6) >
+        |      round(CAST(5.0 AS DOUBLE) * sd, 6)
+        |    THEN 1 ELSE 0 END AS is_alarm
+        |FROM mm""".stripMargin,
 
     // d5 twin: train deciles -> comparison bins -> clamped (p-q)·ln(p/q),
     // corpus total as a window over the <= 10 bin rows.

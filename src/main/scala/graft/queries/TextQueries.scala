@@ -68,6 +68,32 @@ object TextQueries {
     "t26_countmin" -> ((s, dir) =>
       Sketches.countMinShingles(Tables.documents(s, dir), "text", K, topN = 10)),
 
+    // dd20: corpus snapshot diff — the change-audit between two ingest
+    // snapshots (added / removed / changed / unchanged by content SHA,
+    // one full-outer equi-join on the id). Snapshot B is derived from A
+    // by deterministic rules both engines replay (drop id%7=3, append a
+    // revision marker to id%5=1, new ids for id%11=0 copies), standing in
+    // for yesterday's vs today's crawl.
+    "dd20_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val a = docs.select(col("doc_id"), sha2(col("text"), 256).as("sha_a"))
+      val bBase = docs.filter(col("doc_id") % 7 =!= 3)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 1, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).as("text_b"))
+      val bNew = docs.filter(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text").as("text_b"))
+      val b = bBase.unionByName(bNew)
+        .select(col("doc_id"), sha2(col("text_b"), 256).as("sha_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .select(
+          when(col("sha_a").isNull, "added")
+            .when(col("sha_b").isNull, "removed")
+            .when(col("sha_a") =!= col("sha_b"), "changed")
+            .otherwise("unchanged").as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+    }),
+
     // MinHash signatures (6 portable universal hashes over 3-shingles).
     "dd2_minhash_sig" -> ((s, dir) =>
       Dedup.minhashSignature(Tables.documents(s, dir), "doc_id", "text", K, MINHASHES)),
@@ -912,6 +938,26 @@ object TextQueries {
 
       "t26_countmin" ->
         Sketches.countMinShinglesSql("documents", "text", K, topN = 10),
+
+      "dd20_snapshot_diff" ->
+        """WITH a AS (SELECT doc_id, sha256(text) AS sha_a FROM documents),
+          |b_base AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 5 = 1 THEN text || ' rev2' ELSE text END AS text_b
+          |  FROM documents WHERE doc_id % 7 <> 3),
+          |b_new AS (
+          |  SELECT doc_id + 1000000 AS doc_id, text AS text_b
+          |  FROM documents WHERE doc_id % 11 = 0),
+          |b AS (
+          |  SELECT doc_id, sha256(text_b) AS sha_b
+          |  FROM (SELECT * FROM b_base UNION ALL SELECT * FROM b_new)),
+          |d AS (
+          |  SELECT CASE WHEN a.sha_a IS NULL THEN 'added'
+          |              WHEN b.sha_b IS NULL THEN 'removed'
+          |              WHEN a.sha_a <> b.sha_b THEN 'changed'
+          |              ELSE 'unchanged' END AS status
+          |  FROM a FULL OUTER JOIN b USING (doc_id))
+          |SELECT status, count(*) AS n FROM d GROUP BY 1""".stripMargin,
 
       "dd1_exact_dedup" ->
         """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies

@@ -252,6 +252,47 @@ class DriftDedupSpec extends SparkTestBase {
     assert(alarms.drop(10).exists(_ == 1))
   }
 
+  test("d7: Page-Hinkley closed form == sequential recursion; abrupt shift alarms") {
+    val vals = (0 until 24).map(i =>
+      if (i < 12) 1.0 + 0.05 * (i % 3) else 9.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i, v) }
+      .toDF("user_id", "idx", "v")
+    val out = graft.operators.Drift.pageHinkley(df, "user_id", "idx", "v", 0.1, 2.0)
+      .orderBy("idx").collect()
+    // literal PH recursion replayed in Scala: running mean, cumulative
+    // deviation sum, running min
+    val mu = vals.sum / vals.size
+    val sd = math.sqrt(vals.map(x => (x - mu) * (x - mu)).sum / (vals.size - 1))
+    var sum = 0.0; var n = 0; var mt = 0.0; var mmin = Double.MaxValue
+    val ref = vals.map { x =>
+      sum += x; n += 1
+      mt += x - sum / n - 0.1 * sd
+      mmin = math.min(mmin, mt)
+      mt - mmin
+    }
+    out.zip(ref).foreach { case (r, expect) =>
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6) }
+    val alarms = out.map(r => r.getInt(4))
+    assert(alarms.take(12).forall(_ == 0))
+    assert(alarms.drop(12).exists(_ == 1))
+  }
+
+  test("d7: stable series never alarms; statistic is level-shift invariant") {
+    val vals = (0 until 30).map(i => 5.0 + 0.3 * (i % 4))
+    val df = vals.zipWithIndex.map { case (v, i) => (1L, i, v) }
+      .toDF("user_id", "idx", "v")
+    val base = graft.operators.Drift.pageHinkley(df, "user_id", "idx", "v", 0.1, 5.0)
+      .orderBy("idx").collect()
+    assert(base.forall(_.getInt(4) == 0), "stable series must stay silent")
+    // adding a constant moves the running mean with the data: identical stat
+    val shifted = graft.operators.Drift.pageHinkley(
+        df.withColumn("v", org.apache.spark.sql.functions.col("v") + 1000.0),
+        "user_id", "idx", "v", 0.1, 5.0)
+      .orderBy("idx").collect()
+    base.zip(shifted).foreach { case (a, b) =>
+      assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-6) }
+  }
+
   test("t22: pagerank centrality — hub outranks leaves, mass conserved, empty graph") {
     // star 0—{1..5} plus the disjoint pair 6—7
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (6L, 7L))
