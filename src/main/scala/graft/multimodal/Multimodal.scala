@@ -313,37 +313,97 @@ object Multimodal {
             catch { case _: java.io.IOException => null }
         if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null))
         else {
-          val w = img.getWidth
-          val h = img.getHeight
-          val feats = new Array[Double](thumb * thumb)
-          var i = 0
-          while (i < thumb) {
-            val y0 = i * h / thumb
-            val y1 = math.min(math.max((i + 1) * h / thumb, y0 + 1), h)
-            var j = 0
-            while (j < thumb) {
-              val x0 = j * w / thumb
-              val x1 = math.min(math.max((j + 1) * w / thumb, x0 + 1), w)
-              var s = 0L
-              var n = 0L
-              var y = y0
-              while (y < y1) {
-                var x = x0
-                while (x < x1) {
-                  val v = img.getRGB(x, y)
-                  s += 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
-                    114L * (v & 0xff)
-                  n += 1
-                  x += 1
-                }
-                y += 1
-              }
-              feats(i * thumb + j) = s.toDouble / (1000.0 * n)
-              j += 1
-            }
-            i += 1
+          val (sums, ns) = poolLumaCells(img, thumb)
+          val feats = Array.tabulate(thumb * thumb)(k =>
+            sums(k).toDouble / (1000.0 * ns(k)))
+          Row.fromSeq(r.toSeq ++ Seq(img.getWidth, img.getHeight, feats.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Shared pooling kernel of [[decodePixels]] and [[aHash64]]: per
+    * thumbnail cell the EXACT integer luma sum (299·R + 587·G + 114·B
+    * per pixel) and pixel count, with the ≥-1-pixel widening bounds. All
+    * downstream feature math derives from these integers, so both the
+    * double thumbnail and the integer aHash are engine-reproducible. */
+  private def poolLumaCells(img: java.awt.image.BufferedImage,
+                            thumb: Int): (Array[Long], Array[Long]) = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](thumb * thumb)
+    val ns = new Array[Long](thumb * thumb)
+    var i = 0
+    while (i < thumb) {
+      val y0 = i * h / thumb
+      val y1 = math.min(math.max((i + 1) * h / thumb, y0 + 1), h)
+      var j = 0
+      while (j < thumb) {
+        val x0 = j * w / thumb
+        val x1 = math.min(math.max((j + 1) * w / thumb, x0 + 1), w)
+        var s = 0L
+        var n = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val v = img.getRGB(x, y)
+            s += 299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) +
+              114L * (v & 0xff)
+            n += 1
+            x += 1
           }
-          Row.fromSeq(r.toSeq ++ Seq(w, h, feats.toSeq))
+          y += 1
+        }
+        sums(i * thumb + j) = s
+        ns(i * thumb + j) = n
+        j += 1
+      }
+      i += 1
+    }
+    (sums, ns)
+  }
+
+  /** Perceptual average-hash (aHash) of an image payload: 8×8 luma
+    * thumbnail, each cell thresholded against the 64-cell mean, packed
+    * into a 64-bit signature returned as two 32-bit halves (sig_hi,
+    * sig_lo — BIGINT-safe in every engine). The threshold is computed in
+    * EXACT integer arithmetic: cell milli-luma m_k = sum_k / n_k
+    * (integer division), bit_k = 64·m_k > Σm — no float mean whose
+    * summation-order ulps could flip a borderline bit between engines.
+    * aHash is level-structure sensitive but brightness-offset robust, so
+    * re-encoded / brightness-shifted copies of an image collide — the
+    * image analog of SimHash near-dup buckets. Failed decodes yield
+    * null columns (QC accounting, same contract as [[decodePixels]]). */
+  def aHash64(media: DataFrame, payloadCol: String): DataFrame = {
+    val outSchema = media.schema
+      .add("px_width", IntegerType).add("px_height", IntegerType)
+      .add("sig_hi", LongType).add("sig_lo", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq(null, null, null, null))
+        else {
+          val (sums, ns) = poolLumaCells(img, 8)
+          val m = Array.tabulate(64)(k => sums(k) / ns(k))
+          val tot = m.sum
+          var hi = 0L
+          var lo = 0L
+          var k = 0
+          while (k < 64) {
+            if (64L * m(k) > tot) {
+              if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+            }
+            k += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](img.getWidth, img.getHeight, hi, lo))
         }
       }
     }(enc)

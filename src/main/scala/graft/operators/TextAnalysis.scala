@@ -289,6 +289,52 @@ object TextAnalysis {
         graft.functions.Canon.round(exp(-col("avg_logp")), 6).as("ppl"))
   }
 
+  /** Bigram cross-LM scoring — [[unigramCrossScore]] upgraded one order:
+    * P(w2 | w1) = (c(w1 w2) + 1) / (c1(w1) + V), add-one smoothed over
+    * the reference's unigram vocabulary size V, with c1(w1) = w1's
+    * occurrences as a bigram head. OOV heads take the 1/V floor. Bigrams
+    * are the k=2 word shingles (shared helper with the dedup family), so
+    * the oracle reuses the proven shingle SQL. Model attach is
+    * size-adaptive like t5/t8's: broadcast below the vocab limit, plain
+    * equi-join above it (bigram vocabularies outgrow broadcast even
+    * faster than unigram ones). */
+  def bigramCrossScore(refDocs: DataFrame, docs: DataFrame, idCol: String,
+                       textCol: String,
+                       broadcastVocabLimit: Long = 1000000L): DataFrame = {
+    val refBi = refDocs.select(explode(Dedup.shingles(col(textCol), 2)).as("bi"))
+    val model = refBi.groupBy("bi").agg(count(lit(1)).as("cbi"))
+    val heads = refBi
+      .select(element_at(split(col("bi"), " "), 1).as("head"))
+      .groupBy("head").agg(count(lit(1)).as("c1"))
+    // bounded driver scalars: one count row (the t14 empty-ref contract:
+    // vocab 0 floors the denominator at 1)
+    val counts = refDocs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .agg(countDistinct("term"), count(lit(1))).head()
+    val vocab = math.max(counts.getLong(0), 1L)
+    val nBigramsRef = model.agg(count(lit(1))).head().getLong(0)
+    val (modelSide, headsSide) =
+      if (nBigramsRef <= broadcastVocabLimit) (broadcast(model), broadcast(heads))
+      else (model, heads)
+    val scored = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), 2)).as("bi"))
+      .withColumn("head", element_at(split(col("bi"), " "), 1))
+      .join(modelSide, Seq("bi"), "left")
+      .join(headsSide, Seq("head"), "left")
+      .withColumn("logp",
+        log((coalesce(col("cbi"), lit(0L)) + 1.0) /
+          (coalesce(col("c1"), lit(0L)) + lit(vocab))))
+    docs.select(col(idCol))
+      .join(scored.groupBy(idCol)
+          .agg(count(lit(1)).as("n_bigrams"),
+            graft.functions.Canon.round(avg(col("logp")), 6).as("avg_logp")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_logp"),
+        graft.functions.Canon.round(exp(-col("avg_logp")), 6).as("ppl"))
+  }
+
   /** Fixed BPE merge table for [[bpeTokenCounts]] — the APPLY side of
     * byte-pair encoding (Sennrich et al. 2016): merges are applied in
     * priority order, each as a global leftmost non-overlapping replace

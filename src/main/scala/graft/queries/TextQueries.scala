@@ -542,6 +542,36 @@ object TextQueries {
           round(element_at(col("gray_thumb"), 64), 6).as("t77"))
     }),
 
+    // Multimodal perceptual near-dup: REAL PNG payloads hashed by aHash
+    // (8×8 luma thumbnail thresholded at its own mean, exact-integer
+    // milli-luma arithmetic) and grouped by 64-bit signature — the image
+    // analog of SimHash dedup buckets. The generator's gradient pattern
+    // is shared across doc_ids at equal dimensions, so brightness-offset
+    // copies genuinely collide (clusters > 1 are real, not degenerate).
+    // Oracle recomputes all 64 cells from the pixel formula — integer
+    // division end to end, no float mean to diverge on.
+    "mm6_image_ahash" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val w = (id % 13 + 1).toInt
+          val h = (id % 7 + 1).toInt
+          org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, "png", w, h))
+        }
+      }(enc)
+      Multimodal.aHash64(withPayload, "payload")
+        .groupBy("sig_hi", "sig_lo")
+        .agg(count(lit(1)).as("n_images"), min("doc_id").as("rep_id"))
+    }),
+
     // Multimodal frame sampling: video-like payloads (bytes a pure
     // function of (media_id, offset), demux-shaped n_frames metadata)
     // sliced into frames by [[Multimodal.sampleFrames]] (every 2nd
@@ -787,6 +817,16 @@ object TextQueries {
     "t14_lm_crossppl" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       TextAnalysis.unigramCrossScore(
+        docs.filter(col("lang") === "en"), docs, "doc_id", "text")
+    }),
+
+    // t24: t14 upgraded one LM order — conditional bigram perplexity
+    // P(w2|w1) with add-one smoothing over the reference vocabulary.
+    // Context-sensitive, so word-salad that sails through a unigram
+    // filter scores poorly here.
+    "t24_bigram_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.bigramCrossScore(
         docs.filter(col("lang") === "en"), docs, "doc_id", "text")
     }),
 
@@ -1841,6 +1881,40 @@ object TextQueries {
           |  round(exp(-a.avg_logp), 6) AS ppl
           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
+      // t24 twin: bigram + head-count CTEs over the 'en' slice via the
+      // proven k=2 shingle fragment; vocab V as a 1-row cross join.
+      "t24_bigram_lm" ->
+        s"""WITH rtok AS (
+          |  SELECT string_split_regex(lower(text), '\\s+') AS tk
+          |  FROM documents WHERE lang = 'en'),
+          |rbi AS (SELECT unnest(${Dedup.shinglesOverTkSql(2)}) AS bi FROM rtok),
+          |model AS (SELECT bi, count(*) AS cbi FROM rbi GROUP BY 1),
+          |heads AS (
+          |  SELECT string_split(bi, ' ')[1] AS head, count(*) AS c1
+          |  FROM rbi GROUP BY 1),
+          |vcb AS (
+          |  SELECT greatest(count(DISTINCT term), 1) AS v FROM (
+          |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+          |    FROM documents WHERE lang = 'en') WHERE term <> ''),
+          |dtok AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+          |  FROM documents),
+          |dbi AS (
+          |  SELECT doc_id, unnest(${Dedup.shinglesOverTkSql(2)}) AS bi FROM dtok),
+          |db2 AS (
+          |  SELECT doc_id, bi, string_split(bi, ' ')[1] AS head FROM dbi),
+          |scored AS (
+          |  SELECT d.doc_id,
+          |    ln((coalesce(m.cbi, 0) + 1.0) / (coalesce(h.c1, 0) + v.v)) AS logp
+          |  FROM db2 d LEFT JOIN model m USING (bi)
+          |  LEFT JOIN heads h USING (head) CROSS JOIN vcb v),
+          |agg AS (
+          |  SELECT doc_id, count(*) AS n_bigrams, round(avg(logp), 6) AS avg_logp
+          |  FROM scored GROUP BY 1)
+          |SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, a.avg_logp,
+          |  round(exp(-a.avg_logp), 6) AS ppl
+          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
       "mm1_features" -> {
         def fold(j: Int) =
           s"""CAST(list_sum(list_transform(range(1, length(t) + 1),
@@ -1920,6 +1994,52 @@ object TextQueries {
           |  max(CASE WHEN cname = 't70' THEN val END) AS t70,
           |  max(CASE WHEN cname = 't77' THEN val END) AS t77
           |FROM cv GROUP BY doc_id""".stripMargin,
+
+      // mm6 twin: the mm3 pixel-formula CTE generalized to all 64 cells,
+      // kept in integer division end to end (milli-luma m = sum // n,
+      // bit = 64·m > Σm), signature packed into 32-bit halves.
+      "mm6_image_ahash" ->
+        """WITH p AS (
+          |  SELECT doc_id, doc_id % 13 + 1 AS w, doc_id % 7 + 1 AS h
+          |  FROM documents),
+          |cells AS (
+          |  SELECT ci, cj
+          |  FROM (SELECT unnest(range(0, 8)) AS ci) a
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cj) b),
+          |bnd AS (
+          |  SELECT doc_id, w, h, ci, cj,
+          |    (cj * w) // 8 AS x0,
+          |    least(greatest(((cj + 1) * w) // 8, (cj * w) // 8 + 1), w) AS x1,
+          |    (ci * h) // 8 AS y0,
+          |    least(greatest(((ci + 1) * h) // 8, (ci * h) // 8 + 1), h) AS y1
+          |  FROM p CROSS JOIN cells),
+          |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM bnd),
+          |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
+          |g AS (
+          |  SELECT doc_id, ci, cj,
+          |    299 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) // 65536)
+          |      + 587 * ((((doc_id * 31 + x * 7 + y * 13) % 16777216) // 256) % 256)
+          |      + 114 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) % 256)
+          |      AS luma
+          |  FROM bxy),
+          |cellm AS (
+          |  SELECT doc_id, ci, cj,
+          |    CAST(sum(luma) // count(*) AS BIGINT) AS m
+          |  FROM g GROUP BY 1, 2, 3),
+          |tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot FROM cellm GROUP BY 1),
+          |bits AS (
+          |  SELECT c.doc_id, c.ci * 8 + c.cj AS k,
+          |    CASE WHEN 64 * c.m > t.tot THEN 1 ELSE 0 END AS bit
+          |  FROM cellm c JOIN tot t USING (doc_id)),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+          |      ELSE 0 END) AS BIGINT) AS sig_hi,
+          |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+          |      ELSE 0 END) AS BIGINT) AS sig_lo
+          |  FROM bits GROUP BY 1)
+          |SELECT sig_hi, sig_lo, count(*) AS n_images, min(doc_id) AS rep_id
+          |FROM sig GROUP BY 1, 2""".stripMargin,
 
       // mm4 twin: frame slicing arithmetic recomputed from the byte
       // formula byte[i] = (media_id*31 + 7i) % 256 — frameLen is an

@@ -508,6 +508,59 @@ class StreamingMultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("multimodal aHash: signature parity with the formula; null-safe; collisions real") {
+    import graft.multimodal.Multimodal
+    import Multimodal.encodeTestImage
+    // independent reimplementation: formula pixels -> integer pooling ->
+    // milli-luma threshold -> packed halves (no codec involved)
+    def expected(seed: Long, w: Int, h: Int): (Long, Long) = {
+      def luma(x: Int, y: Int): Long = {
+        val v = (seed * 31 + x * 7 + y * 13) & 0xffffff
+        299L * ((v >> 16) & 0xff) + 587L * ((v >> 8) & 0xff) + 114L * (v & 0xff)
+      }
+      val m = for (ci <- 0 until 8; cj <- 0 until 8) yield {
+        val x0 = cj * w / 8; val x1 = math.min(math.max((cj + 1) * w / 8, x0 + 1), w)
+        val y0 = ci * h / 8; val y1 = math.min(math.max((ci + 1) * h / 8, y0 + 1), h)
+        val px = for (y <- y0 until y1; x <- x0 until x1) yield luma(x, y)
+        px.sum / px.size
+      }
+      val tot = m.sum
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if 64L * m(k) > tot)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (hi, lo)
+    }
+    val media = Seq(
+      (1L, encodeTestImage(1L, "png", 13, 7)),
+      (2L, encodeTestImage(2L, "png", 5, 3)),
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, "garbage".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val out = Multimodal.aHash64(media, "payload").orderBy("media_id").collect()
+    for ((row, (seed, w, h)) <- out.take(2).zip(Seq((1L, 13, 7), (2L, 5, 3)))) {
+      val (hi, lo) = expected(seed, w, h)
+      assert(row.getAs[Long]("sig_hi") === hi, s"seed $seed hi")
+      assert(row.getAs[Long]("sig_lo") === lo, s"seed $seed lo")
+    }
+    for (i <- Seq(2, 3)) {
+      assert(out(i).isNullAt(out(i).fieldIndex("sig_hi")))
+      assert(out(i).isNullAt(out(i).fieldIndex("sig_lo")))
+    }
+    assert(out(0).getAs[Int]("px_width") === 13)
+    // real collisions: the gradient structure is shared across seeds at
+    // equal dims whenever channel levels shift without wrapping — find a
+    // colliding seed pair with the pure-Scala recompute, then pin that
+    // the engine (through the actual PNG codec) collides on it too
+    val sigs = (0L until 40L).map(s0 => s0 -> expected(s0, 13, 7))
+    val pair = sigs.groupBy(_._2).values.find(_.size > 1).map(_.map(_._1))
+    assert(pair.isDefined, "no colliding seed pair in 40 candidates")
+    val Seq(s1, s2) = pair.get.take(2).toSeq
+    val coll = Multimodal.aHash64(
+        Seq((s1, encodeTestImage(s1, "png", 13, 7)),
+          (s2, encodeTestImage(s2, "png", 13, 7))).toDF("media_id", "payload"),
+        "payload").select("sig_hi", "sig_lo").collect()
+    assert(coll(0) === coll(1), s"engine must collide on seeds $s1/$s2")
+  }
+
   test("streaming funnel: pure state machine — order, window, dedupe, completion") {
     import StreamingDaily.{funnelStep, FunnelEvent, FunnelState}
     val steps = Seq("view", "click", "buy")
