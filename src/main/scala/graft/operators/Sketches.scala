@@ -56,18 +56,21 @@ object Sketches {
     * mergeable form — registers for a union of groups are the per-bucket
     * MAX of the groups' registers, which [[hllEstimate]] exploits and
     * SketchesSpec pins. */
+  /** (bucket, rho) register coordinates of one value — the shared core
+    * of the batch and streaming register builds. rho = leading zeros of
+    * the W-bit hash suffix + 1 = W + 1 - bitlen(w); length(bin(w)) is
+    * the exact integer bitlen in both engines (no float log2 whose
+    * boundary rounding could diverge). */
+  def registerCols(value: Column): (Column, Column) = {
+    val h = Hashing.sha60(value)
+    val w = shiftright(h, P)
+    (pmod(h, lit(M.toLong)),
+      when(w === 0, lit(W + 1)).otherwise(lit(W + 1) - length(bin(w))))
+  }
+
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    val h = Hashing.sha60(col(valueCol))
-    df.select(col(groupCol).as("grp"), h.as("h"))
-      .select(col("grp"),
-        pmod(col("h"), lit(M.toLong)).as("bucket"),
-        expr(s"shiftright(h, $P)").as("w"))
-      // rho = leading zeros of the W-bit suffix + 1 = W + 1 - bitlen(w);
-      // length(bin(w)) is the exact integer bitlen in both engines (no
-      // float log2 whose boundary rounding could diverge).
-      .select(col("grp"), col("bucket"),
-        when(col("w") === 0, lit(W + 1))
-          .otherwise(lit(W + 1) - length(bin(col("w")))).as("rho"))
+    val (bucket, rho) = registerCols(col(valueCol))
+    df.select(col(groupCol).as("grp"), bucket.as("bucket"), rho.as("rho"))
       .groupBy("grp", "bucket").agg(max("rho").as("m_reg"))
   }
 

@@ -820,6 +820,21 @@ object TextQueries {
         docs.filter(col("lang") === "en"), docs, "doc_id", "text")
     }),
 
+    // t27: language-ID confusion matrix — the curation QC that tells you
+    // how far to trust t1's heuristic before using it as a mixture gate:
+    // (labeled lang × predicted lang) counts plus the per-label recall
+    // share each predicted cell represents.
+    "t27_langid_confusion" -> ((s, dir) => {
+      val pred = Tables.documents(s, dir)
+        .select(col("lang"), TextAnalysis.langId(col("text")).as("lang_pred"))
+      val counts = pred.groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("lang").agg(sum("n").as("n_lang"))
+      counts.join(tot, "lang")
+        .select(col("lang"), col("lang_pred"), col("n"),
+          round(col("n").cast("double") / col("n_lang"), 6).as("share"),
+          when(col("lang") === col("lang_pred"), 1).otherwise(0).as("is_correct"))
+    }),
+
     // t24: t14 upgraded one LM order — conditional bigram perplexity
     // P(w2|w1) with add-one smoothing over the reference vocabulary.
     // Context-sensitive, so word-salad that sails through a unigram
@@ -1880,6 +1895,18 @@ object TextQueries {
           |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens, a.avg_logp,
           |  round(exp(-a.avg_logp), 6) AS ppl
           |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+      "t27_langid_confusion" ->
+        s"""WITH pred AS (
+          |  SELECT lang, ${TextAnalysis.langIdSql("text")} AS lang_pred
+          |  FROM documents),
+          |counts AS (
+          |  SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+          |tot AS (SELECT lang, sum(n) AS n_lang FROM counts GROUP BY 1)
+          |SELECT c.lang, c.lang_pred, c.n,
+          |  round(CAST(c.n AS DOUBLE) / t.n_lang, 6) AS share,
+          |  CASE WHEN c.lang = c.lang_pred THEN 1 ELSE 0 END AS is_correct
+          |FROM counts c JOIN tot t USING (lang)""".stripMargin,
 
       // t24 twin: bigram + head-count CTEs over the 'en' slice via the
       // proven k=2 shingle fragment; vocab V as a 1-row cross join.

@@ -101,6 +101,31 @@ object StreamingDaily {
       round(psi, 6).as("psi"))
   }
 
+  /** Distinct-count-on-a-stream via the portable HyperLogLog of
+    * [[graft.operators.Sketches]]: per event-time window, the register
+    * table (bucket → max rho) as ONE watermarked streaming aggregation —
+    * max is the sketch's merge, so incremental micro-batch folding IS
+    * register merging and the final table per window is bit-identical to
+    * the batch [[graft.operators.Sketches.hllRegisters]] over the same
+    * rows (pinned in the spec). State per open window is bounded at
+    * m = 1024 register rows regardless of stream volume — the reason a
+    * distinct count is streamable at all (exact distinct state grows
+    * with cardinality). Estimate downstream from the sink table via
+    * [[graft.operators.Sketches.hllEstimate]]. */
+  def streamingHllRegisters(events: DataFrame, tsCol: String,
+                            valueCol: String,
+                            windowDur: String = "1 day",
+                            watermark: String = "1 day"): DataFrame = {
+    val (bucket, rho) = graft.operators.Sketches.registerCols(col(valueCol))
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol), bucket.as("bucket"), rho.as("rho"))
+      .groupBy(window(col(tsCol), windowDur).as("w"), col("bucket"))
+      .agg(max("rho").as("m_reg"))
+      .select(col("w.start").cast("date").as("date"), col("bucket"),
+        col("m_reg"))
+  }
+
   /** Corpus NEAR-dup dedup on a stream — the stream-safe approximation:
     * documents collapsing to the same `bits`-bit SimHash signature
     * (near-identical token multisets — reordered/lightly-edited

@@ -63,6 +63,43 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming HLL: register table equals batch sketch; estimate identical") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "term")
+    val regs = StreamingDaily.streamingHllRegisters(df, "ts", "term")
+    val q = regs.writeStream.outputMode("complete")
+      .format("memory").queryName("hll_regs").start()
+    try {
+      // two micro-batches with overlap: the max-merge must fold them
+      val b1 = (1 to 400).map(i => (ts("2024-01-01 08:00:00"), s"tok$i"))
+      val b2 = (200 to 700).map(i => (ts("2024-01-01 14:00:00"), s"tok$i"))
+      input.addData(b1)
+      q.processAllAvailable()
+      input.addData(b2)
+      q.processAllAvailable()
+      val streamRegs = spark.sql(
+        "SELECT bucket, m_reg FROM hll_regs ORDER BY bucket").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      // batch registers over the union of both batches
+      val batch = (b1 ++ b2).map(_._2).toDF("term").withColumn("grp", lit("d"))
+      val batchRegs = Sketches.hllRegisters(batch, "grp", "term")
+        .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2)))
+      assert(streamRegs.toSeq === batchRegs.toSeq,
+        "streaming register table must equal the batch sketch")
+      // estimate path: identical input registers -> identical estimate
+      val est = Sketches.hllEstimate(
+          spark.table("hll_regs").select(lit("d").as("grp"), col("bucket"),
+            col("m_reg")))
+        .select("hll_estimate").collect().head.getDouble(0)
+      val batchEst = Sketches.hllEstimate(Sketches.hllRegisters(batch, "grp", "term"))
+        .select("hll_estimate").collect().head.getDouble(0)
+      assert(est === batchEst)
+      assert(math.abs(est - 700.0) / 700.0 < 0.1, s"estimate $est vs 700 distinct")
+    } finally q.stop()
+  }
+
   test("streaming D5: per-window PSI against a fixed reference, hand-computed") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
