@@ -285,6 +285,34 @@ object TextQueries {
         .select(col("vec_id"), col("cell"), col("cell_dist"))
     }),
 
+    // sim10: IVF index-health drift — the recluster trigger of a served
+    // ANN index: assign the historical population and the new ingest
+    // batch (vec_id%5=0) to the STORED cells (sim5's zero-shuffle literal
+    // argmin), then per cell compare assignment share and mean L2²; a
+    // cell whose batch distances outgrow its index-time distances is
+    // drifting away from its centroid and flags for recluster. One
+    // groupBy over the assignment — no extra shuffle beyond sim5's plan.
+    "sim10_centroid_drift" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.ivfAssign(emb.filter(col("vec_id") >= 8),
+          "vec_id", "embedding",
+          emb.filter(col("vec_id") < 8), "vec_id", "embedding")
+        .withColumn("is_batch", col("vec_id") % 5 === 0)
+      assigned.groupBy("cell")
+        .agg(
+          sum(when(!col("is_batch"), 1L).otherwise(0L)).as("n_index"),
+          sum(when(col("is_batch"), 1L).otherwise(0L)).as("n_batch"),
+          round(avg(when(!col("is_batch"), col("cell_dist"))), 6)
+            .as("mean_d_index"),
+          round(avg(when(col("is_batch"), col("cell_dist"))), 6)
+            .as("mean_d_batch"))
+        .withColumn("dist_ratio",
+          round(when(col("mean_d_index") > 0,
+            col("mean_d_batch") / col("mean_d_index")), 6))
+        .withColumn("needs_recluster",
+          when(col("dist_ratio") > 1.2, 1).otherwise(0))
+    }),
+
     // SemDeDup-style semantic dedup: quantizer-cell assignment (vec_id<8
     // stored centroids, the sim5 fixture), within-cell cosine pairs >=
     // 0.3, components, min-id representative per component. One row per
@@ -710,6 +738,27 @@ object TextQueries {
       TextAnalysis.dsirWeightsByPred(Tables.documents(s, dir),
         col("source").isin("src1", "src2", "src3", "src4"),
         "doc_id", "text", 256)),
+
+    // t28: DSIR resampling — t21's importance weights actually applied:
+    // weighted sampling WITHOUT replacement via the Gumbel top-k trick
+    // (key = log_w + Gumbel(0,1), take the k largest), which turns a
+    // global weighted draw no cluster can make into a TakeOrdered — no
+    // sort, no sequential sampling state. Gumbel noise derives from the
+    // portable SHA uniform; keys are canonically rounded BEFORE ranking
+    // so both engines rank identical values (doc_id breaks ties).
+    "t28_dsir_sample" -> ((s, dir) => {
+      val wts = TextAnalysis.dsirWeightsByPred(Tables.documents(s, dir),
+          col("source").isin("src1", "src2", "src3", "src4"),
+          "doc_id", "text", 256)
+        .filter(col("log_w").isNotNull)
+      val u = (pmod(Hashing.sha28(concat(lit("dsir|"), col("doc_id"))),
+        lit(1048576L)).cast("double") + 0.5) / 1048576.0
+      wts
+        .withColumn("gumbel_key", round(col("log_w") - log(-log(u)), 6))
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_feats", "log_w", "gumbel_key")
+    }),
 
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
     // deduped against the 80% corpus THROUGH its STORED digest +
@@ -1551,6 +1600,41 @@ object TextQueries {
           |  FROM scored)
           |SELECT vec_id, cell, d AS cell_dist FROM ranked WHERE rn = 1""".stripMargin,
 
+      // sim10 twin: sim5's argmin CTE chain + per-cell aggregation split
+      // by the batch predicate.
+      "sim10_centroid_drift" ->
+        """WITH v AS (
+          |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          |  FROM embeddings),
+          |cent AS (SELECT vec_id AS cell, e AS c FROM v WHERE vec_id < 8),
+          |batch AS (SELECT vec_id, e FROM v WHERE vec_id >= 8),
+          |scored AS (
+          |  SELECT b.vec_id, c.cell,
+          |    round(list_inner_product(b.e, b.e) - 2 * list_inner_product(b.e, c.c)
+          |      + list_inner_product(c.c, c.c), 6) AS d
+          |  FROM batch b CROSS JOIN cent c),
+          |ranked AS (
+          |  SELECT vec_id, cell, d,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
+          |  FROM scored),
+          |assigned AS (
+          |  SELECT vec_id, cell, d AS cell_dist, vec_id % 5 = 0 AS is_batch
+          |  FROM ranked WHERE rn = 1),
+          |per AS (
+          |  SELECT cell,
+          |    CAST(sum(CASE WHEN NOT is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_index,
+          |    CAST(sum(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS n_batch,
+          |    round(avg(CASE WHEN NOT is_batch THEN cell_dist END), 6) AS mean_d_index,
+          |    round(avg(CASE WHEN is_batch THEN cell_dist END), 6) AS mean_d_batch
+          |  FROM assigned GROUP BY 1),
+          |r AS (
+          |  SELECT *, round(CASE WHEN mean_d_index > 0
+          |      THEN mean_d_batch / mean_d_index END, 6) AS dist_ratio
+          |  FROM per)
+          |SELECT cell, n_index, n_batch, mean_d_index, mean_d_batch, dist_ratio,
+          |  CASE WHEN dist_ratio > 1.2 THEN 1 ELSE 0 END AS needs_recluster
+          |FROM r""".stripMargin,
+
       "sim4_quantize" ->
         """WITH v AS (
           |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -2129,6 +2213,23 @@ object TextQueries {
       "t21_dsir_weights" ->
         TextAnalysis.dsirWeightsSql("doc_id", "text",
           "source IN ('src1', 'src2', 'src3', 'src4')", 256),
+
+      // t28 twin: t21's weight chain + the identical Gumbel key over the
+      // shared SHA uniform, ranked on the ROUNDED key.
+      "t28_dsir_sample" -> {
+        val u = s"(${Hashing.sha28Sql("'dsir|' || doc_id")} % 1048576 + 0.5)" +
+          " / 1048576.0"
+        s"""WITH wts AS (
+          |  SELECT * FROM (${TextAnalysis.dsirWeightsSql("doc_id", "text",
+                "source IN ('src1', 'src2', 'src3', 'src4')", 256)})
+          |  WHERE log_w IS NOT NULL),
+          |keyed AS (
+          |  SELECT doc_id, n_feats, log_w,
+          |    round(log_w - ln(-ln($u)), 6) AS gumbel_key
+          |  FROM wts)
+          |SELECT doc_id, n_feats, log_w, gumbel_key
+          |FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
+      },
 
       "t23_bpe" ->
         TextAnalysis.bpeTokenCountsSql("doc_id", "text"),
