@@ -62,7 +62,15 @@ object ScaleCurve {
     "m12_attribution", "a11_naps_daily", "c4_units", "e9_survival",
     "e11_attribution", "w13_seasonal", "d6_cusum", "j14_scd2",
     "m13_feature_corr", "m14_label_timeline", "m15_feature_hist",
-    "q9_coverage_by_year")
+    "q9_coverage_by_year",
+    // round-7 continuation: sketches, LM/QC upgrades, resampling, ANN
+    // drift, image aHash (mm6 first decade only: per-row codec work, the
+    // deep decade would time ImageIO churn, not the plan)
+    "t24_bigram_lm", "t25_hll_diversity", "t26_countmin",
+    "t27_langid_confusion", "t28_dsir_sample", "dd20_snapshot_diff",
+    "sim10_centroid_drift", "mm6_image_ahash",
+    "d7_page_hinkley", "e12_time_to_convert", "m16_avg_precision",
+    "m17_slice_metrics")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -94,7 +102,12 @@ object ScaleCurve {
     // already-explained fixture artifact. PageRank over 100x that edge
     // set measures the artifact, not the operator; the first decade
     // (3.9M edges) carries t22's linear-rounds claim.
-    "dd19_chunk_dedup", "t21_dsir_weights")
+    "dd19_chunk_dedup", "t21_dsir_weights",
+    // round-7 continuation deep set: one-pass sketch/LM/diff/resample
+    // shapes whose 100-TB claims deserve the second decade (mm6 and the
+    // events family stay first-decade: codec-bound / events-sized)
+    "t24_bigram_lm", "t25_hll_diversity", "t26_countmin",
+    "t28_dsir_sample", "dd20_snapshot_diff", "sim10_centroid_drift")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 

@@ -266,4 +266,32 @@ class PlanSpec extends SparkTestBase {
       "PIT attach degenerated to a product/range join")
     assert(plan.contains("Window"), "expected the as-of window merge")
   }
+
+  test("t25: HLL builds are hash-aggregated (map-side register merge), no product") {
+    val plan = planOf("t25_hll_diversity")
+    // the register build must partial-aggregate: the shuffle then carries
+    // at most groups x 1024 register rows, not the shingle stream
+    assert(plan.contains("HashAggregate"), "register build not hash-aggregated")
+    assert(!plan.contains("CartesianProduct"), "unexpected product")
+  }
+
+  test("t28: Gumbel top-k is a TakeOrdered, not a global sort") {
+    val plan = planOf("t28_dsir_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted sample degenerated to a global sort:\n${plan.take(600)}")
+  }
+
+  test("sim10: drift QC adds only a grouped aggregate over the literal argmin") {
+    val plan = planOf("sim10_centroid_drift")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("Join"),
+      "assignment must stay the zero-join literal argmin")
+    assert(plan.contains("HashAggregate"), "per-cell stats not hash-aggregated")
+  }
+
+  test("t24: bigram model and head tables attach via broadcast at fixture vocab") {
+    val plan = planOf("t24_bigram_lm")
+    assert(plan.contains("BroadcastHashJoin"),
+      "bigram model attach not broadcast at fixture size")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
