@@ -70,7 +70,8 @@ object PlanAudit {
     "t19_source_overlap" -> (3 -> "bounded-dimension expansions: mask frame x sources^2 pair dimension, mask frame x source dimension, and the sources x sources pair-dimension build — every non-equi side bounded by source cardinality, not the corpus"),
     "q6_ref_integrity" -> (4 -> "one 1-row orphan-count frame per FK edge (4 edges, global-stat broadcast pattern); the anti-joins themselves are hash-shuffle equi-joins"),
     "q7_corpus_integrity" -> (3 -> "one 1-row orphan-count frame per FK edge (3 corpus edges, global-stat broadcast pattern); the anti-joins themselves are hash-shuffle equi-joins"),
-    "e9_survival" -> (3 -> "1-row corpus-end-date frame (appears twice: under the total-leavers agg and under the main chain) + 1-row total-leavers frame (global-stat broadcast pattern); risk table bounded by observation-span days"))
+    "e9_survival" -> (3 -> "1-row corpus-end-date frame (appears twice: under the total-leavers agg and under the main chain) + 1-row total-leavers frame (global-stat broadcast pattern); risk table bounded by observation-span days"),
+    "e12_time_to_convert" -> (1 -> "1-row viewer-count frame joined to the 1-row latency-percentile frame (global-stat broadcast pattern)"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,
