@@ -364,6 +364,57 @@ object Multimodal {
     (sums, ns)
   }
 
+  /** Perceptual audio fingerprint over PCM16LE payloads — the delta-sign
+    * ("Shazam-lite") signature: samples windowed (trailing partial
+    * window dropped), per-window EXACT integer energy Σx², bit_w =
+    * energy(w+1) > energy(w), packed LSB-first into a BIGINT. Comparing
+    * energies (not their square roots) keeps the whole fingerprint in
+    * integer arithmetic — sqrt is monotonic, so the bits are identical —
+    * and makes it replayable by any engine from the sample formula.
+    * Volume-scaling a clip multiplies every energy by the same factor,
+    * so uniformly re-leveled copies collide (the audio analog of mm6's
+    * brightness robustness). Null / sub-window payloads yield null
+    * columns (QC accounting contract). */
+  def audioFingerprint(media: DataFrame, payloadCol: String,
+                       window: Int = 4): DataFrame = {
+    require(window > 0, s"audioFingerprint: window must be > 0, got $window")
+    val outSchema = media.schema
+      .add("n_windows", IntegerType).add("fp", LongType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val nSamples = if (payload == null) 0 else payload.length / 2
+        val nW = nSamples / window
+        if (payload == null || nW < 1)
+          Row.fromSeq(r.toSeq ++ Seq(null, null))
+        else {
+          val energy = new Array[Long](nW)
+          var w = 0
+          while (w < nW) {
+            var s = 0L
+            var i = w * window
+            while (i < (w + 1) * window) {
+              val x = ((payload(2 * i) & 0xff) | (payload(2 * i + 1) << 8)).toShort
+              s += x.toLong * x
+              i += 1
+            }
+            energy(w) = s
+            w += 1
+          }
+          var fp = 0L
+          var k = 0
+          while (k < nW - 1) {
+            if (energy(k + 1) > energy(k)) fp |= 1L << k
+            k += 1
+          }
+          Row.fromSeq(r.toSeq ++ Seq[Any](nW, fp))
+        }
+      }
+    }(enc)
+  }
+
   /** Perceptual average-hash (aHash) of an image payload: 8×8 luma
     * thumbnail, each cell thresholded against the 64-cell mean, packed
     * into a 64-bit signature returned as two 32-bit halves (sig_hi,

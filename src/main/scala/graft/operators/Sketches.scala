@@ -169,6 +169,115 @@ object Sketches {
        |SELECT * FROM j""".stripMargin
   }
 
+  /** Pairwise source-overlap estimates from the per-source HLL registers
+    * ALONE — no second corpus pass: |A∩B| ≈ |A| + |B| − |A∪B| by
+    * inclusion–exclusion, where the union sketch of any pair is the
+    * register-max merge. The whole computation after the one register
+    * build is bounded by sources² × m rows (corpus-independent), vs
+    * t19's exact overlap whose shingle-mask pass is corpus-sized — this
+    * is the form that still works when the corpus is 100 TB and sources
+    * number in the thousands. Pair expansion is two broadcast equi-joins
+    * against the bounded pair dimension (no non-equi join). Estimates
+    * clamp at 0 (inclusion–exclusion can go slightly negative at sketch
+    * error). */
+  def hllPairwiseOverlap(docs: DataFrame, sourceCol: String,
+                         textCol: String, k: Int): DataFrame = {
+    val sh = docs.select(col(sourceCol).as("grp"),
+      explode(Dedup.shingles(col(textCol), k)).as("g"))
+    val regs = hllRegisters(sh, "grp", "g")
+    val single = hllEstimate(regs)
+      .select(col("grp"), col("hll_estimate"))
+    val srcs = regs.select(col("grp")).distinct()
+    val pairDim = srcs.select(col("grp").as("src_a"))
+      .crossJoin(srcs.select(col("grp").as("src_b")))
+      .filter(col("src_a") < col("src_b"))
+    val pairRegs = regs.join(broadcast(pairDim), col("grp") === col("src_a"))
+      .select(col("src_a"), col("src_b"), col("bucket"), col("m_reg"))
+      .unionByName(
+        regs.join(broadcast(pairDim), col("grp") === col("src_b"))
+          .select(col("src_a"), col("src_b"), col("bucket"), col("m_reg")))
+    val unionEst = hllEstimate(
+        pairRegs.select(concat(col("src_a"), lit("|"), col("src_b")).as("grp"),
+          col("bucket"), col("m_reg"))
+          .groupBy("grp", "bucket").agg(max("m_reg").as("m_reg")))
+      .select(col("grp"), col("hll_estimate").as("est_union"))
+    pairDim
+      .join(single.select(col("grp").as("src_a"), col("hll_estimate").as("est_a")),
+        Seq("src_a"))
+      .join(single.select(col("grp").as("src_b"), col("hll_estimate").as("est_b")),
+        Seq("src_b"))
+      .join(unionEst.withColumn("src_a", split(col("grp"), "\\|")(0))
+          .withColumn("src_b", split(col("grp"), "\\|")(1))
+          .select("src_a", "src_b", "est_union"),
+        Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
+        col("est_union"),
+        round(greatest(col("est_a") + col("est_b") - col("est_union"),
+          lit(0.0)), 6).as("est_intersect"))
+  }
+
+  /** DuckDB twin of [[hllPairwiseOverlap]]. */
+  def hllPairwiseOverlapSql(docsRel: String, sourceCol: String,
+                            textExpr: String, k: Int): String = {
+    val h = Hashing.sha60Sql("g")
+    val estFrom = (src: String) =>
+      s"""SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets_used,
+         |    CAST(sum(1::BIGINT << (${W + 1} - m_reg)) AS BIGINT) AS s_used
+         |  FROM $src GROUP BY 1""".stripMargin
+    s"""WITH tok AS (
+       |  SELECT $sourceCol AS grp,
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk
+       |  FROM $docsRel),
+       |sh AS (SELECT grp, unnest(${Dedup.shinglesOverTkSql(k)}) AS g FROM tok),
+       |rr AS (
+       |  SELECT grp, h % $M AS bucket, h >> $P AS w
+       |  FROM (SELECT grp, $h AS h FROM sh)),
+       |rho AS (
+       |  SELECT grp, bucket,
+       |    CASE WHEN w = 0 THEN ${W + 1} ELSE ${W + 1} - length(bin(w)) END AS rho
+       |  FROM rr),
+       |regs AS (SELECT grp, bucket, max(rho) AS m_reg FROM rho GROUP BY 1, 2),
+       |pair_dim AS (
+       |  SELECT a.grp AS src_a, b.grp AS src_b
+       |  FROM (SELECT DISTINCT grp FROM regs) a,
+       |       (SELECT DISTINCT grp FROM regs) b
+       |  WHERE a.grp < b.grp),
+       |pair_regs AS (
+       |  SELECT p.src_a, p.src_b, r.bucket, r.m_reg
+       |  FROM regs r JOIN pair_dim p ON r.grp = p.src_a
+       |  UNION ALL
+       |  SELECT p.src_a, p.src_b, r.bucket, r.m_reg
+       |  FROM regs r JOIN pair_dim p ON r.grp = p.src_b),
+       |union_regs AS (
+       |  SELECT src_a || '|' || src_b AS grp, bucket, max(m_reg) AS m_reg
+       |  FROM pair_regs GROUP BY 1, 2),
+       |est_single_raw AS (
+       |  ${estFrom("regs")}),
+       |est_union_raw AS (
+       |  ${estFrom("union_regs")}),
+       |est_all AS (
+       |  SELECT grp, n_buckets_used, $M - n_buckets_used AS zeros,
+       |    s_used + ($M - n_buckets_used) * ${Scale}::BIGINT AS s_total
+       |  FROM (SELECT * FROM est_single_raw UNION ALL SELECT * FROM est_union_raw)),
+       |est AS (
+       |  SELECT grp,
+       |    round(CASE WHEN CAST($rawNumeratorLit AS DOUBLE) / CAST(s_total AS DOUBLE)
+       |          <= ${2.5 * M} AND zeros > 0
+       |      THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
+       |      ELSE CAST($rawNumeratorLit AS DOUBLE) / CAST(s_total AS DOUBLE) END, 6)
+       |      AS hll_estimate
+       |  FROM est_all)
+       |SELECT p.src_a, p.src_b,
+       |  ea.hll_estimate AS est_a, eb.hll_estimate AS est_b,
+       |  eu.hll_estimate AS est_union,
+       |  round(greatest(ea.hll_estimate + eb.hll_estimate - eu.hll_estimate,
+       |    0.0), 6) AS est_intersect
+       |FROM pair_dim p
+       |JOIN est ea ON ea.grp = p.src_a
+       |JOIN est eb ON eb.grp = p.src_b
+       |JOIN est eu ON eu.grp = p.src_a || '|' || p.src_b""".stripMargin
+  }
+
   /** Count-Min depth (independent hash rows). */
   val CmDepth: Int = 4
 

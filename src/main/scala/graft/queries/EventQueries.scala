@@ -430,6 +430,28 @@ object EventQueries {
     "e5_active_users" -> ((s, dir) =>
       EventAnalytics.rollingActiveUsers(ev(s, dir), "user_id", "ts")),
 
+    // E13 (beyond ref): daily new-vs-returning split + cumulative reach —
+    // first-seen dates from one per-user min, attached to the daily
+    // active grain by an equi-join; cumulative users is a window over the
+    // bounded date grain.
+    "e13_new_users" -> ((s, dir) => {
+      val activity = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("date")).distinct()
+      val firstSeen = activity.groupBy("user_id").agg(min("date").as("first_date"))
+      val daily = activity.join(firstSeen, "user_id")
+        .groupBy("date")
+        .agg(count(lit(1)).as("dau"),
+          sum(when(col("date") === col("first_date"), 1L).otherwise(0L))
+            .as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("date")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      // cumulative window runs over the bounded date grain (days), not events
+      daily
+        .withColumn("n_returning", col("dau") - col("n_new"))
+        .withColumn("cum_users", sum("n_new").over(w))
+        .select("date", "dau", "n_new", "n_returning", "cum_users")
+    }),
+
     // E12 (beyond ref): time-to-convert — latency from a user's first
     // view to their first subsequent purchase, with exact interpolated
     // percentiles over the bounded per-user latency frame (one row per
@@ -568,6 +590,21 @@ object EventQueries {
     }))
 
   def oracles: Map[String, String] = Map(
+    "e13_new_users" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS date FROM events),
+        |fs AS (SELECT user_id, min(date) AS first_date FROM act GROUP BY 1),
+        |daily AS (
+        |  SELECT a.date, count(*) AS dau,
+        |    CAST(sum(CASE WHEN a.date = f.first_date THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_new
+        |  FROM act a JOIN fs f USING (user_id) GROUP BY 1)
+        |SELECT date, dau, n_new, dau - n_new AS n_returning,
+        |  CAST(sum(n_new) OVER (ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily""".stripMargin,
+
     "e12_time_to_convert" ->
       """WITH fv AS (
         |  SELECT user_id, min(epoch_us(ts) // 1000000) AS view_epoch

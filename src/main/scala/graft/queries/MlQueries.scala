@@ -396,6 +396,17 @@ object MlQueries {
           round(sum(pos).cast("double") / count(lit(1)), 6).as("prevalence"))
     }),
 
+    // M18 (beyond ref): KS score separation — the credit-scoring
+    // discrimination metric: the two-sample KS statistic between the
+    // score distributions of positives and negatives (d2's tie-safe
+    // cume-dist machinery pointed at model outputs instead of features).
+    "m18_score_ks" -> ((s, dir) => {
+      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
+        .withColumn("model", lit("gdlr"))
+        .withColumn("s", when(col("label") === 1.0, "a").otherwise("b"))
+      Drift.ksTwoSample(pred, "model", "s", "prob")
+    }),
+
     // M17 (beyond ref): per-slice eval metrics — the subgroup-regression
     // check every model release gates on. Slices are day-of-week via the
     // portable epoch-day modulus (engine-native dayofweek origins differ
@@ -1170,6 +1181,31 @@ object MlQueries {
         |  round(CAST(sum(CASE WHEN label = 1.0 THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*), 6) AS prevalence
         |FROM r""".stripMargin,
+
+    "m18_score_ks" ->
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |h AS (
+        |  SELECT 'gdlr' AS model, prob AS value,
+        |    CASE WHEN label = 1.0 THEN 'a' ELSE 'b' END AS s
+        |  FROM pred WHERE prob IS NOT NULL),
+        |pv AS (
+        |  SELECT model, value,
+        |    sum(CASE WHEN s = 'a' THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN s = 'b' THEN 1 ELSE 0 END) AS cb
+        |  FROM h GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT model,
+        |    sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+        |    sum(ca) OVER wa AS n_a, sum(cb) OVER wa AS n_b
+        |  FROM pv
+        |  WINDOW w AS (PARTITION BY model ORDER BY value
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  wa AS (PARTITION BY model))
+        |SELECT model,
+        |  round(max(abs(cum_a / CAST(n_a AS DOUBLE) - cum_b / CAST(n_b AS DOUBLE))), 6)
+        |    AS ks_stat,
+        |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
+        |FROM cum GROUP BY model""".stripMargin,
 
     "m17_slice_metrics" ->
       s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),

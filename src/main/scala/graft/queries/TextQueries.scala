@@ -68,6 +68,37 @@ object TextQueries {
     "t26_countmin" -> ((s, dir) =>
       Sketches.countMinShingles(Tables.documents(s, dir), "text", K, topN = 10)),
 
+    // t30: n-gram novelty — per document the share of its trigram
+    // occurrences whose shingle it INTRODUCED to the corpus (first owner
+    // by min doc_id): low-novelty docs are template/boilerplate copies,
+    // high-novelty docs carry new content. One grouped first-owner pass
+    // + one equi-join; the curation-side complement of dd5's pairwise
+    // verify.
+    "t30_novelty" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tri = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"), K)).as("g"))
+      val firstOwner = tri.groupBy("g").agg(min("doc_id").as("first_doc"))
+      val scored = tri.join(firstOwner, "g")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+      docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+          coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+          round(col("n_novel").cast("double") / col("n_shingles"), 6)
+            .as("novelty"))
+    }),
+
+    // t29: pairwise source overlap from the per-source HLL registers
+    // alone (inclusion–exclusion over register-max pair unions) — the
+    // corpus-free form of t19's exact overlap: after the one register
+    // build, everything is bounded by sources² × 1024 rows.
+    "t29_hll_overlap" -> ((s, dir) =>
+      Sketches.hllPairwiseOverlap(Tables.documents(s, dir), "source", "text", K)),
+
     // dd20: corpus snapshot diff — the change-audit between two ingest
     // snapshots (added / removed / changed / unchanged by content SHA,
     // one full-outer equi-join on the id). Snapshot B is derived from A
@@ -668,6 +699,42 @@ object TextQueries {
         .select("doc_id", "n_samples", "rms", "zcr", "peak")
     }),
 
+    // mm7: perceptual audio near-dup — mm5's PCM16 payloads fingerprinted
+    // by the delta-energy signature (windowed integer Σx², sign-of-delta
+    // bits): uniformly re-leveled copies collide, the audio analog of
+    // mm6. The twin replays sample values straight from the byte formula,
+    // so an endianness slip, window off-by-one or tail-handling bug
+    // hash-diverges.
+    "mm7_audio_fingerprint" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val n = (id % 50 + 10).toInt
+          val extra = if (id % 4 == 0) 1 else 0
+          val b = new Array[Byte](2 * n + extra)
+          var i = 0
+          while (i < n) {
+            val x = ((id * 7 + i * 13) % 201 - 100).toInt
+            b(2 * i) = (x & 0xff).toByte
+            b(2 * i + 1) = ((x >> 8) & 0xff).toByte
+            i += 1
+          }
+          org.apache.spark.sql.Row(id, b)
+        }
+      }(enc)
+      Multimodal.audioFingerprint(withPayload, "payload")
+        .groupBy("n_windows", "fp")
+        .agg(count(lit(1)).as("n_audios"), min("doc_id").as("rep_id"))
+    }),
+
     // dd19: corpus-level exact-substring dedup at chunk granularity —
     // the shuffle-friendly form of suffix-array substring dedup: every
     // repeated >=k-token span keeps exactly its globally-first
@@ -901,6 +968,22 @@ object TextQueries {
         "lang", 2000L)
         .select("doc_id", "lang", "n_tokens", "shard_id")),
 
+    // q11: shard delivery manifest — per shipped shard the doc count,
+    // token total and an ORDER-INDEPENDENT content digest (XOR of the
+    // per-doc SHA-60s): the receipt a training run checks before
+    // consuming a shard, and XOR makes the digest mergeable across
+    // partial manifests (associative, commutative — the sketch property
+    // again). One grouped pass over t9's packing.
+    "q11_shard_manifest" -> ((s, dir) =>
+      TextAnalysis.packIntoShards(Tables.documents(s, dir), "doc_id", "text",
+          "lang", 2000L)
+        .withColumn("__h", Hashing.sha60(col("text")))
+        .groupBy("lang", "shard_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("shard_tokens"),
+          min("doc_id").as("first_doc"),
+          expr("bit_xor(__h)").as("content_digest"))),
+
     // Token-budget corpus mixing: keep 50% of corpus tokens, split across
     // languages by the target weights, admitting docs in portable SHA
     // order per language (the data-mixture step of corpus assembly).
@@ -1042,6 +1125,27 @@ object TextQueries {
 
       "t26_countmin" ->
         Sketches.countMinShinglesSql("documents", "text", K, topN = 10),
+
+      "t29_hll_overlap" ->
+        Sketches.hllPairwiseOverlapSql("documents", "source", "text", K),
+
+      "t30_novelty" ->
+        s"""WITH tok AS (
+          |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
+          |  FROM documents),
+          |tri AS (
+          |  SELECT doc_id, unnest(${Dedup.shinglesOverTkSql(K)}) AS g FROM tok),
+          |fo AS (SELECT g, min(doc_id) AS first_doc FROM tri GROUP BY 1),
+          |scored AS (
+          |  SELECT t.doc_id, count(*) AS n_shingles,
+          |    CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_novel
+          |  FROM tri t JOIN fo f USING (g) GROUP BY 1)
+          |SELECT d.doc_id,
+          |  coalesce(s.n_shingles, 0) AS n_shingles,
+          |  coalesce(s.n_novel, 0) AS n_novel,
+          |  round(CAST(s.n_novel AS DOUBLE) / s.n_shingles, 6) AS novelty
+          |FROM documents d LEFT JOIN scored s USING (doc_id)""".stripMargin,
 
       "dd20_snapshot_diff" ->
         """WITH a AS (SELECT doc_id, sha256(text) AS sha_a FROM documents),
@@ -1864,6 +1968,27 @@ object TextQueries {
       "t12_mixture" -> TextAnalysis.mixtureSampleSql("doc_id", "text", "lang",
         mixtureWeights, 0.5),
 
+      // q11 twin: t9's single-window packing + grouped manifest with the
+      // XOR content digest.
+      "q11_shard_manifest" ->
+        s"""WITH toks AS (
+          |  SELECT doc_id, lang, text,
+          |    len(list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> ''))
+          |      AS n_tokens
+          |  FROM documents),
+          |packed AS (
+          |  SELECT doc_id, lang, text, n_tokens,
+          |    CAST(floor(coalesce(sum(n_tokens) OVER (PARTITION BY lang
+          |      ORDER BY sha256(CAST(doc_id AS VARCHAR)), doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000)
+          |      AS BIGINT) AS shard_id
+          |  FROM toks)
+          |SELECT lang, shard_id, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+          |  min(doc_id) AS first_doc,
+          |  bit_xor(${Hashing.sha60Sql("text")}) AS content_digest
+          |FROM packed GROUP BY 1, 2""".stripMargin,
+
       "t13_chunks" -> TextAnalysis.chunkDocumentsSql("doc_id", "text", 30, 5),
 
       "dd11_best_rep" ->
@@ -2151,6 +2276,34 @@ object TextQueries {
           |  FROM bits GROUP BY 1)
           |SELECT sig_hi, sig_lo, count(*) AS n_images, min(doc_id) AS rep_id
           |FROM sig GROUP BY 1, 2""".stripMargin,
+
+      // mm7 twin: delta-energy fingerprint replayed from the PCM sample
+      // formula x_i = (doc_id*7 + i*13) % 201 - 100 — integer energies,
+      // lead() comparison, LSB-first bit packing. The fixture's window
+      // count is always >= 2 (n in [10, 59]), so every doc emits a
+      // fingerprint row.
+      "mm7_audio_fingerprint" ->
+        """WITH p AS (
+          |  SELECT doc_id, (doc_id % 50 + 10) // 4 AS nw FROM documents),
+          |s AS (SELECT doc_id, nw, unnest(range(0, 4 * nw)) AS i FROM p),
+          |x AS (
+          |  SELECT doc_id, nw, i // 4 AS w,
+          |    (doc_id * 7 + i * 13) % 201 - 100 AS v
+          |  FROM s),
+          |e AS (
+          |  SELECT doc_id, nw, w, sum(v * v) AS energy FROM x GROUP BY 1, 2, 3),
+          |d AS (
+          |  SELECT doc_id, nw, w, energy,
+          |    lead(energy) OVER (PARTITION BY doc_id ORDER BY w) AS nexte
+          |  FROM e),
+          |f AS (
+          |  SELECT doc_id, nw,
+          |    CAST(coalesce(sum(CASE WHEN nexte > energy
+          |      THEN 1::BIGINT << w ELSE 0 END), 0) AS BIGINT) AS fp
+          |  FROM d WHERE w < nw - 1 GROUP BY 1, 2)
+          |SELECT CAST(nw AS INTEGER) AS n_windows, fp,
+          |  count(*) AS n_audios, min(doc_id) AS rep_id
+          |FROM f GROUP BY 1, 2""".stripMargin,
 
       // mm4 twin: frame slicing arithmetic recomputed from the byte
       // formula byte[i] = (media_id*31 + 7i) % 256 — frameLen is an

@@ -40,6 +40,24 @@ class SketchesSpec extends SparkTestBase {
     assert(e1 == e2)
   }
 
+  test("HLL pairwise overlap: inclusion-exclusion estimates track known truth") {
+    // A = 1..3000, B = 2000..5000 -> |A|=3000 |B|=3001 |A∪B|=5000 |A∩B|=1001
+    val docs = ((1 to 3000).map(i => ("A", s"w$i")) ++
+        (2000 to 5000).map(i => ("B", s"w$i")))
+      .map { case (s, w) => (s, s"$w $w $w") } // >= 3 tokens so k=3 shingles exist
+      .toDF("source", "text")
+    val out = Sketches.hllPairwiseOverlap(docs, "source", "text", k = 3)
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[String]("src_a") == "A" && r.getAs[String]("src_b") == "B")
+    val union = r.getAs[Double]("est_union")
+    val inter = r.getAs[Double]("est_intersect")
+    assert(math.abs(union - 5000.0) / 5000.0 < 0.10, s"union $union")
+    // intersection inherits the union's absolute error: wider tolerance
+    assert(math.abs(inter - 1001.0) < 0.35 * 1001.0, s"intersect $inter")
+  }
+
   test("Count-Min estimates upper-bound exact counts and are exact sans collisions") {
     val docs = (1 to 60)
       .map(i => (i.toLong, (1 to 20).map(j => s"w${(i * j) % 25}").mkString(" ")))

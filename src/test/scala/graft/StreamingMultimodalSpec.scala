@@ -598,6 +598,37 @@ class StreamingMultimodalSpec extends SparkTestBase {
     assert(coll(0) === coll(1), s"engine must collide on seeds $s1/$s2")
   }
 
+  test("multimodal audio fingerprint: parity with hand recompute; volume-invariant; null-safe") {
+    import graft.multimodal.Multimodal
+    def pcm(samples: Seq[Int]): Array[Byte] = {
+      val b = new Array[Byte](2 * samples.size)
+      samples.zipWithIndex.foreach { case (x, i) =>
+        b(2 * i) = (x & 0xff).toByte
+        b(2 * i + 1) = ((x >> 8) & 0xff).toByte
+      }
+      b
+    }
+    // 12 samples -> 3 windows; energies 4*1, 4*100, 4*25 -> bits: e1>e0 (1),
+    // e2>e1 (0) -> fp = 0b01 = 1
+    val base = Seq(1, -1, 1, -1, 10, -10, 10, -10, 5, -5, 5, -5)
+    val media = Seq(
+      (1L, pcm(base)),
+      (2L, pcm(base.map(_ * 3))), // uniformly re-leveled copy
+      (3L, null.asInstanceOf[Array[Byte]]),
+      (4L, pcm(Seq(7, 8, 9)))) // < one window
+      .toDF("media_id", "payload")
+    val out = Multimodal.audioFingerprint(media, "payload")
+      .orderBy("media_id").collect()
+    assert(out(0).getAs[Int]("n_windows") === 3)
+    assert(out(0).getAs[Long]("fp") === 1L)
+    // volume scaling multiplies every energy by 9: identical delta signs
+    assert(out(1).getAs[Int]("n_windows") === 3)
+    assert(out(1).getAs[Long]("fp") === out(0).getAs[Long]("fp"))
+    assert(out(2).isNullAt(out(2).fieldIndex("fp")))
+    assert(out(3).isNullAt(out(3).fieldIndex("fp")),
+      "sub-window payload must yield null, not a zero-window fingerprint")
+  }
+
   test("streaming funnel: pure state machine — order, window, dedupe, completion") {
     import StreamingDaily.{funnelStep, FunnelEvent, FunnelState}
     val steps = Seq("view", "click", "buy")
