@@ -103,12 +103,24 @@ object Sketches {
                           textCol: String, k: Int): DataFrame = {
     val sh = docs.select(col(sourceCol).as("grp"),
         explode(Dedup.shingles(col(textCol), k)).as("g"))
-    val regsSrc = hllRegisters(sh, "grp", "g")
+    // ONE distinct pass feeds the registers AND both exact audits:
+    // registers only need the distinct value set (max rho over
+    // duplicates is unchanged) and exact counts ARE distinct counts.
+    // The distinct frame is MATERIALIZED once (checkpoint): its three
+    // consumers aggregate differently, so after the distinct-rewrite
+    // passes their subtrees no longer canonicalize equal and
+    // ReuseExchange alone would re-explode the corpus per consumer
+    // (measured 4 scan branches). Size is the Heaps-bounded distinct
+    // shingle set — the same set the exact-audit columns this query
+    // carries by design must touch anyway; the audit-free scale path is
+    // the registers alone (t29's shape).
+    val d = sh.distinct().localCheckpoint()
+    val regsSrc = hllRegisters(d, "grp", "g")
     val regsAll = regsSrc.groupBy("bucket").agg(max("m_reg").as("m_reg"))
       .select(lit("ALL").as("grp"), col("bucket"), col("m_reg"))
     val est = hllEstimate(regsSrc.unionByName(regsAll))
-    val exactSrc = sh.groupBy("grp").agg(countDistinct("g").as("n_exact"))
-    val exactAll = sh.agg(countDistinct("g").as("n_exact"))
+    val exactSrc = d.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+    val exactAll = d.select("g").distinct().agg(count(lit(1)).as("n_exact"))
       .select(lit("ALL").as("grp"), col("n_exact"))
     est.join(exactSrc.unionByName(exactAll), Seq("grp"))
       .select(col("grp").as("source"), col("n_exact"), col("n_buckets_used"),
@@ -184,7 +196,12 @@ object Sketches {
                          textCol: String, k: Int): DataFrame = {
     val sh = docs.select(col(sourceCol).as("grp"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
-    val regs = hllRegisters(sh, "grp", "g")
+    // distinct first (registers are set-semantics), then MATERIALIZE the
+    // register table: it is consumed by the single-source estimates and
+    // both sides of the pair expansion, and it is fixed-size
+    // (sources × m rows) — exactly what a sketch is for. Everything
+    // downstream of this checkpoint is corpus-independent.
+    val regs = hllRegisters(sh.distinct(), "grp", "g").localCheckpoint()
     val single = hllEstimate(regs)
       .select(col("grp"), col("hll_estimate"))
     val srcs = regs.select(col("grp")).distinct()
@@ -302,9 +319,14 @@ object Sketches {
     * count by construction (SketchesSpec pins est >= exact). */
   def countMinShingles(docs: DataFrame, textCol: String, k: Int,
                        topN: Int): DataFrame = {
+    // the vocab-bounded count table is consumed by BOTH the sketch build
+    // and the probe ranking — materialize it once (the dd8 checkpoint
+    // contract; Bench's per-run unpersist reclaims the blocks) instead
+    // of re-exploding the corpus per consumer
     val counts = docs
       .select(explode(Dedup.shingles(col(textCol), k)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val cells = counts
       .select(col("cnt"),
         explode(array((0 until CmDepth).map(i =>
