@@ -205,9 +205,13 @@ object Sketches {
     val single = hllEstimate(regs)
       .select(col("grp"), col("hll_estimate"))
     val srcs = regs.select(col("grp")).distinct()
+    // sources² pair dimension (t19's bounded-dimension pattern) —
+    // checkpointed since three consumers reference it and the build is
+    // the one non-equi join in the plan
     val pairDim = srcs.select(col("grp").as("src_a"))
       .crossJoin(srcs.select(col("grp").as("src_b")))
       .filter(col("src_a") < col("src_b"))
+      .localCheckpoint()
     val pairRegs = regs.join(broadcast(pairDim), col("grp") === col("src_a"))
       .select(col("src_a"), col("src_b"), col("bucket"), col("m_reg"))
       .unionByName(

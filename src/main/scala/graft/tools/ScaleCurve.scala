@@ -70,7 +70,9 @@ object ScaleCurve {
     "t27_langid_confusion", "t28_dsir_sample", "dd20_snapshot_diff",
     "sim10_centroid_drift", "mm6_image_ahash",
     "d7_page_hinkley", "e12_time_to_convert", "m16_avg_precision",
-    "m17_slice_metrics")
+    "m17_slice_metrics",
+    "t29_hll_overlap", "t30_novelty", "q11_shard_manifest",
+    "mm7_audio_fingerprint", "m18_score_ks", "e13_new_users")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -107,7 +109,9 @@ object ScaleCurve {
     // shapes whose 100-TB claims deserve the second decade (mm6 and the
     // events family stay first-decade: codec-bound / events-sized)
     "t24_bigram_lm", "t25_hll_diversity", "t26_countmin",
-    "t28_dsir_sample", "dd20_snapshot_diff", "sim10_centroid_drift")
+    "t28_dsir_sample", "dd20_snapshot_diff", "sim10_centroid_drift",
+    "t29_hll_overlap", "t30_novelty", "q11_shard_manifest",
+    "mm7_audio_fingerprint")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 
