@@ -311,6 +311,12 @@ object Sketches {
   private def cmCol(i: Int, g: Column): Column =
     pmod(Hashing.sha28(concat(lit(s"cm$i|"), g)), lit(CmWidth.toLong))
 
+  /** The depth (row, col) cells one value hashes into — shared by the
+    * batch build, the probe side, and the streaming variant. */
+  def cmCellsOf(value: Column): Column =
+    array((0 until CmDepth).map(i =>
+      struct(lit(i).as("row_i"), cmCol(i, value).as("col_i"))): _*)
+
   private def cmColSql(i: Int, gExpr: String): String =
     s"${Hashing.sha28Sql(s"'cm$i|' || $gExpr")} % $CmWidth"
 
@@ -332,10 +338,7 @@ object Sketches {
       .groupBy("g").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
     val cells = counts
-      .select(col("cnt"),
-        explode(array((0 until CmDepth).map(i =>
-          struct(lit(i).as("row_i"), cmCol(i, col("g")).as("col_i"))): _*))
-          .as("rc"))
+      .select(col("cnt"), explode(cmCellsOf(col("g"))).as("rc"))
       .groupBy(col("rc.row_i").as("row_i"), col("rc.col_i").as("col_i"))
       .agg(sum("cnt").as("cell"))
     // probe set: exact top-N shingles (count desc, shingle asc) — a
@@ -343,10 +346,7 @@ object Sketches {
     val probes = counts
       .orderBy(col("cnt").desc, col("g")).limit(topN)
     val est = probes
-      .select(col("g"), col("cnt"),
-        explode(array((0 until CmDepth).map(i =>
-          struct(lit(i).as("row_i"), cmCol(i, col("g")).as("col_i"))): _*))
-          .as("rc"))
+      .select(col("g"), col("cnt"), explode(cmCellsOf(col("g"))).as("rc"))
       .select(col("g"), col("cnt"), col("rc.row_i"), col("rc.col_i"))
       .join(broadcast(cells), Seq("row_i", "col_i"))
       .groupBy("g", "cnt").agg(min("cell").as("cm_estimate"))

@@ -126,6 +126,28 @@ object StreamingDaily {
         col("m_reg"))
   }
 
+  /** Frequency-sketch-on-a-stream: the Count-Min cell table of
+    * [[graft.operators.Sketches]] as ONE watermarked windowed count
+    * aggregation — CM is linear, so micro-batch folding (sum) IS the
+    * sketch merge, mirroring [[streamingHllRegisters]]'s max. State per
+    * open window is bounded at depth × width cells regardless of stream
+    * volume; spec pins the final table equal to the batch build. */
+  def streamingCountMinCells(events: DataFrame, tsCol: String,
+                             valueCol: String,
+                             windowDur: String = "1 day",
+                             watermark: String = "1 day"): DataFrame = {
+    import graft.operators.Sketches
+    events
+      .withWatermark(tsCol, watermark)
+      .select(col(tsCol),
+        explode(Sketches.cmCellsOf(col(valueCol))).as("rc"))
+      .groupBy(window(col(tsCol), windowDur).as("w"),
+        col("rc.row_i").as("row_i"), col("rc.col_i").as("col_i"))
+      .agg(count(lit(1)).as("cell"))
+      .select(col("w.start").cast("date").as("date"), col("row_i"),
+        col("col_i"), col("cell"))
+  }
+
   /** Corpus NEAR-dup dedup on a stream — the stream-safe approximation:
     * documents collapsing to the same `bits`-bit SimHash signature
     * (near-identical token multisets — reordered/lightly-edited

@@ -100,6 +100,34 @@ class StreamingMultimodalSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming Count-Min: cell table equals the batch sketch build") {
+    import graft.operators.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String)]
+    val df = input.toDF().toDF("ts", "term")
+    val cells = StreamingDaily.streamingCountMinCells(df, "ts", "term")
+    val q = cells.writeStream.outputMode("complete")
+      .format("memory").queryName("cm_cells").start()
+    try {
+      input.addData((1 to 300).map(i => (ts("2024-01-01 08:00:00"), s"w${i % 40}")))
+      q.processAllAvailable()
+      input.addData((1 to 200).map(i => (ts("2024-01-01 14:00:00"), s"w${i % 25}")))
+      q.processAllAvailable()
+      val stream = spark.sql(
+        "SELECT row_i, col_i, cell FROM cm_cells ORDER BY row_i, col_i").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // batch cells over the union stream: explode each occurrence
+      val batch = ((1 to 300).map(i => s"w${i % 40}") ++
+          (1 to 200).map(i => s"w${i % 25}")).toDF("term")
+        .select(explode(Sketches.cmCellsOf(col("term"))).as("rc"))
+        .groupBy(col("rc.row_i").as("row_i"), col("rc.col_i").as("col_i"))
+        .agg(count(lit(1)).as("cell"))
+        .orderBy("row_i", "col_i").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      assert(stream.toSeq === batch.toSeq)
+    } finally q.stop()
+  }
+
   test("streaming D5: per-window PSI against a fixed reference, hand-computed") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Double)]
