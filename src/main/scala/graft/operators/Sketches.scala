@@ -101,7 +101,12 @@ object Sketches {
     * you would drop them; they are the quantity the sketch replaces). */
   def hllShingleDiversity(docs: DataFrame, sourceCol: String,
                           textCol: String, k: Int): DataFrame = {
-    val sh = docs.select(col(sourceCol).as("grp"),
+    // round-robin spread: the driver testdata parquet is a single row
+    // group, so without this the shingle+hash pass runs as ONE task
+    // (the minhashSignature pattern)
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(sourceCol).as("grp"),
         explode(Dedup.shingles(col(textCol), k)).as("g"))
     // ONE distinct pass feeds the registers AND both exact audits:
     // registers only need the distinct value set (max rho over
@@ -194,7 +199,12 @@ object Sketches {
     * error). */
   def hllPairwiseOverlap(docs: DataFrame, sourceCol: String,
                          textCol: String, k: Int): DataFrame = {
-    val sh = docs.select(col(sourceCol).as("grp"),
+    // round-robin spread: the driver testdata parquet is a single row
+    // group, so without this the shingle+hash pass runs as ONE task
+    // (the minhashSignature pattern)
+    val sh = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(sourceCol).as("grp"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
     // distinct first (registers are set-semantics), then MATERIALIZE the
     // register table: it is consumed by the single-source estimates and
@@ -334,6 +344,7 @@ object Sketches {
     // contract; Bench's per-run unpersist reclaims the blocks) instead
     // of re-exploding the corpus per consumer
     val counts = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(explode(Dedup.shingles(col(textCol), k)).as("g"))
       .groupBy("g").agg(count(lit(1)).as("cnt"))
       .localCheckpoint()
