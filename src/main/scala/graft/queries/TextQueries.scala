@@ -316,6 +316,14 @@ object TextQueries {
         .select(col("vec_id"), col("cell"), col("cell_dist"))
     }),
 
+    // sim11: Johnson–Lindenstrauss ±1 random projection (64→16) — the
+    // embedding-compression step ahead of ANN: 4× fewer floats through
+    // every downstream candidate join, pure per-row arithmetic, with the
+    // JL norm-preservation ratio as the built-in audit column.
+    "sim11_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir), "vec_id",
+        "embedding", dIn = 64, dOut = 16)),
+
     // sim10: IVF index-health drift — the recluster trigger of a served
     // ANN index: assign the historical population and the new ingest
     // batch (vec_id%5=0) to the STORED cells (sim5's zero-shuffle literal
@@ -1703,6 +1711,8 @@ object TextQueries {
           |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
           |  FROM scored)
           |SELECT vec_id, cell, d AS cell_dist FROM ranked WHERE rn = 1""".stripMargin,
+
+      "sim11_random_projection" -> Similarity.randomProjectSql(64, 16),
 
       // sim10 twin: sim5's argmin CTE chain + per-cell aggregation split
       // by the batch predicate.

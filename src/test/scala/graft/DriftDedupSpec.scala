@@ -293,6 +293,23 @@ class DriftDedupSpec extends SparkTestBase {
       assert(math.abs(a.getDouble(3) - b.getDouble(3)) < 1e-6) }
   }
 
+  test("sim11: JL projection preserves norms in expectation; malformed vectors filtered") {
+    import graft.operators.Similarity
+    val vecs = (1 to 200).map(i =>
+        (i.toLong, Array.tabulate(64)(d => ((i * 31 + d * 7) % 19 - 9).toFloat)))
+      .toDF("vec_id", "embedding")
+    val short = Seq((9999L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(vecs.unionByName(short), "vec_id",
+      "embedding", 64, 16)
+    val rows = out.collect()
+    assert(rows.length === 200, "wrong-length vector must be filtered")
+    val ratios = rows.map(_.getAs[Double]("norm_ratio"))
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.2, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r > 0.1 && r < 4.0),
+      s"ratio outside the JL band: ${ratios.min} .. ${ratios.max}")
+  }
+
   test("t22: pagerank centrality — hub outranks leaves, mass conserved, empty graph") {
     // star 0—{1..5} plus the disjoint pair 6—7
     val pairs = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (6L, 7L))
