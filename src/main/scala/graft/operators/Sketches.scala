@@ -61,11 +61,23 @@ object Sketches {
     * the W-bit hash suffix + 1 = W + 1 - bitlen(w); length(bin(w)) is
     * the exact integer bitlen in both engines (no float log2 whose
     * boundary rounding could diverge). */
-  def registerCols(value: Column): (Column, Column) = {
-    val h = Hashing.sha60(value)
+  def registerCols(value: Column): (Column, Column) =
+    registerColsFromHash(Hashing.sha60(value))
+
+  /** [[registerCols]] over an ALREADY-computed 60-bit hash column — the
+    * shape used when the hash is taken upstream so heavier stages
+    * (distinct, shuffle) move longs instead of strings. */
+  def registerColsFromHash(h: Column): (Column, Column) = {
     val w = shiftright(h, P)
     (pmod(h, lit(M.toLong)),
       when(w === 0, lit(W + 1)).otherwise(lit(W + 1) - length(bin(w))))
+  }
+
+  /** Register table from a (grp, h) frame of 60-bit hashes. */
+  def hllRegistersFromHash(df: DataFrame): DataFrame = {
+    val (bucket, rho) = registerColsFromHash(col("h"))
+    df.select(col("grp"), bucket.as("bucket"), rho.as("rho"))
+      .groupBy("grp", "bucket").agg(max("rho").as("m_reg"))
   }
 
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
@@ -108,24 +120,26 @@ object Sketches {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(sourceCol).as("grp"),
         explode(Dedup.shingles(col(textCol), k)).as("g"))
-    // ONE distinct pass feeds the registers AND both exact audits:
-    // registers only need the distinct value set (max rho over
-    // duplicates is unchanged) and exact counts ARE distinct counts.
-    // The distinct frame is MATERIALIZED once (checkpoint): its three
-    // consumers aggregate differently, so after the distinct-rewrite
-    // passes their subtrees no longer canonicalize equal and
-    // ReuseExchange alone would re-explode the corpus per consumer
-    // (measured 4 scan branches). Size is the Heaps-bounded distinct
-    // shingle set — the same set the exact-audit columns this query
-    // carries by design must touch anyway; the audit-free scale path is
-    // the registers alone (t29's shape).
-    val d = sh.distinct().localCheckpoint()
-    val regsSrc = hllRegisters(d, "grp", "g")
+    // Hash FIRST, then distinct: the map side reduces each shingle
+    // string to its 60-bit fingerprint before anything shuffles, so the
+    // distinct exchange — the measured dominant cost at depth — moves 8
+    // bytes per row instead of shingle strings. Registers and the HLL
+    // estimate are functions of the hash anyway; the exact-audit columns
+    // are therefore defined as EXACT DISTINCT FINGERPRINT counts
+    // (collision probability ~n²/2^61 — negligible, and identical in
+    // both engines by construction). The distinct frame is MATERIALIZED
+    // once (checkpoint): its three consumers aggregate differently, so
+    // after the distinct-rewrite passes their subtrees no longer
+    // canonicalize equal and ReuseExchange alone would re-explode the
+    // corpus per consumer (measured 4 scan branches).
+    val d = sh.select(col("grp"), Hashing.sha60(col("g")).as("h"))
+      .distinct().localCheckpoint()
+    val regsSrc = hllRegistersFromHash(d)
     val regsAll = regsSrc.groupBy("bucket").agg(max("m_reg").as("m_reg"))
       .select(lit("ALL").as("grp"), col("bucket"), col("m_reg"))
     val est = hllEstimate(regsSrc.unionByName(regsAll))
     val exactSrc = d.groupBy("grp").agg(count(lit(1)).as("n_exact"))
-    val exactAll = d.select("g").distinct().agg(count(lit(1)).as("n_exact"))
+    val exactAll = d.select("h").distinct().agg(count(lit(1)).as("n_exact"))
       .select(lit("ALL").as("grp"), col("n_exact"))
     est.join(exactSrc.unionByName(exactAll), Seq("grp"))
       .select(col("grp").as("source"), col("n_exact"), col("n_buckets_used"),
@@ -144,9 +158,8 @@ object Sketches {
        |  FROM $docsRel),
        |sh AS (
        |  SELECT grp, unnest(${Dedup.shinglesOverTkSql(k)}) AS g FROM tok),
-       |rr AS (
-       |  SELECT grp, h % $M AS bucket, h >> $P AS w
-       |  FROM (SELECT grp, $h AS h FROM sh)),
+       |dh AS (SELECT DISTINCT grp, $h AS h FROM sh),
+       |rr AS (SELECT grp, h % $M AS bucket, h >> $P AS w FROM dh),
        |rho AS (
        |  SELECT grp, bucket,
        |    CASE WHEN w = 0 THEN ${W + 1} ELSE ${W + 1} - length(bin(w)) END AS rho
@@ -175,9 +188,9 @@ object Sketches {
        |      ELSE raw END, 6) AS hll_estimate
        |  FROM est3),
        |ex AS (
-       |  SELECT grp, CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM sh GROUP BY 1
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM dh GROUP BY 1
        |  UNION ALL
-       |  SELECT 'ALL' AS grp, CAST(count(DISTINCT g) AS BIGINT) AS n_exact FROM sh),
+       |  SELECT 'ALL' AS grp, CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM dh),
        |j AS (
        |  SELECT e.grp AS source, x.n_exact, e.n_buckets_used, e.hll_estimate,
        |    round(abs(e.hll_estimate - CAST(x.n_exact AS DOUBLE)) / x.n_exact, 6)
@@ -206,12 +219,14 @@ object Sketches {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(sourceCol).as("grp"),
       explode(Dedup.shingles(col(textCol), k)).as("g"))
-    // distinct first (registers are set-semantics), then MATERIALIZE the
-    // register table: it is consumed by the single-source estimates and
-    // both sides of the pair expansion, and it is fixed-size
+    // hash-then-distinct (the t25 shuffle argument), then MATERIALIZE
+    // the register table: it is consumed by the single-source estimates
+    // and both sides of the pair expansion, and it is fixed-size
     // (sources × m rows) — exactly what a sketch is for. Everything
     // downstream of this checkpoint is corpus-independent.
-    val regs = hllRegisters(sh.distinct(), "grp", "g").localCheckpoint()
+    val regs = hllRegistersFromHash(
+      sh.select(col("grp"), Hashing.sha60(col("g")).as("h")).distinct())
+      .localCheckpoint()
     val single = hllEstimate(regs)
       .select(col("grp"), col("hll_estimate"))
     val srcs = regs.select(col("grp")).distinct()
