@@ -403,9 +403,14 @@ object Multimodal {
             energy(w) = s
             w += 1
           }
+          // the signature carries the FIRST 63 delta bits — bit 63 stays
+          // clear so the BIGINT never goes negative, and k >= 64 would
+          // alias onto low bits via JVM shift masking (and overflow in
+          // engines that check); long clips truncate, never wrap
           var fp = 0L
           var k = 0
-          while (k < nW - 1) {
+          val kMax = math.min(nW - 1, 63)
+          while (k < kMax) {
             if (energy(k + 1) > energy(k)) fp |= 1L << k
             k += 1
           }

@@ -52,6 +52,8 @@ object Similarity {
     * vectors are filtered (they can never project). */
   def randomProject(vecs: DataFrame, idCol: String, vecCol: String,
                     dIn: Int, dOut: Int): DataFrame = {
+    require(dOut >= 4, s"randomProject: emits components y0..y3, dOut $dOut < 4")
+    require(dIn >= dOut, s"randomProject: dIn $dIn < dOut $dOut (not a reduction)")
     val signs = randomProjectionSigns(dIn, dOut)
     val scale = math.sqrt(dOut.toDouble)
     val e = col(vecCol)
@@ -66,6 +68,7 @@ object Similarity {
 
   /** DuckDB twin of [[randomProject]] over `embeddings`. */
   def randomProjectSql(dIn: Int, dOut: Int): String = {
+    require(dOut >= 4, s"randomProjectSql: selects y0..y3, dOut $dOut < 4")
     val signs = randomProjectionSigns(dIn, dOut)
     val scale = math.sqrt(dOut.toDouble)
     def lst(j: Int) = signs(j).map(s => if (s > 0) "1.0" else "-1.0")

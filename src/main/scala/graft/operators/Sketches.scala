@@ -51,11 +51,6 @@ object Sketches {
     0.7213 / (1.0 + 1.079 / M.toDouble) * M.toDouble * M.toDouble * Scale.toDouble
   private val rawNumeratorLit: String = f"$RawNumerator%.17e"
 
-  /** HyperLogLog register table for the values of `valueCol` within each
-    * group: (group, bucket, m_reg) with m_reg = max rho. This is the
-    * mergeable form — registers for a union of groups are the per-bucket
-    * MAX of the groups' registers, which [[hllEstimate]] exploits and
-    * SketchesSpec pins. */
   /** (bucket, rho) register coordinates of one value — the shared core
     * of the batch and streaming register builds. rho = leading zeros of
     * the W-bit hash suffix + 1 = W + 1 - bitlen(w); length(bin(w)) is
@@ -80,6 +75,11 @@ object Sketches {
       .groupBy("grp", "bucket").agg(max("rho").as("m_reg"))
   }
 
+  /** HyperLogLog register table for the values of `valueCol` within each
+    * group: (group, bucket, m_reg) with m_reg = max rho. This is the
+    * mergeable form — registers for a union of groups are the per-bucket
+    * MAX of the groups' registers, which [[hllEstimate]] exploits and
+    * SketchesSpec pins. */
   def hllRegisters(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
     val (bucket, rho) = registerCols(col(valueCol))
     df.select(col(groupCol).as("grp"), bucket.as("bucket"), rho.as("rho"))
@@ -92,7 +92,14 @@ object Sketches {
     * counting) correction per the HLL paper; no large-range correction
     * is needed at a 60-bit hash domain. */
   def hllEstimate(regs: DataFrame): DataFrame =
-    regs.groupBy("grp")
+    hllEstimateBy(regs, Seq("grp"))
+
+  /** [[hllEstimate]] over an arbitrary composite group key — used by the
+    * pairwise overlap so pair identities stay structural columns instead
+    * of an in-band concatenated string (which a '|' inside a source name
+    * would corrupt). */
+  def hllEstimateBy(regs: DataFrame, groupCols: Seq[String]): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n_buckets_used"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${W + 1} - m_reg)")).as("s_used"))
       .withColumn("zeros", lit(M.toLong) - col("n_buckets_used"))
@@ -103,49 +110,64 @@ object Sketches {
         round(when(col("raw") <= lit(2.5 * M) && col("zeros") > 0,
             lit(M.toDouble) * log(lit(M.toDouble) / col("zeros").cast("double")))
           .otherwise(col("raw")), 6))
-      .select(col("grp"), col("n_buckets_used"), col("hll_estimate"))
+      .select((groupCols.map(col) ++
+        Seq(col("n_buckets_used"), col("hll_estimate"))): _*)
+
+  /** The shared HLL preamble — ONE spread + shingle + hash + distinct
+    * pass yielding the per-group distinct 60-bit fingerprints,
+    * MATERIALIZED (checkpoint):
+    *  - round-robin spread first: the driver testdata parquet is a
+    *    single row group, so without it the shingle+hash pass runs as
+    *    ONE task (the minhashSignature pattern);
+    *  - hash BEFORE distinct: the map side reduces each shingle string
+    *    to its fingerprint before anything shuffles, so the distinct
+    *    exchange moves 8 bytes per row instead of shingle strings;
+    *    registers are functions of the hash, and the exact-audit
+    *    columns are defined as exact distinct-FINGERPRINT counts
+    *    (collision probability ~n²/2^61 — negligible, identical in
+    *    both engines by construction);
+    *  - checkpoint: the consumers aggregate differently, so after the
+    *    distinct-rewrite passes their subtrees no longer canonicalize
+    *    equal and ReuseExchange alone would re-explode the corpus per
+    *    consumer (measured 4 scan branches). */
+  private def distinctShingleHashes(docs: DataFrame, sourceCol: String,
+                                    textCol: String, k: Int): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col(sourceCol).as("grp"),
+        explode(Dedup.shingles(col(textCol), k)).as("g"))
+      .select(col("grp"), Hashing.sha60(col("g")).as("h"))
+      .distinct().localCheckpoint()
 
   /** Per-source distinct k-shingle diversity via HLL, plus the merged
     * "ALL" row computed by register-max merge of the per-source register
     * tables (NOT by re-scanning the corpus) — the sketch property that
     * makes corpus-wide distinct counts a fixed-size reduce at 100 TB.
-    * The exact distinct counts ride along as the audit column (at scale
-    * you would drop them; they are the quantity the sketch replaces). */
+    * The exact distinct-fingerprint counts ride along as the audit
+    * column (at scale you would drop them; they are the quantity the
+    * sketch replaces). "ALL" is a display label in the output, never a
+    * join key. */
   def hllShingleDiversity(docs: DataFrame, sourceCol: String,
                           textCol: String, k: Int): DataFrame = {
-    // round-robin spread: the driver testdata parquet is a single row
-    // group, so without this the shingle+hash pass runs as ONE task
-    // (the minhashSignature pattern)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(sourceCol).as("grp"),
-        explode(Dedup.shingles(col(textCol), k)).as("g"))
-    // Hash FIRST, then distinct: the map side reduces each shingle
-    // string to its 60-bit fingerprint before anything shuffles, so the
-    // distinct exchange — the measured dominant cost at depth — moves 8
-    // bytes per row instead of shingle strings. Registers and the HLL
-    // estimate are functions of the hash anyway; the exact-audit columns
-    // are therefore defined as EXACT DISTINCT FINGERPRINT counts
-    // (collision probability ~n²/2^61 — negligible, and identical in
-    // both engines by construction). The distinct frame is MATERIALIZED
-    // once (checkpoint): its three consumers aggregate differently, so
-    // after the distinct-rewrite passes their subtrees no longer
-    // canonicalize equal and ReuseExchange alone would re-explode the
-    // corpus per consumer (measured 4 scan branches).
-    val d = sh.select(col("grp"), Hashing.sha60(col("g")).as("h"))
-      .distinct().localCheckpoint()
+    val d = distinctShingleHashes(docs, sourceCol, textCol, k)
     val regsSrc = hllRegistersFromHash(d)
-    val regsAll = regsSrc.groupBy("bucket").agg(max("m_reg").as("m_reg"))
-      .select(lit("ALL").as("grp"), col("bucket"), col("m_reg"))
-    val est = hllEstimate(regsSrc.unionByName(regsAll))
-    val exactSrc = d.groupBy("grp").agg(count(lit(1)).as("n_exact"))
-    val exactAll = d.select("h").distinct().agg(count(lit(1)).as("n_exact"))
-      .select(lit("ALL").as("grp"), col("n_exact"))
-    est.join(exactSrc.unionByName(exactAll), Seq("grp"))
-      .select(col("grp").as("source"), col("n_exact"), col("n_buckets_used"),
+    // the merged row is assembled from two 1-row frames and UNIONED into
+    // the result — "ALL" is a display label only, never a join key, so a
+    // real source named "ALL" cannot cross-contaminate the join
+    def shape(rows: DataFrame): DataFrame = rows
+      .select(col("source"), col("n_exact"), col("n_buckets_used"),
         col("hll_estimate"),
         round(abs(col("hll_estimate") - col("n_exact").cast("double")) /
           col("n_exact"), 6).as("rel_error"))
+    val exactSrc = d.groupBy("grp").agg(count(lit(1)).as("n_exact"))
+    val srcRows = shape(hllEstimate(regsSrc).join(exactSrc, Seq("grp"))
+      .withColumnRenamed("grp", "source"))
+    val estAll = hllEstimateBy(
+      regsSrc.groupBy("bucket").agg(max("m_reg").as("m_reg")), Seq.empty)
+    val exactAll = d.select("h").distinct().agg(count(lit(1)).as("n_exact"))
+    val allRow = shape(estAll.crossJoin(exactAll)
+      .withColumn("source", lit("ALL")))
+    srcRows.unionByName(allRow)
   }
 
   /** DuckDB twin of [[hllShingleDiversity]]. */
@@ -165,38 +187,34 @@ object Sketches {
        |    CASE WHEN w = 0 THEN ${W + 1} ELSE ${W + 1} - length(bin(w)) END AS rho
        |  FROM rr),
        |regs_src AS (SELECT grp, bucket, max(rho) AS m_reg FROM rho GROUP BY 1, 2),
-       |regs AS (
-       |  SELECT * FROM regs_src
-       |  UNION ALL
-       |  SELECT 'ALL' AS grp, bucket, max(m_reg) AS m_reg FROM regs_src GROUP BY 2),
-       |est AS (
+       |est_src_raw AS (
        |  SELECT grp, CAST(count(*) AS BIGINT) AS n_buckets_used,
        |    CAST(sum(1::BIGINT << (${W + 1} - m_reg)) AS BIGINT) AS s_used
-       |  FROM regs GROUP BY 1),
-       |est2 AS (
-       |  SELECT grp, n_buckets_used, $M - n_buckets_used AS zeros,
-       |    s_used + ($M - n_buckets_used) * ${Scale}::BIGINT AS s_total
-       |  FROM est),
-       |est3 AS (
-       |  SELECT grp, n_buckets_used, zeros,
-       |    CAST($rawNumeratorLit AS DOUBLE) / CAST(s_total AS DOUBLE) AS raw
-       |  FROM est2),
-       |est4 AS (
+       |  FROM regs_src GROUP BY 1),
+       |est_all_raw AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_buckets_used,
+       |    CAST(sum(1::BIGINT << (${W + 1} - m_reg)) AS BIGINT) AS s_used
+       |  FROM (SELECT bucket, max(m_reg) AS m_reg FROM regs_src GROUP BY 1)),
+       |est_src AS (
        |  SELECT grp, n_buckets_used,
-       |    round(CASE WHEN raw <= ${2.5 * M} AND zeros > 0
-       |      THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
-       |      ELSE raw END, 6) AS hll_estimate
-       |  FROM est3),
-       |ex AS (
-       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM dh GROUP BY 1
-       |  UNION ALL
-       |  SELECT 'ALL' AS grp, CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM dh),
-       |j AS (
-       |  SELECT e.grp AS source, x.n_exact, e.n_buckets_used, e.hll_estimate,
-       |    round(abs(e.hll_estimate - CAST(x.n_exact AS DOUBLE)) / x.n_exact, 6)
-       |      AS rel_error
-       |  FROM est4 e JOIN ex x ON e.grp = x.grp)
-       |SELECT * FROM j""".stripMargin
+       |    ${estFinishSql(s"($M - n_buckets_used)")}
+       |  FROM est_src_raw),
+       |est_all AS (
+       |  SELECT n_buckets_used,
+       |    ${estFinishSql(s"($M - n_buckets_used)")}
+       |  FROM est_all_raw),
+       |ex_src AS (
+       |  SELECT grp, CAST(count(*) AS BIGINT) AS n_exact FROM dh GROUP BY 1),
+       |ex_all AS (SELECT CAST(count(DISTINCT h) AS BIGINT) AS n_exact FROM dh)
+       |SELECT e.grp AS source, x.n_exact, e.n_buckets_used, e.hll_estimate,
+       |  round(abs(e.hll_estimate - CAST(x.n_exact AS DOUBLE)) / x.n_exact, 6)
+       |    AS rel_error
+       |FROM est_src e JOIN ex_src x ON e.grp = x.grp
+       |UNION ALL
+       |SELECT 'ALL' AS source, x.n_exact, e.n_buckets_used, e.hll_estimate,
+       |  round(abs(e.hll_estimate - CAST(x.n_exact AS DOUBLE)) / x.n_exact, 6)
+       |    AS rel_error
+       |FROM est_all e CROSS JOIN ex_all x""".stripMargin
   }
 
   /** Pairwise source-overlap estimates from the per-source HLL registers
@@ -212,20 +230,13 @@ object Sketches {
     * error). */
   def hllPairwiseOverlap(docs: DataFrame, sourceCol: String,
                          textCol: String, k: Int): DataFrame = {
-    // round-robin spread: the driver testdata parquet is a single row
-    // group, so without this the shingle+hash pass runs as ONE task
-    // (the minhashSignature pattern)
-    val sh = docs
-      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .select(col(sourceCol).as("grp"),
-      explode(Dedup.shingles(col(textCol), k)).as("g"))
-    // hash-then-distinct (the t25 shuffle argument), then MATERIALIZE
-    // the register table: it is consumed by the single-source estimates
-    // and both sides of the pair expansion, and it is fixed-size
-    // (sources × m rows) — exactly what a sketch is for. Everything
-    // downstream of this checkpoint is corpus-independent.
+    // shared preamble, then MATERIALIZE the register table: it is
+    // consumed by the single-source estimates and both sides of the
+    // pair expansion, and it is fixed-size (sources × m rows) — exactly
+    // what a sketch is for. Everything downstream of this checkpoint is
+    // corpus-independent.
     val regs = hllRegistersFromHash(
-      sh.select(col("grp"), Hashing.sha60(col("g")).as("h")).distinct())
+        distinctShingleHashes(docs, sourceCol, textCol, k))
       .localCheckpoint()
     val single = hllEstimate(regs)
       .select(col("grp"), col("hll_estimate"))
@@ -242,25 +253,38 @@ object Sketches {
       .unionByName(
         regs.join(broadcast(pairDim), col("grp") === col("src_b"))
           .select(col("src_a"), col("src_b"), col("bucket"), col("m_reg")))
-    val unionEst = hllEstimate(
-        pairRegs.select(concat(col("src_a"), lit("|"), col("src_b")).as("grp"),
-          col("bucket"), col("m_reg"))
-          .groupBy("grp", "bucket").agg(max("m_reg").as("m_reg")))
-      .select(col("grp"), col("hll_estimate").as("est_union"))
+    // pair identities stay structural (src_a, src_b) columns end to end —
+    // no concatenated key that a delimiter inside a source name could
+    // corrupt
+    val unionEst = hllEstimateBy(
+        pairRegs.groupBy("src_a", "src_b", "bucket")
+          .agg(max("m_reg").as("m_reg")),
+        Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"), col("hll_estimate").as("est_union"))
     pairDim
       .join(single.select(col("grp").as("src_a"), col("hll_estimate").as("est_a")),
         Seq("src_a"))
       .join(single.select(col("grp").as("src_b"), col("hll_estimate").as("est_b")),
         Seq("src_b"))
-      .join(unionEst.withColumn("src_a", split(col("grp"), "\\|")(0))
-          .withColumn("src_b", split(col("grp"), "\\|")(1))
-          .select("src_a", "src_b", "est_union"),
-        Seq("src_a", "src_b"))
+      .join(unionEst, Seq("src_a", "src_b"))
       .select(col("src_a"), col("src_b"), col("est_a"), col("est_b"),
         col("est_union"),
         round(greatest(col("est_a") + col("est_b") - col("est_union"),
           lit(0.0)), 6).as("est_intersect"))
   }
+
+  /** The estimator tail as one SQL column over (n_buckets_used, s_used)
+    * — identical arithmetic to [[hllEstimateBy]]: raw = numerator /
+    * (s_used + zeros·2^(W+1)), linear counting below 2.5m with zeros
+    * left. */
+  private def estFinishSql(zeros: String): String =
+    s"""round(CASE WHEN CAST($rawNumeratorLit AS DOUBLE) /
+       |        CAST(s_used + $zeros * ${Scale}::BIGINT AS DOUBLE) <= ${2.5 * M}
+       |        AND $zeros > 0
+       |      THEN ${M.toDouble} * ln(${M.toDouble} / CAST($zeros AS DOUBLE))
+       |      ELSE CAST($rawNumeratorLit AS DOUBLE) /
+       |        CAST(s_used + $zeros * ${Scale}::BIGINT AS DOUBLE) END, 6)
+       |      AS hll_estimate""".stripMargin
 
   /** DuckDB twin of [[hllPairwiseOverlap]]. */
   def hllPairwiseOverlapSql(docsRel: String, sourceCol: String,
@@ -295,24 +319,22 @@ object Sketches {
        |  SELECT p.src_a, p.src_b, r.bucket, r.m_reg
        |  FROM regs r JOIN pair_dim p ON r.grp = p.src_b),
        |union_regs AS (
-       |  SELECT src_a || '|' || src_b AS grp, bucket, max(m_reg) AS m_reg
-       |  FROM pair_regs GROUP BY 1, 2),
+       |  SELECT src_a, src_b, bucket, max(m_reg) AS m_reg
+       |  FROM pair_regs GROUP BY 1, 2, 3),
        |est_single_raw AS (
        |  ${estFrom("regs")}),
        |est_union_raw AS (
-       |  ${estFrom("union_regs")}),
-       |est_all AS (
-       |  SELECT grp, n_buckets_used, $M - n_buckets_used AS zeros,
-       |    s_used + ($M - n_buckets_used) * ${Scale}::BIGINT AS s_total
-       |  FROM (SELECT * FROM est_single_raw UNION ALL SELECT * FROM est_union_raw)),
+       |  SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_buckets_used,
+       |    CAST(sum(1::BIGINT << (${W + 1} - m_reg)) AS BIGINT) AS s_used
+       |  FROM union_regs GROUP BY 1, 2),
        |est AS (
        |  SELECT grp,
-       |    round(CASE WHEN CAST($rawNumeratorLit AS DOUBLE) / CAST(s_total AS DOUBLE)
-       |          <= ${2.5 * M} AND zeros > 0
-       |      THEN ${M.toDouble} * ln(${M.toDouble} / CAST(zeros AS DOUBLE))
-       |      ELSE CAST($rawNumeratorLit AS DOUBLE) / CAST(s_total AS DOUBLE) END, 6)
-       |      AS hll_estimate
-       |  FROM est_all)
+       |    ${estFinishSql(s"(${M} - n_buckets_used)")}
+       |  FROM est_single_raw),
+       |est_u AS (
+       |  SELECT src_a, src_b,
+       |    ${estFinishSql(s"(${M} - n_buckets_used)")}
+       |  FROM est_union_raw)
        |SELECT p.src_a, p.src_b,
        |  ea.hll_estimate AS est_a, eb.hll_estimate AS est_b,
        |  eu.hll_estimate AS est_union,
@@ -321,7 +343,7 @@ object Sketches {
        |FROM pair_dim p
        |JOIN est ea ON ea.grp = p.src_a
        |JOIN est eb ON eb.grp = p.src_b
-       |JOIN est eu ON eu.grp = p.src_a || '|' || p.src_b""".stripMargin
+       |JOIN est_u eu ON eu.src_a = p.src_a AND eu.src_b = p.src_b""".stripMargin
   }
 
   /** Count-Min depth (independent hash rows). */

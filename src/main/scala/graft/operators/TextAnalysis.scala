@@ -306,13 +306,12 @@ object TextAnalysis {
     val heads = refBi
       .select(element_at(split(col("bi"), " "), 1).as("head"))
       .groupBy("head").agg(count(lit(1)).as("c1"))
-    // bounded driver scalars: one count row (the t14 empty-ref contract:
-    // vocab 0 floors the denominator at 1)
-    val counts = refDocs
+    // bounded driver scalar: the smoothing vocabulary V (the t14
+    // empty-ref contract: vocab 0 floors the denominator at 1)
+    val vocab = math.max(refDocs
       .select(explode(tokens(col(textCol))).as("term"))
       .filter(col("term") =!= "")
-      .agg(countDistinct("term"), count(lit(1))).head()
-    val vocab = math.max(counts.getLong(0), 1L)
+      .agg(countDistinct("term")).head().getLong(0), 1L)
     val nBigramsRef = model.agg(count(lit(1))).head().getLong(0)
     val (modelSide, headsSide) =
       if (nBigramsRef <= broadcastVocabLimit) (broadcast(model), broadcast(heads))

@@ -2310,7 +2310,7 @@ object TextQueries {
           |  SELECT doc_id, nw,
           |    CAST(coalesce(sum(CASE WHEN nexte > energy
           |      THEN 1::BIGINT << w ELSE 0 END), 0) AS BIGINT) AS fp
-          |  FROM d WHERE w < nw - 1 GROUP BY 1, 2)
+          |  FROM d WHERE w < nw - 1 AND w < 63 GROUP BY 1, 2)
           |SELECT CAST(nw AS INTEGER) AS n_windows, fp,
           |  count(*) AS n_audios, min(doc_id) AS rep_id
           |FROM f GROUP BY 1, 2""".stripMargin,
