@@ -72,7 +72,8 @@ object ScaleCurve {
     "d7_page_hinkley", "e12_time_to_convert", "m16_avg_precision",
     "m17_slice_metrics",
     "t29_hll_overlap", "t30_novelty", "q11_shard_manifest",
-    "mm7_audio_fingerprint", "m18_score_ks", "e13_new_users")
+    "mm7_audio_fingerprint", "m18_score_ks", "e13_new_users",
+    "sim11_random_projection")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -111,7 +112,7 @@ object ScaleCurve {
     "t24_bigram_lm", "t25_hll_diversity", "t26_countmin",
     "t28_dsir_sample", "dd20_snapshot_diff", "sim10_centroid_drift",
     "t29_hll_overlap", "t30_novelty", "q11_shard_manifest",
-    "mm7_audio_fingerprint")
+    "mm7_audio_fingerprint", "sim11_random_projection")
 
   private def h(cols: org.apache.spark.sql.Column*) = xxhash64(cols: _*)
 
