@@ -72,7 +72,8 @@ object PlanAudit {
     "q7_corpus_integrity" -> (3 -> "one 1-row orphan-count frame per FK edge (3 corpus edges, global-stat broadcast pattern); the anti-joins themselves are hash-shuffle equi-joins"),
     "e9_survival" -> (3 -> "1-row corpus-end-date frame (appears twice: under the total-leavers agg and under the main chain) + 1-row total-leavers frame (global-stat broadcast pattern); risk table bounded by observation-span days"),
     "e12_time_to_convert" -> (1 -> "1-row viewer-count frame joined to the 1-row latency-percentile frame (global-stat broadcast pattern)"),
-    "t29_hll_overlap" -> (1 -> "sources x sources pair-dimension build (t19 pattern: bounded by source cardinality, not the corpus; everything downstream of the checkpointed register table is sources^2 x m rows)"))
+    "t29_hll_overlap" -> (1 -> "sources x sources pair-dimension build (t19 pattern: bounded by source cardinality, not the corpus; everything downstream of the checkpointed register table is sources^2 x m rows)"),
+    "t25_hll_diversity" -> (1 -> "1-row merged-estimate frame cross-joined to the 1-row exact-ALL frame (global-stat broadcast pattern; replaced the sentinel-key join a review flagged)"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,
