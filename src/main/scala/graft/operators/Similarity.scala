@@ -101,6 +101,33 @@ object Similarity {
     df.select(col(idCol).as(idAs), col(vecCol).as(vecAs),
       sqrt(dot(col(vecCol), col(vecCol))).as(normAs))
 
+  /** Bounded per-query top-k over `scored` (query_id, neighbor_id,
+    * score): keep the k best rows per query under `orderCols` (score
+    * first, neighbor_id as the deterministic tie-break — neighbor_id
+    * MUST appear in `orderCols` for the two stages to agree on ties).
+    *
+    * A single `row_number().over(partitionBy(query_id))` buffers EVERY
+    * scored candidate of a query in one WindowExec group. At corpus
+    * scale that is a per-query sort of N rows concentrated on Q keys:
+    * groups blow past the window buffer's in-memory threshold (4096
+    * rows) and each group spills to disk — the measured sim6_pq_adc
+    * second-decade cliff (1.5 s -> 172 s on 10x corpus). Two
+    * value-identical stages instead: a salted partial rank bounds every
+    * window group to ~N/64 rows AND spreads the sort over 64x more
+    * keys, then the final rank sees at most 64k rows per query. Any
+    * global top-k row ranks <= k within its salt slice too, so the
+    * output is bit-identical to the single-window form (same oracle). */
+  private def topKPerQuery(scored: DataFrame, k: Int,
+                           orderCols: Column*): DataFrame = {
+    val salt = pmod(xxhash64(col("neighbor_id")), lit(64L))
+    val w1 = Window.partitionBy(col("query_id"), salt).orderBy(orderCols: _*)
+    val partial = scored.withColumn("__prk", row_number().over(w1))
+      .filter(col("__prk") <= k).drop("__prk")
+    val w = Window.partitionBy(col("query_id")).orderBy(orderCols: _*)
+    partial.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k most similar
     * other vectors. `queries` and `corpus` share (idCol, vecCol). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
@@ -111,9 +138,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("sim").desc, col("neighbor_id"))
   }
 
   /** Sign-random-projection bucket key: `numPlanes` hyperplanes with
@@ -161,9 +186,7 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
       .groupBy("query_id", "neighbor_id")
       .agg(first(col("sim")).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("sim").desc, col("neighbor_id"))
   }
 
   /** Exact maximum-inner-product search (MIPS) top-k: recommendation /
@@ -183,10 +206,7 @@ object Similarity {
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")), 6).as("ip"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("ip").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("ip").desc, col("neighbor_id"))
   }
 
   /** MIPS→cosine reduction (Neyshabur & Srebro 2015, "simple LSH"):
@@ -270,9 +290,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
       .distinct()
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("sim").desc, col("neighbor_id"))
   }
 
   /** Incremental IVF index maintenance — the daily-ingest path of the
@@ -362,9 +380,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("sim"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long")).filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("sim").desc, col("neighbor_id"))
   }
 
   /** Recall summary of ANN results against the exact top-k baseline: per
@@ -516,8 +532,12 @@ object Similarity {
       "pqTopK: duplicate codebook codes break the distance-table map")
     val dims = cb.head._2.length
     val ds = dims / numSubspaces
-    val enc = pqEncode(corpus, idCol, vecCol, codebook, codeCol, cbVecCol,
-        numSubspaces)
+    // per-row encode is CPU-bound (subspaces x codes x dims argmin):
+    // spread the corpus across all cores first — a handful of parquet
+    // splits would serialize the scoring scan (cf. minhashSignature)
+    val enc = pqEncode(
+        corpus.repartition(corpus.sparkSession.sparkContext.defaultParallelism),
+        idCol, vecCol, codebook, codeCol, cbVecCol, numSubspaces)
       .select(col(idCol).as("neighbor_id"),
         array((0 until numSubspaces).map(m => col(s"code_$m")): _*).as("codes"))
     val q = (0 until numSubspaces).foldLeft(
@@ -530,16 +550,22 @@ object Similarity {
           transform(dists, s => s.getField("cell")),
           transform(dists, s => s.getField("d"))))
     }
-    val scored = q.crossJoin(enc)
-      .filter(col("query_id") =!= col("neighbor_id"))
+    // Join direction matters twice here. (1) Stream the CORPUS side and
+    // broadcast the bounded query side — the other way round the scan
+    // parallelism is the query side's few post-filter rows, and the
+    // whole Q x N scan runs in one task. (2) The broadcast exchange
+    // MATERIALIZES the query rows, pinning the distance-table maps to
+    // one evaluation per query; without that boundary CollapseProject
+    // merges the map construction (subspaces x codes x dims expression
+    // tree) into the post-join projection, re-evaluating it per PAIR —
+    // the other half of the measured sim6 second-decade cliff.
+    val scored = enc.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round((0 until numSubspaces).map(m =>
             element_at(col(s"__dt_$m"), element_at(col("codes"), m + 1)))
           .reduce(_ + _), 6).as("adist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("adist").asc, col("neighbor_id"))
   }
 
   /** IVFADC serving — the production ANN shape (Jégou et al. 2011,
@@ -597,10 +623,7 @@ object Similarity {
         round((0 until numSubspaces).map(m =>
             element_at(col(s"__dt_$m"), element_at(col("codes"), m + 1)))
           .reduce(_ + _), 6).as("adist"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adist").asc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    topKPerQuery(scored, k, col("adist").asc, col("neighbor_id"))
   }
 
   /** sim7 — LSH-bucketed cosine RANGE search: every pair of corpus
