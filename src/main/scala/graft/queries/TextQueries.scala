@@ -178,6 +178,19 @@ object TextQueries {
       Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
         2, 4, 2, 0.05)),
 
+    // dd21: the PRODUCTION banding shape of dd7 — 16 hashes as 4 bands
+    // of 4 (trigram shingles, J>=0.5). dd7's 2-rows-per-band knob keeps
+    // the oracle signature small but leaves a random-pair collision
+    // floor of ~J_floor^2 per band (the measured ~11x second-decade
+    // ratios of the dd3/dd7/dd8 family are that floor, quantified in
+    // SCALING.md); at 4 rows per band the floor drops to ~J_floor^4 —
+    // ~1e-8 per pair on real-text shingle statistics — which is what
+    // makes banded LSH near-linear at 100 TB. Same fused one-hash-pass
+    // plan as dd7; value-gated through the parametric oracle CTE.
+    "dd21_lsh_prod_bands" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+        3, 16, 4, 0.5)),
+
     // Near-dup clustering: connected components over the LSH-verified
     // pairs via alternating large-star/small-star contraction (O(log n)
     // rounds of pure equi-shuffles); cluster_id = min member id.
@@ -1047,14 +1060,28 @@ object TextQueries {
     * shingle sets → `verified` (id_a, id_b, jaccard) at the same
     * (shingleK=2, 4 hashes, 2 rows/band, J>=0.05) parameters as the Spark
     * side, plus `vpairs` filtered to the threshold. */
-  private lazy val lshVerifiedCtes: String = {
-    val sigCols = (0 until 4)
-      .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
-    val shExpr = Dedup.shinglesOverTkSql(2)
+  private lazy val lshVerifiedCtes: String = lshVerifiedCtesFor(2, 4, 2, 0.05)
+
+  /** [[lshVerifiedCtes]] at arbitrary banding knobs — the same fragment
+    * serves the small-signature form above (dd7 family) and the
+    * production-shaped form (dd21: 16 hashes as 4 bands of 4, the
+    * rows-per-band setting that pushes the random-pair collision floor
+    * from ~J^2 to ~J^4 per band). Band keys replicate
+    * `Dedup.bandKeyExprs`'s '<band>_<mh>_..._<mh>' concat exactly. */
+  private def lshVerifiedCtesFor(shingleK: Int, numHashes: Int,
+                                 rowsPerBand: Int,
+                                 minJaccard: Double): String = {
+    val sigCols = (0 until numHashes)
+      .map(i => s"${Dedup.minhashSql(shingleK, i)} AS mh$i").mkString(",\n  ")
+    val shExpr = Dedup.shinglesOverTkSql(shingleK)
+    val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
+      val key = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+        .mkString(s"'${b}_' || ", " || '_' || ", "")
+      s"SELECT doc_id, $key AS band_key FROM sig"
+    }.mkString("\n  UNION ALL ")
     s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
       |bands AS (
-      |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
-      |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig),
+      |  $bandSelects),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
       |  FROM bands l JOIN bands r
@@ -1070,7 +1097,7 @@ object TextQueries {
       |      AS jaccard
       |  FROM cand c JOIN sets a ON c.id_a = a.doc_id
       |              JOIN sets b ON c.id_b = b.doc_id),
-      |vpairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= 0.05)""".stripMargin
+      |vpairs AS (SELECT id_a, id_b FROM verified WHERE jaccard >= $minJaccard)""".stripMargin
   }
 
   /** Connected components over `vpairs` as a recursive transitive-closure
@@ -1325,6 +1352,10 @@ object TextQueries {
 
       "dd7_lsh_verified" ->
         s"WITH $lshVerifiedCtes\nSELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.05",
+
+      "dd21_lsh_prod_bands" ->
+        s"""WITH ${lshVerifiedCtesFor(3, 16, 4, 0.5)}
+          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
 
       "dd8_dup_clusters" ->
         s"""WITH RECURSIVE $lshVerifiedCtes,

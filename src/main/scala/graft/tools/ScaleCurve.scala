@@ -49,7 +49,7 @@ object ScaleCurve {
     "dd5_ngram_jaccard", "dd7_lsh_verified", "dd8_dup_clusters",
     "dd9_dedup_corpus", "dd10_simhash_dups", "dd11_best_rep",
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
-    "dd15_bloom_membership", "dd17_source_cap",
+    "dd15_bloom_membership", "dd17_source_cap", "dd21_lsh_prod_bands",
     "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
     "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
@@ -99,7 +99,7 @@ object ScaleCurve {
     // artifacts); the Zipf 10k-token vocabulary keeps random-pair
     // Jaccard near 0.01, so these now measure the operators themselves.
     "dd5_ngram_jaccard", "dd7_lsh_verified", "dd8_dup_clusters",
-    "dd9_dedup_corpus", "t22_centrality",
+    "dd9_dedup_corpus", "t22_centrality", "dd21_lsh_prod_bands",
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "dd15_bloom_membership", "dd17_source_cap", "dd18_lsh_quality",
     "t7_contamination", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",

@@ -30,6 +30,20 @@ class PlanSpec extends SparkTestBase {
       "no hash aggregation in plan")
   }
 
+  test("mm3/mm6: the CPU-bound codec pass is round-robin spread, never single-split") {
+    // The ImageIO decode kernel is embarrassingly parallel but a
+    // single-row-group parquet scan would serialize it into ONE task —
+    // the regression behind the round-6 mm timing drift. The plan must
+    // show a RoundRobinPartitioning exchange with full parallelism
+    // feeding the codec mapPartitions.
+    val par = spark.sparkContext.defaultParallelism
+    Seq("mm3_pixels", "mm6_image_ahash").foreach { q =>
+      val plan = planOf(q)
+      assert(plan.contains(s"RoundRobinPartitioning($par)"),
+        s"$q: codec input not round-robin spread to $par partitions")
+    }
+  }
+
   test("j_anti: anti join on the fact side") {
     val plan = planOf("j_anti_customers")
     assert(plan.contains("LeftAnti"), "expected a left-anti join")
