@@ -386,6 +386,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out0 === Seq((1L, 2L, Some(0.0), Some(1.0))))
   }
 
+  test("topKPerQuery (via bruteForceTopK): salted two-stage rank == literal Scala top-k, ties included") {
+    import graft.operators.Similarity
+    // 400 vectors with only 3 distinct directions -> massive rounded-sim
+    // ties, so the salted partial rank and the final rank MUST agree on
+    // the (sim desc, neighbor_id asc) ordering or rows leak/shift.
+    val vecs = (0L until 400L).map { i =>
+      val d = (i % 3).toInt
+      val base = Array.tabulate(8)(j => if (j % 3 == d) 1.0f else 0.1f)
+      (i, base.toSeq)
+    }.toDF("vec_id", "embedding")
+    val qs = vecs.filter(col("vec_id") < 7)
+    val out = Similarity.bruteForceTopK(qs, vecs, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id", "sim", "rk")
+      .as[(Long, Long, Double, Long)].collect().toSeq.sortBy(r => (r._1, r._4))
+    // literal reference: cosine of the same rows, rounded like the engine
+    val arr = vecs.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      BigDecimal(dot / (na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val expected = (0L until 7L).flatMap { q =>
+      arr.keys.filter(_ != q).toSeq
+        .map(n => (q, n, cos(arr(q), arr(n))))
+        .sortBy { case (_, n, s) => (-s, n) }.take(5).zipWithIndex
+        .map { case ((qq, n, s), i) => (qq, n, s, i + 1L) }
+    }
+    assert(out == expected, s"two-stage top-k diverged from literal rank")
+  }
+
   test("piiColumns: detects and redacts emails, phones, IPv4; clean text untouched") {
     val docs = Seq(
       (1L, "contact bob.smith+x@example.co.uk or 555-123-4567 now"),
