@@ -21,14 +21,19 @@ object CorpusPipeline {
 
   /** Drop near-duplicates: banded-LSH candidates, verified with exact
     * n-gram Jaccard >= `minJaccard`; of each verified pair the larger id
-    * is removed. Pairwise work only on LSH candidates, never all pairs. */
+    * is removed. Pairwise work only on LSH candidates, never all pairs.
+    * Built on the FUSED [[Dedup.lshVerifiedPairs]] (one shingle+SHA pass
+    * feeds both the signature and the verify sets) — the separate
+    * signature/candidates/verify composition hashed the corpus three
+    * times AND re-evaluated the unpersisted signature on both sides of
+    * the band self-join, the dominant term in the measured 93 s
+    * near-dedup stage at sf10g. Output pairs (and therefore the kept
+    * corpus) are identical. */
   def dropNearDups(docs: DataFrame, idCol: String, textCol: String,
                    shingleK: Int, numHashes: Int, rowsPerBand: Int,
                    minJaccard: Double): DataFrame = {
-    val sig = Dedup.minhashSignature(docs, idCol, textCol, shingleK, numHashes)
-    val candidates = Dedup.lshCandidates(sig, idCol, numHashes, rowsPerBand)
-    val verified = Dedup.verifyPairsJaccard(candidates, docs, idCol, textCol,
-      shingleK, minJaccard)
+    val verified = Dedup.lshVerifiedPairs(docs, idCol, textCol, shingleK,
+      numHashes, rowsPerBand, minJaccard)
     val dupIds = verified.select(col("id_b").as(idCol)).distinct()
     docs.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -42,7 +47,15 @@ object CorpusPipeline {
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .filter(col("quality_score") >= minQuality)
 
-  /** Full corpus prep: exact dedup -> near dedup -> quality/analysis. */
+  /** Full corpus prep: exact dedup -> near dedup -> quality/analysis.
+    * MATERIALIZED (eager localCheckpoint): every downstream consumer of
+    * the prepared corpus (mixture pass, chunk build, chunk-dedup probe)
+    * would otherwise replay this whole chain per consumer — the measured
+    * e2e composition at sf10g ran prepare ~3x, 152 s each (486 s total,
+    * ratio2 20.4). Production at 100 TB writes each stage's output to a
+    * table for exactly this reason; the checkpoint is the single-JVM
+    * form of that stage boundary, and the frame is corpus-shaped (one
+    * row per surviving doc, no token arrays). */
   def prepare(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     analyze(
       dropNearDups(
@@ -50,6 +63,7 @@ object CorpusPipeline {
         idCol, textCol, shingleK = 3, numHashes = 6, rowsPerBand = 3,
         minJaccard = 0.7),
       textCol, minQuality = 30.0)
+      .localCheckpoint(true)
 
   /** Training-set assembly over a prepared corpus: token-budget mixture
     * across `groupCol` (language/source weights), then overlapping
@@ -68,8 +82,11 @@ object CorpusPipeline {
         groupCol, weights, frac)
       .select(col(idCol), col(groupCol)).localCheckpoint(true)
     val sampled = prepared.join(mixKeys.select(idCol), Seq(idCol), "left_semi")
+    // materialized: consumed TWICE below (the keep-aggregate and the
+    // semi-join probe) — and the frame ships hashes, not token arrays,
+    // so the checkpoint is ~50 bytes per chunk
     val chunks = TextAnalysis.chunkDocuments(sampled, idCol, textCol,
-      chunkTokens, overlapTokens)
+      chunkTokens, overlapTokens).localCheckpoint(true)
     // chunk-level exact dedup: keep the (min doc, min chunk) owner of
     // each distinct chunk text — one hash-shuffle on the SHA key
     val keep = chunks.groupBy("chunk_sha")

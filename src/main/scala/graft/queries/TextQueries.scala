@@ -775,9 +775,13 @@ object TextQueries {
     // three SQL fragments.
     "e2e_llm_prep" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
+      // materialized: consumed three times below (DSIR weights input,
+      // the kept-join, the final source attach) — without the stage
+      // boundary the chunk-dedup reassembly replays per consumer
       val base = Dedup.chunkDedup(docs, "doc_id", "text", 3)
         .select(col("doc_id"), col("dedup_text"))
         .join(docs.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(true)
       val weights = TextAnalysis.dsirWeightsByPred(base,
         col("source").isin("src1", "src2", "src3", "src4"), "doc_id",
         "dedup_text", 256)

@@ -115,7 +115,12 @@ object ScaleCurve {
     // round-8: the event/window family joins the deep set (2M events) —
     // dedup/sim had two measured decades while the sessionize/path/asof
     // operators a 100-TB event store leans on rested on one.
-    "w4_sessionize", "e6_session_paths", "j12_asof", "j13_interval_join")
+    "w4_sessionize", "e6_session_paths", "j12_asof", "j13_interval_join",
+    // round-8: the two flagship COMPOSITIONS get the second decade too —
+    // a pipeline of individually-linear stages can still compose a
+    // superlinear term (shared-scan replays, candidate cross products);
+    // measuring the composed query is the only way to rule that out.
+    "e2e_corpus_assembly", "e2e_llm_prep")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
@@ -375,7 +380,14 @@ object ScaleCurve {
       "dd21 — the identical fused plan at production knobs (4 rows/band, " +
       "J>=0.5) — holds ratio2 ~6 with cluster-shaped output. Same " +
       "operator, one banding parameter: that pair of rows is the " +
-      "structural explanation, measured.\n"
+      "structural explanation, measured. (A signature-overlap PREfilter " +
+      "before the exact verify — the other candidate-thinning idea — is " +
+      "a no-op at dd7's knobs: band candidates share rowsPerBand minhash " +
+      "components by construction, so their signature-overlap estimate " +
+      "is >= rows/hashes = 0.5, far above any bound a J>=0.05 verify " +
+      "could safely prune with; candidate volume is controlled by the " +
+      "banding knob, and verify cost per candidate is inherently " +
+      "O(doc shingles) for EXACT Jaccard.)\n"
     if (only.isEmpty) {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)
       println(s"wrote $outPath")
