@@ -89,8 +89,10 @@ object ScaleCurve {
     * (dd10/sim7 — their >10 ratios are already structurally explained
     * and grow ~100x per decade by design) and the dd8-derived attach
     * variants (dd9/dd11 — dd8 itself carries the star-contraction
-    * claim). One timed run at sf10g (not min-of-2): the absolute times
-    * are large enough that scheduling jitter is relatively small. */
+    * claim). Min of 2 timed runs at sf10g, like the first two scales:
+    * back-to-back identical full runs measured dd7 at 62 s then 134 s —
+    * host noise scales with run length, so the min matters MORE at
+    * depth. */
   private val CurveDeep: Set[String] = Set(
     "dd1_exact_dedup", "dd2_minhash_sig", "dd3_lsh_candidates", "dd4_simhash",
     // dd7/dd8/dd9/t22 joined the deep set in round 8: the round-7
@@ -273,10 +275,15 @@ object ScaleCurve {
       runOnce(spark, fn, small)
       val (tS, nS) = best(small)
       val (tL, nL) = best(large)
-      // second decade for the dedup/sim family: one timed run at sf10g
-      val dRes = if (CurveDeep(name)) Some(runOnce(spark, fn, deep)) else None
-      // third decade for the event family: 20M events, one timed run
-      val xRes = if (CurveDeepEvents(name)) Some(runOnce(spark, fn, xdeepEvents))
+      // second decade for the dedup/sim family. Min of 2 like the first
+      // two scales: deep rows were originally single timed runs on the
+      // "absolute times are large enough" theory, but identical back-to-
+      // back full runs measured dd7 at 62 s and 134 s — sandbox host
+      // noise scales WITH the run length, so the min matters more at
+      // depth, not less.
+      val dRes = if (CurveDeep(name)) Some(best(deep)) else None
+      // third decade for the event family: 20M events, min of 2
+      val xRes = if (CurveDeepEvents(name)) Some(best(xdeepEvents))
                  else None
       val deepStr = dRes.fold("")(d => f" -> ${d._1}%6.2f (x${d._1 / tL}%4.1f)") +
         xRes.fold("")(x => f" => ${x._1}%6.2f")
@@ -297,7 +304,7 @@ object ScaleCurve {
       "| sf10g | 500,000 | 200,000 | 2,000,000 (30,000) |\n" +
       "| sf100ge | (events only) | | 20,000,000 (300,000) |\n\n" +
       "The dedup/sim family is additionally measured over a SECOND " +
-      "decade (sf1g -> sf10g, single timed run) — two decades catch " +
+      "decade (sf1g -> sf10g, min of 2 runs) — two decades catch " +
       "super-linear terms one can hide; the second-decade columns are " +
       "blank for queries outside that family.\n\n"
     sb ++= "A ratio near 10 on a 10x corpus means the operator's cost is " +
@@ -341,7 +348,7 @@ object ScaleCurve {
     val xRows = rows.collect { case (name, _, _, _, _, _, Some(d), Some(x)) =>
       (name, d._1, x._1, d._2, x._2) }
     if (xRows.nonEmpty) {
-      sb ++= "## Event family — third decade (2M -> 20M events, one timed run)\n\n"
+      sb ++= "## Event family — third decade (2M -> 20M events, min of 2 runs)\n\n"
       sb ++= "| query | sf10g sec | sf100ge sec | ratio3 | rows sf10g | rows sf100ge |\n"
       sb ++= "|---|---|---|---|---|---|\n"
       xRows.foreach { case (name, tD, tX, nD, nX) =>
@@ -375,7 +382,7 @@ object ScaleCurve {
       "vocabulary restored a real-text collision floor, which is why " +
       "dd7/dd8/dd9/t22 now carry measured second-decade rows. The floor " +
       "is visible in the table as a measured CONTRAST: dd7 (2 rows/band, " +
-      "J>=0.05) has ratio2 ~12 with verified-pair OUTPUT growing ~35x " +
+      "J>=0.05) has ratio2 ~12-15 across runs with verified-pair OUTPUT growing ~35x " +
       "per decade (random candidates clearing the low threshold), while " +
       "dd21 — the identical fused plan at production knobs (4 rows/band, " +
       "J>=0.5) — holds ratio2 ~6 with cluster-shaped output. Same " +
