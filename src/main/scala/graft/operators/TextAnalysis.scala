@@ -117,6 +117,119 @@ object TextAnalysis {
         s" - ($punct / CAST(length($textExpr) AS DOUBLE)) * 200.0, 0.0), 100.0), 6)"))
   }
 
+  /** The eight Gopher repetition-gate stop words (Rae et al. 2021,
+    * table A1): a document must contain at least two of them as
+    * whitespace tokens to pass rule 7. */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** t31 — the published Gopher quality-rule audit (Rae et al. 2021
+    * table A1; the same rule set Dolma and FineWeb reuse): per-document
+    * boolean flags for each rule plus the overall keep decision — the
+    * pass/fail governance frame, complementing [[qualityColumns]]'s
+    * composite score. Published thresholds:
+    *   r1  50 <= word count <= 100,000
+    *   r2  mean word length in [3, 10]
+    *   r3  hash-symbol and ellipsis ("...") to-word ratios both <= 0.1
+    *   r4  <= 90% of lines start with a bullet ("•", "-", "*")
+    *   r5  <= 30% of lines end with "..."
+    *   r6  >= 80% of words contain an alphabetic character
+    *   r7  at least 2 distinct [[gopherStopwords]] appear as tokens
+    * Flags are derived from the ROUNDED ratios (round 6), so the DuckDB
+    * twin makes identical boundary decisions. Pure per-row column
+    * expressions — at 100 TB this is a map-only pass, no shuffle. */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => w =!= "")
+    val lines = filter(split(t, "\n"), l => l =!= "")
+    // stage the counts once (CollapseProject would re-split per column)
+    val staged = df.select(
+      col(idCol),
+      size(words).cast("long").as("__g_nw"),
+      coalesce(aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (a, v) => a + v), lit(0L)).as("__g_wchars"),
+      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("__g_alpha"),
+      size(lines).cast("long").as("__g_nl"),
+      size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long").as("__g_bul"),
+      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long").as("__g_elll"),
+      (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("__g_hash"),
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("long").as("__g_ell"),
+      size(array_intersect(array_distinct(tokens(t)),
+        typedLit(gopherStopwords))).cast("long").as("__g_stops"))
+    val nw = col("__g_nw")
+    val nl = col("__g_nl")
+    def ratio(num: Column, den: Column): Column =
+      round(when(den === 0, 0.0).otherwise(num.cast("double") / den), 6)
+    val out = staged
+      .withColumn("n_words", nw)
+      .withColumn("mean_word_len", ratio(col("__g_wchars"), nw))
+      .withColumn("hash_ratio", ratio(col("__g_hash"), nw))
+      .withColumn("ellipsis_ratio", ratio(col("__g_ell"), nw))
+      .withColumn("frac_bullet_lines", ratio(col("__g_bul"), nl))
+      .withColumn("frac_ellipsis_lines", ratio(col("__g_elll"), nl))
+      .withColumn("frac_alpha_words", ratio(col("__g_alpha"), nw))
+      .withColumn("n_stop_words", col("__g_stops"))
+    out
+      .withColumn("r1_word_count", nw.between(50L, 100000L))
+      .withColumn("r2_mean_word_len", col("mean_word_len").between(3.0, 10.0))
+      .withColumn("r3_symbol_ratio",
+        col("hash_ratio") <= 0.1 && col("ellipsis_ratio") <= 0.1)
+      .withColumn("r4_bullet_lines", col("frac_bullet_lines") <= 0.9)
+      .withColumn("r5_ellipsis_lines", col("frac_ellipsis_lines") <= 0.3)
+      .withColumn("r6_alpha_words", col("frac_alpha_words") >= 0.8)
+      .withColumn("r7_stop_words", col("n_stop_words") >= 2L)
+      .withColumn("keep",
+        col("r1_word_count") && col("r2_mean_word_len") &&
+          col("r3_symbol_ratio") && col("r4_bullet_lines") &&
+          col("r5_ellipsis_lines") && col("r6_alpha_words") &&
+          col("r7_stop_words"))
+      .drop("__g_nw", "__g_wchars", "__g_alpha", "__g_nl", "__g_bul",
+        "__g_elll", "__g_hash", "__g_ell", "__g_stops")
+  }
+
+  /** DuckDB twin of [[gopherRules]] over table/CTE `from`. */
+  def gopherRulesSql(idCol: String, textExpr: String,
+                     from: String = "documents"): String = {
+    val stops = gopherStopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""WITH g AS (
+       |  SELECT $idCol,
+       |    CAST(len(list_filter(string_split_regex($textExpr, '\\s+'), w -> w <> '')) AS BIGINT) AS nw,
+       |    CAST(coalesce(list_sum(list_transform(list_filter(string_split_regex($textExpr, '\\s+'), w -> w <> ''), w -> length(w))), 0) AS BIGINT) AS wchars,
+       |    CAST(len(list_filter(list_filter(string_split_regex($textExpr, '\\s+'), w -> w <> ''), w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS alpha,
+       |    CAST(len(list_filter(string_split($textExpr, chr(10)), l -> l <> '')) AS BIGINT) AS nl,
+       |    CAST(len(list_filter(list_filter(string_split($textExpr, chr(10)), l -> l <> ''), l -> regexp_matches(l, '^\\s*[•\\-\\*]'))) AS BIGINT) AS bul,
+       |    CAST(len(list_filter(list_filter(string_split($textExpr, chr(10)), l -> l <> ''), l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS elll,
+       |    CAST(length($textExpr) - length(regexp_replace($textExpr, '#', '', 'g')) AS BIGINT) AS hash,
+       |    CAST((length($textExpr) - length(regexp_replace($textExpr, '\\.\\.\\.', '', 'g'))) / 3 AS BIGINT) AS ell,
+       |    CAST(len(list_intersect(list_distinct(string_split_regex(lower($textExpr), '\\s+')), $stops)) AS BIGINT) AS stops
+       |  FROM $from),
+       |r AS (
+       |  SELECT $idCol, nw AS n_words,
+       |    round(CASE WHEN nw = 0 THEN 0.0 ELSE wchars / CAST(nw AS DOUBLE) END, 6) AS mean_word_len,
+       |    round(CASE WHEN nw = 0 THEN 0.0 ELSE hash / CAST(nw AS DOUBLE) END, 6) AS hash_ratio,
+       |    round(CASE WHEN nw = 0 THEN 0.0 ELSE ell / CAST(nw AS DOUBLE) END, 6) AS ellipsis_ratio,
+       |    round(CASE WHEN nl = 0 THEN 0.0 ELSE bul / CAST(nl AS DOUBLE) END, 6) AS frac_bullet_lines,
+       |    round(CASE WHEN nl = 0 THEN 0.0 ELSE elll / CAST(nl AS DOUBLE) END, 6) AS frac_ellipsis_lines,
+       |    round(CASE WHEN nw = 0 THEN 0.0 ELSE alpha / CAST(nw AS DOUBLE) END, 6) AS frac_alpha_words,
+       |    stops AS n_stop_words
+       |  FROM g)
+       |SELECT $idCol, n_words, mean_word_len, hash_ratio, ellipsis_ratio,
+       |  frac_bullet_lines, frac_ellipsis_lines, frac_alpha_words, n_stop_words,
+       |  (n_words BETWEEN 50 AND 100000) AS r1_word_count,
+       |  (mean_word_len BETWEEN 3.0 AND 10.0) AS r2_mean_word_len,
+       |  (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1) AS r3_symbol_ratio,
+       |  (frac_bullet_lines <= 0.9) AS r4_bullet_lines,
+       |  (frac_ellipsis_lines <= 0.3) AS r5_ellipsis_lines,
+       |  (frac_alpha_words >= 0.8) AS r6_alpha_words,
+       |  (n_stop_words >= 2) AS r7_stop_words,
+       |  ((n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+       |    AND (hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1)
+       |    AND (frac_bullet_lines <= 0.9) AND (frac_ellipsis_lines <= 0.3)
+       |    AND (frac_alpha_words >= 0.8) AND (n_stop_words >= 2)) AS keep
+       |FROM r""".stripMargin
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex token
     * count (letter runs / digit runs / single other non-space chars). */
   val tokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"

@@ -68,6 +68,14 @@ object TextQueries {
     "t26_countmin" -> ((s, dir) =>
       Sketches.countMinShingles(Tables.documents(s, dir), "text", K, topN = 10)),
 
+    // t31: the published Gopher quality-rule audit (Rae et al. 2021
+    // table A1 — the rule set Dolma/FineWeb reuse): per-rule boolean
+    // flags + overall keep per document, the pass/fail governance frame
+    // complementing t2's composite score. Map-only pass; flags derive
+    // from round(6) ratios so both engines make identical boundary calls.
+    "t31_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
+
     // t30: n-gram novelty — per document the share of its trigram
     // occurrences whose shingle it INTRODUCED to the corpus (first owner
     // by min doc_id): low-novelty docs are template/boilerplate copies,
@@ -1167,6 +1175,9 @@ object TextQueries {
 
       "t29_hll_overlap" ->
         Sketches.hllPairwiseOverlapSql("documents", "source", "text", K),
+
+      "t31_gopher_rules" ->
+        TextAnalysis.gopherRulesSql("doc_id", "text"),
 
       "t30_novelty" ->
         s"""WITH tok AS (

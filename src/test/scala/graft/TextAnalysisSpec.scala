@@ -386,6 +386,33 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out0 === Seq((1L, 2L, Some(0.0), Some(1.0))))
   }
 
+  test("gopherRules: each published rule trips on its crafted violator, clean doc keeps") {
+    val stop8 = "the be to of and that have with"
+    val filler = Seq.fill(13)("alpha beta gamma delta").mkString(" ")
+    val docs = Seq(
+      (1L, s"$stop8 $filler"),                            // 60 words, clean -> keep
+      (2L, s"$stop8 tiny"),                               // 9 words -> r1 fails
+      (3L, s"$stop8 " + Seq.fill(52)("##x").mkString(" ")), // hash ratio 104/60 -> r3
+      (4L, s"$stop8\n" + Seq.fill(10)("- bullet line here").mkString("\n")), // 10/11 bullet lines -> r4
+      (5L, s"$stop8 $filler" + Seq.fill(5)("\ntrailing line ...").mkString), // 5/6 ellipsis-ended -> r5
+      (6L, (1 to 60).map(_.toString).mkString(" ")),      // all-numeric words -> r6, r7
+      (7L, filler + " " + filler)                         // 104 words, 0 stopwords -> r7
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("keep", "r1_word_count", "r2_mean_word_len", "r3_symbol_ratio",
+        "r4_bullet_lines", "r5_ellipsis_lines", "r6_alpha_words", "r7_stop_words")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().toSeq
+    assert(out(0) == ((true, true, true, true, true, true, true, true)))
+    assert(!out(1)._2 && !out(1)._1, "short doc must fail r1")
+    assert(!out(2)._4, "hash-heavy doc must fail r3")
+    assert(!out(3)._5, "bullet-dominated doc must fail r4")
+    assert(!out(4)._6, "ellipsis-ended lines must fail r5")
+    assert(!out(5)._7 && !out(5)._8, "numeric doc must fail r6 and r7")
+    assert(!out(6)._8 && out(6)._2, "stopword-free doc must fail only r7-ish")
+  }
+
   test("topKPerQuery (via bruteForceTopK): salted two-stage rank == literal Scala top-k, ties included") {
     import graft.operators.Similarity
     // 400 vectors with only 3 distinct directions -> massive rounded-sim
