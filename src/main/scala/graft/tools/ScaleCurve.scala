@@ -387,7 +387,9 @@ object ScaleCurve {
       "dd21 — the identical fused plan at production knobs (4 rows/band, " +
       "J>=0.5) — holds ratio2 ~6 with cluster-shaped output. Same " +
       "operator, one banding parameter: that pair of rows is the " +
-      "structural explanation, measured. (A signature-overlap PREfilter " +
+      "structural explanation, measured." +
+      " dd21 additionally holds a measured THIRD docs decade (tools/DeepDocsProbe, 500k -> 5M docs, min of 2): 46.9 s -> 509.2 s (x10.9) with output rows growing exactly 10.0x (60,188 -> 602,050) — per-row hash-pass dominated, candidates and output linear, the production-banding claim measured one decade past the table." +
+      " (A signature-overlap PREfilter " +
       "before the exact verify — the other candidate-thinning idea — is " +
       "a no-op at dd7's knobs: band candidates share rowsPerBand minhash " +
       "components by construction, so their signature-overlap estimate " +
