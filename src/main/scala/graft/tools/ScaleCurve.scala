@@ -80,7 +80,10 @@ object ScaleCurve {
     "m17_slice_metrics",
     "t29_hll_overlap", "t30_novelty", "q11_shard_manifest",
     "mm7_audio_fingerprint", "m18_score_ks", "e13_new_users",
-    "sim11_random_projection")
+    "sim11_random_projection",
+    // round-8 addition (first decade; per-row map-only pass) — lands in
+    // the table at the next full regeneration
+    "t31_gopher_rules")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
