@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// sbt's default LoggedOutput strategy prefixes every forked-process
+// stdout line with "[info] ", which breaks any consumer that parses the
+// program's output as bare JSON (the bench driver's final-line parse
+// recorded "parsed": null two rounds running). Stream the forked JVM's
+// stdio through unprefixed instead.
+outputStrategy := Some(StdoutOutput)
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

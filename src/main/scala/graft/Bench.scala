@@ -4,6 +4,22 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Contention gate: sample the 1-min load BEFORE Spark ramps up. A
+    // quiet host sits near 0 here; anything materially above it means
+    // another job (sbt compile, a ScaleCurve/probe run) shares the
+    // machine and the suite's timings will be polluted — the round-8
+    // committed bench was exactly such a run (same surface, 145.9 s
+    // quiet vs 196.5 s contended, the slower one committed). The run
+    // still proceeds (the driver owns the schedule) but the artifact
+    // self-identifies via "contended": true so a polluted run can never
+    // silently become the round's timing surface again.
+    val loadAtStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val contended = loadAtStart > 4.0
+    if (contended)
+      System.err.println(f"[bench] WARNING: load_avg $loadAtStart%.2f at " +
+        "start — another job shares this host; timings will be polluted. " +
+        "The output JSON carries \"contended\": true.")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -124,7 +140,13 @@ object Bench {
     // the suite's own parallelism; anything far above it means contention.
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"load_avg":$loadAvg,"sf":"$sfDir"}"""
+    // The published run-count rule (the "runs" dict above): every query
+    // gets 2 timed runs; while the warm runs (run 2+) disagree by >1.5x
+    // — a GC pause or host-contention hit — it gets another, up to 5
+    // total; the published time is the min. A query at runs=5 never
+    // converged under the agreement rule and its min is still suspect.
+    val policy = "min of runs; 2 base + adaptive to 5 while warm runs disagree >1.5x"
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_policy":"$policy","load_avg":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}"""
     // The driver captures only a bounded TAIL of stdout; with 189 queries
     // the full per-query dict is ~9 KB and the line's head (metric/value)
     // is truncated away — BENCH_r07.json recorded "parsed": null. Print a
@@ -138,7 +160,7 @@ object Bench {
       "mm6_image_ahash", "m6_model_families", "s5_xml_scan")
     val headQs = headline.flatMap(k => results.get(k).map(v => (k, v._1)))
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headQs,"n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","load_avg":$loadAvg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headQs,"n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","load_avg":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}""")
     // The driver tail-truncates Bench stdout, which destroyed the per-query
     // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist
     // the identical line to a committed file so timing history survives

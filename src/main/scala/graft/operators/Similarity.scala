@@ -523,6 +523,13 @@ object Similarity {
     * probed cells' codes (IVFADC). All arithmetic is round-6 with
     * smallest-id ties — exact-oracle-expressible.
     */
+  /** Query-count ceiling for [[pqTopK]]'s broadcast of per-query
+    * distance-table maps: at production knobs (8 subspaces x 256 codes)
+    * each row is ~33 KB of map payload, so 10k queries ~ 330 MB — near
+    * the comfortable broadcast bound; above it the join falls back to a
+    * materialized non-broadcast shape. */
+  private val MaxBroadcastQueries = 10000
+
   def pqTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
              vecCol: String, k: Int, codebook: DataFrame, codeCol: String,
              cbVecCol: String, numSubspaces: Int): DataFrame = {
@@ -559,7 +566,19 @@ object Similarity {
     // merges the map construction (subspaces x codes x dims expression
     // tree) into the post-join projection, re-evaluating it per PAIR —
     // the other half of the measured sim6 second-decade cliff.
-    val scored = enc.join(broadcast(q),
+    // Bounded-queries PRECONDITION, enforced rather than assumed: each
+    // broadcast row carries numSubspaces x |codebook| map doubles
+    // (~tens of KB at production knobs), so a corpus-sized query set
+    // would hit the broadcast limit / driver OOM. The cheap guard count
+    // runs on the RAW query frame (before the distance tables exist);
+    // past the threshold the query side degrades to a materialized
+    // non-broadcast join — slower, but it keeps the per-query map
+    // evaluation pinned and degrades gracefully instead of OOMing.
+    val nQ = queries.select(col(idCol))
+      .limit(MaxBroadcastQueries + 1).count()
+    val qSide = if (nQ > MaxBroadcastQueries) q.localCheckpoint(true)
+                else broadcast(q)
+    val scored = enc.join(qSide,
         col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round((0 until numSubspaces).map(m =>

@@ -138,29 +138,39 @@ object TextAnalysis {
     * Flags are derived from the ROUNDED ratios (round 6), so the DuckDB
     * twin makes identical boundary decisions. Pure per-row column
     * expressions — at 100 TB this is a map-only pass, no shuffle. */
-  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  /** The nine per-document counts behind [[gopherRules]], as (name ->
+    * expression) pairs over the text column — shared by the audit-form
+    * flag frame and [[gopherStructuralFilter]] so both forms make
+    * bit-identical boundary decisions. */
+  private def gopherCounts(t: Column): Seq[(String, Column)] = {
     val words = filter(split(t, "\\s+"), w => w =!= "")
     val lines = filter(split(t, "\n"), l => l =!= "")
+    Seq(
+      "__g_nw" -> size(words).cast("long"),
+      "__g_wchars" -> coalesce(aggregate(transform(words, w => length(w).cast("long")),
+        lit(0L), (a, v) => a + v), lit(0L)),
+      "__g_alpha" -> size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
+      "__g_nl" -> size(lines).cast("long"),
+      "__g_bul" -> size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long"),
+      "__g_elll" -> size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long"),
+      "__g_hash" -> (length(t) - length(regexp_replace(t, "#", ""))).cast("long"),
+      "__g_ell" -> ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast("long"),
+      "__g_stops" -> size(array_intersect(array_distinct(tokens(t)),
+        typedLit(gopherStopwords))).cast("long"))
+  }
+
+  private def gopherRatio(num: Column, den: Column): Column =
+    round(when(den === 0, 0.0).otherwise(num.cast("double") / den), 6)
+
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
     // stage the counts once (CollapseProject would re-split per column)
     val staged = df.select(
-      col(idCol),
-      size(words).cast("long").as("__g_nw"),
-      coalesce(aggregate(transform(words, w => length(w).cast("long")),
-        lit(0L), (a, v) => a + v), lit(0L)).as("__g_wchars"),
-      size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long").as("__g_alpha"),
-      size(lines).cast("long").as("__g_nl"),
-      size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long").as("__g_bul"),
-      size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long").as("__g_elll"),
-      (length(t) - length(regexp_replace(t, "#", ""))).cast("long").as("__g_hash"),
-      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
-        .cast("long").as("__g_ell"),
-      size(array_intersect(array_distinct(tokens(t)),
-        typedLit(gopherStopwords))).cast("long").as("__g_stops"))
+      col(idCol) +: gopherCounts(t).map { case (n, c) => c.as(n) }: _*)
     val nw = col("__g_nw")
     val nl = col("__g_nl")
-    def ratio(num: Column, den: Column): Column =
-      round(when(den === 0, 0.0).otherwise(num.cast("double") / den), 6)
+    def ratio(num: Column, den: Column): Column = gopherRatio(num, den)
     val out = staged
       .withColumn("n_words", nw)
       .withColumn("mean_word_len", ratio(col("__g_wchars"), nw))
@@ -186,6 +196,32 @@ object TextAnalysis {
           col("r7_stop_words"))
       .drop("__g_nw", "__g_wchars", "__g_alpha", "__g_nl", "__g_bul",
         "__g_elll", "__g_hash", "__g_ell", "__g_stops")
+  }
+
+  /** The six language-agnostic Gopher rules (r1-r6) as a map-only FILTER
+    * that preserves every input column — the shape an at-scale
+    * composition wants for its quality gate: no flag-frame self-join,
+    * no shuffle, the gate rides the corpus scan. r7 (English stop-word
+    * presence) is deliberately NOT applied here: on a multilingual
+    * corpus the stop-word rule runs with a per-language word list (the
+    * Gopher-lineage adaptation for non-English shards); the full
+    * audit-form flags — r7 included — remain on [[gopherRules]].
+    * Boundary decisions are bit-identical to the flag frame: same
+    * staged counts, same round-6 ratios. */
+  def gopherStructuralFilter(df: DataFrame, textCol: String): DataFrame = {
+    val counts = gopherCounts(col(textCol))
+    val staged = df.withColumns(counts.toMap)
+    val nw = col("__g_nw")
+    val nl = col("__g_nl")
+    staged.filter(
+        nw.between(50L, 100000L) &&
+        gopherRatio(col("__g_wchars"), nw).between(3.0, 10.0) &&
+        gopherRatio(col("__g_hash"), nw) <= 0.1 &&
+        gopherRatio(col("__g_ell"), nw) <= 0.1 &&
+        gopherRatio(col("__g_bul"), nl) <= 0.9 &&
+        gopherRatio(col("__g_elll"), nl) <= 0.3 &&
+        gopherRatio(col("__g_alpha"), nw) >= 0.8)
+      .drop(counts.map(_._1): _*)
   }
 
   /** DuckDB twin of [[gopherRules]] over table/CTE `from`. */

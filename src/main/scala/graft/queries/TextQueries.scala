@@ -775,14 +775,21 @@ object TextQueries {
       Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 3)),
 
     // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
-    // exact-substring chunk dedup (dd19) feeds DSIR target-domain
+    // the published Gopher rule gate (t31's flags in filter form) drops
+    // structurally bad documents first, exact-substring chunk dedup
+    // (dd19) removes boilerplate from the survivors, DSIR target-domain
     // selection (t21, fit on the DEDUPED text so selection can't
-    // resurrect boilerplate), positive-weight docs survive, and the BPE
+    // resurrect boilerplate) keeps positive-weight docs, and the BPE
     // tokenizer (t23) prices the surviving corpus per source. Every
     // stage is the already-gated operator; the twin composes the same
-    // three SQL fragments.
+    // four SQL fragments. The quality stage gates on the six
+    // language-agnostic rule flags (r1-r6) — this corpus is
+    // multilingual, and the Gopher-lineage pipelines swap r7's English
+    // stop-word list per language, so the stop-word flag stays
+    // audit-only here (see gopherStructuralFilter's contract).
     "e2e_llm_prep" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = TextAnalysis.gopherStructuralFilter(
+        Tables.documents(s, dir), "text")
       // materialized: consumed three times below (DSIR weights input,
       // the kept-join, the final source attach) — without the stage
       // boundary the chunk-dedup reassembly replays per consumer
@@ -2443,18 +2450,27 @@ object TextQueries {
       "t23_bpe" ->
         TextAnalysis.bpeTokenCountsSql("doc_id", "text"),
 
-      // e2e_llm_prep twin: the dd19/t21/t23 fragments composed. DuckDB
-      // permits a WITH inside a derived table, which is how each
-      // self-contained fragment nests into this chain unchanged.
+      // e2e_llm_prep twin: the t31/dd19/t21/t23 fragments composed.
+      // DuckDB permits a WITH inside a derived table, which is how each
+      // self-contained fragment nests into this chain unchanged. The
+      // quality gate filters on the six language-agnostic Gopher flags
+      // (r1-r6), mirroring gopherStructuralFilter's contract.
       "e2e_llm_prep" -> {
-        val dd = Dedup.chunkDedupSql("doc_id", "text", 3)
+        val gr = TextAnalysis.gopherRulesSql("doc_id", "text")
+        val dd = Dedup.chunkDedupSql("doc_id", "text", 3, from = "gated")
         val dsir = TextAnalysis.dsirWeightsSql("doc_id", "dedup_text",
           "source IN ('src1', 'src2', 'src3', 'src4')", 256, from = "base")
         val bpe = TextAnalysis.bpeTokenCountsSql("doc_id", "dedup_text",
           from = "kept")
-        s"""WITH base AS (
+        s"""WITH gated AS (
+          |  SELECT d.* FROM documents d
+          |  JOIN ($gr) g USING (doc_id)
+          |  WHERE g.r1_word_count AND g.r2_mean_word_len
+          |    AND g.r3_symbol_ratio AND g.r4_bullet_lines
+          |    AND g.r5_ellipsis_lines AND g.r6_alpha_words),
+          |base AS (
           |  SELECT dd.doc_id, dd.dedup_text, d.source
-          |  FROM ($dd) dd JOIN documents d USING (doc_id)),
+          |  FROM ($dd) dd JOIN gated d USING (doc_id)),
           |w AS (SELECT * FROM ($dsir) ww WHERE ww.log_w > 0),
           |kept AS (
           |  SELECT b.doc_id, b.dedup_text, b.source

@@ -3,14 +3,24 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Third-docs-decade probe (dev tool): generate a 5M-document corpus
-  * with [[ScaleCurve]]'s generator and time named queries on it,
-  * min-of-2 — one decade beyond SCALING.md's sf10g table. Used to
-  * substantiate the production-banding claim (dd21) across THREE
-  * measured decades; results are recorded in SCALING.md's narrative.
-  * Run: `sbt "runMain graft.tools.DeepDocsProbe dd21_lsh_prod_bands"`. */
+  * with [[ScaleCurve]]'s generator and time named queries on it AND on
+  * the 500k-doc sf10g corpus in the same process (min of 2 runs each),
+  * one decade beyond SCALING.md's table. Defaults to the three
+  * operators a daily 100-TB ingest leans on: the production-banded
+  * near-dedup (dd21), the full dedup-corpus filter (dd9) and the
+  * incremental-batch dedup (dd13).
+  *
+  * Results go to `DEEPDOCS.json` (merged per query across invocations,
+  * keyed to the generator's fixture version) — [[ScaleCurve]] renders
+  * SCALING.md's third-decade section from that artifact, so measured
+  * numbers never get baked into a generator as literals.
+  * Run: `sbt "runMain graft.tools.DeepDocsProbe [query ...]"`. */
 object DeepDocsProbe {
+  private val OutPath = "DEEPDOCS.json"
+
   def main(args: Array[String]): Unit = {
-    val names = if (args.nonEmpty) args.toSeq else Seq("dd21_lsh_prod_bands")
+    val names = if (args.nonEmpty) args.toSeq
+      else Seq("dd21_lsh_prod_bands", "dd9_dedup_corpus", "dd13_incremental")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,13 +30,21 @@ object DeepDocsProbe {
       .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/tmp/graft_scale/sf100gd"
-    if (!new java.io.File(s"$dir/documents.parquet/_SUCCESS").exists())
-      ScaleCurve.genDocuments(spark, 5000000L, s"$dir/documents.parquet")
-    graft.core.Tables.documents(spark, dir).count() // warm footers
-    names.foreach { name =>
+    val base = "/tmp/graft_scale/sf10g"   // 500k docs — SCALING.md's deep scale
+    val deep = "/tmp/graft_scale/sf100gd" // 5M docs — one decade further
+    ScaleCurve.ensureDocs(spark, base, 500000L)
+    ScaleCurve.ensureDocs(spark, deep, 5000000L)
+    // out-of-timing warm-up: footers + dd13's stored corpus state (the
+    // digest/signature tables a production incremental ingest reads, not
+    // recomputes — same contract as Bench's warm-up)
+    Seq(base, deep).foreach { d =>
+      graft.core.Tables.documents(spark, d).count()
+      if (names.contains("dd13_incremental"))
+        graft.queries.TextQueries.dd13StateFixture(spark, d)
+    }
+    val measured = names.map { name =>
       val fn = graft.SparkEntry.queries(name)
-      def once(): (Double, Long) = {
+      def once(dir: String): (Double, Long) = {
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()
@@ -34,13 +52,46 @@ object DeepDocsProbe {
         val n = fn(spark, dir).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      // no untimed warm-up: at this absolute size codegen/JIT is noise
-      // (seconds against minutes) and a third full run isn't free
-      val (t1, n) = once()
-      val (t2, _) = once()
-      System.err.println(
-        f"[deep-docs] $name%-24s 5M docs: ${math.min(t1, t2)}%8.2f s  rows=$n")
+      // min of 2 at each scale; no untimed warm-up — at these absolute
+      // sizes codegen/JIT is noise (seconds against minutes) and a third
+      // full run isn't free
+      def best(dir: String): (Double, Long) = {
+        val a = once(dir); val b = once(dir)
+        (math.min(a._1, b._1), b._2)
+      }
+      val (tB, nB) = best(base)
+      val (tD, nD) = best(deep)
+      System.err.println(f"[deep-docs] $name%-24s 500k: $tB%8.2f s " +
+        f"(rows=$nB) -> 5M: $tD%8.2f s (rows=$nD)  x${tD / tB}%4.1f")
+      name -> ((tB, nB, tD, nD))
+    }.toMap
+
+    // merge with any existing artifact (a filtered invocation must not
+    // drop other queries' rows), but drop rows from a different fixture
+    // version — they measured different data
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val prior: Map[String, String] = {
+      val f = new java.io.File(OutPath)
+      if (!f.exists()) Map.empty
+      else try {
+        val root = mapper.readTree(f)
+        if (Option(root.get("fixture_version")).map(_.asText)
+              .contains(ScaleCurve.FixtureVersion)) {
+          val qs = root.get("queries")
+          scala.jdk.CollectionConverters.IteratorHasAsScala(qs.fieldNames())
+            .asScala.map(n => n -> qs.get(n).toString).toMap
+        } else Map.empty
+      } catch { case _: Throwable => Map.empty }
     }
+    val fresh = measured.map { case (n, (tB, nB, tD, nD)) =>
+      n -> f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD}"""
+    }
+    val all = (prior ++ fresh).toSeq.sortBy(_._1)
+      .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
+    val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
+      s""","base_docs":500000,"deep_docs":5000000,"queries":$all}"""
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(OutPath), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -6,7 +6,19 @@ import org.apache.spark.sql.functions._
 /** Stage-level wall-clock profile of the e2e_corpus_assembly composition
   * (dev tool): times each pipeline stage CUMULATIVELY (count() from the
   * raw scan through stage k) at one scale dir, so a superlinear stage
-  * shows up as the step where cumulative time jumps. Run:
+  * shows up as the step where cumulative time jumps.
+  *
+  * Every stage BUILDS ITS PIPELINE FRESH inside the timed closure: the
+  * composition's stage boundaries are eager `localCheckpoint`s whose
+  * lineage is truncated, so a checkpointed frame held across stages
+  * would either be unrecomputable after the per-stage unpersist sweep
+  * (Spark's "checkpoint block not found" failure) or would silently
+  * time a cached count instead of the stage. Rebuilding per closure
+  * means stage k's number is exactly scan..k, paid in full, every time.
+  *
+  * Writes `PROFILE_E2E.json` (cumulative + delta seconds per stage) so
+  * [[ScaleCurve]] can render the committed stage table from measured
+  * data instead of hardcoded literals. Run:
   * `sbt "runMain graft.tools.ProfileE2E /tmp/graft_scale/sf10g"`. */
 object ProfileE2E {
   def main(args: Array[String]): Unit = {
@@ -23,34 +35,59 @@ object ProfileE2E {
     import graft.operators.TextAnalysis
     import graft.core.Tables
 
-    def time(label: String)(df: => DataFrame): Unit = {
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def time(label: String)(build: => DataFrame): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       System.gc()
       val t0 = System.nanoTime()
-      val n = df.count()
-      System.err.println(
-        f"[e2e-stage] $label%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      // the build itself is INSIDE the timed window: prepare()'s eager
+      // checkpoint does its work at construction, not at count()
+      val n = build.count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      results += ((label, sec, n))
+      System.err.println(f"[e2e-stage] $label%-22s $sec%8.2f s  rows=$n")
     }
 
-    val docs = Tables.documents(spark, dir)
     val mix = Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15,
       "fr" -> 0.1)
+    def docs = Tables.documents(spark, dir)
+    def afterExact = CorpusPipeline.dropExactDups(docs, "doc_id", "text")
+    def afterNear = CorpusPipeline.dropNearDups(afterExact, "doc_id",
+      "text", 3, 6, 3, 0.7)
     time("scan")(docs)
-    time("exact_dedup")(CorpusPipeline.dropExactDups(docs, "doc_id", "text"))
-    val afterExact = CorpusPipeline.dropExactDups(docs, "doc_id", "text")
-    time("near_dedup")(CorpusPipeline.dropNearDups(afterExact, "doc_id",
-      "text", 3, 6, 3, 0.7))
-    val prepared = CorpusPipeline.prepare(docs, "doc_id", "text")
-    time("prepare(analyze)")(prepared)
-    time("mixture")(TextAnalysis.mixtureSample(prepared, "doc_id", "text",
-      "lang", mix, 0.5))
-    val mixKeys = TextAnalysis.mixtureSample(prepared, "doc_id", "text",
+    time("exact_dedup")(afterExact)
+    time("near_dedup")(afterNear)
+    // prepare = near_dedup + quality/analysis + the checkpoint write;
+    // built fresh here so the checkpoint cost lands in THIS window
+    time("prepare(analyze)")(CorpusPipeline.prepare(docs, "doc_id", "text"))
+    time("mixture") {
+      val prepared = CorpusPipeline.prepare(docs, "doc_id", "text")
+      TextAnalysis.mixtureSample(prepared, "doc_id", "text", "lang", mix, 0.5)
+    }
+    time("chunks") {
+      val prepared = CorpusPipeline.prepare(docs, "doc_id", "text")
+      val mixKeys = TextAnalysis.mixtureSample(prepared, "doc_id", "text",
         "lang", mix, 0.5).select(col("doc_id"), col("lang"))
-    val sampled = prepared.join(mixKeys.select("doc_id"), Seq("doc_id"),
-      "left_semi")
-    time("chunks")(TextAnalysis.chunkDocuments(sampled, "doc_id", "text", 30, 5))
+      val sampled = prepared.join(mixKeys.select("doc_id"), Seq("doc_id"),
+        "left_semi")
+      TextAnalysis.chunkDocuments(sampled, "doc_id", "text", 30, 5)
+    }
     time("full_e2e")(graft.SparkEntry.queries("e2e_corpus_assembly")(spark, dir))
+
+    // machine-readable artifact for ScaleCurve's stage table: cumulative
+    // seconds per stage plus the delta vs the previous stage in the
+    // scan -> exact -> near -> prepare -> mixture -> chunks -> full chain
+    // (each stage contains all previous ones, so deltas are the marginal
+    // stage costs).
+    val stages = results.zipWithIndex.map { case ((label, sec, n), i) =>
+      val delta = if (i == 0) sec else sec - results(i - 1)._2
+      f"""{"stage":"$label","cumulative_sec":$sec%.2f,"delta_sec":$delta%.2f,"rows":$n}"""
+    }.mkString("[", ",", "]")
+    val json = s"""{"dir":"$dir","cpus":$cpus,"stages":$stages}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("PROFILE_E2E.json"), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -95,6 +95,12 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set(key, old)
   }
 
+  test("t31: the Gopher rule audit is a pure map — no shuffle at any scale") {
+    val plan = planOf("t31_gopher_rules")
+    assert(!plan.contains("Exchange"),
+      s"t31 introduced a shuffle:\n${plan.take(600)}")
+  }
+
   test("t13: chunking is a pure per-row generate — no shuffle at all") {
     val plan = planOf("t13_chunks")
     assert(!plan.contains("Exchange"),

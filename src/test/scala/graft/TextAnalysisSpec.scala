@@ -411,6 +411,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!out(4)._6, "ellipsis-ended lines must fail r5")
     assert(!out(5)._7 && !out(5)._8, "numeric doc must fail r6 and r7")
     assert(!out(6)._8 && out(6)._2, "stopword-free doc must fail only r7-ish")
+
+    // the map-only filter form must make the SAME boundary decisions as
+    // the audit flags restricted to the six structural rules (r1-r6),
+    // and must preserve every input column
+    val filtered = TextAnalysis.gopherStructuralFilter(docs, "text")
+    assert(filtered.columns.toSeq == docs.columns.toSeq,
+      "filter form must preserve the input schema")
+    val wantIds = TextAnalysis.gopherRules(docs, "doc_id", "text")
+      .filter(col("r1_word_count") && col("r2_mean_word_len") &&
+        col("r3_symbol_ratio") && col("r4_bullet_lines") &&
+        col("r5_ellipsis_lines") && col("r6_alpha_words"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(filtered.select("doc_id").as[Long].collect().toSet == wantIds,
+      "gopherStructuralFilter must equal the r1-r6 flag conjunction")
   }
 
   test("topKPerQuery (via bruteForceTopK): salted two-stage rank == literal Scala top-k, ties included") {
