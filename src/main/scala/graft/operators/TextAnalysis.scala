@@ -266,6 +266,87 @@ object TextAnalysis {
        |FROM r""".stripMargin
   }
 
+  /** The five per-document counts behind [[c4Rules]], as (name ->
+    * expression) pairs over the text column. A "kept" line is C4's
+    * line-level filter: ends in terminal punctuation, has at least five
+    * whitespace words, and does not mention "javascript". */
+  private def c4Counts(t: Column): Seq[(String, Column)] = {
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val kept = filter(lines, l =>
+      l.rlike("[.!?\"]\\s*$") &&
+        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
+        !lower(l).contains("javascript"))
+    Seq(
+      "__c_nl" -> size(lines).cast("long"),
+      "__c_kept" -> size(kept).cast("long"),
+      "__c_sent" -> size(filter(split(t, "[.!?]"), s => trim(s) =!= ""))
+        .cast("long"),
+      "__c_lorem" -> lower(t).contains("lorem ipsum").cast("long"),
+      "__c_brace" -> t.contains("{").cast("long"))
+  }
+
+  /** t32 — the published C4 cleaning-rule audit (Raffel et al. 2020,
+    * §2.2 — the web-corpus heuristics the T5 training set was built
+    * with; the Gopher/Dolma lineage reuses the same shapes): per-document
+    * line-filter statistics plus boolean flags for each page-level rule
+    * and the overall keep decision. Published rules, page level:
+    *   r1  at least 3 sentences (terminal-punctuation-delimited)
+    *   r2  no "lorem ipsum" phrase (placeholder-text marker)
+    *   r3  no curly brace (code marker)
+    *   r4  at least one line survives C4's line filter (ends in terminal
+    *       punctuation, >= 5 words, no "javascript" mention)
+    * The published blocklist rule ("List of Dirty, Naughty ..." word
+    * ban) is corpus-policy-supplied, not reproduced here — a deployment
+    * passes its own list as one more lowercase-contains flag.
+    * `frac_lines_kept` is a round(6) ratio so the DuckDB twin makes
+    * identical boundary decisions. Pure per-row column expressions — at
+    * 100 TB this is a map-only pass riding the corpus scan, no shuffle
+    * (PlanSpec-pinned like t31). */
+  def c4Rules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // stage the counts once (CollapseProject would re-split per column)
+    val staged = df.select(
+      col(idCol) +: c4Counts(col(textCol)).map { case (n, c) => c.as(n) }: _*)
+    val nl = col("__c_nl")
+    staged
+      .withColumn("n_lines", nl)
+      .withColumn("n_lines_kept", col("__c_kept"))
+      .withColumn("frac_lines_kept", gopherRatio(col("__c_kept"), nl))
+      .withColumn("n_sentences", col("__c_sent"))
+      .withColumn("r1_min_sentences", col("__c_sent") >= 3L)
+      .withColumn("r2_no_lorem_ipsum", col("__c_lorem") === 0L)
+      .withColumn("r3_no_curly_brace", col("__c_brace") === 0L)
+      .withColumn("r4_has_kept_lines", col("__c_kept") >= 1L)
+      .withColumn("keep",
+        col("r1_min_sentences") && col("r2_no_lorem_ipsum") &&
+          col("r3_no_curly_brace") && col("r4_has_kept_lines"))
+      .drop("__c_nl", "__c_kept", "__c_sent", "__c_lorem", "__c_brace")
+  }
+
+  /** DuckDB twin of [[c4Rules]] over table/CTE `from`. */
+  def c4RulesSql(idCol: String, textExpr: String,
+                 from: String = "documents"): String = {
+    val keptPred = s"trim(l) <> '' AND regexp_matches(l, '[.!?\"]\\s*$$') " +
+      s"AND len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5 " +
+      s"AND NOT contains(lower(l), 'javascript')"
+    s"""WITH c AS (
+       |  SELECT $idCol,
+       |    CAST(len(list_filter(string_split($textExpr, chr(10)), l -> trim(l) <> '')) AS BIGINT) AS nl,
+       |    CAST(len(list_filter(string_split($textExpr, chr(10)), l -> $keptPred)) AS BIGINT) AS kept,
+       |    CAST(len(list_filter(string_split_regex($textExpr, '[.!?]'), s -> trim(s) <> '')) AS BIGINT) AS sent,
+       |    contains(lower($textExpr), 'lorem ipsum') AS lorem,
+       |    contains($textExpr, '{') AS brace
+       |  FROM $from)
+       |SELECT $idCol, nl AS n_lines, kept AS n_lines_kept,
+       |  round(CASE WHEN nl = 0 THEN 0.0 ELSE kept / CAST(nl AS DOUBLE) END, 6) AS frac_lines_kept,
+       |  sent AS n_sentences,
+       |  (sent >= 3) AS r1_min_sentences,
+       |  (NOT lorem) AS r2_no_lorem_ipsum,
+       |  (NOT brace) AS r3_no_curly_brace,
+       |  (kept >= 1) AS r4_has_kept_lines,
+       |  ((sent >= 3) AND (NOT lorem) AND (NOT brace) AND (kept >= 1)) AS keep
+       |FROM c""".stripMargin
+  }
+
   /** Token counting two ways: whitespace tokens and a BPE-ish regex token
     * count (letter runs / digit runs / single other non-space chars). */
   val tokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"

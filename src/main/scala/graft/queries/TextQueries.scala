@@ -76,6 +76,14 @@ object TextQueries {
     "t31_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(Tables.documents(s, dir), "doc_id", "text")),
 
+    // t32: the published C4 cleaning-rule audit (Raffel et al. 2020
+    // §2.2): line-filter statistics + page-level boolean flags + keep per
+    // document — the web-corpus companion to t31's Gopher frame. Map-only
+    // pass; frac_lines_kept is a round(6) ratio so both engines make
+    // identical boundary calls.
+    "t32_c4_rules" -> ((s, dir) =>
+      TextAnalysis.c4Rules(Tables.documents(s, dir), "doc_id", "text")),
+
     // t30: n-gram novelty — per document the share of its trigram
     // occurrences whose shingle it INTRODUCED to the corpus (first owner
     // by min doc_id): low-novelty docs are template/boilerplate copies,
@@ -215,6 +223,23 @@ object TextQueries {
       val docs = Tables.documents(s, dir)
       val clusters = Dedup.dupClusters(
         Dedup.lshVerifiedPairs(docs, "doc_id", "text", 2, 4, 2, 0.05))
+      Dedup.keepClusterRepresentatives(docs, "doc_id", clusters)
+        .select("doc_id", "lang", "source")
+    }),
+
+    // dd22: the SAME corpus-dedup composition at dd21's production
+    // banding (16 hashes as 4 bands of 4, J >= 0.5). dd9's small-
+    // signature knobs are the oracle-friendly audit form; past ~1M docs
+    // their 2-hash band keys hit the quadratic collision floor (the
+    // probed 5M-doc run generates ~1e9 random band candidates before the
+    // verify can drop them — the dd7 mechanism, measured). This form is
+    // what a 100-TB ingest actually runs end-to-end: banded candidates
+    // stay ~linear in the true-duplicate mass, and the star-contraction
+    // clustering + representative anti-join ride cluster-shaped volumes.
+    "dd22_dedup_corpus_prod" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val clusters = Dedup.dupClusters(
+        Dedup.lshVerifiedPairs(docs, "doc_id", "text", 3, 16, 4, 0.5))
       Dedup.keepClusterRepresentatives(docs, "doc_id", clusters)
         .select("doc_id", "lang", "source")
     }),
@@ -1186,6 +1211,9 @@ object TextQueries {
       "t31_gopher_rules" ->
         TextAnalysis.gopherRulesSql("doc_id", "text"),
 
+      "t32_c4_rules" ->
+        TextAnalysis.c4RulesSql("doc_id", "text"),
+
       "t30_novelty" ->
         s"""WITH tok AS (
           |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS tk
@@ -1387,6 +1415,14 @@ object TextQueries {
 
       "dd9_dedup_corpus" ->
         s"""WITH RECURSIVE $lshVerifiedCtes,
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+          |SELECT doc_id, lang, source FROM documents
+          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin,
+
+      "dd22_dedup_corpus_prod" ->
+        s"""WITH RECURSIVE ${lshVerifiedCtesFor(3, 16, 4, 0.5)},
           |$componentCtes,
           |clusters AS (
           |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)

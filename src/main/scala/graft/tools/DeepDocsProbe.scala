@@ -7,8 +7,8 @@ import org.apache.spark.sql.SparkSession
   * the 500k-doc sf10g corpus in the same process (min of 2 runs each),
   * one decade beyond SCALING.md's table. Defaults to the three
   * operators a daily 100-TB ingest leans on: the production-banded
-  * near-dedup (dd21), the full dedup-corpus filter (dd9) and the
-  * incremental-batch dedup (dd13).
+  * near-dedup (dd21), the production-knob dedup-corpus composition
+  * (dd22) and the incremental-batch dedup (dd13).
   *
   * Results go to `DEEPDOCS.json` (merged per query across invocations,
   * keyed to the generator's fixture version) — [[ScaleCurve]] renders
@@ -19,8 +19,15 @@ object DeepDocsProbe {
   private val OutPath = "DEEPDOCS.json"
 
   def main(args: Array[String]): Unit = {
+    // Default set: the three operators a daily 100-TB ingest leans on.
+    // dd9's small-signature audit knobs are NOT probed at 5M docs: its
+    // 2-hash band keys hit the quadratic collision floor there (~1e9
+    // random band candidates — the dd7 mechanism; a round-9 attempt
+    // wedged the JVM in GC before the verify could drop them). The
+    // corpus-dedup composition measured at depth is dd22, the identical
+    // plan at dd21's production banding.
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("dd21_lsh_prod_bands", "dd9_dedup_corpus", "dd13_incremental")
+      else Seq("dd21_lsh_prod_bands", "dd22_dedup_corpus_prod", "dd13_incremental")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,7 +49,11 @@ object DeepDocsProbe {
       if (names.contains("dd13_incremental"))
         graft.queries.TextQueries.dd13StateFixture(spark, d)
     }
-    val measured = names.map { name =>
+    // The artifact is merged + rewritten after EVERY query, not once at
+    // the end: a deep run is tens of minutes per query and a wedged JVM
+    // (GC-stalled heartbeat, host kill) must not discard the decades
+    // already measured — a rerun then probes only what's missing.
+    names.foreach { name =>
       val fn = graft.SparkEntry.queries(name)
       def once(dir: String): (Double, Long) = {
         spark.catalog.clearCache()
@@ -63,12 +74,17 @@ object DeepDocsProbe {
       val (tD, nD) = best(deep)
       System.err.println(f"[deep-docs] $name%-24s 500k: $tB%8.2f s " +
         f"(rows=$nB) -> 5M: $tD%8.2f s (rows=$nD)  x${tD / tB}%4.1f")
-      name -> ((tB, nB, tD, nD))
-    }.toMap
+      writeMerged(Map(name ->
+        f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD}"""))
+    }
+    spark.stop()
+  }
 
-    // merge with any existing artifact (a filtered invocation must not
-    // drop other queries' rows), but drop rows from a different fixture
-    // version — they measured different data
+  /** Merge `fresh` rows into the committed artifact and rewrite it.
+    * Prior rows survive (a filtered invocation must not drop other
+    * queries' measurements) unless they carry a different fixture
+    * version — those measured different data. */
+  private def writeMerged(fresh: Map[String, String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val prior: Map[String, String] = {
       val f = new java.io.File(OutPath)
@@ -83,15 +99,11 @@ object DeepDocsProbe {
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
     }
-    val fresh = measured.map { case (n, (tB, nB, tD, nD)) =>
-      n -> f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD}"""
-    }
     val all = (prior ++ fresh).toSeq.sortBy(_._1)
       .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
     val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
       s""","base_docs":500000,"deep_docs":5000000,"queries":$all}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(OutPath), json + "\n")
     println(json)
-    spark.stop()
   }
 }

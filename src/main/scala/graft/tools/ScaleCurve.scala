@@ -50,6 +50,7 @@ object ScaleCurve {
     "dd9_dedup_corpus", "dd10_simhash_dups", "dd11_best_rep",
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "dd15_bloom_membership", "dd17_source_cap", "dd21_lsh_prod_bands",
+    "dd22_dedup_corpus_prod",
     "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
     "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
@@ -80,8 +81,8 @@ object ScaleCurve {
     "t29_hll_overlap", "t30_novelty", "q11_shard_manifest",
     "mm7_audio_fingerprint", "m18_score_ks", "e13_new_users",
     "sim11_random_projection",
-    // round-8 addition (first decade; per-row map-only pass)
-    "t31_gopher_rules")
+    // round-8/9 additions (first decade; per-row map-only passes)
+    "t31_gopher_rules", "t32_c4_rules")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -110,6 +111,7 @@ object ScaleCurve {
     "dd9_dedup_corpus", "t22_centrality", "dd21_lsh_prod_bands",
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "dd15_bloom_membership", "dd17_source_cap", "dd18_lsh_quality",
+    "dd22_dedup_corpus_prod",
     "t7_contamination", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc",
     "dd19_chunk_dedup", "t21_dsir_weights",
@@ -476,7 +478,14 @@ object ScaleCurve {
           "(min of 2 runs; BOTH scales re-measured inside the same quiet " +
           s"process, so the ratio never mixes runs; fixture $fv). One " +
           "decade past the table above, on the operators a daily " +
-          "100-TB ingest leans on.\n\n"
+          "100-TB ingest leans on. dd9's small-signature audit knobs are " +
+          "excluded from THIS decade only (they keep both rows above): at " +
+          "5M docs its 2-hash band keys sit on the quadratic collision " +
+          "floor (~1e9 random band candidates; the round-9 probe attempt " +
+          "GC-wedged there — the dd7 mechanism, now demonstrated at the " +
+          "composition level). The corpus-dedup surface measured at this " +
+          "depth is dd22 — the identical composition at dd21's " +
+          "production banding.\n\n"
         sb ++= "| query | 500k-doc sec | 5M-doc sec | ratio3 | rows 500k | rows 5M | rows ratio |\n"
         sb ++= "|---|---|---|---|---|---|---|\n"
         val names = scala.jdk.CollectionConverters

@@ -101,6 +101,12 @@ class PlanSpec extends SparkTestBase {
       s"t31 introduced a shuffle:\n${plan.take(600)}")
   }
 
+  test("t32: the C4 rule audit is a pure map — no shuffle at any scale") {
+    val plan = planOf("t32_c4_rules")
+    assert(!plan.contains("Exchange"),
+      s"t32 introduced a shuffle:\n${plan.take(600)}")
+  }
+
   test("t13: chunking is a pure per-row generate — no shuffle at all") {
     val plan = planOf("t13_chunks")
     assert(!plan.contains("Exchange"),

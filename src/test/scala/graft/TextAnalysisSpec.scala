@@ -427,6 +427,38 @@ class TextAnalysisSpec extends SparkTestBase {
       "gopherStructuralFilter must equal the r1-r6 flag conjunction")
   }
 
+  test("c4Rules: each published page rule trips on its crafted violator, clean doc keeps") {
+    val goodLine = "This line has at least five words."
+    val docs = Seq(
+      (1L, Seq.fill(4)(goodLine).mkString("\n")),          // 4 sentences, 4 kept lines -> keep
+      (2L, s"$goodLine\nSecond sentence here is fine."),   // 2 sentences -> r1 fails
+      (3L, Seq.fill(3)(goodLine).mkString("\n") + "\nSome lorem ipsum filler text here."), // r2
+      (4L, Seq.fill(3)(goodLine).mkString("\n") + "\nvar x = { a: 1 }. Yes."), // r3
+      (5L, "no terminal punctuation on this line\n" +
+        "short line.\n" +                                  // < 5 words
+        "This javascript line would have been kept otherwise.\n" +
+        "One. Two. Three. Four")                           // 4 sentences but 0 kept lines -> r4
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("keep", "r1_min_sentences", "r2_no_lorem_ipsum",
+        "r3_no_curly_brace", "r4_has_kept_lines", "n_lines", "n_lines_kept")
+      .as[(Boolean, Boolean, Boolean, Boolean, Boolean, Long, Long)]
+      .collect().toSeq
+    assert(out(0) == ((true, true, true, true, true, 4L, 4L)))
+    assert(!out(1)._2 && !out(1)._1, "two-sentence page must fail r1")
+    assert(!out(2)._3 && out(2)._2, "lorem-ipsum page must fail exactly r2")
+    assert(!out(3)._4, "curly-brace page must fail r3")
+    assert(!out(4)._5 && out(4)._2 && out(4)._6 == 4L && out(4)._7 == 0L,
+      "a page whose every line fails the line filter must fail r4")
+    // the line filter's three clauses each kill exactly one line of doc 5:
+    // no terminal punct, < 5 words, javascript mention, unterminated tail
+    val frac = TextAnalysis.c4Rules(docs, "doc_id", "text")
+      .filter(col("doc_id") === 1L).select("frac_lines_kept")
+      .as[Double].head()
+    assert(frac == 1.0)
+  }
+
   test("topKPerQuery (via bruteForceTopK): salted two-stage rank == literal Scala top-k, ties included") {
     import graft.operators.Similarity
     // 400 vectors with only 3 distinct directions -> massive rounded-sim
