@@ -29,16 +29,29 @@ object TextQueries {
     * the computation — the oracle is unchanged. Bench calls this in its
     * warm-up so dd13's timed window covers only the batch-proportional
     * path. */
-  def dd13StateFixture(s: SparkSession, dir: String): (String, String) = {
+  def dd13StateFixture(s: SparkSession, dir: String): (String, String) =
+    incStateFixture(s, dir, 2, 4)
+
+  /** dd23's stored corpus state: same digest table, signatures at dd21's
+    * production knobs (K=3, 16 hashes). */
+  def dd23StateFixture(s: SparkSession, dir: String): (String, String) =
+    incStateFixture(s, dir, 3, 16)
+
+  private def incStateFixture(s: SparkSession, dir: String,
+                              shingleK: Int, numHashes: Int): (String, String) = {
     val key = dir.replaceAll("[^A-Za-z0-9.]", "_")
     val dig = s"/tmp/graft_dd13_$key/digests"
-    val sig = s"/tmp/graft_dd13_$key/signatures"
+    // the (2,4) table keeps its original un-suffixed path so warm /tmp
+    // state from earlier rounds stays valid
+    val suffix = if (shingleK == 2 && numHashes == 4) ""
+                 else s"_k${shingleK}h$numHashes"
+    val sig = s"/tmp/graft_dd13_$key/signatures$suffix"
     if (!new java.io.File(s"$dig/_SUCCESS").exists() ||
         !new java.io.File(s"$sig/_SUCCESS").exists()) {
       val existing = Tables.documents(s, dir).filter(col("doc_id") % 5 =!= 0)
       Dedup.contentDigests(existing, "text")
         .write.mode("overwrite").parquet(dig)
-      Dedup.minhashSignature(existing, "doc_id", "text", 2, 4)
+      Dedup.minhashSignature(existing, "doc_id", "text", shingleK, numHashes)
         .write.mode("overwrite").parquet(sig)
     }
     (dig, sig)
@@ -910,6 +923,25 @@ object TextQueries {
         .select("doc_id", "lang", "source")
     }),
 
+    // dd23: the SAME stored-state incremental path at dd21's production
+    // banding. dd13's 2-hash band keys make the cross-frame candidate
+    // volume batch x corpus x J_floor^2 — fine at oracle scales, but at
+    // 5M docs the probe measured it spilling past the machine's disk
+    // before verify could drop the random candidates. At 4 rows/band the
+    // floor falls to J_floor^4 and the daily-ingest path stays
+    // batch-proportional through the third docs decade.
+    "dd23_incremental_prod" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val existing = docs.filter(col("doc_id") % 5 =!= 0)
+      val incoming = docs.filter(col("doc_id") % 5 === 0)
+      val (dig, sig) = dd23StateFixture(s, dir)
+      Dedup.incrementalDedup(existing,
+        s.read.parquet(dig),
+        s.read.parquet(sig),
+        incoming, "doc_id", "text", 3, 16, 4, 0.5)
+        .select("doc_id", "lang", "source")
+    }),
+
     // The FULL training-data assembly, end to end, as one hash-gated
     // query: exact dedup -> LSH+Jaccard near-dedup (K=3, 6 hashes, 2
     // bands of 3, J>=0.7) -> quality gate (>=30) -> token-budget
@@ -1188,6 +1220,74 @@ object TextQueries {
       |  UNION ALL
       |  SELECT bad.vec_id, tt.t, 0 AS b FROM bad, range(8) tt(t))""".stripMargin
 
+  /** Twin of the three-stage incremental path at arbitrary banding
+    * knobs: exact SHA anti-join, cross-frame banded candidates + jaccard
+    * verify, then within-batch LSH dedup of the remainder (bands reuse
+    * sig_in — signatures are per-document). Serves both dd13's
+    * oracle-friendly small-signature form (2, 4, 2, 0.05) and dd23's
+    * production-shaped form at dd21's knobs (3, 16, 4, 0.5) — the
+    * cross-frame candidate volume is batch x corpus x J_floor^(2·rows),
+    * so at the third docs decade only the production banding survives
+    * (the dd7/dd9 collision-floor mechanism, cross-frame). */
+  private def incrementalDedupSqlFor(shingleK: Int, numHashes: Int,
+                                     rowsPerBand: Int,
+                                     minJaccard: Double): String = {
+    val sigCols = (0 until numHashes)
+      .map(i => s"${Dedup.minhashSql(shingleK, i)} AS mh$i").mkString(",\n  ")
+    val shExpr = Dedup.shinglesOverTkSql(shingleK)
+    val setExpr =
+      s"list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")})))"
+    val jac = """round(len(list_intersect(a.sh, b.sh)) /
+      |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)""".stripMargin
+    def bandsFor(src: String): String =
+      (0 until numHashes / rowsPerBand).map { b =>
+        val key = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
+          .mkString(s"'${b}_' || ", " || '_' || ", "")
+        s"SELECT doc_id, $key AS band_key FROM $src"
+      }.mkString("\n  UNION ALL ")
+    s"""WITH RECURSIVE
+      |ex AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+      |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+      |exsha AS (SELECT DISTINCT sha256(text) AS sha FROM ex),
+      |exact_new AS (
+      |  SELECT * FROM inc WHERE sha256(text) NOT IN (SELECT sha FROM exsha)),
+      |sig_ex AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom("ex", "text", "doc_id")}),
+      |sig_in AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom("exact_new", "text", "doc_id")}),
+      |bands_ex AS (
+      |  ${bandsFor("sig_ex")}),
+      |bands_in AS (
+      |  ${bandsFor("sig_in")}),
+      |sets_in AS (SELECT doc_id, $setExpr AS sh
+      |  FROM ${Dedup.tkSourceSqlFrom("exact_new", "text", "doc_id")}),
+      |sets_ex AS (SELECT doc_id, $setExpr AS sh
+      |  FROM ${Dedup.tkSourceSqlFrom("ex", "text", "doc_id")}),
+      |xdrop AS (
+      |  SELECT DISTINCT c.id_a FROM (
+      |    SELECT DISTINCT i.doc_id AS id_a, e.doc_id AS id_b
+      |    FROM bands_in i JOIN bands_ex e ON i.band_key = e.band_key) c
+      |  JOIN sets_in a ON c.id_a = a.doc_id
+      |  JOIN sets_ex b ON c.id_b = b.doc_id
+      |  WHERE $jac >= $minJaccard),
+      |near_new AS (
+      |  SELECT * FROM exact_new WHERE doc_id NOT IN (SELECT id_a FROM xdrop)),
+      |bands_nn AS (
+      |  SELECT * FROM bands_in
+      |  WHERE doc_id IN (SELECT doc_id FROM near_new)),
+      |vpairs AS (
+      |  SELECT c.id_a, c.id_b FROM (
+      |    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      |    FROM bands_nn l JOIN bands_nn r
+      |      ON l.band_key = r.band_key AND l.doc_id < r.doc_id) c
+      |  JOIN sets_in a ON c.id_a = a.doc_id
+      |  JOIN sets_in b ON c.id_b = b.doc_id
+      |  WHERE $jac >= $minJaccard),
+      |$componentCtes,
+      |clusters AS (
+      |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+      |SELECT doc_id, lang, source FROM near_new
+      |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin
+  }
+
   private val componentCtes: String =
     """edges AS (
       |  SELECT id_a AS u, id_b AS v FROM vpairs
@@ -1429,62 +1529,9 @@ object TextQueries {
           |SELECT doc_id, lang, source FROM documents
           |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin,
 
-      "dd13_incremental" -> {
-        // Twin of the three-stage incremental path at (K=2, 4 hashes,
-        // 2 rows/band, J>=0.05): exact SHA anti-join, cross-frame banded
-        // candidates + jaccard verify, then within-batch LSH dedup of the
-        // remainder (bands reuse sig_in — signatures are per-document).
-        val sigCols = (0 until 4)
-          .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
-        val shExpr = Dedup.shinglesOverTkSql(2)
-        val setExpr =
-          s"list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")})))"
-        val jac = """round(len(list_intersect(a.sh, b.sh)) /
-          |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6)""".stripMargin
-        s"""WITH RECURSIVE
-          |ex AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
-          |inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
-          |exsha AS (SELECT DISTINCT sha256(text) AS sha FROM ex),
-          |exact_new AS (
-          |  SELECT * FROM inc WHERE sha256(text) NOT IN (SELECT sha FROM exsha)),
-          |sig_ex AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom("ex", "text", "doc_id")}),
-          |sig_in AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom("exact_new", "text", "doc_id")}),
-          |bands_ex AS (
-          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig_ex
-          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig_ex),
-          |bands_in AS (
-          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig_in
-          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig_in),
-          |sets_in AS (SELECT doc_id, $setExpr AS sh
-          |  FROM ${Dedup.tkSourceSqlFrom("exact_new", "text", "doc_id")}),
-          |sets_ex AS (SELECT doc_id, $setExpr AS sh
-          |  FROM ${Dedup.tkSourceSqlFrom("ex", "text", "doc_id")}),
-          |xdrop AS (
-          |  SELECT DISTINCT c.id_a FROM (
-          |    SELECT DISTINCT i.doc_id AS id_a, e.doc_id AS id_b
-          |    FROM bands_in i JOIN bands_ex e ON i.band_key = e.band_key) c
-          |  JOIN sets_in a ON c.id_a = a.doc_id
-          |  JOIN sets_ex b ON c.id_b = b.doc_id
-          |  WHERE $jac >= 0.05),
-          |near_new AS (
-          |  SELECT * FROM exact_new WHERE doc_id NOT IN (SELECT id_a FROM xdrop)),
-          |bands_nn AS (
-          |  SELECT * FROM bands_in
-          |  WHERE doc_id IN (SELECT doc_id FROM near_new)),
-          |vpairs AS (
-          |  SELECT c.id_a, c.id_b FROM (
-          |    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-          |    FROM bands_nn l JOIN bands_nn r
-          |      ON l.band_key = r.band_key AND l.doc_id < r.doc_id) c
-          |  JOIN sets_in a ON c.id_a = a.doc_id
-          |  JOIN sets_in b ON c.id_b = b.doc_id
-          |  WHERE $jac >= 0.05),
-          |$componentCtes,
-          |clusters AS (
-          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
-          |SELECT doc_id, lang, source FROM near_new
-          |WHERE doc_id NOT IN (SELECT id FROM clusters WHERE id <> cid)""".stripMargin
-      },
+      "dd13_incremental" -> incrementalDedupSqlFor(2, 4, 2, 0.05),
+
+      "dd23_incremental_prod" -> incrementalDedupSqlFor(3, 16, 4, 0.5),
 
       "dd6_embed_dups" ->
         """WITH v AS (

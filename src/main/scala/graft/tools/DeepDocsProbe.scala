@@ -20,14 +20,16 @@ object DeepDocsProbe {
 
   def main(args: Array[String]): Unit = {
     // Default set: the three operators a daily 100-TB ingest leans on.
-    // dd9's small-signature audit knobs are NOT probed at 5M docs: its
-    // 2-hash band keys hit the quadratic collision floor there (~1e9
-    // random band candidates — the dd7 mechanism; a round-9 attempt
-    // wedged the JVM in GC before the verify could drop them). The
-    // corpus-dedup composition measured at depth is dd22, the identical
-    // plan at dd21's production banding.
+    // The small-signature audit knobs (dd9, dd13) are NOT probed at 5M
+    // docs: their 2-hash band keys hit the quadratic collision floor
+    // there (~1e9 random band candidates — the dd7 mechanism; the
+    // round-9 attempts GC-wedged dd9 and spilled dd13 past the
+    // machine's disk before verify could drop the candidates). The
+    // corpus-dedup and incremental surfaces measured at depth are
+    // dd22/dd23, the identical plans at dd21's production banding.
     val names = if (args.nonEmpty) args.toSeq
-      else Seq("dd21_lsh_prod_bands", "dd22_dedup_corpus_prod", "dd13_incremental")
+      else Seq("dd21_lsh_prod_bands", "dd22_dedup_corpus_prod",
+        "dd23_incremental_prod")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -48,6 +50,8 @@ object DeepDocsProbe {
       graft.core.Tables.documents(spark, d).count()
       if (names.contains("dd13_incremental"))
         graft.queries.TextQueries.dd13StateFixture(spark, d)
+      if (names.contains("dd23_incremental_prod"))
+        graft.queries.TextQueries.dd23StateFixture(spark, d)
     }
     // The artifact is merged + rewritten after EVERY query, not once at
     // the end: a deep run is tens of minutes per query and a wedged JVM

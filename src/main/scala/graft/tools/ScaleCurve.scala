@@ -50,7 +50,7 @@ object ScaleCurve {
     "dd9_dedup_corpus", "dd10_simhash_dups", "dd11_best_rep",
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "dd15_bloom_membership", "dd17_source_cap", "dd21_lsh_prod_bands",
-    "dd22_dedup_corpus_prod",
+    "dd22_dedup_corpus_prod", "dd23_incremental_prod",
     "t1_langid", "t2_quality", "t3_token_counts", "t4_fingerprint",
     "t5_tfidf", "t6_stratified_sample", "t7_contamination", "t8_unigram_lm",
     "t9_pack_shards", "t10_repetition", "t11_pii", "t12_mixture", "t13_chunks",
@@ -111,7 +111,7 @@ object ScaleCurve {
     "dd9_dedup_corpus", "t22_centrality", "dd21_lsh_prod_bands",
     "dd12_norm_dedup", "dd13_incremental", "dd14_simhash_corpus",
     "dd15_bloom_membership", "dd17_source_cap", "dd18_lsh_quality",
-    "dd22_dedup_corpus_prod",
+    "dd22_dedup_corpus_prod", "dd23_incremental_prod",
     "t7_contamination", "sim2_ann_lsh", "sim3_assign", "sim4_quantize",
     "sim5_ivf_assign", "sim6_pq_encode", "sim6_pq_adc",
     "dd19_chunk_dedup", "t21_dsir_weights",
@@ -311,6 +311,7 @@ object ScaleCurve {
       spark.read.parquet(s"$d/embeddings.parquet").count()
       graft.core.Tables.events(spark, d).count()
       graft.queries.TextQueries.dd13StateFixture(spark, d)
+      graft.queries.TextQueries.dd23StateFixture(spark, d)
     }
     graft.core.Tables.events(spark, xdeepEvents).count()
 
@@ -478,13 +479,15 @@ object ScaleCurve {
           "(min of 2 runs; BOTH scales re-measured inside the same quiet " +
           s"process, so the ratio never mixes runs; fixture $fv). One " +
           "decade past the table above, on the operators a daily " +
-          "100-TB ingest leans on. dd9's small-signature audit knobs are " +
-          "excluded from THIS decade only (they keep both rows above): at " +
-          "5M docs its 2-hash band keys sit on the quadratic collision " +
-          "floor (~1e9 random band candidates; the round-9 probe attempt " +
-          "GC-wedged there — the dd7 mechanism, now demonstrated at the " +
-          "composition level). The corpus-dedup surface measured at this " +
-          "depth is dd22 — the identical composition at dd21's " +
+          "100-TB ingest leans on. The small-signature audit knobs (dd9, " +
+          "dd13) are excluded from THIS decade only (both keep their rows " +
+          "above): at 5M docs their 2-hash band keys sit on the quadratic " +
+          "collision floor — ~1e9 random band candidates; the round-9 " +
+          "probe attempts GC-wedged dd9 there and dd13 spilled past the " +
+          "machine's disk, the dd7 mechanism demonstrated at composition " +
+          "level (and cross-frame: batch x corpus x J_floor^2). The " +
+          "corpus-dedup and incremental surfaces measured at this depth " +
+          "are dd22/dd23 — the identical compositions at dd21's " +
           "production banding.\n\n"
         sb ++= "| query | 500k-doc sec | 5M-doc sec | ratio3 | rows 500k | rows 5M | rows ratio |\n"
         sb ++= "|---|---|---|---|---|---|---|\n"
