@@ -18,6 +18,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's stream "cache" defaults to FILE-backed: every
+  // ImageIO.read/write materializes (and deletes) a temp file under
+  // java.io.tmpdir. Our payloads are in-memory byte arrays a few KB
+  // each, so at corpus scale that default is one create/delete-file
+  // syscall pair PER IMAGE per executor — measured on the 500k-image
+  // deep fixture as a superlinear drag (mm3 ratio2 16 with it, ~linear
+  // without). Memory-cached streams are strictly better here, and on a
+  // shared-disk cluster the difference is a node-level bottleneck.
+  // Object-init runs once per executor JVM (every decode/encode path
+  // below is a method of this object, so initialization is guaranteed
+  // before first use).
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical multimodal record schema: payload + typed metadata. */
   val mediaSchema: StructType = new StructType()
     .add("media_id", LongType)
