@@ -166,8 +166,13 @@ object Bench {
     // The driver tail-truncates Bench stdout, which destroyed the per-query
     // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist
     // the identical line to a committed file so timing history survives
-    // independently of stdout plumbing.
-    try {
+    // independently of stdout plumbing. Filtered dev runs
+    // (SPARK_GRAFT_ONLY) must NOT write: a partial-surface line would
+    // silently replace the committed full-surface artifact (the same
+    // rule ScaleCurve applies to SCALING.md).
+    if (only.nonEmpty) {
+      System.err.println("[bench] filtered run — BENCH_LOCAL.json not written")
+    } else try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
       // append-only history so per-round timings accumulate in the repo

@@ -1,0 +1,215 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared kernel of the fused shingle expressions: lowercase
+  * (`UTF8String.toLowerCase`, the Lower expression's kernel) and split
+  * on `\s+` with Java limit -1, exactly like `split(lower(text),
+  * "\\s+")` — a leading separator yields a leading empty token, kept by
+  * both. Returns null when the text is null or shorter than k tokens
+  * (the caller maps that to the empty shingle list the composable
+  * form's `when(size >= k, ...)` guard produces). */
+private[functions] object ShingleTokenizer {
+  private val ws = Pattern.compile("\\s+")
+
+  def tokens(text: UTF8String, k: Int): Array[String] = {
+    if (text == null) return null
+    val toks = ws.split(text.toLowerCase.toString, -1)
+    if (toks.length < k) null else toks
+  }
+}
+
+/** The hashed word-k-shingle array of a document in ONE primitive pass —
+  * value-identical (HashingSpec-pinned) to the composable form
+  *
+  * {{{ transform(Dedup.shingles(text, k), s => Hashing.sha28(s)) }}}
+  *
+  * (and its sha60 sibling at `hexChars = 15`), which is the hot kernel
+  * of every corpus-dedup operator (minhash signatures, band keys,
+  * exact-Jaccard verification sets, shingle-diversity sketches). The
+  * composable form pays Catalyst's higher-order-function machinery
+  * twice per document: `ArrayTransform` is `CodegenFallback`, so both
+  * the shingle build (k `element_at` calls + a `concat_ws` allocation
+  * per shingle) and the SHA map run INTERPRETED, boxing every element
+  * and materializing the intermediate shingle-string array. This
+  * expression tokenizes once, converts each token to UTF-8 bytes once,
+  * and per shingle streams `tok[i] ' ' tok[i+1] ...` straight into a
+  * thread-local SHA-256 digest — no shingle strings, no boxing, and the
+  * enclosing WholeStageCodegen span stays intact (single static call).
+  *
+  * Edge semantics matched to the composable form: documents with fewer
+  * than k tokens — and NULL documents, which the `when(size >= k, ...)`
+  * guard turns into an empty list — yield an empty array. The hash is
+  * [[ShaPrefixLong]] ([[Hashing.sha28]] at 7 hex chars, sha60 at 15),
+  * so the DuckDB oracle replays every value.
+  */
+case class HashedShingles(child: Expression, k: Int, hexChars: Int = 7)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 16, s"shingle size out of range: $k")
+  require(hexChars > 0 && hexChars <= 15,
+    s"hexChars must be in [1, 15] to fit a non-negative long, got $hexChars")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // null text maps to an empty shingle list (the composable form's
+  // otherwise-branch), so the output is never null.
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected a string input, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    HashedShingles.compute(v.asInstanceOf[UTF8String], k, hexChars)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    // custom null handling (null in -> empty array out, result never
+    // null), so nullSafeCodeGen's is-null propagation doesn't apply.
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.HashedShingles.compute(
+            ${c.isNull} ? null : ${c.value}, $k, $hexChars);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedShingles {
+
+  /** One document -> its long[] of shaPrefix(shingle) values, in order. */
+  def compute(text: UTF8String, k: Int, hexChars: Int): ArrayData = {
+    val toks = ShingleTokenizer.tokens(text, k)
+    if (toks == null) return new GenericArrayData(Array.emptyLongArray)
+    val n = toks.length
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      tokBytes(i) = toks(i).getBytes(StandardCharsets.UTF_8)
+      i += 1
+    }
+    val md = ShaPrefixLong.localDigest()
+    val out = new Array[Long](n - k + 1)
+    i = 0
+    while (i <= n - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(tokBytes(i + j))
+        j += 1
+      }
+      out(i) = ShaPrefixLong.prefixOf(md.digest(), hexChars)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, k: Int): Column =
+    GraftShim.column(HashedShingles(GraftShim.expression(c), k))
+
+  def apply(c: Column, k: Int, hexChars: Int): Column =
+    GraftShim.column(HashedShingles(GraftShim.expression(c), k, hexChars))
+}
+
+/** The word-k-shingle STRING array of a document as one native pass —
+  * value-identical (HashingSpec-pinned) to the composable
+  * `Dedup.shingles` form
+  *
+  * {{{
+  * when(size(tk) >= k, transform(sequence(1, size(tk) - k + 1),
+  *   i => concat_ws(" ", element_at(tk, i), ..., element_at(tk, i+k-1))))
+  *   .otherwise(array())   // tk = split(lower(text), "\\s+")
+  * }}}
+  *
+  * for the operators that need the shingle STRINGS (string-keyed
+  * contamination/containment joins, per-doc gram repetition, heavy-
+  * hitter probes) rather than their hashes — those take
+  * [[HashedShingles]] and never materialize a string. The composable
+  * form's `transform` lambda is `CodegenFallback`: k boxed `element_at`
+  * calls plus an interpreted `concat_ws` per shingle. Here the shingle
+  * window is joined in a tight JIT'd loop over the token array.
+  */
+case class ShingleStrings(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1 && k <= 16, s"shingle size out of range: $k")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected a string input, got $other")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    ShingleStrings.compute(v.asInstanceOf[UTF8String], k)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+          graft.functions.ShingleStrings.compute(
+            ${c.isNull} ? null : ${c.value}, $k);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+
+  /** One document -> its UTF8String[] of k-shingles, in order. */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val toks = ShingleTokenizer.tokens(text, k)
+    if (toks == null) return new GenericArrayData(new Array[Any](0))
+    val n = toks.length
+    val out = new Array[Any](n - k + 1)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def apply(c: Column, k: Int): Column =
+    GraftShim.column(ShingleStrings(GraftShim.expression(c), k))
+}

@@ -27,6 +27,11 @@ object Hashing {
   /** 60-bit hash (15 hex chars) for low-collision fingerprints. */
   def sha60(c: Column): Column = ShaPrefixLong(c.cast("string"), 15)
 
+  /** Fused `transform(Dedup.shingles(text, k), s => sha28(s))` — the
+    * dedup family's hot kernel as ONE native pass ([[HashedShingles]]),
+    * value-identical and spec-pinned against the composable form. */
+  def hashedShingles(text: Column, k: Int): Column = HashedShingles(text, k)
+
   /** DuckDB SQL fragments computing the same hashes. */
   def sha28Sql(expr: String): String =
     s"CAST(('0x' || substr(sha256($expr), 1, 7)) AS BIGINT)"

@@ -54,11 +54,12 @@ object ShaPrefixLong {
       MessageDigest.getInstance("SHA-256")
   }
 
-  /** Long from the first `hexChars` nibbles of SHA-256(bytes). */
-  def hash(bytes: Array[Byte], hexChars: Int): Long = {
-    val md = digests.get()
-    md.reset()
-    val dig = md.digest(bytes)
+  /** The thread-local reused digest — shared with [[HashedShingles]],
+    * which streams shingle bytes into it directly. */
+  private[functions] def localDigest(): MessageDigest = digests.get()
+
+  /** Long from the first `hexChars` nibbles of a SHA-256 digest. */
+  private[functions] def prefixOf(dig: Array[Byte], hexChars: Int): Long = {
     var v = 0L
     var k = 0
     while (k < hexChars) {
@@ -68,6 +69,13 @@ object ShaPrefixLong {
       k += 1
     }
     v
+  }
+
+  /** Long from the first `hexChars` nibbles of SHA-256(bytes). */
+  def hash(bytes: Array[Byte], hexChars: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    prefixOf(md.digest(bytes), hexChars)
   }
 
   def apply(c: Column, hexChars: Int): Column =

@@ -20,15 +20,16 @@ import graft.functions.Hashing
 object Dedup {
 
   /** Word k-shingles of a document, lowercased. Documents shorter than k
-    * tokens yield an empty shingle list (Spark's `sequence(1, 0)` DESCENDS,
-    * so the short case must be guarded explicitly). */
-  def shingles(text: Column, k: Int): Column = {
-    val tk = split(lower(text), "\\s+")
-    when(size(tk) >= k,
-      transform(sequence(lit(1), size(tk) - (k - 1)),
-        i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+    * tokens (and null documents) yield an empty shingle list. Native
+    * one-pass build ([[graft.functions.ShingleStrings]]) — value-
+    * identical (HashingSpec-pinned) to the composable
+    * `transform(sequence(...), i => concat_ws(" ", element_at(tk, i+j)*))`
+    * form, whose `ArrayTransform` lambda is `CodegenFallback` and ran
+    * interpreted per shingle. Operators that only need the shingle
+    * HASHES should use [[Hashing.hashedShingles]] instead and never
+    * materialize the strings. */
+  def shingles(text: Column, k: Int): Column =
+    graft.functions.ShingleStrings(text, k)
 
   /** DuckDB twin of [[shingles]]: 1-indexed lists; `range(a, b)` is [a, b)
     * and empty when a >= b, matching the short-document guard above.
@@ -113,7 +114,7 @@ object Dedup {
       element_at(col("__mh_arr"), i + 1).as(s"mh$i"))
     docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
-        transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
+        Hashing.hashedShingles(col(textCol), shingleK).as("hsh"))
       .select(col(idCol),
         graft.functions.MinHashOverHashed(col("hsh"), numHashes).as("__mh_arr"))
       .select(col(idCol) +: sigCols: _*)
@@ -128,7 +129,7 @@ object Dedup {
     * docs still get a (shared, tiny) block. */
   def minhashBandKey(text: Column, shingleK: Int, numHashes: Int): Column =
     bandKeyOverHashed(
-      transform(shingles(text, shingleK), s => Hashing.sha28(s)), numHashes)
+      Hashing.hashedShingles(text, shingleK), numHashes)
 
   /** The band key over an already-hashed shingle array — the shared core
     * of [[minhashBandKey]] and [[ngramJaccardPairsBanded]], kept in one
@@ -262,8 +263,7 @@ object Dedup {
 
   /** Shared: sorted distinct 64-bit shingle-hash set of a document. */
   private def hashedShingleSet(text: Column, shingleK: Int): Column =
-    array_sort(array_distinct(transform(shingles(text, shingleK),
-      s => Hashing.sha28(s))))
+    array_sort(array_distinct(Hashing.hashedShingles(text, shingleK)))
 
   /** Shared: size-ratio prune — jaccard <= min(|A|,|B|)/max(|A|,|B|), so
     * pairs under the threshold are rejected on two int compares before
@@ -306,7 +306,7 @@ object Dedup {
     val hashed = docs
       .repartition(par)
       .select(col(idCol),
-        transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
+        Hashing.hashedShingles(col(textCol), shingleK).as("hsh"))
       .persist()
     try {
       // all k minima from one native pass over the materialized hashes
@@ -353,7 +353,7 @@ object Dedup {
     val hashed = docs
       .repartition(par)
       .select(col(idCol),
-        transform(shingles(col(textCol), shingleK), s => Hashing.sha28(s)).as("hsh"))
+        Hashing.hashedShingles(col(textCol), shingleK).as("hsh"))
     val withSets = hashed.select(
         col(idCol),
         bandKeyOverHashed(col("hsh"), bandHashes).as("block"),
@@ -688,9 +688,13 @@ object Dedup {
   def simhash(text: Column, bits: Int): Column =
     simhashOverHashed(hashedTokens(text), bits)
 
-  /** Per-token 28-bit hashes of a lowercased whitespace tokenization. */
+  /** Per-token 28-bit hashes of a lowercased whitespace tokenization —
+    * the k=1 case of [[Hashing.hashedShingles]]'s fused kernel. The
+    * explicit null guard preserves the composable form's null semantics
+    * (`transform(split(null), ...)` is null, while the fused shingle
+    * kernel maps null text to the empty list its `when` guard produces). */
   def hashedTokens(text: Column): Column =
-    transform(split(lower(text), "\\s+"), t => Hashing.sha28(t))
+    when(text.isNotNull, Hashing.hashedShingles(text, 1))
 
   /** [[simhash]] over an already-computed [[hashedTokens]] column — the
     * native one-pass form ([[graft.functions.SimHashOverHashed]]): all

@@ -134,9 +134,12 @@ object Sketches {
                                     textCol: String, k: Int): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // fused shingle+sha60 kernel: the exploded rows are already the
+      // 60-bit hashes (value-identical to sha60 over the shingle string,
+      // HashingSpec-pinned), so no shingle string is ever materialized
+      // and the distinct shuffles longs, not strings.
       .select(col(sourceCol).as("grp"),
-        explode(Dedup.shingles(col(textCol), k)).as("g"))
-      .select(col("grp"), Hashing.sha60(col("g")).as("h"))
+        explode(graft.functions.HashedShingles(col(textCol), k, 15)).as("h"))
       .distinct().localCheckpoint()
 
   /** Per-source distinct k-shingle diversity via HLL, plus the merged

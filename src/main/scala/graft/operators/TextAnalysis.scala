@@ -1119,7 +1119,9 @@ object TextAnalysis {
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
     * compact near-exact-dup document signature. */
   def fingerprint(text: Column): Column = {
-    val hashed = transform(tokens(text), t => Hashing.sha28(t))
+    // fused per-token hashing (Dedup.hashedTokens' kernel); the null
+    // guard keeps null-text semantics (null fingerprint, not fold-of-[])
+    val hashed = when(text.isNotNull, Hashing.hashedShingles(text, 1))
     aggregate(hashed, lit(0L), (acc, h) => (acc * 31L + h) % Hashing.P)
   }
 
@@ -1418,9 +1420,10 @@ object TextAnalysis {
     // source may scan as a single split (cf. Dedup.minhashSignature)
     val sh = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      // fused shingle+sha28 kernel (HashingSpec-pinned): explode the
+      // hash array directly — no shingle strings, distinct over longs
       .select(col(sourceCol).as("src"),
-        explode(Dedup.shingles(col(textCol), shingleK)).as("sg"))
-      .select(col("src"), Hashing.sha28(col("sg")).as("h"))
+        explode(Hashing.hashedShingles(col(textCol), shingleK)).as("h"))
       .distinct()
     // tiny dimension: one row per source; the unpartitioned window runs
     // over the source cardinality, bounded by contract. Built from the

@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Stage-level wall-clock profile of the e2e_corpus_assembly composition
-  * (dev tool): times each pipeline stage CUMULATIVELY (count() from the
-  * raw scan through stage k) at one scale dir, so a superlinear stage
-  * shows up as the step where cumulative time jumps.
+/** Stage-level wall-clock profile of the two e2e compositions
+  * (e2e_corpus_assembly and e2e_llm_prep; dev tool): times each pipeline
+  * stage CUMULATIVELY (count() from the raw scan through stage k) at one
+  * scale dir, so a superlinear stage shows up as the step where
+  * cumulative time jumps.
   *
   * Every stage BUILDS ITS PIPELINE FRESH inside the timed closure: the
   * composition's stage boundaries are eager `localCheckpoint`s whose
@@ -32,10 +33,10 @@ object ProfileE2E {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import graft.pipeline.CorpusPipeline
-    import graft.operators.TextAnalysis
+    import graft.operators.{Dedup, TextAnalysis}
     import graft.core.Tables
 
-    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    var results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
     def time(label: String)(build: => DataFrame): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
@@ -74,17 +75,47 @@ object ProfileE2E {
       TextAnalysis.chunkDocuments(sampled, "doc_id", "text", 30, 5)
     }
     time("full_e2e")(graft.SparkEntry.queries("e2e_corpus_assembly")(spark, dir))
+    val assemblyStages = results
 
-    // machine-readable artifact for ScaleCurve's stage table: cumulative
-    // seconds per stage plus the delta vs the previous stage in the
-    // scan -> exact -> near -> prepare -> mixture -> chunks -> full chain
-    // (each stage contains all previous ones, so deltas are the marginal
-    // stage costs).
-    val stages = results.zipWithIndex.map { case ((label, sec, n), i) =>
-      val delta = if (i == 0) sec else sec - results(i - 1)._2
-      f"""{"stage":"$label","cumulative_sec":$sec%.2f,"delta_sec":$delta%.2f,"rows":$n}"""
-    }.mkString("[", ",", "]")
-    val json = s"""{"dir":"$dir","cpus":$cpus,"stages":$stages}"""
+    // Second composition: the e2e_llm_prep chain (Gopher rule gate ->
+    // exact-substring chunk dedup -> DSIR target selection -> BPE
+    // pricing), same cumulative-rebuild discipline. Stage frames mirror
+    // the query body in TextQueries.scala exactly (same checkpoints),
+    // so the deltas are the marginal costs of the plan the bench times.
+    results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def gated = TextAnalysis.gopherStructuralFilter(
+      Tables.documents(spark, dir), "text")
+    def dedupBase = {
+      val d = gated
+      Dedup.chunkDedup(d, "doc_id", "text", 3)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(d.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(true)
+    }
+    time("gopher_gate")(gated)
+    time("chunk_dedup")(dedupBase)
+    time("dsir_select") {
+      val base = dedupBase
+      val weights = TextAnalysis.dsirWeightsByPred(base,
+        col("source").isin("src1", "src2", "src3", "src4"), "doc_id",
+        "dedup_text", 256)
+      base.join(weights.filter(col("log_w") > 0).select("doc_id"), "doc_id")
+    }
+    time("full_llm_prep")(graft.SparkEntry.queries("e2e_llm_prep")(spark, dir))
+    val prepStages = results
+
+    // machine-readable artifact for ScaleCurve's stage tables: cumulative
+    // seconds per stage plus the delta vs the previous stage (each stage
+    // contains all previous ones, so deltas are the marginal stage costs).
+    def stageJson(rs: Seq[(String, Double, Long)]): String =
+      rs.zipWithIndex.map { case ((label, sec, n), i) =>
+        val delta = if (i == 0) sec else sec - rs(i - 1)._2
+        f"""{"stage":"$label","cumulative_sec":$sec%.2f,"delta_sec":$delta%.2f,"rows":$n}"""
+      }.mkString("[", ",", "]")
+    val pipelines =
+      s"""[{"name":"e2e_corpus_assembly","stages":${stageJson(assemblyStages.toSeq)}},""" +
+      s"""{"name":"e2e_llm_prep","stages":${stageJson(prepStages.toSeq)}}]"""
+    val json = s"""{"dir":"$dir","cpus":$cpus,"pipelines":$pipelines}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PROFILE_E2E.json"), json + "\n")
     println(json)

@@ -504,28 +504,36 @@ object ScaleCurve {
       }
     }
 
-    // e2e stage breakdown — rendered from ProfileE2E's artifact (same
-    // file-not-literals contract as above).
+    // e2e stage breakdowns — rendered from ProfileE2E's artifact (same
+    // file-not-literals contract as above; one table per composed
+    // pipeline the bench surfaces as an e2e query).
     readJson("PROFILE_E2E.json").foreach { root =>
-      val stages = root.get("stages")
-      if (stages != null && stages.size() > 0) {
-        sb ++= s"\n## e2e_corpus_assembly stage breakdown (`${root.get("dir").asText}`)\n\n"
-        sb ++= "Measured by `sbt \"runMain graft.tools.ProfileE2E <dir>\"`: " +
-          "each stage is timed CUMULATIVELY (count() from the raw scan " +
-          "through stage k, pipeline rebuilt fresh inside each timed " +
-          "window), so delta = the marginal cost of that stage and the " +
-          "slowest delta names the next optimization target.\n\n"
-        sb ++= "| stage | cumulative sec | delta sec | rows |\n|---|---|---|---|\n"
-        var worst = ("", 0.0)
-        (0 until stages.size()).foreach { i =>
-          val s = stages.get(i)
-          val (lbl, d) = (s.get("stage").asText, s.get("delta_sec").asDouble)
-          if (d > worst._2) worst = (lbl, d)
-          sb ++= f"| $lbl | ${s.get("cumulative_sec").asDouble}%.2f | $d%.2f " +
-            f"| ${s.get("rows").asLong} |\n"
+      def renderStages(name: String, stages: com.fasterxml.jackson.databind.JsonNode): Unit =
+        if (stages != null && stages.size() > 0) {
+          sb ++= s"\n## $name stage breakdown (`${root.get("dir").asText}`)\n\n"
+          sb ++= "Measured by `sbt \"runMain graft.tools.ProfileE2E <dir>\"`: " +
+            "each stage is timed CUMULATIVELY (count() from the raw scan " +
+            "through stage k, pipeline rebuilt fresh inside each timed " +
+            "window), so delta = the marginal cost of that stage and the " +
+            "slowest delta names the next optimization target.\n\n"
+          sb ++= "| stage | cumulative sec | delta sec | rows |\n|---|---|---|---|\n"
+          var worst = ("", 0.0)
+          (0 until stages.size()).foreach { i =>
+            val s = stages.get(i)
+            val (lbl, d) = (s.get("stage").asText, s.get("delta_sec").asDouble)
+            if (d > worst._2) worst = (lbl, d)
+            sb ++= f"| $lbl | ${s.get("cumulative_sec").asDouble}%.2f | $d%.2f " +
+              f"| ${s.get("rows").asLong} |\n"
+          }
+          sb ++= f"\nSlowest stage: **${worst._1}** (${worst._2}%.2f s marginal).\n"
         }
-        sb ++= f"\nSlowest stage: **${worst._1}** (${worst._2}%.2f s marginal).\n"
-      }
+      val pipelines = root.get("pipelines")
+      if (pipelines != null && pipelines.size() > 0)
+        (0 until pipelines.size()).foreach { i =>
+          val p = pipelines.get(i)
+          renderStages(p.get("name").asText, p.get("stages"))
+        }
+      else renderStages("e2e_corpus_assembly", root.get("stages"))
     }
     if (only.isEmpty) {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)

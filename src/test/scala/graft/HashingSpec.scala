@@ -90,6 +90,71 @@ class HashingSpec extends SparkTestBase {
     assert(empty === -1L)
   }
 
+  // the composable shingle form the fused kernels replaced — kept here
+  // as the reference semantics both ShingleStrings and HashedShingles
+  // are pinned against (it is also exactly what shinglesOverTkSql spells
+  // out for the DuckDB oracle).
+  private def composableShingles(text: org.apache.spark.sql.Column, k: Int) = {
+    val tk = split(lower(text), "\\s+")
+    when(size(tk) >= k,
+      transform(sequence(lit(1), size(tk) - (k - 1)),
+        i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def shingleFixture = {
+    // edge cases the fused kernels must share with the composable form:
+    // empty text (one empty token), leading/trailing/multi whitespace
+    // (leading separator -> leading empty token), tabs/newlines, case
+    // folding, unicode, exactly-k and k-1 token docs, long docs.
+    val tricky = Seq("", "one", "one two", "one two three",
+      "  leading", "trailing  ", "a  b\tc\nd", "UPPER Case MiX",
+      "héllo wörld é中文 tokens here", "a b a b a b a b",
+      (1 to 200).map(i => s"w${i % 17}").mkString(" "))
+    val rng = new scala.util.Random(7)
+    val words = Vector("alpha", "beta", "Gamma", "DELTA", "e", "zz", "中")
+    tricky ++ (1 to 300).map(_ =>
+      (0 until rng.nextInt(12)).map(_ => words(rng.nextInt(words.length)))
+        .mkString(if (rng.nextBoolean()) " " else "  "))
+  }
+
+  test("HashedShingles equals transform(shingles, sha28/sha60) for k=1,2,3") {
+    import spark.implicits._
+    val df = shingleFixture.toDF("s")
+    Seq(1, 2, 3).foreach { k =>
+      val mism = df.select(
+          Hashing.hashedShingles(col("s"), k).as("fast28"),
+          transform(composableShingles(col("s"), k),
+            x => Hashing.sha28(x)).as("ref28"),
+          graft.functions.HashedShingles(col("s"), k, 15).as("fast60"),
+          transform(composableShingles(col("s"), k),
+            x => Hashing.sha60(x)).as("ref60"))
+        .filter(not(col("fast28") <=> col("ref28")) ||
+          not(col("fast60") <=> col("ref60")))
+      assert(mism.isEmpty, s"fused shingle-hash kernel diverged at k=$k")
+    }
+    // null text: the composable form's when-guard yields an EMPTY list
+    val n = df.limit(1).select(
+      Hashing.hashedShingles(lit(null).cast("string"), 3).as("h")).head()
+    assert(n.getSeq[Long](0).isEmpty)
+  }
+
+  test("ShingleStrings (Dedup.shingles) equals the composable form") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val df = shingleFixture.toDF("s")
+    Seq(1, 2, 3).foreach { k =>
+      val mism = df.select(
+          Dedup.shingles(col("s"), k).as("fast"),
+          composableShingles(col("s"), k).as("ref"))
+        .filter(not(col("fast") <=> col("ref")))
+      assert(mism.isEmpty, s"fused shingle-string kernel diverged at k=$k")
+    }
+    val n = df.limit(1).select(
+      Dedup.shingles(lit(null).cast("string"), 2).as("g")).head()
+    assert(n.getSeq[String](0).isEmpty)
+  }
+
   test("ShaPrefixLong survives both codegen and interpreted eval") {
     import spark.implicits._
     val df = Seq("x", "y", "z").toDF("s")
