@@ -1,0 +1,216 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused text-scoring kernels for the quality/language/fingerprint
+  * columns of the corpus-analysis stage — the per-document expressions
+  * every ingested row pays, whose composable forms all route through
+  * `CodegenFallback` higher-order functions (interpreted lambdas, boxed
+  * elements):
+  *
+  *  - [[TokenSetHits]] replaces `size(filter(split(lower(text), "\\s+"),
+  *    t => array_contains(typedLit(words), t)))` — and `array_contains`
+  *    over a literal list is itself a LINEAR scan per token, so the
+  *    composable form was tokens x |words| interpreted steps per doc.
+  *  - [[LangBest]] replaces the whole language-ID argmax (one
+  *    `ArrayFilter` per language plus an `ArrayAggregate` fold over the
+  *    scored structs): ONE tokenization, hash-set membership per
+  *    language, argmax with the (score DESC, lang ASC) tie-break.
+  *  - [[PolyHashFold]] replaces the rolling-fingerprint fold
+  *    `aggregate(hashed, 0L, (acc, h) => (acc * m + h) % p)`.
+  *
+  * All three are HashingSpec-pinned value-identical to the composable
+  * forms, null edges included (null text: TokenSetHits is null like
+  * `size(filter(null))`; LangBest returns the FIRST marker language,
+  * because the composable fold's null-score comparisons keep the seed
+  * accumulator; PolyHashFold of a null array is null).
+  */
+case class TokenSetHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected a string input, got $other")
+  }
+
+  @transient private lazy val set: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    words.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenSetHits.compute(input.asInstanceOf[UTF8String], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // raw type in the cast — janino's generics support is partial
+    val setRef = ctx.addReferenceObj("words", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.TokenSetHits.compute($c, $setRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenSetHits {
+
+  def compute(text: UTF8String, set: java.util.HashSet[String]): Int = {
+    val toks = ShingleTokenizer.tokens(text, 1)
+    var hits = 0
+    var i = 0
+    while (i < toks.length) {
+      if (set.contains(toks(i))) hits += 1
+      i += 1
+    }
+    hits
+  }
+
+  def apply(c: Column, words: Seq[String]): Column =
+    GraftShim.column(TokenSetHits(GraftShim.expression(c), words))
+}
+
+/** Language-ID argmax over marker-word hit counts — see file scaladoc. */
+case class LangBest(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression {
+
+  require(markers.nonEmpty, "LangBest needs at least one language")
+
+  override def dataType: DataType = StringType
+
+  // null text resolves to the first marker language (the composable
+  // fold's seed accumulator survives every null-score comparison), so
+  // the output is never null.
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected a string input, got $other")
+  }
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    markers.map { case (_, words) =>
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }.toArray
+
+  @transient private lazy val langs: Array[String] = markers.map(_._1).toArray
+
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    LangBest.compute(v.asInstanceOf[UTF8String], sets, langs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    val langsRef = ctx.addReferenceObj("langNames", langs, "java.lang.String[]")
+    val c = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${c.code}
+        UTF8String ${ev.value} = graft.functions.LangBest.compute(
+          ${c.isNull} ? null : ${c.value}, $setsRef, $langsRef);""",
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangBest {
+
+  def compute(text: UTF8String, sets: Array[java.util.HashSet[String]],
+              langs: Array[String]): UTF8String = {
+    if (text == null) return UTF8String.fromString(langs(0))
+    val toks = ShingleTokenizer.tokens(text, 1)
+    val scores = new Array[Int](sets.length)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      var j = 0
+      while (j < sets.length) {
+        if (sets(j).contains(t)) scores(j) += 1
+        j += 1
+      }
+      i += 1
+    }
+    // argmax: score DESC, lang ASC (same comparison the composable fold
+    // runs; markers are scanned in declaration order with strict >)
+    var best = 0
+    var j = 1
+    while (j < sets.length) {
+      if (scores(j) > scores(best) ||
+          (scores(j) == scores(best) && langs(j).compareTo(langs(best)) < 0))
+        best = j
+      j += 1
+    }
+    UTF8String.fromString(langs(best))
+  }
+
+  def apply(c: Column, markers: Seq[(String, Seq[String])]): Column =
+    GraftShim.column(LangBest(GraftShim.expression(c), markers))
+}
+
+/** Rolling polynomial fold `(acc * mult + h) % mod` over a long array —
+  * see file scaladoc. */
+case class PolyHashFold(child: Expression, mult: Long, mod: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected array<bigint> input, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHashFold.compute(input.asInstanceOf[ArrayData], mult, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("polyFold")
+      s"""
+        java.lang.Long $r = graft.functions.PolyHashFold.compute($c, ${mult}L, ${mod}L);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r.longValue(); }
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PolyHashFold {
+
+  /** Null elements poison the composable fold (`acc * m + null` is null
+    * and stays null), so the first null element decides the result. */
+  def compute(arr: ArrayData, mult: Long, mod: Long): java.lang.Long = {
+    val n = arr.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      acc = (acc * mult + arr.getLong(i)) % mod
+      i += 1
+    }
+    java.lang.Long.valueOf(acc)
+  }
+
+  def apply(c: Column, mult: Long, mod: Long): Column =
+    GraftShim.column(PolyHashFold(GraftShim.expression(c), mult, mod))
+}

@@ -21,11 +21,14 @@ import graft.functions.Hashing
   */
 object Similarity {
 
-  /** Dot product of two double-array columns (left-to-right fold — the
-    * same summation order as DuckDB's list_inner_product). */
-  def dot(x: Column, y: Column): Column =
-    aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** Dot product of two numeric-array columns (left-to-right fold — the
+    * same summation order as DuckDB's list_inner_product). Native
+    * one-loop kernel ([[graft.functions.VecDot]]), value-identical
+    * (HashingSpec-pinned) to the composable
+    * `aggregate(zip_with(x, y, p*q), 0.0, +)` form, whose ZipWith /
+    * ArrayAggregate lambdas are CodegenFallback and ran interpreted per
+    * element per scored pair. */
+  def dot(x: Column, y: Column): Column = graft.functions.VecDot(x, y)
 
   /** Cosine similarity of two float-array columns, computed in double. */
   def cosine(a: Column, b: Column): Column =
@@ -275,8 +278,7 @@ object Similarity {
         sort_array(
           transform(centLit, (c, i) =>
             struct(
-              aggregate(zip_with(q, c, (x, y) => (x.cast("double") - y) *
-                (x.cast("double") - y)), lit(0.0), (a, v) => a + v).as("d"),
+              graft.functions.VecSqDist(q, c).as("d"),
               i.as("cell"))),
           asc = true)
     }
@@ -329,9 +331,7 @@ object Similarity {
     val centLit = typedLit(cents.map { case (cell, v) => (v, cell) })
     transform(centLit, c =>
       struct(
-        round(aggregate(zip_with(vec, c.getField("_1"),
-            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
-          lit(0.0), (a, v) => a + v), 6).as("d"),
+        round(graft.functions.VecSqDist(vec, c.getField("_1")), 6).as("d"),
         c.getField("_2").as("cell")))
   }
 

@@ -28,23 +28,15 @@ object TextAnalysis {
     "zh" -> Seq("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3"))
 
   /** Language-ID: count token hits per marker list; predict the argmax
-    * language, ties broken alphabetically (score DESC, lang ASC). */
-  def langId(text: Column): Column = {
-    val tk = tokens(text)
-    val scored = langMarkers.map { case (lang, words) =>
-      val score = size(filter(tk, t => array_contains(typedLit(words), t)))
-      struct(score.as("s"), lit(lang).as("l"))
-    }
-    // max over (score, reversed-lang) = highest score, then lexicographically
-    // smallest language. Reverse by negating char order is messy; instead
-    // sort desc on score with array_sort comparator.
-    val arr = array(scored: _*)
-    val best = aggregate(arr, scored.head,
-      (acc, x) => when(x.getField("s") > acc.getField("s") ||
-        (x.getField("s") === acc.getField("s") && x.getField("l") < acc.getField("l")),
-        x).otherwise(acc))
-    best.getField("l")
-  }
+    * language, ties broken alphabetically (score DESC, lang ASC).
+    * Fused kernel ([[graft.functions.LangBest]]): one tokenization +
+    * hash-set membership per language — value-identical
+    * (HashingSpec-pinned) to the composable per-language
+    * `size(filter(tk, array_contains))` scores folded through the
+    * argmax, which ran interpreted at tokens x languages x |marker list|
+    * steps per document. */
+  def langId(text: Column): Column =
+    graft.functions.LangBest(text, langMarkers)
 
   /** DuckDB twin of [[langId]] over SQL expression `expr`. */
   def langIdSql(expr: String): String = {
@@ -79,8 +71,10 @@ object TextAnalysis {
       .withColumn("__q_nc", length(t))
       .withColumn("__q_punct",
         col("__q_nc") - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+      // fused tokenize+membership count (null-intolerant like
+      // size(filter(null, ...)) -> null)
       .withColumn("__q_stops",
-        size(filter(tk, x => array_contains(typedLit(qualityStopwords), x))))
+        graft.functions.TokenSetHits(t, qualityStopwords))
     // raw (unrounded) ratios feed the composite; only outputs are rounded —
     // the oracle must round in the same places, not earlier.
     val nWords = col("__q_nw")
@@ -1119,10 +1113,11 @@ object TextAnalysis {
     * fold(h, t) = (h * 31 + sha28(t)) mod P. Stable across engines; a
     * compact near-exact-dup document signature. */
   def fingerprint(text: Column): Column = {
-    // fused per-token hashing (Dedup.hashedTokens' kernel); the null
-    // guard keeps null-text semantics (null fingerprint, not fold-of-[])
+    // fused per-token hashing (Dedup.hashedTokens' kernel) + fused
+    // polynomial fold; the null guard keeps null-text semantics (null
+    // fingerprint, not fold-of-[])
     val hashed = when(text.isNotNull, Hashing.hashedShingles(text, 1))
-    aggregate(hashed, lit(0L), (acc, h) => (acc * 31L + h) % Hashing.P)
+    graft.functions.PolyHashFold(hashed, 31L, Hashing.P)
   }
 
   /** DuckDB twin of [[fingerprint]]: DuckDB's list_reduce has no init

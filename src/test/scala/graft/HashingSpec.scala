@@ -155,6 +155,109 @@ class HashingSpec extends SparkTestBase {
     assert(n.getSeq[String](0).isEmpty)
   }
 
+  test("VecDot/VecSqDist equal the zip_with+aggregate folds, edges included") {
+    import spark.implicits._
+    import graft.functions.{VecDot, VecSqDist}
+    val rng = new scala.util.Random(11)
+    // float-vector pairs incl. equal/unequal lengths, empty, null
+    // elements, null arrays, NaN/Inf — every edge the composable fold
+    // defines semantics for.
+    val rows: Seq[(Seq[java.lang.Float], Seq[java.lang.Float])] =
+      (1 to 300).map { _ =>
+        val n = rng.nextInt(9)
+        val m = if (rng.nextInt(10) == 0) n + 1 else n
+        (Seq.fill(n)(java.lang.Float.valueOf(rng.nextFloat() * 4 - 2)),
+         Seq.fill(m)(java.lang.Float.valueOf(rng.nextFloat() * 4 - 2)))
+      } ++ Seq(
+        (Seq.empty, Seq.empty),
+        (Seq(java.lang.Float.valueOf(1f), null), Seq(java.lang.Float.valueOf(2f), java.lang.Float.valueOf(3f))),
+        (Seq(java.lang.Float.valueOf(Float.NaN)), Seq(java.lang.Float.valueOf(1f))),
+        (Seq(java.lang.Float.valueOf(Float.PositiveInfinity)), Seq(java.lang.Float.valueOf(2f))))
+    val df = rows.toDF("x", "y")
+    def refDot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def refSq(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => (p.cast("double") - q.cast("double")) *
+        (p.cast("double") - q.cast("double"))), lit(0.0), (acc, v) => acc + v)
+    val mism = df.select(
+        VecDot(col("x"), col("y")).as("fd"), refDot(col("x"), col("y")).as("rd"),
+        VecSqDist(col("x"), col("y")).as("fs"), refSq(col("x"), col("y")).as("rs"))
+      .filter(not(col("fd") <=> col("rd")) || not(col("fs") <=> col("rs")))
+    assert(mism.isEmpty, "fused vector fold diverged from the composable form")
+    // null arrays propagate
+    val n = df.limit(1).select(
+      VecDot(lit(null).cast("array<float>"), col("y")).as("d")).head()
+    assert(n.isNullAt(0))
+    // double-literal right side (the centroid-table shape)
+    val mism2 = df.select(
+        VecSqDist(col("x"), typedLit(Seq(0.5, -1.25, 2.0))).as("f"),
+        refSq(col("x"), typedLit(Seq(0.5, -1.25, 2.0))).as("r"))
+      .filter(not(col("f") <=> col("r")))
+    assert(mism2.isEmpty)
+  }
+
+  test("TokenSetHits/LangBest/PolyHashFold equal their composable forms") {
+    import spark.implicits._
+    import graft.functions.{LangBest, PolyHashFold, TokenSetHits}
+    import graft.operators.TextAnalysis.{langMarkers, qualityStopwords, tokens}
+    // marker-dense and marker-free docs, mixed case, multi-space, empty
+    val docs = Seq("the cat and the dog is in a hat", "el que y en la es",
+      "der und das nicht mit ist", "le la de et un en est",
+      "de5 shi4 le5 wo3", "no markers here at all", "", "THE AND la DE",
+      "  the  ", "one de la the und", "a b c d e f g h i j k l") ++ {
+      val rng = new scala.util.Random(5)
+      val vocab = langMarkers.flatMap(_._2) ++ Seq("xx", "yy", "zz", "Q")
+      (1 to 200).map(_ => (0 until rng.nextInt(15))
+        .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("s")
+    // TokenSetHits vs size(filter(tk, array_contains))
+    val m1 = df.select(
+        TokenSetHits(col("s"), qualityStopwords).as("fast"),
+        size(filter(tokens(col("s")),
+          x => array_contains(typedLit(qualityStopwords), x))).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(m1.isEmpty, "TokenSetHits diverged")
+    // LangBest vs the composable argmax fold
+    def refLang(text: org.apache.spark.sql.Column) = {
+      val tk = tokens(text)
+      val scored = langMarkers.map { case (lang, words) =>
+        struct(size(filter(tk, t => array_contains(typedLit(words), t))).as("s"),
+          lit(lang).as("l"))
+      }
+      aggregate(array(scored: _*), scored.head,
+        (acc, x) => when(x.getField("s") > acc.getField("s") ||
+          (x.getField("s") === acc.getField("s") &&
+            x.getField("l") < acc.getField("l")), x).otherwise(acc))
+        .getField("l")
+    }
+    val m2 = df.select(LangBest(col("s"), langMarkers).as("fast"),
+        refLang(col("s")).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(m2.isEmpty, "LangBest diverged")
+    // null text: the composable fold keeps the seed accumulator -> the
+    // first marker language, never null
+    val nl = df.limit(1).select(
+      LangBest(lit(null).cast("string"), langMarkers).as("l")).head()
+    assert(nl.getString(0) == langMarkers.head._1)
+    // PolyHashFold vs aggregate((acc * 31 + h) % P), null edges included
+    val arrs: Seq[Seq[java.lang.Long]] = Seq(
+      Seq.empty, Seq(java.lang.Long.valueOf(7L)),
+      Seq(java.lang.Long.valueOf(1L), null, java.lang.Long.valueOf(2L))) ++ {
+      val rng = new scala.util.Random(9)
+      (1 to 200).map(_ => Seq.fill(rng.nextInt(20))(
+        java.lang.Long.valueOf(rng.nextInt(1 << 28).toLong)))
+    }
+    val da = arrs.toDF("h")
+    val m3 = da.select(
+        PolyHashFold(col("h"), 31L, Hashing.P).as("fast"),
+        aggregate(col("h"), lit(0L),
+          (acc, h) => (acc * 31L + h) % Hashing.P).as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(m3.isEmpty, "PolyHashFold diverged")
+  }
+
   test("ShaPrefixLong survives both codegen and interpreted eval") {
     import spark.implicits._
     val df = Seq("x", "y", "z").toDF("s")
