@@ -69,8 +69,11 @@ object TextAnalysis {
     val staged = df
       .withColumn("__q_nw", size(tk))
       .withColumn("__q_nc", length(t))
-      .withColumn("__q_punct",
-        col("__q_nc") - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")))
+      // fused code-point counter — value-identical to
+      // nc - length(regexp_replace(t, "[^a-zA-Z0-9\\s]", "")), whose
+      // regex walk REBUILT every document just to count removals (the
+      // dominant cost of this pass measured at depth)
+      .withColumn("__q_punct", graft.functions.PunctCharCount(t))
       // fused tokenize+membership count (null-intolerant like
       // size(filter(null, ...)) -> null)
       .withColumn("__q_stops",
@@ -346,8 +349,11 @@ object TextAnalysis {
   val tokenRegex = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
   def tokenCounts(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("ws_tokens", size(tokens(col(textCol))).cast("long"))
+      // fused run-state scan — value-identical to
+      // size(regexp_extract_all(text, tokenRegex, 0)) without the regex
+      // walk materializing every match
       .withColumn("re_tokens",
-        size(regexp_extract_all(col(textCol), lit(tokenRegex), lit(0))).cast("long"))
+        graft.functions.RegexTokenCount(col(textCol)).cast("long"))
 
   /** Corpus document frequencies: distinct terms per document, counted
     * across the corpus. One explode (map-side) + one aggregation keyed by

@@ -258,6 +258,35 @@ class HashingSpec extends SparkTestBase {
     assert(m3.isEmpty, "PolyHashFold diverged")
   }
 
+  test("PunctCharCount/RegexTokenCount equal their regex forms") {
+    import spark.implicits._
+    import graft.functions.{PunctCharCount, RegexTokenCount}
+    import graft.operators.TextAnalysis.tokenRegex
+    val docs = Seq("", "abc", "a1b2c3", "hello, world!", "a.b.c...",
+      "  tabs\tand\nnewlines\f\r", "héllo wörld 中文 😀 ok",
+      "#tag #tag2 ...", "123 456 abc789def", "!@#$%^&*()",
+      "mixed 中a1文b2 end", " nbsp ", "a" * 300 + "." + "9" * 50) ++ {
+      val rng = new scala.util.Random(13)
+      val chars = "abcXYZ019 .,!?#-\t中é😀".toCharArray
+      (1 to 200).map(_ => (0 until rng.nextInt(60))
+        .map(_ => chars(rng.nextInt(chars.length))).mkString)
+    }
+    val df = docs.toDF("s")
+    val m = df.select(
+        PunctCharCount(col("s")).as("fp"),
+        (length(col("s")) -
+          length(regexp_replace(col("s"), "[^a-zA-Z0-9\\s]", ""))).as("rp"),
+        RegexTokenCount(col("s")).as("ft"),
+        size(regexp_extract_all(col("s"), lit(tokenRegex), lit(0))).as("rt"))
+      .filter(not(col("fp") <=> col("rp")) || not(col("ft") <=> col("rt")))
+    assert(m.isEmpty, "fused char-class counters diverged from the regex forms")
+    // null propagates like the composable forms
+    val n = df.limit(1).select(
+      PunctCharCount(lit(null).cast("string")).as("a"),
+      RegexTokenCount(lit(null).cast("string")).as("b")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
   test("ShaPrefixLong survives both codegen and interpreted eval") {
     import spark.implicits._
     val df = Seq("x", "y", "z").toDF("s")
