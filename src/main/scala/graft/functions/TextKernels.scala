@@ -108,7 +108,14 @@ case class LangBest(child: Expression, markers: Seq[(String, Seq[String])])
       s
     }.toArray
 
-  @transient private lazy val langs: Array[String] = markers.map(_._1).toArray
+  // UTF8String, not java.lang.String: the tie-break must compare in
+  // UTF-8 BINARY order (what the composable fold's Spark `<` ran), and
+  // String.compareTo is UTF-16 code-unit order — the two diverge for
+  // names mixing supplementary code points with U+E000..U+FFFF. Also
+  // lets compute() return the shared instance instead of allocating
+  // fromString per row.
+  @transient private lazy val langs: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -117,7 +124,8 @@ case class LangBest(child: Expression, markers: Seq[(String, Seq[String])])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
-    val langsRef = ctx.addReferenceObj("langNames", langs, "java.lang.String[]")
+    val langsRef = ctx.addReferenceObj("langNames", langs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
     val c = child.genCode(ctx)
     ev.copy(
       code = code"""
@@ -134,8 +142,8 @@ case class LangBest(child: Expression, markers: Seq[(String, Seq[String])])
 object LangBest {
 
   def compute(text: UTF8String, sets: Array[java.util.HashSet[String]],
-              langs: Array[String]): UTF8String = {
-    if (text == null) return UTF8String.fromString(langs(0))
+              langs: Array[UTF8String]): UTF8String = {
+    if (text == null) return langs(0)
     val toks = ShingleTokenizer.tokens(text, 1)
     val scores = new Array[Int](sets.length)
     var i = 0
@@ -149,7 +157,9 @@ object LangBest {
       i += 1
     }
     // argmax: score DESC, lang ASC (same comparison the composable fold
-    // runs; markers are scanned in declaration order with strict >)
+    // runs; markers are scanned in declaration order with strict >).
+    // UTF8String.compareTo is unsigned-byte UTF-8 order — the order
+    // Spark's own string `<` uses, unlike String.compareTo's UTF-16.
     var best = 0
     var j = 1
     while (j < sets.length) {
@@ -158,7 +168,7 @@ object LangBest {
         best = j
       j += 1
     }
-    UTF8String.fromString(langs(best))
+    langs(best)
   }
 
   def apply(c: Column, markers: Seq[(String, Seq[String])]): Column =

@@ -28,6 +28,16 @@ import org.apache.spark.sql.types._
   * unequal lengths with null, and a null product/square poisons the
   * left fold -> unequal lengths or any null element yield null; two
   * empty arrays fold to the 0.0 init.
+  *
+  * DELIBERATE NARROWING vs the composable form: the old fold's
+  * `cast("double")` accepted ANY castable element type — decimals
+  * (which round differently under decimal->double cast, so silently
+  * diverge), strings, booleans, timestamps. These kernels accept only
+  * float/double/int/long/short/byte elements and REJECT everything else
+  * at analysis time with a TypeCheckFailure naming the fix
+  * (`cast to array<double> first`). A caller with string- or
+  * decimal-element arrays must make the cast — and therefore the
+  * rounding/parse semantics — explicit in their own plan.
   */
 abstract class VecFoldExpression extends BinaryExpression {
 
@@ -42,8 +52,11 @@ abstract class VecFoldExpression extends BinaryExpression {
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"expected two arrays of non-decimal numeric elements, got " +
-        s"${left.dataType} and ${right.dataType}")
+      s"expected two arrays of float/double/int/long/short/byte elements, " +
+        s"got ${left.dataType} and ${right.dataType}; decimal, string and " +
+        "other castable element types are deliberately not auto-cast " +
+        "(decimal->double rounds differently) — cast to array<double> " +
+        "explicitly first")
   }
 
   @transient private lazy val leftTag =

@@ -263,16 +263,25 @@ object TextAnalysis {
        |FROM r""".stripMargin
   }
 
-  /** The five per-document counts behind [[c4Rules]], as (name ->
-    * expression) pairs over the text column. A "kept" line is C4's
-    * line-level filter: ends in terminal punctuation, has at least five
-    * whitespace words, and does not mention "javascript". */
-  private def c4Counts(t: Column): Seq[(String, Column)] = {
+  /** The non-empty lines of `t`, then those surviving C4's line-level
+    * filter (ends in terminal punctuation, >= 5 whitespace words, no
+    * "javascript" mention) — shared by the audit counts, the flag frame
+    * and [[c4StructuralClean]] so all three make bit-identical line
+    * decisions. */
+  private def c4LineArrays(t: Column): (Column, Column) = {
     val lines = filter(split(t, "\n"), l => trim(l) =!= "")
     val kept = filter(lines, l =>
       l.rlike("[.!?\"]\\s*$") &&
         size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
         !lower(l).contains("javascript"))
+    (lines, kept)
+  }
+
+  /** The five per-document counts behind [[c4Rules]], as (name ->
+    * expression) pairs over the text column. A "kept" line is C4's
+    * line-level filter — see [[c4LineArrays]]. */
+  private def c4Counts(t: Column): Seq[(String, Column)] = {
+    val (lines, kept) = c4LineArrays(t)
     Seq(
       "__c_nl" -> size(lines).cast("long"),
       "__c_kept" -> size(kept).cast("long"),
@@ -342,6 +351,51 @@ object TextAnalysis {
        |  (kept >= 1) AS r4_has_kept_lines,
        |  ((sent >= 3) AND (NOT lorem) AND (NOT brace) AND (kept >= 1)) AS keep
        |FROM c""".stripMargin
+  }
+
+  /** C4's cleaning rules in COMPOSITION form — the page gate plus the
+    * line-level rewrite a C4-lineage pipeline actually applies (Raffel
+    * et al. 2020 §2.2): pages failing the page rules are dropped, and a
+    * surviving page's text is rebuilt from only the lines that pass the
+    * line filter (joined back with newlines, original line content
+    * preserved).
+    *
+    * Semantics pinned to [[c4Rules]]: the gate keeps EXACTLY the pages
+    * the audit form marks `keep = true` (same staged counts, page rules
+    * evaluated on the RAW text — so e.g. a curly brace on a dropped line
+    * still drops the page, matching the audit flags), and the rewrite
+    * uses the same line predicate as the `n_lines_kept` count
+    * ([[c4LineArrays]]). r4 (>= 1 kept line) guarantees `cleanCol` is
+    * never empty on a survivor.
+    *
+    * Scale shape: map-only — the gate and the rewrite ride the corpus
+    * scan, no flag-frame self-join, no shuffle (the t31/t32 discipline).
+    */
+  def c4StructuralClean(df: DataFrame, textCol: String,
+                        cleanCol: String = "clean_text"): DataFrame = {
+    val counts = c4Counts(col(textCol))
+    val staged = df.withColumns(counts.toMap)
+    staged.filter(
+        col("__c_sent") >= 3L && col("__c_lorem") === 0L &&
+          col("__c_brace") === 0L && col("__c_kept") >= 1L)
+      .withColumn(cleanCol, array_join(c4LineArrays(col(textCol))._2, "\n"))
+      .drop(counts.map(_._1): _*)
+  }
+
+  /** DuckDB twin of [[c4StructuralClean]] over table/CTE `from`:
+    * projects every column of `from` plus `clean_text`. */
+  def c4CleanSql(textExpr: String, from: String = "documents"): String = {
+    val keptPred = s"trim(l) <> '' AND regexp_matches(l, '[.!?\"]\\s*$$') " +
+      s"AND len(list_filter(string_split_regex(l, '\\s+'), w -> w <> '')) >= 5 " +
+      s"AND NOT contains(lower(l), 'javascript')"
+    s"""SELECT *,
+       |  array_to_string(list_filter(string_split($textExpr, chr(10)),
+       |    l -> $keptPred), chr(10)) AS clean_text
+       |FROM $from
+       |WHERE len(list_filter(string_split_regex($textExpr, '[.!?]'), s -> trim(s) <> '')) >= 3
+       |  AND NOT contains(lower($textExpr), 'lorem ipsum')
+       |  AND NOT contains($textExpr, '{')
+       |  AND len(list_filter(string_split($textExpr, chr(10)), l -> $keptPred)) >= 1""".stripMargin
   }
 
   /** Token counting two ways: whitespace tokens and a BPE-ish regex token

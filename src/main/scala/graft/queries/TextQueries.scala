@@ -56,6 +56,23 @@ object TextQueries {
     }
     (dig, sig)
   }
+  /** e2e_c4_prep's word-wrap segmentation preamble (see that query's
+    * comment for why it exists): the corpus word stream wrapped into
+    * lines of W = 4 + doc_id%4 words, terminal period. Public so
+    * ProfileE2E stages the C4 composition from the same frames the
+    * bench times. */
+  def c4SegmentedDocs(s: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    val wpl = (lit(4) + pmod(col("doc_id"), lit(4))).cast("int")
+    val ns = ceil(size(words).cast("double") / wpl.cast("double")).cast("int")
+    val segText = when(size(words) === 0, lit("")).otherwise(
+      array_join(transform(sequence(lit(0), ns - 1), i =>
+        concat(array_join(slice(words, i * wpl + 1, wpl), " "), lit("."))),
+        "\n"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), segText.as("text"))
+  }
+
   // t12 target mixture over the language key (sums to 1.0)
   private val mixtureWeights = Map(
     "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
@@ -841,6 +858,43 @@ object TextQueries {
       val kept = base.join(
         weights.filter(col("log_w") > 0).select("doc_id"), "doc_id")
       TextAnalysis.bpeTokenCounts(kept, "doc_id", "dedup_text")
+        .join(base.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_subwords")).as("total_subwords"),
+          round(avg(col("chars_per_subword")), 6).as("mean_cps"))
+    }),
+
+    // e2e_c4_prep: the C4-lineage prep chain — materially different from
+    // e2e_llm_prep's Gopher gate because C4 rewrites documents at LINE
+    // level (drop lines failing the line filter, keep the page) where
+    // Gopher only gates whole pages. Stages: word-wrap segmentation ->
+    // C4 page gate + line-clean rewrite (t32's rules in composition
+    // form) -> exact-substring chunk dedup over the CLEANED text (C4
+    // dedups repeated spans corpus-wide, keeping the first occurrence)
+    // -> BPE pricing of the surviving corpus per source. No DSIR stage:
+    // target-domain selection is the DSIR lineage, not C4's.
+    //
+    // The segmentation stage exists because the corpus fixture carries
+    // no sentence structure at all (0/500 sf0.01 docs contain '.' or a
+    // newline — every C4 sentence/line rule would be vacuously false,
+    // the dd13 doc_id%5-split situation): each doc's word stream is
+    // wrapped into lines of W = 4 + doc_id%4 words, terminal period.
+    // That hands the line filter real traffic in both engines: W=4 docs
+    // lose every line (page dropped via the >=1-kept-line rule),
+    // survivors keep full lines but lose short ragged last lines — the
+    // line-level rewrite the Gopher gate cannot express (measured at
+    // sf0.01: 366/500 pages kept, 259 of them line-rewritten).
+    "e2e_c4_prep" -> ((s, dir) => {
+      val cleaned = TextAnalysis.c4StructuralClean(
+        c4SegmentedDocs(s, dir), "text")
+      // materialized: consumed by the chunk-dedup pass AND the source
+      // attach — without the boundary the line-clean rewrite replays
+      val base = Dedup.chunkDedup(cleaned, "doc_id", "clean_text", 3)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(cleaned.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(true)
+      TextAnalysis.bpeTokenCounts(base, "doc_id", "dedup_text")
         .join(base.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs_kept"),
@@ -2564,6 +2618,37 @@ object TextQueries {
           |  round(avg(c.chars_per_subword), 6) AS mean_cps
           |FROM ($bpe) c JOIN kept k USING (doc_id)
           |GROUP BY k.source""".stripMargin
+      },
+
+      // e2e_c4_prep twin: the same word-wrap segmentation (W = 4 +
+      // doc_id%4, terminal period; list_slice/slice and the range
+      // bounds line up 1-based inclusive on both engines), then the
+      // c4Clean/chunkDedup/bpe fragments composed.
+      "e2e_c4_prep" -> {
+        val clean = TextAnalysis.c4CleanSql("text", from = "seg")
+        val dd = Dedup.chunkDedupSql("doc_id", "clean_text", 3,
+          from = "cleaned")
+        val bpe = TextAnalysis.bpeTokenCountsSql("doc_id", "dedup_text",
+          from = "base")
+        s"""WITH seg AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN len(w) = 0 THEN '' ELSE array_to_string(
+          |      list_transform(range(0, CAST(ceil(len(w) / CAST(4 + (doc_id % 4) AS DOUBLE)) AS INT)),
+          |        i -> array_to_string(list_slice(w, i * (4 + (doc_id % 4)) + 1, (i + 1) * (4 + (doc_id % 4))), ' ') || '.'),
+          |      chr(10)) END AS text
+          |  FROM (SELECT doc_id, source,
+          |          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS w
+          |        FROM documents)),
+          |cleaned AS ($clean),
+          |base AS (
+          |  SELECT dd.doc_id, dd.dedup_text, d.source
+          |  FROM ($dd) dd JOIN cleaned d USING (doc_id))
+          |SELECT b.source,
+          |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+          |  CAST(sum(c.n_subwords) AS BIGINT) AS total_subwords,
+          |  round(avg(c.chars_per_subword), 6) AS mean_cps
+          |FROM ($bpe) c JOIN base b USING (doc_id)
+          |GROUP BY b.source""".stripMargin
       },
 
       "q8_dataset_card" -> {

@@ -2,13 +2,14 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Third-docs-decade probe (dev tool): generate a 5M-document corpus
-  * with [[ScaleCurve]]'s generator and time named queries on it AND on
-  * the 500k-doc sf10g corpus in the same process (min of 2 runs each),
-  * one decade beyond SCALING.md's table. Defaults to the three
-  * operators a daily 100-TB ingest leans on: the production-banded
-  * near-dedup (dd21), the production-knob dedup-corpus composition
-  * (dd22) and the incremental-batch dedup (dd13).
+/** Third/fourth-docs-decade probe (dev tool): generate 5M- and (for
+  * the fourth-decade set) 50M-document corpora with [[ScaleCurve]]'s
+  * generator and time named queries on them AND on the 500k-doc sf10g
+  * corpus in the same process (min of 2 runs each), one and two decades
+  * beyond SCALING.md's table. Defaults to the three operators a daily
+  * 100-TB ingest leans on: the production-banded near-dedup (dd21),
+  * the production-knob dedup-corpus composition (dd22 — also taken to
+  * the fourth decade) and the incremental-batch dedup (dd23).
   *
   * Results go to `DEEPDOCS.json` (merged per query across invocations,
   * keyed to the generator's fixture version) — [[ScaleCurve]] renders
@@ -41,16 +42,28 @@ object DeepDocsProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/tmp/graft_scale/sf10g"   // 500k docs — SCALING.md's deep scale
     val deep = "/tmp/graft_scale/sf100gd" // 5M docs — one decade further
+    val deep4 = "/tmp/graft_scale/sf1td"  // 50M docs — a FOURTH decade
+    // Fourth-decade set: the production corpus-dedup composition only by
+    // default — the operator whose 100-TB claim otherwise rests on
+    // extrapolating from 5M docs. ~7 GB of parquet and minutes per run,
+    // so it stays opt-in per query (SPARK_GRAFT_DEEP4=name,name to
+    // override).
+    val deep4Names = sys.env.get("SPARK_GRAFT_DEEP4")
+      .map(_.split(',').toSet)
+      .getOrElse(Set("dd22_dedup_corpus_prod"))
+    val probe4 = names.exists(deep4Names)
     ScaleCurve.ensureDocs(spark, base, 500000L)
     ScaleCurve.ensureDocs(spark, deep, 5000000L)
+    if (probe4) ScaleCurve.ensureDocs(spark, deep4, 50000000L)
     // out-of-timing warm-up: footers + dd13's stored corpus state (the
     // digest/signature tables a production incremental ingest reads, not
     // recomputes — same contract as Bench's warm-up)
-    Seq(base, deep).foreach { d =>
+    (Seq(base, deep) ++ (if (probe4) Seq(deep4) else Nil)).foreach { d =>
       graft.core.Tables.documents(spark, d).count()
       if (names.contains("dd13_incremental"))
         graft.queries.TextQueries.dd13StateFixture(spark, d)
-      if (names.contains("dd23_incremental_prod"))
+      if (names.contains("dd23_incremental_prod") &&
+          (d != deep4 || deep4Names.contains("dd23_incremental_prod")))
         graft.queries.TextQueries.dd23StateFixture(spark, d)
     }
     // The artifact is merged + rewritten after EVERY query, not once at
@@ -78,8 +91,15 @@ object DeepDocsProbe {
       val (tD, nD) = best(deep)
       System.err.println(f"[deep-docs] $name%-24s 500k: $tB%8.2f s " +
         f"(rows=$nB) -> 5M: $tD%8.2f s (rows=$nD)  x${tD / tB}%4.1f")
+      val d4 = if (deep4Names.contains(name)) {
+        val (t4, n4) = best(deep4)
+        System.err.println(f"[deep-docs] $name%-24s 50M: $t4%8.2f s " +
+          f"(rows=$n4)  x${t4 / tD}%4.1f vs 5M")
+        f""","deep4_sec":$t4%.2f,"deep4_rows":$n4"""
+      } else ""
       writeMerged(Map(name ->
-        f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD}"""))
+        (f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD""" +
+          d4 + "}")))
     }
     spark.stop()
   }
@@ -106,7 +126,7 @@ object DeepDocsProbe {
     val all = (prior ++ fresh).toSeq.sortBy(_._1)
       .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
     val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
-      s""","base_docs":500000,"deep_docs":5000000,"queries":$all}"""
+      s""","base_docs":500000,"deep_docs":5000000,"deep4_docs":50000000,"queries":$all}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(OutPath), json + "\n")
     println(json)
   }

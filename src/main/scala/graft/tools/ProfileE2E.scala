@@ -4,22 +4,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Stage-level wall-clock profile of the two e2e compositions
-  * (e2e_corpus_assembly and e2e_llm_prep; dev tool): times each pipeline
-  * stage CUMULATIVELY (count() from the raw scan through stage k) at one
-  * scale dir, so a superlinear stage shows up as the step where
-  * cumulative time jumps.
+  * (e2e_corpus_assembly and e2e_llm_prep; dev tool).
   *
-  * Every stage BUILDS ITS PIPELINE FRESH inside the timed closure: the
-  * composition's stage boundaries are eager `localCheckpoint`s whose
-  * lineage is truncated, so a checkpointed frame held across stages
-  * would either be unrecomputable after the per-stage unpersist sweep
-  * (Spark's "checkpoint block not found" failure) or would silently
-  * time a cached count instead of the stage. Rebuilding per closure
-  * means stage k's number is exactly scan..k, paid in full, every time.
+  * Timing discipline (round 10): each stage's MARGINAL cost is measured
+  * DIRECTLY — the stage's input frame is materialized (eager
+  * localCheckpoint, outside any timed window) and the timed closure runs
+  * only the stage body over that input. The previous scheme timed each
+  * cumulative prefix and subtracted adjacent measurements; because stage
+  * k and stage k+1 were measured at different JVM/codegen warm-up
+  * states, the differences could swing negative by seconds (the
+  * committed round-9 artifact carried mixture = -7.03 s), which broke
+  * the table's one contract: the slowest delta names the next
+  * optimization target. Direct marginal timing makes every delta a
+  * measured, non-negative quantity by construction, and the main()
+  * asserts that before writing the artifact.
   *
-  * Writes `PROFILE_E2E.json` (cumulative + delta seconds per stage) so
-  * [[ScaleCurve]] can render the committed stage table from measured
-  * data instead of hardcoded literals. Run:
+  * Each stage body is run 3x (min taken): run 1 pays Janino codegen
+  * compilation + JIT for that stage's kernels, runs 2-3 are warm.
+  * Checkpoints created inside a timed run are unpersisted after it so
+  * repeated runs neither reuse nor accumulate blocks. The pipelines'
+  * own end-to-end cost is measured separately (the real SparkEntry
+  * query, scan to final count) and emitted as `full_sec` alongside the
+  * stage list — full_sec ~ sum(marginals) is the cross-check, not an
+  * identity (materialized inputs remove the re-scan each live lineage
+  * pays).
+  *
+  * Writes `PROFILE_E2E.json` so [[ScaleCurve]] renders the committed
+  * stage tables from measured data. Run:
   * `sbt "runMain graft.tools.ProfileE2E /tmp/graft_scale/sf10g"`. */
 object ProfileE2E {
   def main(args: Array[String]): Unit = {
@@ -36,95 +47,157 @@ object ProfileE2E {
     import graft.operators.{Dedup, TextAnalysis}
     import graft.core.Tables
 
-    var results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
-    // min of 2 per stage (the Bench/ScaleCurve discipline): cumulative
-    // deltas subtract two independently-measured stages, so single-run
-    // variance shows up as spurious (even negative) marginal costs on
-    // stages whose true delta is near zero.
-    def time(label: String)(build: => DataFrame): Unit = {
+    val sc = spark.sparkContext
+    // Materialize a stage input OUTSIDE any timed window. MEMORY_AND_DISK
+    // (localCheckpoint's default level) spills corpus-sized frames rather
+    // than OOMing the 16g default driver heap.
+    def mat(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def drop(df: DataFrame): Unit = df.unpersist(true)
+
+    def timeBody(label: String)(build: => DataFrame): (Double, Long) = {
       def once(): (Double, Long) = {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+        val before = sc.getPersistentRDDs.keySet
         System.gc()
         val t0 = System.nanoTime()
-        // the build itself is INSIDE the timed window: prepare()'s eager
-        // checkpoint does its work at construction, not at count()
+        // the build is INSIDE the timed window: eager checkpoints inside
+        // a stage body (prepare's boundary, chunk_dedup's) do their work
+        // at construction, not at count()
         val n = build.count()
-        ((System.nanoTime() - t0) / 1e9, n)
+        val sec = (System.nanoTime() - t0) / 1e9
+        // sweep blocks the run itself created, keep the materialized inputs
+        sc.getPersistentRDDs.foreach { case (id, rdd) =>
+          if (!before(id)) rdd.unpersist(true)
+        }
+        (sec, n)
       }
-      val a = once()
-      val b = once()
-      val (sec, n) = (math.min(a._1, b._1), b._2)
-      results += ((label, sec, n))
+      val runs = Seq(once(), once(), once())
+      val (sec, n) = (runs.map(_._1).min, runs.last._2)
       System.err.println(f"[e2e-stage] $label%-22s $sec%8.2f s  rows=$n")
+      (sec, n)
     }
 
     val mix = Map("en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15,
       "fr" -> 0.1)
+
+    // ---- e2e_corpus_assembly: scan -> exact dedup -> near dedup ->
+    //      quality/analysis boundary -> mixture -> chunks ----
+    val assemblyStages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stageA(label: String)(build: => DataFrame): Unit =
+      assemblyStages += { val (s, n) = timeBody(label)(build); (label, s, n) }
+
     def docs = Tables.documents(spark, dir)
-    def afterExact = CorpusPipeline.dropExactDups(docs, "doc_id", "text")
-    def afterNear = CorpusPipeline.dropNearDups(afterExact, "doc_id",
-      "text", 3, 6, 3, 0.7)
-    time("scan")(docs)
-    time("exact_dedup")(afterExact)
-    time("near_dedup")(afterNear)
-    // prepare = near_dedup + quality/analysis + the checkpoint write;
-    // built fresh here so the checkpoint cost lands in THIS window
-    time("prepare(analyze)")(CorpusPipeline.prepare(docs, "doc_id", "text"))
-    time("mixture") {
-      val prepared = CorpusPipeline.prepare(docs, "doc_id", "text")
-      TextAnalysis.mixtureSample(prepared, "doc_id", "text", "lang", mix, 0.5)
-    }
-    time("chunks") {
-      val prepared = CorpusPipeline.prepare(docs, "doc_id", "text")
-      val mixKeys = TextAnalysis.mixtureSample(prepared, "doc_id", "text",
-        "lang", mix, 0.5).select(col("doc_id"), col("lang"))
-      val sampled = prepared.join(mixKeys.select("doc_id"), Seq("doc_id"),
-        "left_semi")
+    stageA("scan")(docs)
+    val docsM = mat(docs)
+    stageA("exact_dedup")(CorpusPipeline.dropExactDups(docsM, "doc_id", "text"))
+    val exactM = mat(CorpusPipeline.dropExactDups(docsM, "doc_id", "text"))
+    stageA("near_dedup")(CorpusPipeline.dropNearDups(exactM, "doc_id",
+      "text", 3, 6, 3, 0.7))
+    val nearM = mat(CorpusPipeline.dropNearDups(exactM, "doc_id", "text",
+      3, 6, 3, 0.7))
+    drop(exactM)
+    // prepare's analyze + the stage-boundary checkpoint write, as the
+    // composition pays it (the checkpoint executes inside the window)
+    stageA("prepare(analyze)")(
+      CorpusPipeline.analyze(nearM, "text", 30.0).localCheckpoint(true))
+    val preparedM = mat(CorpusPipeline.analyze(nearM, "text", 30.0))
+    drop(nearM)
+    stageA("mixture")(TextAnalysis.mixtureSample(preparedM, "doc_id",
+      "text", "lang", mix, 0.5))
+    val mixKeysM = mat(TextAnalysis.mixtureSample(preparedM, "doc_id",
+      "text", "lang", mix, 0.5).select(col("doc_id")))
+    stageA("chunks") {
+      val sampled = preparedM.join(mixKeysM, Seq("doc_id"), "left_semi")
       TextAnalysis.chunkDocuments(sampled, "doc_id", "text", 30, 5)
     }
-    time("full_e2e")(graft.SparkEntry.queries("e2e_corpus_assembly")(spark, dir))
-    val assemblyStages = results
+    drop(mixKeysM); drop(preparedM)
+    val (fullAssembly, _) = timeBody("full_e2e(real query)")(
+      graft.SparkEntry.queries("e2e_corpus_assembly")(spark, dir))
 
-    // Second composition: the e2e_llm_prep chain (Gopher rule gate ->
-    // exact-substring chunk dedup -> DSIR target selection -> BPE
-    // pricing), same cumulative-rebuild discipline. Stage frames mirror
-    // the query body in TextQueries.scala exactly (same checkpoints),
-    // so the deltas are the marginal costs of the plan the bench times.
-    results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
-    def gated = TextAnalysis.gopherStructuralFilter(
-      Tables.documents(spark, dir), "text")
-    def dedupBase = {
-      val d = gated
-      Dedup.chunkDedup(d, "doc_id", "text", 3)
+    // ---- e2e_llm_prep: Gopher rule gate -> exact-substring chunk dedup
+    //      -> DSIR target selection ----
+    val prepStages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stageP(label: String)(build: => DataFrame): Unit =
+      prepStages += { val (s, n) = timeBody(label)(build); (label, s, n) }
+
+    stageP("gopher_gate")(
+      TextAnalysis.gopherStructuralFilter(docsM, "text"))
+    val gatedM = mat(TextAnalysis.gopherStructuralFilter(docsM, "text"))
+    drop(docsM)
+    // stage body mirrors the query in TextQueries.scala exactly,
+    // including the composition's own checkpoint boundary
+    stageP("chunk_dedup") {
+      Dedup.chunkDedup(gatedM, "doc_id", "text", 3)
         .select(col("doc_id"), col("dedup_text"))
-        .join(d.select("doc_id", "source"), "doc_id")
+        .join(gatedM.select("doc_id", "source"), "doc_id")
         .localCheckpoint(true)
     }
-    time("gopher_gate")(gated)
-    time("chunk_dedup")(dedupBase)
-    time("dsir_select") {
-      val base = dedupBase
-      val weights = TextAnalysis.dsirWeightsByPred(base,
+    val dedupBaseM = mat(
+      Dedup.chunkDedup(gatedM, "doc_id", "text", 3)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(gatedM.select("doc_id", "source"), "doc_id"))
+    drop(gatedM)
+    stageP("dsir_select") {
+      val weights = TextAnalysis.dsirWeightsByPred(dedupBaseM,
         col("source").isin("src1", "src2", "src3", "src4"), "doc_id",
         "dedup_text", 256)
-      base.join(weights.filter(col("log_w") > 0).select("doc_id"), "doc_id")
+      dedupBaseM.join(weights.filter(col("log_w") > 0).select("doc_id"),
+        "doc_id")
     }
-    time("full_llm_prep")(graft.SparkEntry.queries("e2e_llm_prep")(spark, dir))
-    val prepStages = results
+    drop(dedupBaseM)
+    val (fullPrep, _) = timeBody("full_llm_prep(real query)")(
+      graft.SparkEntry.queries("e2e_llm_prep")(spark, dir))
 
-    // machine-readable artifact for ScaleCurve's stage tables: cumulative
-    // seconds per stage plus the delta vs the previous stage (each stage
-    // contains all previous ones, so deltas are the marginal stage costs).
-    def stageJson(rs: Seq[(String, Double, Long)]): String =
-      rs.zipWithIndex.map { case ((label, sec, n), i) =>
-        val delta = if (i == 0) sec else sec - rs(i - 1)._2
-        f"""{"stage":"$label","cumulative_sec":$sec%.2f,"delta_sec":$delta%.2f,"rows":$n}"""
+    // ---- e2e_c4_prep: word-wrap segmentation + C4 gate/line-clean ->
+    //      chunk dedup over cleaned text -> BPE pricing per source ----
+    val c4Stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stageC(label: String)(build: => DataFrame): Unit =
+      c4Stages += { val (s, n) = timeBody(label)(build); (label, s, n) }
+
+    import graft.queries.TextQueries
+    stageC("segment+c4_clean")(TextAnalysis.c4StructuralClean(
+      TextQueries.c4SegmentedDocs(spark, dir), "text"))
+    val cleanedM = mat(TextAnalysis.c4StructuralClean(
+      TextQueries.c4SegmentedDocs(spark, dir), "text"))
+    stageC("chunk_dedup") {
+      Dedup.chunkDedup(cleanedM, "doc_id", "clean_text", 3)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(cleanedM.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(true)
+    }
+    val c4BaseM = mat(
+      Dedup.chunkDedup(cleanedM, "doc_id", "clean_text", 3)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(cleanedM.select("doc_id", "source"), "doc_id"))
+    drop(cleanedM)
+    stageC("bpe_pricing") {
+      TextAnalysis.bpeTokenCounts(c4BaseM, "doc_id", "dedup_text")
+        .join(c4BaseM.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_subwords")).as("total_subwords"),
+          round(avg(col("chars_per_subword")), 6).as("mean_cps"))
+    }
+    drop(c4BaseM)
+    val (fullC4, _) = timeBody("full_c4_prep(real query)")(
+      graft.SparkEntry.queries("e2e_c4_prep")(spark, dir))
+
+    // the artifact's contract: every delta is a directly-measured
+    // marginal cost, so it cannot be negative — assert before writing
+    (assemblyStages ++ prepStages ++ c4Stages).foreach { case (label, sec, _) =>
+      require(sec >= 0.0, s"stage $label measured negative: $sec")
+    }
+    def stageJson(rs: Seq[(String, Double, Long)]): String = {
+      var cum = 0.0
+      rs.map { case (label, sec, n) =>
+        cum += sec
+        f"""{"stage":"$label","cumulative_sec":$cum%.2f,"delta_sec":$sec%.2f,"rows":$n}"""
       }.mkString("[", ",", "]")
+    }
     val pipelines =
-      s"""[{"name":"e2e_corpus_assembly","stages":${stageJson(assemblyStages.toSeq)}},""" +
-      s"""{"name":"e2e_llm_prep","stages":${stageJson(prepStages.toSeq)}}]"""
-    val json = s"""{"dir":"$dir","cpus":$cpus,"pipelines":$pipelines}"""
+      f"""[{"name":"e2e_corpus_assembly","full_sec":$fullAssembly%.2f,"stages":${stageJson(assemblyStages.toSeq)}},""" +
+      f"""{"name":"e2e_llm_prep","full_sec":$fullPrep%.2f,"stages":${stageJson(prepStages.toSeq)}},""" +
+      f"""{"name":"e2e_c4_prep","full_sec":$fullC4%.2f,"stages":${stageJson(c4Stages.toSeq)}}]"""
+    val json = s"""{"dir":"$dir","cpus":$cpus,"timing":"marginal-min3","pipelines":$pipelines}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PROFILE_E2E.json"), json + "\n")
     println(json)

@@ -388,12 +388,27 @@ object ScaleCurve {
       "bucket equi-join). Range search is the AUDIT/serving form; the " +
       "corpus-dedup surface at scale is dd16's SemDeDup path " +
       "(quantizer cells + per-cell dedup, cluster-shaped output).\n\n"
+    // Inline row annotations: a >10 ratio whose structural explanation
+    // lives two screens below the number is a bare red flag to the
+    // reader — name the mechanism in the row itself (the dd10/sim7
+    // discipline applied to measured rows, not just exclusions).
+    val rowNotes = Map(
+      "dd8_dup_clusters" -> ("audit-knob banding (2 bands x 2 hashes): " +
+        "its candidate input rides the band-collision floor quantified " +
+        "in the notes below, so ratio2 > 10 is floor-bound, not a " +
+        "contraction defect — the SAME star-contraction at production " +
+        "banding is inside dd22_dedup_corpus_prod (ratio2 ~6, measured " +
+        "through the third and fourth docs decades)."))
     sb ++= "| query | sf0.1g sec | sf1g sec | ratio | sf10g sec | ratio2 | rows sf0.1g | rows sf1g | rows sf10g |\n"
     sb ++= "|---|---|---|---|---|---|---|---|---|\n"
     rows.foreach { case (name, tS, tL, r, nS, nL, dRes, _) =>
       val (tD, r2, nD) = dRes.fold(("", "", ""))(d =>
         (f"${d._1}%.2f", f"${d._1 / tL}%.1f", s"${d._2}"))
-      sb ++= f"| $name | $tS%.2f | $tL%.2f | $r%.1f | $tD | $r2 | $nS | $nL | $nD |\n"
+      val mark = if (rowNotes.contains(name)) " †" else ""
+      sb ++= f"| $name$mark | $tS%.2f | $tL%.2f | $r%.1f | $tD | $r2 | $nS | $nL | $nD |\n"
+    }
+    rowNotes.collect { case (name, note) if rows.exists(_._1 == name) =>
+      sb ++= s"\n† `$name`: $note\n"
     }
     val geo = math.exp(rows.map(r => math.log(r._4)).sum / rows.size)
     sb ++= f"\nGeometric-mean ratio over ${rows.size} queries: **${geo}%.1f** " +
@@ -501,6 +516,28 @@ object ScaleCurve {
             f"| ${nD.toDouble / nB}%.1f |\n"
         }
         sb ++= "\n"
+        // Fourth decade (5M -> 50M docs) — present for the queries the
+        // probe measured there (the production corpus-dedup composition
+        // by default; ~7 GB fixture, minutes per run).
+        val with4 = names.filter(n => qs.get(n).has("deep4_sec"))
+        if (with4.nonEmpty) {
+          sb ++= "## Docs family — fourth decade (5M -> 50M docs)\n\n"
+          sb ++= "Same probe, one more decade: at 50M documents the " +
+            "corpus is ~7 GB of parquet and the measured operator is two " +
+            "decades past the curve table — the deepest direct evidence " +
+            "behind the 100-TB claim (min of 2 runs, same quiet process " +
+            "as the third-decade rows).\n\n"
+          sb ++= "| query | 5M-doc sec | 50M-doc sec | ratio4 | rows 5M | rows 50M | rows ratio |\n"
+          sb ++= "|---|---|---|---|---|---|---|\n"
+          with4.foreach { n =>
+            val q = qs.get(n)
+            val (tD, t4) = (q.get("deep_sec").asDouble, q.get("deep4_sec").asDouble)
+            val (nD, n4) = (q.get("deep_rows").asLong, q.get("deep4_rows").asLong)
+            sb ++= f"| $n | $tD%.1f | $t4%.1f | ${t4 / tD}%.1f | $nD | $n4 " +
+              f"| ${n4.toDouble / nD}%.1f |\n"
+          }
+          sb ++= "\n"
+        }
       }
     }
 
@@ -508,32 +545,46 @@ object ScaleCurve {
     // file-not-literals contract as above; one table per composed
     // pipeline the bench surfaces as an e2e query).
     readJson("PROFILE_E2E.json").foreach { root =>
-      def renderStages(name: String, stages: com.fasterxml.jackson.databind.JsonNode): Unit =
+      def renderStages(name: String, stages: com.fasterxml.jackson.databind.JsonNode,
+                       fullSec: Option[Double]): Unit =
         if (stages != null && stages.size() > 0) {
           sb ++= s"\n## $name stage breakdown (`${root.get("dir").asText}`)\n\n"
           sb ++= "Measured by `sbt \"runMain graft.tools.ProfileE2E <dir>\"`: " +
-            "each stage is timed CUMULATIVELY (count() from the raw scan " +
-            "through stage k, pipeline rebuilt fresh inside each timed " +
-            "window), so delta = the marginal cost of that stage and the " +
-            "slowest delta names the next optimization target.\n\n"
+            "each stage's MARGINAL cost is timed directly (stage body over " +
+            "a materialized input, min of 3 runs so run 1 absorbs " +
+            "codegen/JIT warm-up), so delta = the measured marginal cost " +
+            "of that stage — non-negative by construction, asserted before " +
+            "the artifact is written — and the slowest delta names the " +
+            "next optimization target. Cumulative = running sum of " +
+            "marginals.\n\n"
           sb ++= "| stage | cumulative sec | delta sec | rows |\n|---|---|---|---|\n"
           var worst = ("", 0.0)
+          var total = 0.0
           (0 until stages.size()).foreach { i =>
             val s = stages.get(i)
             val (lbl, d) = (s.get("stage").asText, s.get("delta_sec").asDouble)
             if (d > worst._2) worst = (lbl, d)
-            sb ++= f"| $lbl | ${s.get("cumulative_sec").asDouble}%.2f | $d%.2f " +
+            total = s.get("cumulative_sec").asDouble
+            sb ++= f"| $lbl | $total%.2f | $d%.2f " +
               f"| ${s.get("rows").asLong} |\n"
           }
-          sb ++= f"\nSlowest stage: **${worst._1}** (${worst._2}%.2f s marginal).\n"
+          sb ++= f"\nSlowest stage: **${worst._1}** (${worst._2}%.2f s marginal)."
+          fullSec.foreach { f =>
+            sb ++= f" Real end-to-end query (scan to final count, live " +
+              f"lineage): **$f%.2f s** vs $total%.2f s sum of marginals — " +
+              "the gap is the re-scan/recompute each live stage boundary " +
+              "pays that materialized inputs factor out."
+          }
+          sb ++= "\n"
         }
       val pipelines = root.get("pipelines")
       if (pipelines != null && pipelines.size() > 0)
         (0 until pipelines.size()).foreach { i =>
           val p = pipelines.get(i)
-          renderStages(p.get("name").asText, p.get("stages"))
+          val full = Option(p.get("full_sec")).map(_.asDouble)
+          renderStages(p.get("name").asText, p.get("stages"), full)
         }
-      else renderStages("e2e_corpus_assembly", root.get("stages"))
+      else renderStages("e2e_corpus_assembly", root.get("stages"), None)
     }
     if (only.isEmpty) {
       java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), sb.toString)

@@ -459,6 +459,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(frac == 1.0)
   }
 
+  test("c4StructuralClean: gate == c4Rules keep flag, rewrite keeps exactly the kept lines") {
+    val goodLine = "This line has at least five words."
+    val docs = Seq(
+      (1L, Seq.fill(4)(goodLine).mkString("\n"), "a"),
+      (2L, s"$goodLine\nSecond sentence here is fine.", "a"),  // r1 fails
+      (3L, Seq.fill(3)(goodLine).mkString("\n") + "\nSome lorem ipsum filler text here.", "b"),
+      (4L, Seq.fill(3)(goodLine).mkString("\n") + "\nvar x = { a: 1 }. Yes.", "b"),
+      (5L, "no terminal punctuation on this line\nshort line.\n" +
+        "This javascript line would have been kept otherwise.\n" +
+        "One. Two. Three. Four", "c"),
+      // survivor with a genuine line-level rewrite: 3 good sentences +
+      // one line the filter drops (4 words)
+      (6L, Seq.fill(3)(goodLine).mkString("\n") + "\nOnly four words here.", "c")
+    ).toDF("doc_id", "text", "source")
+    val cleaned = TextAnalysis.c4StructuralClean(docs, "text")
+    // input schema preserved, plus clean_text
+    assert(cleaned.columns.toSeq == docs.columns.toSeq :+ "clean_text")
+    // the gate keeps exactly c4Rules' keep = true pages
+    val wantIds = TextAnalysis.c4Rules(docs, "doc_id", "text")
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val gotIds = cleaned.select("doc_id").as[Long].collect().toSet
+    assert(gotIds == wantIds && gotIds == Set(1L, 6L),
+      s"gate must equal the audit keep flag; got $gotIds")
+    // the rewrite keeps exactly the lines the audit's n_lines_kept counts
+    val byId = cleaned.select("doc_id", "clean_text")
+      .as[(Long, String)].collect().toMap
+    assert(byId(1L) == Seq.fill(4)(goodLine).mkString("\n"),
+      "all-kept page must round-trip unchanged")
+    assert(byId(6L) == Seq.fill(3)(goodLine).mkString("\n"),
+      "the failing 4-word line must be cut, survivors joined in order")
+  }
+
   test("topKPerQuery (via bruteForceTopK): salted two-stage rank == literal Scala top-k, ties included") {
     import graft.operators.Similarity
     // 400 vectors with only 3 distinct directions -> massive rounded-sim
