@@ -140,21 +140,16 @@ object TextAnalysis {
     * flag frame and [[gopherStructuralFilter]] so both forms make
     * bit-identical boundary decisions. */
   private def gopherCounts(t: Column): Seq[(String, Column)] = {
-    val words = filter(split(t, "\\s+"), w => w =!= "")
-    val lines = filter(split(t, "\n"), l => l =!= "")
-    Seq(
-      "__g_nw" -> size(words).cast("long"),
-      "__g_wchars" -> coalesce(aggregate(transform(words, w => length(w).cast("long")),
-        lit(0L), (a, v) => a + v), lit(0L)),
-      "__g_alpha" -> size(filter(words, w => w.rlike("[A-Za-z]"))).cast("long"),
-      "__g_nl" -> size(lines).cast("long"),
-      "__g_bul" -> size(filter(lines, l => l.rlike("^\\s*[•\\-\\*]"))).cast("long"),
-      "__g_elll" -> size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$"))).cast("long"),
-      "__g_hash" -> (length(t) - length(regexp_replace(t, "#", ""))).cast("long"),
-      "__g_ell" -> ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
-        .cast("long"),
-      "__g_stops" -> size(array_intersect(array_distinct(tokens(t)),
-        typedLit(gopherStopwords))).cast("long"))
+    // one fused scan ([[graft.functions.GopherCounts]], codegen) —
+    // RuleKernelsSpec pins every field value-identical to the composable
+    // split/filter/aggregate/rlike forms these names used to carry; the
+    // 9 extractions below collapse to ONE kernel call per row via
+    // ProjectExec's subexpression elimination (callers stage through a
+    // select)
+    val g = graft.functions.GopherCounts(t, gopherStopwords)
+    Seq("__g_nw", "__g_wchars", "__g_alpha", "__g_nl", "__g_bul",
+      "__g_elll", "__g_hash", "__g_ell", "__g_stops")
+      .map(n => n -> g.getField(n.stripPrefix("__g_")))
   }
 
   private def gopherRatio(num: Column, den: Column): Column =
@@ -205,21 +200,16 @@ object TextAnalysis {
     * audit-form flags — r7 included — remain on [[gopherRules]].
     * Boundary decisions are bit-identical to the flag frame: same
     * staged counts, same round-6 ratios. */
-  def gopherStructuralFilter(df: DataFrame, textCol: String): DataFrame = {
-    val counts = gopherCounts(col(textCol))
-    val staged = df.withColumns(counts.toMap)
-    val nw = col("__g_nw")
-    val nl = col("__g_nl")
-    staged.filter(
-        nw.between(50L, 100000L) &&
-        gopherRatio(col("__g_wchars"), nw).between(3.0, 10.0) &&
-        gopherRatio(col("__g_hash"), nw) <= 0.1 &&
-        gopherRatio(col("__g_ell"), nw) <= 0.1 &&
-        gopherRatio(col("__g_bul"), nl) <= 0.9 &&
-        gopherRatio(col("__g_elll"), nl) <= 0.3 &&
-        gopherRatio(col("__g_alpha"), nw) >= 0.8)
-      .drop(counts.map(_._1): _*)
-  }
+  def gopherStructuralFilter(df: DataFrame, textCol: String): DataFrame =
+    // the whole gate is the kernel's precomputed keep6 field: ONE fused
+    // scan per row inside the filter (FilterExec does no subexpression
+    // elimination, so a conjunction over 8 staged fields would re-run
+    // the kernel per field). keep6's round-6 boundary decisions are
+    // RuleKernelsSpec-pinned to the composable ratio conjunction, and
+    // the flag-frame equivalence test below pins the filter == the
+    // audit's r1-r6 flags.
+    df.filter(graft.functions.GopherCounts(col(textCol), gopherStopwords)
+      .getField("keep6") === 1L)
 
   /** DuckDB twin of [[gopherRules]] over table/CTE `from`. */
   def gopherRulesSql(idCol: String, textExpr: String,
@@ -268,27 +258,19 @@ object TextAnalysis {
     * "javascript" mention) — shared by the audit counts, the flag frame
     * and [[c4StructuralClean]] so all three make bit-identical line
     * decisions. */
-  private def c4LineArrays(t: Column): (Column, Column) = {
-    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
-    val kept = filter(lines, l =>
-      l.rlike("[.!?\"]\\s*$") &&
-        size(filter(split(l, "\\s+"), w => w =!= "")) >= 5 &&
-        !lower(l).contains("javascript"))
-    (lines, kept)
-  }
-
   /** The five per-document counts behind [[c4Rules]], as (name ->
-    * expression) pairs over the text column. A "kept" line is C4's
-    * line-level filter — see [[c4LineArrays]]. */
+    * expression) pairs over the text column — one fused scan
+    * ([[graft.functions.C4Counts]], codegen). A "kept" line is C4's
+    * line-level filter: ends in terminal punctuation, has at least five
+    * whitespace words, and does not mention "javascript".
+    * RuleKernelsSpec pins every field value-identical to the composable
+    * split/filter/rlike forms these names used to carry (the twin is
+    * restated there). */
   private def c4Counts(t: Column): Seq[(String, Column)] = {
-    val (lines, kept) = c4LineArrays(t)
-    Seq(
-      "__c_nl" -> size(lines).cast("long"),
-      "__c_kept" -> size(kept).cast("long"),
-      "__c_sent" -> size(filter(split(t, "[.!?]"), s => trim(s) =!= ""))
-        .cast("long"),
-      "__c_lorem" -> lower(t).contains("lorem ipsum").cast("long"),
-      "__c_brace" -> t.contains("{").cast("long"))
+    val c = graft.functions.C4Counts(t)
+    Seq("__c_nl" -> c.getField("nl"), "__c_kept" -> c.getField("kept"),
+      "__c_sent" -> c.getField("sent"), "__c_lorem" -> c.getField("lorem"),
+      "__c_brace" -> c.getField("brace"))
   }
 
   /** t32 — the published C4 cleaning-rule audit (Raffel et al. 2020,
@@ -365,22 +347,20 @@ object TextAnalysis {
     * evaluated on the RAW text — so e.g. a curly brace on a dropped line
     * still drops the page, matching the audit flags), and the rewrite
     * uses the same line predicate as the `n_lines_kept` count
-    * ([[c4LineArrays]]). r4 (>= 1 kept line) guarantees `cleanCol` is
+    * (the shared C4Lines predicate). r4 (>= 1 kept line) guarantees `cleanCol` is
     * never empty on a survivor.
     *
     * Scale shape: map-only — the gate and the rewrite ride the corpus
     * scan, no flag-frame self-join, no shuffle (the t31/t32 discipline).
     */
   def c4StructuralClean(df: DataFrame, textCol: String,
-                        cleanCol: String = "clean_text"): DataFrame = {
-    val counts = c4Counts(col(textCol))
-    val staged = df.withColumns(counts.toMap)
-    staged.filter(
-        col("__c_sent") >= 3L && col("__c_lorem") === 0L &&
-          col("__c_brace") === 0L && col("__c_kept") >= 1L)
-      .withColumn(cleanCol, array_join(c4LineArrays(col(textCol))._2, "\n"))
-      .drop(counts.map(_._1): _*)
-  }
+                        cleanCol: String = "clean_text"): DataFrame =
+    // gate = the kernel's precomputed keep field (one fused scan in the
+    // filter — the keep6 rationale in [[graft.functions.GopherCounts]]);
+    // the line-clean rewrite is the fused [[graft.functions.C4KeptText]],
+    // evaluated only on survivors (Project above Filter)
+    df.filter(graft.functions.C4Counts(col(textCol)).getField("keep") === 1L)
+      .withColumn(cleanCol, graft.functions.C4KeptText(col(textCol)))
 
   /** DuckDB twin of [[c4StructuralClean]] over table/CTE `from`:
     * projects every column of `from` plus `clean_text`. */

@@ -62,15 +62,13 @@ object TextQueries {
     * ProfileE2E stages the C4 composition from the same frames the
     * bench times. */
   def c4SegmentedDocs(s: SparkSession, dir: String): DataFrame = {
-    val words = filter(split(col("text"), "\\s+"), w => w =!= "")
+    // fused WordWrap kernel — RuleKernelsSpec-pinned value-identical to
+    // the composable sequence/slice/array_join wrap (the composable form
+    // paid three CodegenFallback HOFs per document)
     val wpl = (lit(4) + pmod(col("doc_id"), lit(4))).cast("int")
-    val ns = ceil(size(words).cast("double") / wpl.cast("double")).cast("int")
-    val segText = when(size(words) === 0, lit("")).otherwise(
-      array_join(transform(sequence(lit(0), ns - 1), i =>
-        concat(array_join(slice(words, i * wpl + 1, wpl), " "), lit("."))),
-        "\n"))
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"), segText.as("text"))
+      .select(col("doc_id"), col("source"),
+        graft.functions.WordWrap(col("text"), wpl).as("text"))
   }
 
   // t12 target mixture over the language key (sums to 1.0)

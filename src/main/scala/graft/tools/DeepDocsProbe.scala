@@ -3,10 +3,11 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Third/fourth-docs-decade probe (dev tool): generate 5M- and (for
-  * the fourth-decade set) 50M-document corpora with [[ScaleCurve]]'s
-  * generator and time named queries on them AND on the 500k-doc sf10g
-  * corpus in the same process (min of 2 runs each), one and two decades
-  * beyond SCALING.md's table. Defaults to the three operators a daily
+  * the fourth-decade set, SPARK_GRAFT_DEEP4_DOCS, default 20M — see the
+  * disk note in main) deeper corpora with [[ScaleCurve]]'s generator
+  * and time named queries on them AND on the 500k-doc sf10g corpus in
+  * the same process (min of 2 runs each), one-plus decades beyond
+  * SCALING.md's table. Defaults to the three operators a daily
   * 100-TB ingest leans on: the production-banded near-dedup (dd21),
   * the production-knob dedup-corpus composition (dd22 — also taken to
   * the fourth decade) and the incremental-batch dedup (dd23).
@@ -42,19 +43,26 @@ object DeepDocsProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val base = "/tmp/graft_scale/sf10g"   // 500k docs — SCALING.md's deep scale
     val deep = "/tmp/graft_scale/sf100gd" // 5M docs — one decade further
-    val deep4 = "/tmp/graft_scale/sf1td"  // 50M docs — a FOURTH decade
     // Fourth-decade set: the production corpus-dedup composition only by
     // default — the operator whose 100-TB claim otherwise rests on
-    // extrapolating from 5M docs. ~7 GB of parquet and minutes per run,
-    // so it stays opt-in per query (SPARK_GRAFT_DEEP4=name,name to
-    // override).
+    // extrapolating from 5M docs. Opt-in per query
+    // (SPARK_GRAFT_DEEP4=name,name to override). The doc count is a knob
+    // (SPARK_GRAFT_DEEP4_DOCS) because the full 50M-doc decade was
+    // MEASURED to not fit this sandbox: dd22's single-run shuffle+spill
+    // footprint exceeded the ~71 GB of free disk ~12 minutes in
+    // (SparkOutOfMemoryError: spill failed, "No space left on device" —
+    // the dd13-at-audit-knobs failure mode, but from sheer corpus volume
+    // at production knobs, not a collision floor). 20M docs is the
+    // deepest size that fits with headroom.
     val deep4Names = sys.env.get("SPARK_GRAFT_DEEP4")
       .map(_.split(',').toSet)
       .getOrElse(Set("dd22_dedup_corpus_prod"))
+    val deep4Docs = sys.env.getOrElse("SPARK_GRAFT_DEEP4_DOCS", "20000000").toLong
+    val deep4 = s"/tmp/graft_scale/sfd4_$deep4Docs"
     val probe4 = names.exists(deep4Names)
     ScaleCurve.ensureDocs(spark, base, 500000L)
     ScaleCurve.ensureDocs(spark, deep, 5000000L)
-    if (probe4) ScaleCurve.ensureDocs(spark, deep4, 50000000L)
+    if (probe4) ScaleCurve.ensureDocs(spark, deep4, deep4Docs)
     // out-of-timing warm-up: footers + dd13's stored corpus state (the
     // digest/signature tables a production incremental ingest reads, not
     // recomputes — same contract as Bench's warm-up)
@@ -93,11 +101,11 @@ object DeepDocsProbe {
         f"(rows=$nB) -> 5M: $tD%8.2f s (rows=$nD)  x${tD / tB}%4.1f")
       val d4 = if (deep4Names.contains(name)) {
         val (t4, n4) = best(deep4)
-        System.err.println(f"[deep-docs] $name%-24s 50M: $t4%8.2f s " +
-          f"(rows=$n4)  x${t4 / tD}%4.1f vs 5M")
+        System.err.println(f"[deep-docs] $name%-24s ${deep4Docs / 1000000}M: " +
+          f"$t4%8.2f s (rows=$n4)  x${t4 / tD}%4.1f vs 5M")
         f""","deep4_sec":$t4%.2f,"deep4_rows":$n4"""
       } else ""
-      writeMerged(Map(name ->
+      writeMerged(deep4Docs, Map(name ->
         (f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD""" +
           d4 + "}")))
     }
@@ -108,7 +116,7 @@ object DeepDocsProbe {
     * Prior rows survive (a filtered invocation must not drop other
     * queries' measurements) unless they carry a different fixture
     * version — those measured different data. */
-  private def writeMerged(fresh: Map[String, String]): Unit = {
+  private def writeMerged(deep4Docs: Long, fresh: Map[String, String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val prior: Map[String, String] = {
       val f = new java.io.File(OutPath)
@@ -126,7 +134,7 @@ object DeepDocsProbe {
     val all = (prior ++ fresh).toSeq.sortBy(_._1)
       .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
     val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
-      s""","base_docs":500000,"deep_docs":5000000,"deep4_docs":50000000,"queries":$all}"""
+      s""","base_docs":500000,"deep_docs":5000000,"deep4_docs":$deep4Docs,"queries":$all}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(OutPath), json + "\n")
     println(json)
   }

@@ -82,7 +82,10 @@ object ScaleCurve {
     "mm7_audio_fingerprint", "m18_score_ks", "e13_new_users",
     "sim11_random_projection",
     // round-8/9 additions (first decade; per-row map-only passes)
-    "t31_gopher_rules", "t32_c4_rules")
+    "t31_gopher_rules", "t32_c4_rules",
+    // round-10: the C4 composition (gate + line-clean + chunk dedup +
+    // BPE pricing)
+    "e2e_c4_prep")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -136,7 +139,7 @@ object ScaleCurve {
     // a pipeline of individually-linear stages can still compose a
     // superlinear term (shared-scan replays, candidate cross products);
     // measuring the composed query is the only way to rule that out.
-    "e2e_corpus_assembly", "e2e_llm_prep")
+    "e2e_corpus_assembly", "e2e_llm_prep", "e2e_c4_prep")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
@@ -516,18 +519,27 @@ object ScaleCurve {
             f"| ${nD.toDouble / nB}%.1f |\n"
         }
         sb ++= "\n"
-        // Fourth decade (5M -> 50M docs) — present for the queries the
-        // probe measured there (the production corpus-dedup composition
-        // by default; ~7 GB fixture, minutes per run).
+        // Fourth docs scale — present for the queries the probe measured
+        // there (the production corpus-dedup composition by default).
         val with4 = names.filter(n => qs.get(n).has("deep4_sec"))
         if (with4.nonEmpty) {
-          sb ++= "## Docs family — fourth decade (5M -> 50M docs)\n\n"
-          sb ++= "Same probe, one more decade: at 50M documents the " +
-            "corpus is ~7 GB of parquet and the measured operator is two " +
-            "decades past the curve table — the deepest direct evidence " +
-            "behind the 100-TB claim (min of 2 runs, same quiet process " +
-            "as the third-decade rows).\n\n"
-          sb ++= "| query | 5M-doc sec | 50M-doc sec | ratio4 | rows 5M | rows 50M | rows ratio |\n"
+          val d4 = Option(root.get("deep4_docs")).map(_.asLong)
+            .getOrElse(50000000L)
+          val d4M = s"${d4 / 1000000}M"
+          val factor = d4 / 5000000.0
+          sb ++= s"## Docs family — fourth scale (5M -> $d4M docs, " +
+            f"${factor}%.0fx)\n\n"
+          sb ++= s"Same probe, past the third decade (min of 2 runs, " +
+            "same quiet process as the rows above) — the deepest direct " +
+            "evidence behind the 100-TB claim. The full fourth DECADE " +
+            "(50M docs) was attempted and is excluded by a measured " +
+            "sandbox limit, not a plan property: dd22's single-run " +
+            "shuffle+spill footprint exceeded the ~71 GB of free disk " +
+            "~12 minutes in (SparkOutOfMemoryError: spill failed, no " +
+            "space left on device). On a cluster that footprint is " +
+            "exactly what distributes — it is the shuffle the plan " +
+            "declares, spread over executors' local disks.\n\n"
+          sb ++= f"| query | 5M-doc sec | $d4M-doc sec | ratio ($factor%.0fx data) | rows 5M | rows $d4M | rows ratio |\n"
           sb ++= "|---|---|---|---|---|---|---|\n"
           with4.foreach { n =>
             val q = qs.get(n)
