@@ -1200,4 +1200,174 @@ object Dedup {
        |  coalesce(p.dedup_text, '') AS dedup_text
        |FROM $from d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
   }
+
+  /** Maximal duplicated-span detection — the stride-1 sliding-window form
+    * of exact-substring dedup (the suffix-array / ExactSubstr lineage of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022). Where [[chunkDedup]] blocks text into
+    * NON-overlapping chunks (so a duplicated passage that straddles a
+    * chunk boundary is invisible), this operator hashes EVERY
+    * `windowTokens`-token window (stride 1), marks the windows whose
+    * content occurs more than once in the corpus, and merges the
+    * overlapping/adjacent duplicated windows of each document into
+    * maximal token spans — exactly the regions the published method cuts.
+    * A production window of 50-100 tokens is the same plan; the small
+    * window here keeps the oracle fixture's both paths loaded.
+    *
+    * Scale design: one scan builds the hashed windows (the fused
+    * shingle+SHA kernel — stride-1 windows ARE word k-shingles, so the
+    * per-row cost is one tokenize + one rolling SHA pass, no shingle
+    * strings materialized); one map-side-combinable aggregation finds
+    * duplicated window hashes; one semi-join on the hash keeps duplicated
+    * positions (at 100 TB the n_occ > 1 side is a small fraction of
+    * distinct windows — boilerplate, licenses, templates); the span merge
+    * is two window functions inside ONE hash-partitioning by document
+    * (running-max island detection — the `pos > run_end` strict
+    * comparison merges touching spans, since windows at `p` and `p + W`
+    * cover contiguous tokens), and the window/group chain after the
+    * semi-join re-uses the doc partitioning (no extra shuffle: group keys
+    * (doc, island) and doc are both clustered by doc). The windows frame
+    * is intentionally NOT cached between the occurrence agg and the
+    * semi-join probe: post-fusion the rebuild is one primitive pass,
+    * cheaper at scale than materializing n_tokens rows per document.
+    *
+    * Output per document (every input doc kept): total tokens/windows,
+    * duplicated-window count, maximal-span count, tokens covered by
+    * duplicated spans and their fraction of the document. */
+  def duplicatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = windowTokens
+    val wins = docs.select(col(idCol),
+      posexplode(Hashing.hashedShingles(col(textCol), w)).as(Seq("pos", "wh")))
+    val dupHashes = wins.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > 1).select("wh")
+    val dupPos = wins.join(dupHashes, Seq("wh"), "left_semi")
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val marked = dupPos
+      .withColumn("endp", col("pos") + lit(w))
+      .withColumn("run_end", max("endp").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_start",
+        col("run_end").isNull || col("pos") > col("run_end"))
+    val spans = marked
+      .withColumn("island",
+        sum(when(col("is_start"), 1L).otherwise(0L)).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("s"), max("endp").as("e"), count(lit(1)).as("nw"))
+    val perDoc = spans.groupBy(idCol).agg(
+      count(lit(1)).as("n_spans"),
+      sum((col("e") - col("s")).cast("long")).as("dup_tokens"),
+      sum("nw").as("n_dup_windows"))
+    docs.select(col(idCol),
+        size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_frac"))
+  }
+
+  /** DuckDB twin of [[duplicatedSpans]] over `documents`: same tokenizer,
+    * same 7-hex-char SHA window hash, same running-max island merge. */
+  def duplicatedSpansSql(idCol: String, textExpr: String, windowTokens: Int,
+                         from: String = "documents"): String = {
+    val w = windowTokens
+    val shingle = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tks AS (SELECT $idCol,
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
+       |wins AS (
+       |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${Hashing.sha28Sql(shingle)} AS wh
+       |  FROM tks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
+       |occ AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
+       |dup AS (SELECT w.$idCol, w.pos FROM wins w JOIN occ USING (wh)),
+       |marked AS (
+       |  SELECT $idCol, pos, pos + $w AS endp,
+       |    max(pos + $w) OVER (PARTITION BY $idCol ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run_end
+       |  FROM dup),
+       |isl AS (
+       |  SELECT $idCol, pos, endp,
+       |    sum(CASE WHEN run_end IS NULL OR pos > run_end THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY $idCol ORDER BY pos) AS island
+       |  FROM marked),
+       |spans AS (
+       |  SELECT $idCol, island, min(pos) AS s, max(endp) AS e,
+       |    count(*) AS nw
+       |  FROM isl GROUP BY $idCol, island),
+       |per_doc AS (
+       |  SELECT $idCol, count(*) AS n_spans, sum(e - s) AS dup_tokens,
+       |    sum(nw) AS n_dup_windows
+       |  FROM spans GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(greatest(len(tk) - ${w - 1}, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       |  CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+       |  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       |  round(CAST(coalesce(dup_tokens, 0) AS DOUBLE) /
+       |    greatest(len(tk), 1), 6) AS dup_frac
+       |FROM tks d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
+  }
+
+  /** Soft dedup: down-WEIGHT duplicated documents for training-time
+    * sampling instead of cutting them (the SoftDeDup lineage — He et al.,
+    * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up
+    * Language Model Pre-training", ACL 2024 — which reweights by a
+    * per-sample "data commonness" instead of hard removal). Commonness
+    * here is the geometric mean of each document's window-occurrence
+    * counts across the corpus (stride-1 `windowTokens`-token windows,
+    * same fused hash kernel as [[duplicatedSpans]]): a document whose
+    * every window is corpus-unique has commonness 1 and keeps weight 1;
+    * a document assembled from passages seen k times converges to
+    * weight 1/k. `sample_weight = 1 / commonness` is the multiplicative
+    * factor a sampler applies to the doc's selection probability.
+    *
+    * Scale design: one aggregation for global window-occurrence counts,
+    * one equi-join back on the window hash, one per-doc aggregation —
+    * all map-side combinable; the geometric mean is `exp(avg(ln n))` so
+    * the per-doc state is a single running sum, never a count list. */
+  def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
+                       windowTokens: Int): DataFrame = {
+    val wins = docs.select(col(idCol),
+      explode(Hashing.hashedShingles(col(textCol), windowTokens)).as("wh"))
+    val occ = wins.groupBy("wh").agg(count(lit(1)).as("n_occ"))
+    val perDoc = wins.join(occ, "wh").groupBy(idCol).agg(
+      count(lit(1)).as("n_windows"),
+      avg(log(col("n_occ").cast("double"))).as("mean_log_occ"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        round(exp(coalesce(col("mean_log_occ"), lit(0.0))), 6)
+          .as("commonness"),
+        round(lit(1.0) / exp(coalesce(col("mean_log_occ"), lit(0.0))), 6)
+          .as("sample_weight"))
+  }
+
+  /** DuckDB twin of [[softDedupWeights]] over `documents`. */
+  def softDedupWeightsSql(idCol: String, textExpr: String,
+                          windowTokens: Int,
+                          from: String = "documents"): String = {
+    val w = windowTokens
+    val shingle = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tks AS (SELECT $idCol,
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
+       |wins AS (
+       |  SELECT $idCol, ${Hashing.sha28Sql(shingle)} AS wh
+       |  FROM tks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
+       |occ AS (SELECT wh, count(*) AS n_occ FROM wins GROUP BY wh),
+       |per_doc AS (
+       |  SELECT $idCol, count(*) AS n_windows, avg(ln(n_occ)) AS mlo
+       |  FROM wins JOIN occ USING (wh) GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |  CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+       |  round(exp(coalesce(mlo, 0)), 6) AS commonness,
+       |  round(1.0 / exp(coalesce(mlo, 0)), 6) AS sample_weight
+       |FROM $from d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
+  }
 }

@@ -827,6 +827,21 @@ object TextQueries {
     "dd19_chunk_dedup" -> ((s, dir) =>
       Dedup.chunkDedup(Tables.documents(s, dir), "doc_id", "text", 3)),
 
+    // dd24: stride-1 maximal duplicated-span detection (the ExactSubstr /
+    // suffix-array lineage) — what dd19's chunk blocking can't see when a
+    // duplicated passage straddles a chunk boundary. Window of 4 tokens on
+    // the fixture so span MERGING carries traffic (174 docs at sf0.01 have
+    // >1 maximal span) while 130 docs stay clean; production windows of
+    // 50-100 tokens are the same plan.
+    "dd24_dup_spans" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", 4)),
+
+    // dd25: soft dedup — training-sampler down-weights from the geometric
+    // mean of corpus-wide window-occurrence counts (SoftDeDup lineage);
+    // the reweighting alternative to dd24's hard span cuts.
+    "dd25_soft_dedup" -> ((s, dir) =>
+      Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text", 4)),
+
     // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
     // the published Gopher rule gate (t31's flags in filter form) drops
     // structurally bad documents first, exact-substring chunk dedup
@@ -2541,6 +2556,12 @@ object TextQueries {
 
       "dd19_chunk_dedup" ->
         Dedup.chunkDedupSql("doc_id", "text", 3),
+
+      "dd24_dup_spans" ->
+        Dedup.duplicatedSpansSql("doc_id", "text", 4),
+
+      "dd25_soft_dedup" ->
+        Dedup.softDedupWeightsSql("doc_id", "text", 4),
 
       // mm5 twin: integer sample/sum arithmetic from the generator
       // formula; the single double division + sqrt replays the engine's

@@ -566,4 +566,82 @@ class DriftDedupSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivfadc === cellOnly)
   }
+
+  test("dd24: maximal duplicated spans — boundary-straddling dups, span merge, clean docs") {
+    // Docs 1 and 2 share the passage "p q r s t" but at OFFSET 1 in doc 2,
+    // so with chunkTokens=3 the chunk grids disagree and dd19 sees no
+    // duplicate chunk — the motivating case for the stride-1 form.
+    val docs = Seq(
+      (1L, "p q r s t a1 b1 c1 d1 e1"),
+      (2L, "z1 p q r s t a2 b2 c2 d2"),
+      // doc 3: TWO separate duplicated regions (shared with 4), with a
+      // unique middle, so islands must not merge across the gap
+      (3L, "m n o u3 v3 w3 x3 y3 j k l"),
+      (4L, "m n o u4 v4 w4 x4 y4 j k l"),
+      (5L, "all unique tokens here only once"),
+      (6L, "sh or t")).toDF("doc_id", "text")
+    val w = 3
+    val out = operators.Dedup.duplicatedSpans(docs, "doc_id", "text", w)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 6, "every input doc kept")
+    // docs 1/2: one span covering exactly the 5 shared tokens
+    for ((id, start) <- Seq(1L -> 0, 2L -> 1)) {
+      val r = out(id)
+      assert(r.getAs[Long]("n_spans") === 1, s"doc $id spans")
+      assert(r.getAs[Long]("dup_tokens") === 5, s"doc $id dup tokens")
+      assert(r.getAs[Long]("n_dup_windows") === 3, s"doc $id windows")
+    }
+    // chunk dedup at the same k misses the straddling duplicate entirely
+    val chunk = operators.Dedup.chunkDedup(docs, "doc_id", "text", w)
+      .filter(col("doc_id").isin(1L, 2L)).collect()
+    assert(chunk.forall(r => r.getAs[Long]("n_kept") === r.getAs[Long]("n_chunks")),
+      "dd19 chunk grid should see no duplicate chunk for offset dups")
+    // doc 3/4: two islands of 3 tokens each, not merged across the gap
+    for (id <- Seq(3L, 4L)) {
+      val r = out(id)
+      assert(r.getAs[Long]("n_spans") === 2, s"doc $id islands")
+      assert(r.getAs[Long]("dup_tokens") === 6, s"doc $id dup tokens")
+    }
+    // clean doc: zeros but present; short doc: no windows at all
+    assert(out(5L).getAs[Long]("n_spans") === 0)
+    assert(out(5L).getAs[Double]("dup_frac") === 0.0)
+    assert(out(6L).getAs[Long]("n_windows") === 1)
+    assert(out(6L).getAs[Long]("n_tokens") === 3)
+  }
+
+  test("dd24: touching spans merge — windows at pos p and p+w are one region") {
+    // "a b c d e f" vs two partners each sharing one half: windows
+    // (a b c) and (d e f) are duplicated, (b c d)/(c d e) are not; the
+    // two duplicated windows touch (end of first == start of second) and
+    // must merge into ONE maximal span of 6 tokens.
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c x2 y2 z2"),
+      (3L, "x3 y3 z3 d e f")).toDF("doc_id", "text")
+    val r = operators.Dedup.duplicatedSpans(docs, "doc_id", "text", 3)
+      .filter(col("doc_id") === 1L).head()
+    assert(r.getAs[Long]("n_dup_windows") === 2)
+    assert(r.getAs[Long]("n_spans") === 1, "touching windows merge")
+    assert(r.getAs[Long]("dup_tokens") === 6)
+    assert(r.getAs[Double]("dup_frac") === 1.0)
+  }
+
+  test("dd25: soft dedup weights — unique doc keeps 1.0, k-fold copies converge to 1/k") {
+    val docs = Seq(
+      (1L, "c0 c1 c2 c3 c4 c5 c6 c7"), // x3 copies -> every window occ 3
+      (2L, "c0 c1 c2 c3 c4 c5 c6 c7"),
+      (3L, "c0 c1 c2 c3 c4 c5 c6 c7"),
+      (4L, "u0 u1 u2 u3 u4 u5 u6 u7"), // fully unique
+      (5L, "s t")).toDF("doc_id", "text") // too short: no windows
+    val out = operators.Dedup.softDedupWeights(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- Seq(1L, 2L, 3L)) {
+      assert(math.abs(out(id).getAs[Double]("commonness") - 3.0) < 1e-6)
+      assert(math.abs(out(id).getAs[Double]("sample_weight") - 1.0 / 3) < 1e-6)
+    }
+    assert(out(4L).getAs[Double]("sample_weight") === 1.0)
+    assert(out(4L).getAs[Long]("n_windows") === 5)
+    assert(out(5L).getAs[Long]("n_windows") === 0)
+    assert(out(5L).getAs[Double]("sample_weight") === 1.0)
+  }
 }
