@@ -3,6 +3,7 @@ package graft.ml
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.Canon.{round => cround}
 
 /** M6/W8 — naive baselines (`src/etl/ml_metrics_extended.py:158-230`):
   * majority-class and stratified-random predictors over a train/val
@@ -93,5 +94,61 @@ object Baselines {
       .withColumn("__rk", row_number().over(wLocal).cast("long") + col("__off"))
       .join(broadcast(blocks), col("__rk") > col("lo") && col("__rk") <= col("hi"))
       .drop("__rk", "__k", "__pid", "__off", "lo", "hi")
+  }
+
+  /** M19 (beyond ref): split-conformal prediction sets for a binary
+    * probabilistic classifier — Vovk's inductive conformal predictor in
+    * the score-method form (Angelopoulos & Bates 2021 tutorial): on a
+    * calibration fold, nonconformity `s = 1 - p(true class)`; the
+    * threshold is the `ceil((n+1)(1-alpha))`-th smallest calibration
+    * score (the finite-sample-valid empirical quantile, clamped to n —
+    * an EXACT order statistic selected on the deterministic
+    * (score, id...) order, never an interpolated percentile, so both
+    * engines pick the identical value); a class enters a test row's
+    * prediction set iff `1 - p(class) <= qhat`. Marginal coverage of the
+    * true label is then >= 1 - alpha under exchangeability.
+    *
+    * Input `pred` must carry `probCol` = p(class 1), `labelCol` in
+    * {0.0, 1.0}, and `idCols` forming a deterministic tie-break order.
+    * `calPred` holds the calibration fold, `pred` the evaluation fold
+    * (disjoint by construction at the call site).
+    *
+    * Output: one row per set composition (in0, in1) with its count,
+    * covered count, empirical coverage, the threshold and calibration
+    * size — the audit table a production conformal deployment monitors.
+    *
+    * Scale design: the calibration fold is bounded by contract (a fixed
+    * study tail — m16's argument), so its global sort window is a
+    * bounded frame; the threshold reaches the evaluation side as a 1-row
+    * broadcast (the repo's global-stat pattern) and everything after is
+    * one map-side-combinable aggregation over the evaluation fold — the
+    * 100-TB side streams through with zero shuffles beyond the final
+    * 4-group agg. */
+  def conformalSets(calPred: DataFrame, pred: DataFrame, probCol: String,
+                    labelCol: String, idCols: Seq[String],
+                    alpha: Double): DataFrame = {
+    val cal = calPred
+      .select((idCols.map(col) :+
+        when(col(labelCol) === 1.0, lit(1.0) - col(probCol))
+          .otherwise(col(probCol)).as("__score")): _*)
+    val ord = Window.orderBy((col("__score") +: idCols.map(col)): _*)
+    val nFrame = cal.agg(count(lit(1)).as("__n_cal"))
+    val qFrame = cal.withColumn("__rk", row_number().over(ord))
+      .crossJoin(broadcast(nFrame))
+      .filter(col("__rk") ===
+        least(ceil((col("__n_cal") + 1) * lit(1.0 - alpha)), col("__n_cal")))
+      .select(col("__score").as("__qhat"), col("__n_cal"))
+    pred.crossJoin(broadcast(qFrame))
+      .withColumn("in0", col(probCol) <= col("__qhat"))
+      .withColumn("in1", (lit(1.0) - col(probCol)) <= col("__qhat"))
+      .withColumn("__cov",
+        (col(labelCol) === 0.0 && col("in0")) ||
+          (col(labelCol) === 1.0 && col("in1")))
+      .groupBy("in0", "in1")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__cov"), 1L).otherwise(0L)).as("n_covered"),
+        cround(avg(when(col("__cov"), 1.0).otherwise(0.0)), 6).as("coverage"),
+        cround(min(col("__qhat")), 6).as("qhat"),
+        min(col("__n_cal")).as("n_cal"))
   }
 }

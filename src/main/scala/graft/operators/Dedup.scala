@@ -1314,6 +1314,99 @@ object Dedup {
        |FROM tks d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
   }
 
+  /** The CUT form of [[duplicatedSpans]] — ExactSubstr dedup proper
+    * (Lee et al., ACL 2022): every duplicated window keeps exactly its
+    * globally-first occurrence (lexicographic min (doc, pos), the dd19
+    * convention at window granularity); every LATER occurrence's token
+    * range is cut from its document and the surviving tokens are
+    * reassembled in position order. Where [[chunkDedup]] can only cut on
+    * the chunk grid, this cuts the exact duplicated token range at any
+    * offset.
+    *
+    * Overlap caveat (inherent to span cutting, documented not hidden):
+    * when a first-occurrence window overlaps a later-occurrence window
+    * inside the same document, the cut range of the later window can eat
+    * into the first occurrence's tokens — the published method has the
+    * same property (it cuts the duplicated span wherever it recurs; the
+    * survivor is whatever text the cuts leave). The output is
+    * deterministic in both engines, which is what the oracle gates.
+    *
+    * Scale design: the occurrence agg carries min(struct(doc, pos))
+    * next to the count (one map-side-combinable pass, same as dd19's
+    * first-occurrence agg); non-first duplicated windows explode into
+    * their <= W covered token positions (bounded by dup volume, not
+    * corpus volume) and the survivors drop out via one left-anti
+    * equi-join on (doc, token position) — no range join anywhere; the
+    * reassembly is the array_sort-of-structs aggregation [[chunkDedup]]
+    * uses, so the whole plan is scans + hash aggs + equi-joins. */
+  def substrCut(docs: DataFrame, idCol: String, textCol: String,
+                windowTokens: Int): DataFrame = {
+    val w = windowTokens
+    val wins = docs.select(col(idCol),
+      posexplode(Hashing.hashedShingles(col(textCol), w)).as(Seq("pos", "wh")))
+    val occ = wins.groupBy("wh").agg(
+      count(lit(1)).as("n_occ"),
+      min(struct(col(idCol), col("pos"))).as("first_occ"))
+    val laterOcc = wins.join(occ.filter(col("n_occ") > 1), "wh")
+      .filter(!(col(s"first_occ.$idCol") === col(idCol) &&
+        col("first_occ.pos") === col("pos")))
+    val cutPos = laterOcc
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
+      .distinct()
+    val toks = docs.select(col(idCol),
+      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("tpos", "tok")))
+    val kept = toks.join(cutPos, Seq(idCol, "tpos"), "left_anti")
+    val perDoc = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("tpos"), col("tok")))),
+        s => s.getField("tok"))).as("dedup_text"))
+    docs.select(col(idCol),
+        size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("tokens_cut"),
+        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** DuckDB twin of [[substrCut]] over `documents`. */
+  def substrCutSql(idCol: String, textExpr: String, windowTokens: Int,
+                   from: String = "documents"): String = {
+    val w = windowTokens
+    val shingle = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH tks AS (SELECT $idCol,
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
+       |wins AS (
+       |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${Hashing.sha28Sql(shingle)} AS wh
+       |  FROM tks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
+       |ranked AS (
+       |  SELECT $idCol, pos,
+       |    count(*) OVER (PARTITION BY wh) AS n_occ,
+       |    row_number() OVER (PARTITION BY wh ORDER BY $idCol, pos) AS rn
+       |  FROM wins),
+       |cutpos AS (
+       |  SELECT DISTINCT $idCol, pos + j AS tpos
+       |  FROM ranked, unnest(range(0, $w)) AS u(j)
+       |  WHERE n_occ > 1 AND rn > 1),
+       |toks AS (
+       |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS tpos, tk[i] AS tok
+       |  FROM tks, unnest(range(1, len(tk) + 1)) AS r(i)),
+       |kept AS (
+       |  SELECT t.$idCol, t.tpos, t.tok
+       |  FROM toks t ANTI JOIN cutpos c USING ($idCol, tpos)),
+       |per_doc AS (
+       |  SELECT $idCol, count(*) AS n_kept,
+       |    array_to_string(list(tok ORDER BY tpos), ' ') AS dedup_text
+       |  FROM kept GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS tokens_cut,
+       |  coalesce(dedup_text, '') AS dedup_text
+       |FROM tks d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
+  }
+
   /** Soft dedup: down-WEIGHT duplicated documents for training-time
     * sampling instead of cutting them (the SoftDeDup lineage — He et al.,
     * "SoftDedup: an Efficient Data Reweighting Method for Speeding Up

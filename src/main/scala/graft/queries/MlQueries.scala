@@ -407,6 +407,19 @@ object MlQueries {
       Drift.ksTwoSample(pred, "model", "s", "prob")
     }),
 
+    // M19 (beyond ref): split-conformal prediction sets over the GD-LR
+    // probabilities — calibration/evaluation folds split by user parity
+    // (the deterministic doc_id%k convention), threshold = the exact
+    // finite-sample order statistic, coverage audited per set
+    // composition. alpha = 0.2 so the fixture exercises singleton sets.
+    "m19_conformal" -> ((s, dir) => {
+      val pred = gdlrPred(s, dir).filter(col("prob").isNotNull)
+      graft.ml.Baselines.conformalSets(
+        pred.filter(col("user_id") % 2 === 0),
+        pred.filter(col("user_id") % 2 === 1),
+        "prob", "label", Seq("user_id", "date"), alpha = 0.2)
+    }),
+
     // M17 (beyond ref): per-slice eval metrics — the subgroup-regression
     // check every model release gates on. Slices are day-of-week via the
     // portable epoch-day modulus (engine-native dayofweek origins differ
@@ -1206,6 +1219,38 @@ object MlQueries {
         |    AS ks_stat,
         |  CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
         |FROM cum GROUP BY model""".stripMargin,
+
+    // m19 twin: the same exact order statistic (row_number on the
+    // deterministic (score, user_id, date) order — never an interpolated
+    // quantile) and the same set-membership arithmetic.
+    "m19_conformal" ->
+      s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),
+        |p AS (SELECT user_id, date, prob, label FROM pred
+        |  WHERE prob IS NOT NULL),
+        |cal AS (
+        |  SELECT user_id, date,
+        |    CASE WHEN label = 1.0 THEN 1.0 - prob ELSE prob END AS score
+        |  FROM p WHERE user_id % 2 = 0),
+        |nn AS (SELECT count(*) AS n_cal FROM cal),
+        |ranked AS (
+        |  SELECT score,
+        |    row_number() OVER (ORDER BY score, user_id, date) AS rk
+        |  FROM cal),
+        |q AS (
+        |  SELECT score AS qhat, n_cal FROM ranked, nn
+        |  WHERE rk = least(CAST(ceil((n_cal + 1) * 0.8) AS BIGINT), n_cal)),
+        |ev AS (
+        |  SELECT label, qhat, n_cal,
+        |    prob <= qhat AS in0, (1.0 - prob) <= qhat AS in1
+        |  FROM p, q WHERE user_id % 2 = 1)
+        |SELECT in0, in1, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN (label = 0.0 AND in0) OR (label = 1.0 AND in1)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+        |  round(avg(CASE WHEN (label = 0.0 AND in0) OR (label = 1.0 AND in1)
+        |    THEN 1.0 ELSE 0.0 END), 6) AS coverage,
+        |  round(min(qhat), 6) AS qhat,
+        |  CAST(min(n_cal) AS BIGINT) AS n_cal
+        |FROM ev GROUP BY in0, in1""".stripMargin,
 
     "m17_slice_metrics" ->
       s"""WITH pred AS (SELECT * FROM (${m5OracleSql(3)})),

@@ -842,6 +842,12 @@ object TextQueries {
     "dd25_soft_dedup" -> ((s, dir) =>
       Dedup.softDedupWeights(Tables.documents(s, dir), "doc_id", "text", 4)),
 
+    // dd26: dd24's CUT form — ExactSubstr dedup proper: every duplicated
+    // window keeps only its globally-first occurrence; later copies' token
+    // ranges are cut at their exact offsets and the survivors reassembled.
+    "dd26_substr_cut" -> ((s, dir) =>
+      Dedup.substrCut(Tables.documents(s, dir), "doc_id", "text", 4)),
+
     // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
     // the published Gopher rule gate (t31's flags in filter form) drops
     // structurally bad documents first, exact-substring chunk dedup
@@ -2562,6 +2568,9 @@ object TextQueries {
 
       "dd25_soft_dedup" ->
         Dedup.softDedupWeightsSql("doc_id", "text", 4),
+
+      "dd26_substr_cut" ->
+        Dedup.substrCutSql("doc_id", "text", 4),
 
       // mm5 twin: integer sample/sum arithmetic from the generator
       // formula; the single double division + sqrt replays the engine's

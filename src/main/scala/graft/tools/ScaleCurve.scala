@@ -84,8 +84,9 @@ object ScaleCurve {
     // round-8/9 additions (first decade; per-row map-only passes)
     "t31_gopher_rules", "t32_c4_rules",
     // round-10: the C4 composition (gate + line-clean + chunk dedup +
-    // BPE pricing)
-    "e2e_c4_prep")
+    // BPE pricing), and the stride-1 ExactSubstr family (span detect,
+    // soft down-weighting, cut-and-reassemble)
+    "e2e_c4_prep", "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -139,7 +140,12 @@ object ScaleCurve {
     // a pipeline of individually-linear stages can still compose a
     // superlinear term (shared-scan replays, candidate cross products);
     // measuring the composed query is the only way to rule that out.
-    "e2e_corpus_assembly", "e2e_llm_prep", "e2e_c4_prep")
+    "e2e_corpus_assembly", "e2e_llm_prep", "e2e_c4_prep",
+    // round-10: the stride-1 ExactSubstr family joins the deep set —
+    // its window volume is TOKENS per corpus (every token opens a
+    // window), an order denser than dd19's token/k chunks, so the
+    // second decade is where a hidden superlinearity would surface.
+    "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
@@ -549,6 +555,37 @@ object ScaleCurve {
               f"| ${n4.toDouble / nD}%.1f |\n"
           }
           sb ++= "\n"
+          // Candidate-volume mechanism — rendered from BandCandidateProbe's
+          // artifact when present: the pre-verify candidate count of the
+          // production banding at each measured scale, the number that
+          // attributes a super-linear dd21-family wall ratio to the
+          // banding collision floor (~n² · J_floor^rowsPerBand) rather
+          // than to a plan defect.
+          readJson("BANDCANDS.json").foreach { bc =>
+            val scales = bc.get("scales")
+            if (scales != null && scales.size() >= 2) {
+              sb ++= s"Mechanism (measured by `sbt \"runMain graft.tools" +
+                s".BandCandidateProbe\"`, banding ${bc.get("banding")}): " +
+                "the pre-verify candidate volume the banding emits —\n\n"
+              sb ++= "| docs | candidates | cands/doc |\n|---|---|---|\n"
+              (0 until scales.size()).foreach { i =>
+                val s = scales.get(i)
+                val (d, c) = (s.get("docs").asLong, s.get("candidates").asLong)
+                sb ++= f"| ${d / 1000000.0}%.1fM | $c | ${c.toDouble / d}%.3f |\n"
+              }
+              sb ++= "\nCandidates per document GROW with corpus size — " +
+                "the quadratic collision-floor term (a random pair " +
+                "collides in a 4-hash band with probability ~J_floor^4; " +
+                "pairs grow n²) overtaking the linear true-duplicate " +
+                "term. This is what moves dd21's fourth-scale wall ratio " +
+                "above its data ratio: verify work follows candidates, " +
+                "not documents. The production response at 100 TB is the " +
+                "banding knob itself — widen bands (e.g. 128 hashes as " +
+                "16 bands of 8: collision ~J^8) to push the floor back " +
+                "below 1/n; the plan is unchanged, which is exactly why " +
+                "the knob is a parameter.\n"
+            }
+          }
         }
       }
     }

@@ -626,6 +626,40 @@ class DriftDedupSpec extends SparkTestBase {
     assert(r.getAs[Double]("dup_frac") === 1.0)
   }
 
+  test("dd26: substr cut — first occurrence survives, later copies cut at exact offsets") {
+    val docs = Seq(
+      (1L, "p q r s t a1 b1 c1 d1 e1"),
+      (2L, "z1 p q r s t a2 b2 c2 d2"), // shared passage at OFFSET 1
+      (3L, "a b c x a b c"),            // within-doc repeat
+      (4L, "sh or t")).toDF("doc_id", "text")
+    val out = operators.Dedup.substrCut(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 holds every first occurrence: untouched
+    assert(out(1L).getAs[Long]("tokens_cut") === 0)
+    assert(out(1L).getAs[String]("dedup_text") ===
+      "p q r s t a1 b1 c1 d1 e1")
+    // doc 2 loses exactly the 5 shared tokens, at offset 1
+    assert(out(2L).getAs[Long]("tokens_cut") === 5)
+    assert(out(2L).getAs[String]("dedup_text") === "z1 a2 b2 c2 d2")
+    // doc 3: the repeated "a b c" at pos 4 is cut, the first stays
+    assert(out(3L).getAs[Long]("tokens_cut") === 3)
+    assert(out(3L).getAs[String]("dedup_text") === "a b c x")
+    // short doc: no windows, nothing cut
+    assert(out(4L).getAs[Long]("tokens_cut") === 0)
+    assert(out(4L).getAs[String]("dedup_text") === "sh or t")
+  }
+
+  test("dd26: a full-document duplicate empties the later copy, keeps the first intact") {
+    val docs = Seq(
+      (7L, "w1 w2 w3 w4 w5 w6"),
+      (9L, "w1 w2 w3 w4 w5 w6")).toDF("doc_id", "text")
+    val out = operators.Dedup.substrCut(docs, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(7L).getAs[String]("dedup_text") === "w1 w2 w3 w4 w5 w6")
+    assert(out(9L).getAs[String]("dedup_text") === "")
+    assert(out(9L).getAs[Long]("tokens_cut") === 6)
+  }
+
   test("dd25: soft dedup weights — unique doc keeps 1.0, k-fold copies converge to 1/k") {
     val docs = Seq(
       (1L, "c0 c1 c2 c3 c4 c5 c6 c7"), // x3 copies -> every window occ 3

@@ -160,4 +160,44 @@ class ModelsSpec extends SparkTestBase {
       Audit.assertUniqueKey(Seq((1, 0), (1, 1)).toDF("k", "label"), Seq("k"))
     }
   }
+
+  test("m19: conformal sets — exact order-statistic threshold, hand-checked memberships") {
+    // calibration: label-0 rows whose prob IS the nonconformity score;
+    // scores 0.05..0.95 step 0.1, n=10. alpha=0.5 -> k=ceil(11*0.5)=6 ->
+    // qhat = 6th smallest = 0.55.
+    val cal = (0 until 10).map(i => (2L * i, 0.05 + i * 0.1, 0.0))
+      .toDF("user_id", "prob", "label")
+    val eval = Seq(
+      (1L, 0.2, 0.0), // set {0}: 0.2<=0.55, 0.8>0.55 — covered
+      (3L, 0.5, 1.0), // set {0,1}: both scores <=0.55 — covered
+      (5L, 0.9, 1.0), // set {1}: 0.9>0.55, 0.1<=0.55 — covered
+      (7L, 0.2, 1.0)  // set {0} but label 1 — NOT covered
+    ).toDF("user_id", "prob", "label")
+    val out = graft.ml.Baselines.conformalSets(cal, eval, "prob", "label",
+      Seq("user_id"), alpha = 0.5)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1)) -> r).toMap
+    assert(out.keySet === Set((true, false), (true, true), (false, true)))
+    assert(out((true, false)).getAs[Long]("n") === 2)
+    assert(out((true, false)).getAs[Long]("n_covered") === 1)
+    assert(out((true, false)).getAs[Double]("coverage") === 0.5)
+    assert(out((true, true)).getAs[Long]("n_covered") === 1)
+    assert(out((false, true)).getAs[Long]("n_covered") === 1)
+    assert(out.values.forall(r => math.abs(r.getAs[Double]("qhat") - 0.55) < 1e-9))
+    assert(out.values.forall(_.getAs[Long]("n_cal") === 10L))
+  }
+
+  test("m19: qhat clamps to the max calibration score when ceil((n+1)(1-a)) > n") {
+    // n=3, alpha=0.1 -> k=ceil(4*0.9)=4 > 3 -> clamp to rank 3 (score 0.3):
+    // the deterministic finite-n behavior, asserted so the clamp isn't
+    // silently an infinite set.
+    val cal = Seq((2L, 0.1, 0.0), (4L, 0.2, 0.0), (6L, 0.3, 0.0))
+      .toDF("user_id", "prob", "label")
+    val eval = Seq((1L, 0.25, 0.0)).toDF("user_id", "prob", "label")
+    val r = graft.ml.Baselines.conformalSets(cal, eval, "prob", "label",
+      Seq("user_id"), alpha = 0.1).head()
+    assert(math.abs(r.getAs[Double]("qhat") - 0.3) < 1e-9)
+    assert(r.getAs[Boolean]("in0") === true)   // 0.25 <= 0.3
+    assert(r.getAs[Boolean]("in1") === false)  // 0.75 > 0.3
+  }
 }
