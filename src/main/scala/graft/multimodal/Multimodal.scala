@@ -504,4 +504,31 @@ object Multimodal {
     javax.imageio.ImageIO.write(img, format, out)
     out.toByteArray
   }
+
+  /** Shot-boundary (scene-cut) detection over [[frameStats]] output —
+    * the classic pixel-difference method at the byte-stat proxy level
+    * this container works at (decode is stubbed; with a real decoder the
+    * same plan runs on per-frame luma means): a cut is a sampled frame
+    * whose mean byte value jumps more than `threshold` against the
+    * previous sampled frame. One lag window per media (hash-partitioned
+    * on media_id — at 100 TB of video the per-media frame count is
+    * bounded by sampling stride, so no skew concern) and one grouped
+    * aggregation; emits the per-media audit row a video-ingest pipeline
+    * uses to split multi-scene clips before captioning. */
+  def sceneCuts(stats: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byMedia = Window.partitionBy("media_id").orderBy("frame_idx")
+    stats
+      .withColumn("mean_b",
+        col("byte_sum").cast("double") / col("frame_len"))
+      .withColumn("diff",
+        abs(col("mean_b") - lag("mean_b", 1).over(byMedia)))
+      .groupBy("media_id")
+      .agg(
+        count(lit(1)).as("n_frames_sampled"),
+        sum(when(col("diff") > threshold, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("diff") > threshold, col("frame_idx")))
+          .as("first_cut_idx"),
+        graft.functions.Canon.round(avg("diff"), 6).as("mean_diff"))
+  }
 }

@@ -1350,7 +1350,17 @@ object Dedup {
     val laterOcc = wins.join(occ.filter(col("n_occ") > 1), "wh")
       .filter(!(col(s"first_occ.$idCol") === col(idCol) &&
         col("first_occ.pos") === col("pos")))
-    val cutPos = laterOcc
+    cutReassemble(docs, idCol, textCol,
+      windowStarts = laterOcc.select(col(idCol), col("pos")), w)
+  }
+
+  /** Shared tail of [[substrCut]] / [[decontamCut]]: expand each cut
+    * window start into its <= W covered token positions, drop covered
+    * tokens via one left-anti equi-join, reassemble survivors in
+    * position order (dd19's array_sort-of-structs aggregation). */
+  private def cutReassemble(docs: DataFrame, idCol: String, textCol: String,
+                            windowStarts: DataFrame, w: Int): DataFrame = {
+    val cutPos = windowStarts
       .select(col(idCol),
         explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
       .distinct()
@@ -1368,6 +1378,73 @@ object Dedup {
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("tokens_cut"),
         coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+  }
+
+  /** Span-level eval-set decontamination — the CUT counterpart of
+    * [[contaminationScan]]'s rate audit: every training-document span
+    * whose `windowTokens`-token window occurs ANYWHERE in the evaluation
+    * corpus is cut at its exact offset, and the surviving text
+    * reassembled — the decontamination step a benchmark-clean pretraining
+    * corpus runs instead of dropping whole contaminated documents
+    * (the document-level drop throws away every clean token in a page
+    * that merely quotes one benchmark item).
+    *
+    * Scale design: the eval side reduces to DISTINCT window hashes —
+    * bounded by contract (benchmark suites are small against the corpus)
+    * and explicitly broadcast, the t7 convention — so the 100-TB train
+    * side streams through one broadcast semi-join; cut expansion and
+    * reassembly are [[substrCut]]'s shared tail (left-anti equi-join,
+    * no range join). */
+  def decontamCut(train: DataFrame, evalDocs: DataFrame, idCol: String,
+                  textCol: String, windowTokens: Int): DataFrame = {
+    val w = windowTokens
+    val evalWins = evalDocs
+      .select(explode(Hashing.hashedShingles(col(textCol), w)).as("wh"))
+      .distinct()
+    val wins = train.select(col(idCol),
+      posexplode(Hashing.hashedShingles(col(textCol), w)).as(Seq("pos", "wh")))
+    val contaminated = wins
+      .join(broadcast(evalWins), Seq("wh"), "left_semi")
+      .select(col(idCol), col("pos"))
+    cutReassemble(train, idCol, textCol, contaminated, w)
+  }
+
+  /** DuckDB twin of [[decontamCut]]: `trainFrom` / `evalFrom` are table
+    * or derived-table expressions for the two corpora. */
+  def decontamCutSql(idCol: String, textExpr: String, windowTokens: Int,
+                     trainFrom: String, evalFrom: String): String = {
+    val w = windowTokens
+    val shingle = (0 until w).map(j => s"tk[i + $j]").mkString(" || ' ' || ")
+    s"""WITH ttks AS (SELECT $idCol,
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $trainFrom),
+       |etks AS (SELECT
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $evalFrom),
+       |ewins AS (
+       |  SELECT DISTINCT ${Hashing.sha28Sql(shingle)} AS wh
+       |  FROM etks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
+       |wins AS (
+       |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos,
+       |    ${Hashing.sha28Sql(shingle)} AS wh
+       |  FROM ttks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
+       |cutw AS (SELECT $idCol, pos FROM wins SEMI JOIN ewins USING (wh)),
+       |cutpos AS (
+       |  SELECT DISTINCT $idCol, pos + j AS tpos
+       |  FROM cutw, unnest(range(0, $w)) AS u(j)),
+       |toks AS (
+       |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS tpos, tk[i] AS tok
+       |  FROM ttks, unnest(range(1, len(tk) + 1)) AS r(i)),
+       |kept AS (
+       |  SELECT t.$idCol, t.tpos, t.tok
+       |  FROM toks t ANTI JOIN cutpos c USING ($idCol, tpos)),
+       |per_doc AS (
+       |  SELECT $idCol, count(*) AS n_kept,
+       |    array_to_string(list(tok ORDER BY tpos), ' ') AS dedup_text
+       |  FROM kept GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(len(tk) - coalesce(n_kept, 0) AS BIGINT) AS tokens_cut,
+       |  coalesce(dedup_text, '') AS dedup_text
+       |FROM ttks d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
   }
 
   /** DuckDB twin of [[substrCut]] over `documents`. */

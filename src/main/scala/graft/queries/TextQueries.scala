@@ -745,6 +745,35 @@ object TextQueries {
       Multimodal.frameStats(Multimodal.sampleFrames(withPayload, stride = 2))
     }),
 
+    // mm8: shot-boundary detection over mm4's sampled frame stats — the
+    // classic pixel-difference method at the byte-stat proxy level (mean
+    // byte value jump > 100 against the previous sampled frame); per-media
+    // audit row for splitting multi-scene clips before captioning.
+    "mm8_scene_cuts" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("media_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+        .add("n_frames", org.apache.spark.sql.types.IntegerType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val nf = (id % 7 + 2).toInt
+          val plen = (nf * (id % 5 + 4) + id % 3).toInt
+          val payload = Array.tabulate[Byte](plen)(i =>
+            ((id * 31 + i * 7) % 256).toByte)
+          org.apache.spark.sql.Row(id, payload, nf)
+        }
+      }(enc)
+      Multimodal.sceneCuts(
+        Multimodal.frameStats(Multimodal.sampleFrames(withPayload, stride = 2)),
+        threshold = 100.0)
+    }),
+
     // Multimodal REAL audio decode: PCM16-LE payloads (samples a pure
     // function of (media_id, index)), unpacked by the byte-walking
     // kernel into RMS / zero-crossing-rate / peak — the audio triage
@@ -847,6 +876,16 @@ object TextQueries {
     // ranges are cut at their exact offsets and the survivors reassembled.
     "dd26_substr_cut" -> ((s, dir) =>
       Dedup.substrCut(Tables.documents(s, dir), "doc_id", "text", 4)),
+
+    // dd27: span-level eval decontamination — t7's rate audit turned into
+    // the cut: spans shared with the eval corpus (t7's doc_id < 20 split)
+    // are removed from the training docs at their exact offsets instead
+    // of dropping whole contaminated pages.
+    "dd27_decontam_cut" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontamCut(docs.filter(col("doc_id") >= 20),
+        docs.filter(col("doc_id") < 20), "doc_id", "text", 4)
+    }),
 
     // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
     // the published Gopher rule gate (t31's flags in filter form) drops
@@ -2560,6 +2599,46 @@ object TextQueries {
           |    FILTER (WHERE i = f1 - 1) AS INTEGER) AS last_byte
           |FROM bytes GROUP BY doc_id, frame_idx, f0, f1""".stripMargin,
 
+      // mm8 twin: mm4's byte-formula CTEs -> per-frame means -> the same
+      // lag/threshold arithmetic (null first-frame diff excluded from the
+      // count in both engines by CASE/when semantics).
+      "mm8_scene_cuts" ->
+        """WITH p AS (
+          |  SELECT doc_id,
+          |    doc_id % 7 + 2 AS nf,
+          |    (doc_id % 7 + 2) * (doc_id % 5 + 4) + doc_id % 3 AS plen
+          |  FROM documents),
+          |f AS (
+          |  SELECT doc_id, plen,
+          |    greatest(plen // nf, 1) AS flen,
+          |    least(nf, plen) AS mf
+          |  FROM p),
+          |fr AS (SELECT doc_id, plen, flen,
+          |    unnest(range(0, mf, 2)) AS frame_idx FROM f),
+          |b AS (
+          |  SELECT doc_id, frame_idx, frame_idx * flen AS f0,
+          |    least(frame_idx * flen + flen, plen) AS f1
+          |  FROM fr),
+          |bytes AS (SELECT doc_id, frame_idx, f0, f1,
+          |    unnest(range(f0, f1)) AS i FROM b),
+          |fs AS (
+          |  SELECT doc_id, frame_idx,
+          |    CAST(sum((doc_id * 31 + 7 * i) % 256) AS DOUBLE) / (f1 - f0)
+          |      AS mean_b
+          |  FROM bytes GROUP BY doc_id, frame_idx, f0, f1),
+          |d AS (
+          |  SELECT doc_id, frame_idx, abs(mean_b - lag(mean_b)
+          |    OVER (PARTITION BY doc_id ORDER BY frame_idx)) AS diff
+          |  FROM fs)
+          |SELECT doc_id AS media_id,
+          |  CAST(count(*) AS BIGINT) AS n_frames_sampled,
+          |  CAST(sum(CASE WHEN diff > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_cuts,
+          |  CAST(min(CASE WHEN diff > 100.0 THEN frame_idx END) AS INTEGER)
+          |    AS first_cut_idx,
+          |  round(avg(diff), 6) AS mean_diff
+          |FROM d GROUP BY doc_id""".stripMargin,
+
       "dd19_chunk_dedup" ->
         Dedup.chunkDedupSql("doc_id", "text", 3),
 
@@ -2571,6 +2650,11 @@ object TextQueries {
 
       "dd26_substr_cut" ->
         Dedup.substrCutSql("doc_id", "text", 4),
+
+      "dd27_decontam_cut" ->
+        Dedup.decontamCutSql("doc_id", "text", 4,
+          "(SELECT * FROM documents WHERE doc_id >= 20)",
+          "(SELECT * FROM documents WHERE doc_id < 20)"),
 
       // mm5 twin: integer sample/sum arithmetic from the generator
       // formula; the single double division + sqrt replays the engine's

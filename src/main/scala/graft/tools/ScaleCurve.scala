@@ -86,7 +86,8 @@ object ScaleCurve {
     // round-10: the C4 composition (gate + line-clean + chunk dedup +
     // BPE pricing), and the stride-1 ExactSubstr family (span detect,
     // soft down-weighting, cut-and-reassemble)
-    "e2e_c4_prep", "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut")
+    "e2e_c4_prep", "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut",
+    "dd27_decontam_cut", "mm8_scene_cuts")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —

@@ -660,6 +660,25 @@ class DriftDedupSpec extends SparkTestBase {
     assert(out(9L).getAs[Long]("tokens_cut") === 6)
   }
 
+  test("dd27: decontam cut — eval-shared spans cut from EVERY train doc, clean docs intact") {
+    val eval = Seq((100L, "q1 q2 q3 q4 answer")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "intro1 q1 q2 q3 q4 answer outro1"), // quotes the benchmark mid-page
+      (2L, "q1 q2 q3 x y z"),                   // quotes a prefix (windows q1..q3 only)
+      (3L, "totally clean page here")).toDF("doc_id", "text")
+    val out = operators.Dedup.decontamCut(train, eval, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1: eval windows (q1 q2 q3), (q2 q3 q4), (q3 q4 answer) all hit
+    // -> positions 1..5 cut; unlike dd26 there is NO surviving first copy
+    assert(out(1L).getAs[Long]("tokens_cut") === 5)
+    assert(out(1L).getAs[String]("dedup_text") === "intro1 outro1")
+    // doc 2: only window (q1 q2 q3) is an eval window -> positions 0..2
+    assert(out(2L).getAs[Long]("tokens_cut") === 3)
+    assert(out(2L).getAs[String]("dedup_text") === "x y z")
+    assert(out(3L).getAs[Long]("tokens_cut") === 0)
+    assert(out(3L).getAs[String]("dedup_text") === "totally clean page here")
+  }
+
   test("dd25: soft dedup weights — unique doc keeps 1.0, k-fold copies converge to 1/k") {
     val docs = Seq(
       (1L, "c0 c1 c2 c3 c4 c5 c6 c7"), // x3 copies -> every window occ 3

@@ -477,6 +477,24 @@ class StreamingMultimodalSpec extends SparkTestBase {
       Seq((0, 5L, 0, 4), (2, 5L, 10, 14)))
   }
 
+  test("multimodal: sceneCuts — jump over threshold is a cut, first frame never is") {
+    // media 1: means 10, 11, 210 -> diffs (null), 1, 199 -> one cut at
+    // frame 4; media 2: single frame -> no diffs, null mean_diff
+    val stats = Seq(
+      (1L, 0, 4L, 40L), (1L, 2, 4L, 44L), (1L, 4, 4L, 840L),
+      (2L, 0, 5L, 50L))
+      .toDF("media_id", "frame_idx", "frame_len", "byte_sum")
+    val out = Multimodal.sceneCuts(stats, threshold = 100.0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_frames_sampled") === 3)
+    assert(out(1L).getAs[Long]("n_cuts") === 1)
+    assert(out(1L).getAs[Int]("first_cut_idx") === 4)
+    assert(math.abs(out(1L).getAs[Double]("mean_diff") - 100.0) < 1e-6)
+    assert(out(2L).getAs[Long]("n_cuts") === 0)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("first_cut_idx")))
+    assert(out(2L).isNullAt(out(2L).fieldIndex("mean_diff")))
+  }
+
   test("multimodal: PCM16 stats — LE unpack incl. negatives, truncated tail, null payload") {
     val samples = Seq(100, -100, 50, -50)
     val b = new Array[Byte](2 * samples.length + 1) // odd trailing byte
