@@ -923,6 +923,41 @@ object TextQueries {
           round(avg(col("chars_per_subword")), 6).as("mean_cps"))
     }),
 
+    // e2e_decontam_prep: the benchmark-clean prep chain — the Gopher rule
+    // gate drops structurally bad pages, the stride-1 ExactSubstr cut
+    // (dd26) removes later copies of every duplicated span at exact
+    // offsets, eval decontamination (dd27, t7's doc_id<20 eval split)
+    // cuts benchmark-shared spans from what survives, and BPE pricing
+    // reports the per-source token bill with the decontaminated volume
+    // as an audit column. Each stage is the already-gated operator.
+    "e2e_decontam_prep" -> ((s, dir) => {
+      val all = Tables.documents(s, dir)
+      val evalDocs = all.filter(col("doc_id") < 20)
+        .select(col("doc_id"), col("text").as("dedup_text"))
+      val train = TextAnalysis.gopherStructuralFilter(
+        all.filter(col("doc_id") >= 20), "text")
+      // stage boundary: the substr-cut reassembly feeds the decontam
+      // tokenization AND the final source attach — without it the cut
+      // replays per consumer
+      val cut = Dedup.substrCut(train, "doc_id", "text", 4)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(train.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(true)
+      val decon = Dedup.decontamCut(
+        cut.select(col("doc_id"), col("dedup_text")), evalDocs,
+        "doc_id", "dedup_text", 4)
+      TextAnalysis.bpeTokenCounts(
+          decon.select(col("doc_id"), col("dedup_text")),
+          "doc_id", "dedup_text")
+        .join(decon.select(col("doc_id"), col("tokens_cut")), "doc_id")
+        .join(cut.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_subwords")).as("total_subwords"),
+          round(avg(col("chars_per_subword")), 6).as("mean_cps"),
+          sum(col("tokens_cut")).as("decontam_tokens_cut"))
+    }),
+
     // e2e_c4_prep: the C4-lineage prep chain — materially different from
     // e2e_llm_prep's Gopher gate because C4 rewrites documents at LINE
     // level (drop lines failing the line filter, keep the page) where
@@ -2729,6 +2764,39 @@ object TextQueries {
           |  CAST(sum(c.n_subwords) AS BIGINT) AS total_subwords,
           |  round(avg(c.chars_per_subword), 6) AS mean_cps
           |FROM ($bpe) c JOIN kept k USING (doc_id)
+          |GROUP BY k.source""".stripMargin
+      },
+
+      // e2e_decontam_prep twin: the gopher/substr-cut/decontam/bpe
+      // fragments composed — each self-contained WITH nests as a derived
+      // table, the e2e_llm_prep pattern.
+      "e2e_decontam_prep" -> {
+        val gr = TextAnalysis.gopherRulesSql("doc_id", "text",
+          from = "train")
+        val cutSql = Dedup.substrCutSql("doc_id", "text", 4, from = "gated")
+        val deconSql = Dedup.decontamCutSql("doc_id", "dedup_text", 4,
+          trainFrom = "(SELECT doc_id, dedup_text FROM cutq)",
+          evalFrom = "(SELECT doc_id, text AS dedup_text FROM documents " +
+            "WHERE doc_id < 20)")
+        val bpe = TextAnalysis.bpeTokenCountsSql("doc_id", "dedup_text",
+          from = "decon")
+        s"""WITH train AS (SELECT * FROM documents WHERE doc_id >= 20),
+          |gated AS (
+          |  SELECT d.* FROM train d
+          |  JOIN ($gr) g USING (doc_id)
+          |  WHERE g.r1_word_count AND g.r2_mean_word_len
+          |    AND g.r3_symbol_ratio AND g.r4_bullet_lines
+          |    AND g.r5_ellipsis_lines AND g.r6_alpha_words),
+          |cutq AS (SELECT * FROM ($cutSql)),
+          |decon AS (SELECT * FROM ($deconSql))
+          |SELECT k.source,
+          |  CAST(count(*) AS BIGINT) AS n_docs_kept,
+          |  CAST(sum(c.n_subwords) AS BIGINT) AS total_subwords,
+          |  round(avg(c.chars_per_subword), 6) AS mean_cps,
+          |  CAST(sum(dc.tokens_cut) AS BIGINT) AS decontam_tokens_cut
+          |FROM ($bpe) c
+          |JOIN decon dc USING (doc_id)
+          |JOIN (SELECT doc_id, source FROM gated) k USING (doc_id)
           |GROUP BY k.source""".stripMargin
       },
 

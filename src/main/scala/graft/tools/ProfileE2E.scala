@@ -3,8 +3,9 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Stage-level wall-clock profile of the two e2e compositions
-  * (e2e_corpus_assembly and e2e_llm_prep; dev tool).
+/** Stage-level wall-clock profile of the e2e compositions
+  * (e2e_corpus_assembly, e2e_llm_prep, e2e_c4_prep, e2e_decontam_prep;
+  * dev tool).
   *
   * Timing discipline (round 10): each stage's MARGINAL cost is measured
   * DIRECTLY — the stage's input frame is materialized (eager
@@ -181,10 +182,57 @@ object ProfileE2E {
     val (fullC4, _) = timeBody("full_c4_prep(real query)")(
       graft.SparkEntry.queries("e2e_c4_prep")(spark, dir))
 
+    // ---- e2e_decontam_prep: Gopher gate -> stride-1 ExactSubstr cut ->
+    //      eval decontamination -> BPE pricing ----
+    val deconStages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
+    def stageD(label: String)(build: => DataFrame): Unit =
+      deconStages += { val (s, n) = timeBody(label)(build); (label, s, n) }
+
+    val evalM = mat(docs.filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("text").as("dedup_text")))
+    stageD("gopher_gate")(TextAnalysis.gopherStructuralFilter(
+      docs.filter(col("doc_id") >= 20), "text"))
+    val trainM = mat(TextAnalysis.gopherStructuralFilter(
+      docs.filter(col("doc_id") >= 20), "text"))
+    // stage body mirrors the query, including its checkpoint boundary
+    stageD("substr_cut") {
+      Dedup.substrCut(trainM, "doc_id", "text", 4)
+        .select(col("doc_id"), col("dedup_text"))
+        .join(trainM.select("doc_id", "source"), "doc_id")
+        .localCheckpoint(true)
+    }
+    val cutM = mat(Dedup.substrCut(trainM, "doc_id", "text", 4)
+      .select(col("doc_id"), col("dedup_text"))
+      .join(trainM.select("doc_id", "source"), "doc_id"))
+    drop(trainM)
+    stageD("decontam_cut")(Dedup.decontamCut(
+      cutM.select(col("doc_id"), col("dedup_text")), evalM,
+      "doc_id", "dedup_text", 4))
+    val deconM = mat(Dedup.decontamCut(
+      cutM.select(col("doc_id"), col("dedup_text")), evalM,
+      "doc_id", "dedup_text", 4))
+    drop(evalM)
+    stageD("bpe_pricing") {
+      TextAnalysis.bpeTokenCounts(
+          deconM.select(col("doc_id"), col("dedup_text")),
+          "doc_id", "dedup_text")
+        .join(deconM.select(col("doc_id"), col("tokens_cut")), "doc_id")
+        .join(cutM.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum(col("n_subwords")).as("total_subwords"),
+          round(avg(col("chars_per_subword")), 6).as("mean_cps"),
+          sum(col("tokens_cut")).as("decontam_tokens_cut"))
+    }
+    drop(deconM); drop(cutM)
+    val (fullDecon, _) = timeBody("full_decontam(real query)")(
+      graft.SparkEntry.queries("e2e_decontam_prep")(spark, dir))
+
     // the artifact's contract: every delta is a directly-measured
     // marginal cost, so it cannot be negative — assert before writing
-    (assemblyStages ++ prepStages ++ c4Stages).foreach { case (label, sec, _) =>
-      require(sec >= 0.0, s"stage $label measured negative: $sec")
+    (assemblyStages ++ prepStages ++ c4Stages ++ deconStages).foreach {
+      case (label, sec, _) =>
+        require(sec >= 0.0, s"stage $label measured negative: $sec")
     }
     def stageJson(rs: Seq[(String, Double, Long)]): String = {
       var cum = 0.0
@@ -196,7 +244,8 @@ object ProfileE2E {
     val pipelines =
       f"""[{"name":"e2e_corpus_assembly","full_sec":$fullAssembly%.2f,"stages":${stageJson(assemblyStages.toSeq)}},""" +
       f"""{"name":"e2e_llm_prep","full_sec":$fullPrep%.2f,"stages":${stageJson(prepStages.toSeq)}},""" +
-      f"""{"name":"e2e_c4_prep","full_sec":$fullC4%.2f,"stages":${stageJson(c4Stages.toSeq)}}]"""
+      f"""{"name":"e2e_c4_prep","full_sec":$fullC4%.2f,"stages":${stageJson(c4Stages.toSeq)}},""" +
+      f"""{"name":"e2e_decontam_prep","full_sec":$fullDecon%.2f,"stages":${stageJson(deconStages.toSeq)}}]"""
     val json = s"""{"dir":"$dir","cpus":$cpus,"timing":"marginal-min3","pipelines":$pipelines}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("PROFILE_E2E.json"), json + "\n")

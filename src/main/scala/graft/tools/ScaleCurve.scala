@@ -87,7 +87,7 @@ object ScaleCurve {
     // BPE pricing), and the stride-1 ExactSubstr family (span detect,
     // soft down-weighting, cut-and-reassemble)
     "e2e_c4_prep", "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut",
-    "dd27_decontam_cut", "mm8_scene_cuts")
+    "dd27_decontam_cut", "mm8_scene_cuts", "e2e_decontam_prep")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -146,7 +146,10 @@ object ScaleCurve {
     // its window volume is TOKENS per corpus (every token opens a
     // window), an order denser than dd19's token/k chunks, so the
     // second decade is where a hidden superlinearity would surface.
-    "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut")
+    // Its composition (gate -> substr cut -> decontam -> BPE) gets the
+    // same treatment as the other three e2e pipelines.
+    "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut",
+    "e2e_decontam_prep")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
