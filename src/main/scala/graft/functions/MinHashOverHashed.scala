@@ -27,7 +27,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 case class MinHashOverHashed(child: Expression, numHashes: Int)
     extends UnaryExpression {
 
-  require(numHashes > 0 && numHashes <= 64,
+  // 256 is the overflow-derived bound, not a style choice: hashed
+  // values are 28-bit, and at k = 255 the largest seed a = 2k + 1001 =
+  // 1511, so h * a + b <= 2^28 * 1511 + ~2e6 < 2^39 — far inside int64.
+  require(numHashes > 0 && numHashes <= 256,
     s"numHashes out of range: $numHashes")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)

@@ -138,7 +138,16 @@ object Dedup {
     val mins = graft.functions.MinHashOverHashed(hashed, numHashes)
     val parts = (0 until numHashes).map(i =>
       coalesce(element_at(mins, i + 1), lit(-1L)))
-    concat_ws("_", parts: _*)
+    // sha60 of the concatenated minima, NOT the string itself: the band
+    // key is shuffle-JOIN currency (16 bands x corpus rows), and a
+    // multi-hash concat string costs 60-80 bytes per row against the
+    // hash's 8 — measured at 20M docs x 16 bands, the string form
+    // out-spilled this sandbox's disk before the join finished. A
+    // 60-bit key collides with ~m^2/2^61 probability (negligible at any
+    // single-job band volume), a collision only ADDS a candidate that
+    // the exact-Jaccard verify then drops, and both engines hash the
+    // identical string so even the collisions replay.
+    Hashing.sha60(concat_ws("_", parts: _*))
   }
 
   /** DuckDB twin of [[minhashBandKey]] (expects token-list column `tk`). */
@@ -146,7 +155,7 @@ object Dedup {
     val parts = (0 until numHashes)
       .map(i => s"coalesce(${minhashSql(shingleK, i)}, -1)")
       .mkString(", ")
-    s"concat_ws('_', $parts)"
+    Hashing.sha60Sql(s"concat_ws('_', $parts)")
   }
 
   /** DuckDB twin of one minhash column (expects token-list column `tk`). */
@@ -200,12 +209,14 @@ object Dedup {
     finally cached.unpersist()
   }
 
-  /** One band-key expression per band over mh0..mh{numHashes-1}. */
+  /** One band-key expression per band over mh0..mh{numHashes-1} — sha60
+    * of the band prefix + minima concat (see [[bandKeyOverHashed]] for
+    * why the key ships as a hash, not the string). */
   private def bandKeyExprs(numHashes: Int, rowsPerBand: Int): Seq[Column] = {
     val numBands = numHashes / rowsPerBand
     (0 until numBands).map { b =>
-      concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+      Hashing.sha60(concat_ws("_",
+        lit(b) +: (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*))
     }
   }
 
@@ -917,12 +928,14 @@ object Dedup {
                            saltBuckets: Int = 32): DataFrame = {
     val keyed = docs.select(col(idCol), col(textCol))
     val nDocs = keyed.agg(count(lit(1)).as("n_docs"))
-    // Shingle-less docs all share the "-1_…" sentinel block (coalesce of
-    // null minhashes); counting them as mutual candidates would inflate
-    // n_cand quadratically on short-doc-heavy corpora with pairs that can
-    // never verify (empty ∩ empty has no jaccard) — drop the sentinel
-    // block before pairing.
-    val sentinelBlock = Seq.fill(bandHashes)("-1").mkString("_")
+    // Shingle-less docs all share the sentinel block (coalesce of null
+    // minhashes — the sha60 of the "-1_…" concat, matching the hashed
+    // band key); counting them as mutual candidates would inflate n_cand
+    // quadratically on short-doc-heavy corpora with pairs that can never
+    // verify (empty ∩ empty has no jaccard) — drop the sentinel block
+    // before pairing.
+    val sentinelBlock =
+      Hashing.sha60(lit(Seq.fill(bandHashes)("-1").mkString("_")))
     val bandKeyed = keyed.select(col(idCol),
         minhashBandKey(col(textCol), shingleK, bandHashes).as("block"))
       .filter(col("block") =!= sentinelBlock)

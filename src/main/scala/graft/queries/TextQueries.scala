@@ -235,6 +235,17 @@ object TextQueries {
       Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
         3, 16, 4, 0.5)),
 
+    // dd21's WIDE-banding form — the measured production response to the
+    // collision floor the fourth scale surfaced: 128 hashes as 16 bands
+    // of 8 at the banding's natural operating point (the LSH S-curve
+    // threshold (1/b)^(1/r) = (1/16)^(1/8) ~ 0.71, so minJ = 0.7).
+    // Random-pair band collisions fall from ~J_floor^4 to ~J_floor^8
+    // (~1e-16 on this fixture) — BANDCANDS.json carries the measured
+    // candidate contrast per scale, DEEPDOCS.json the wall-ratio one.
+    "dd21_lsh_wide_bands" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, dir), "doc_id", "text",
+        3, 128, 8, 0.7)),
+
     // Near-dup clustering: connected components over the LSH-verified
     // pairs via alternating large-star/small-star contraction (O(log n)
     // rounds of pure equi-shuffles); cluster_id = min member id.
@@ -1300,7 +1311,7 @@ object TextQueries {
     val bandSelects = (0 until numHashes / rowsPerBand).map { b =>
       val key = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
         .mkString(s"'${b}_' || ", " || '_' || ", "")
-      s"SELECT doc_id, $key AS band_key FROM sig"
+      s"SELECT doc_id, ${Hashing.sha60Sql(s"($key)")} AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
     s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
       |bands AS (
@@ -1390,7 +1401,7 @@ object TextQueries {
       (0 until numHashes / rowsPerBand).map { b =>
         val key = (0 until rowsPerBand).map(r => s"mh${b * rowsPerBand + r}")
           .mkString(s"'${b}_' || ", " || '_' || ", "")
-        s"SELECT doc_id, $key AS band_key FROM $src"
+        s"SELECT doc_id, ${Hashing.sha60Sql(s"($key)")} AS band_key FROM $src"
       }.mkString("\n  UNION ALL ")
     s"""WITH RECURSIVE
       |ex AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
@@ -1519,8 +1530,8 @@ object TextQueries {
           .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
         s"""WITH sig AS (SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
           |bands AS (
-          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
-          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig)
+          |  SELECT doc_id, CAST(('0x' || substr(sha256(('0_' || mh0 || '_' || mh1)), 1, 15)) AS BIGINT) AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, CAST(('0x' || substr(sha256(('1_' || mh2 || '_' || mh3)), 1, 15)) AS BIGINT) FROM sig)
           |SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           |FROM bands l JOIN bands r
           |  ON l.band_key = r.band_key AND l.doc_id < r.doc_id""".stripMargin
@@ -1551,8 +1562,8 @@ object TextQueries {
             .stripMargin }.mkString(",\n")
         s"""WITH sig AS (SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
           |bands AS (
-          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 AS band_key FROM sig
-          |  UNION ALL SELECT doc_id, '1_' || mh2 || '_' || mh3 FROM sig),
+          |  SELECT doc_id, CAST(('0x' || substr(sha256(('0_' || mh0 || '_' || mh1)), 1, 15)) AS BIGINT) AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, CAST(('0x' || substr(sha256(('1_' || mh2 || '_' || mh3)), 1, 15)) AS BIGINT) FROM sig),
           |cand AS (
           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           |  FROM bands l JOIN bands r
@@ -1598,7 +1609,7 @@ object TextQueries {
           |cand AS (
           |  SELECT l.doc_id AS a, r.doc_id AS b FROM sets l JOIN sets r
           |  ON l.block = r.block AND l.doc_id < r.doc_id
-          |  WHERE l.block <> '-1_-1'),
+          |  WHERE l.block <> ${graft.functions.Hashing.sha60Sql("'-1_-1'")}),
           |tru AS (
           |  SELECT l.doc_id AS a, r.doc_id AS b,
           |    round(len(list_intersect(l.sh, r.sh)) /
@@ -1653,6 +1664,10 @@ object TextQueries {
       "dd21_lsh_prod_bands" ->
         s"""WITH ${lshVerifiedCtesFor(3, 16, 4, 0.5)}
           |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.5""".stripMargin,
+
+      "dd21_lsh_wide_bands" ->
+        s"""WITH ${lshVerifiedCtesFor(3, 128, 8, 0.7)}
+          |SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.7""".stripMargin,
 
       "dd8_dup_clusters" ->
         s"""WITH RECURSIVE $lshVerifiedCtes,
@@ -2141,8 +2156,8 @@ object TextQueries {
           |    SELECT min(doc_id) FROM documents GROUP BY sha256(text))),
           |sig AS (SELECT doc_id,\n  $sig6\nFROM ${Dedup.tkSourceSqlFrom("d1", "text", "doc_id")}),
           |bands AS (
-          |  SELECT doc_id, '0_' || mh0 || '_' || mh1 || '_' || mh2 AS band_key FROM sig
-          |  UNION ALL SELECT doc_id, '1_' || mh3 || '_' || mh4 || '_' || mh5 FROM sig),
+          |  SELECT doc_id, CAST(('0x' || substr(sha256(('0_' || mh0 || '_' || mh1 || '_' || mh2)), 1, 15)) AS BIGINT) AS band_key FROM sig
+          |  UNION ALL SELECT doc_id, CAST(('0x' || substr(sha256(('1_' || mh3 || '_' || mh4 || '_' || mh5)), 1, 15)) AS BIGINT) FROM sig),
           |cand AS (
           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           |  FROM bands l JOIN bands r
