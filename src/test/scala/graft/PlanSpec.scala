@@ -320,4 +320,45 @@ class PlanSpec extends SparkTestBase {
       "bigram model attach not broadcast at fixture size")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("dd24/dd26: the ExactSubstr family is equi-joins + hash aggs — no product, no range join") {
+    for (q <- Seq("dd24_dup_spans", "dd26_substr_cut", "dd27_decontam_cut")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a product:\n${plan.take(600)}")
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+        s"$q: window-occurrence agg not hash-aggregated")
+    }
+    // dd24's island merge: the running-max/island windows and the span
+    // groupBy all cluster by doc — exactly ONE exchange may carry the
+    // doc partitioning (the window sort), not one per stage
+    val spans = planOf("dd24_dup_spans")
+    val winExchanges = "hashpartitioning\\(doc_id".r
+      .findAllIn(spans.toLowerCase).size
+    assert(winExchanges <= 2,
+      s"dd24 re-partitions by doc per stage ($winExchanges doc exchanges)")
+  }
+
+  test("dd27: the eval window set attaches via broadcast — the corpus side never shuffles for it") {
+    val plan = planOf("dd27_decontam_cut")
+    assert(plan.contains("BroadcastHashJoin"),
+      "eval window set not broadcast — would shuffle the full corpus on wh")
+  }
+
+  test("band keys ship as sha60 longs, not concat strings") {
+    // the band key is shuffle-join currency: a LongType column (8 bytes
+    // per banded row), never the minima concat string (60-80 bytes for
+    // 8-hash bands — measured to out-spill the sandbox disk at 20M docs
+    // x 16 bands before the hashing). The blocking key type IS the
+    // contract; dd21's final plan hides it behind the candidate
+    // checkpoint, so pin the column itself.
+    import org.apache.spark.sql.functions.col
+    val docs = core.Tables.documents(spark, dir)
+    val bk = docs.select(
+      operators.Dedup.minhashBandKey(col("text"), 3, 4).as("bk"))
+    assert(bk.schema("bk").dataType ===
+      org.apache.spark.sql.types.LongType,
+      "band key is not a hashed long — string keys cost 8x shuffle bytes")
+  }
 }
