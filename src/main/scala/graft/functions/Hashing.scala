@@ -32,6 +32,17 @@ object Hashing {
     * value-identical and spec-pinned against the composable form. */
   def hashedShingles(text: Column, k: Int): Column = HashedShingles(text, k)
 
+  /** 60-bit variant of [[hashedShingles]] — the fused kernel at
+    * `hexChars = 15`. Dedup keys that CUT or WEIGHT text (the
+    * ExactSubstr family) must use this one: window count equals corpus
+    * token count, so the 28-bit space saturates around 10^7–10^8
+    * windows and colliding non-duplicate windows would be cut as
+    * duplicates, with no downstream exact-verify stage to drop them
+    * (the chunk-dedup convention — `chunk_sha` there is the full
+    * SHA-256 for the same reason). */
+  def hashedShingles60(text: Column, k: Int): Column =
+    HashedShingles(text, k, 15)
+
   /** DuckDB SQL fragments computing the same hashes. */
   def sha28Sql(expr: String): String =
     s"CAST(('0x' || substr(sha256($expr), 1, 7)) AS BIGINT)"

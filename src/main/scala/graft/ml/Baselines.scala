@@ -133,12 +133,29 @@ object Baselines {
           .otherwise(col(probCol)).as("__score")): _*)
     val ord = Window.orderBy((col("__score") +: idCols.map(col)): _*)
     val nFrame = cal.agg(count(lit(1)).as("__n_cal"))
+    // The rank must be computed in EXACT decimal arithmetic: the DuckDB
+    // twin evaluates ceil((n+1) * 0.8) over DECIMAL literals, while a
+    // double product can round (n+1)(1-alpha) just above an exact
+    // integer and ceil to the adjacent order statistic, diverging qhat
+    // across engines. BigDecimal.valueOf uses Double.toString's shortest
+    // decimal, so alpha = 0.2 yields the literal 0.8, not the binary
+    // expansion of the double — long * decimal promotes to decimal and
+    // both engines select the identical rank.
+    val oneMinusAlpha = java.math.BigDecimal.valueOf(1.0 - alpha)
     val qFrame = cal.withColumn("__rk", row_number().over(ord))
       .crossJoin(broadcast(nFrame))
       .filter(col("__rk") ===
-        least(ceil((col("__n_cal") + 1) * lit(1.0 - alpha)), col("__n_cal")))
+        least(ceil((col("__n_cal") + 1) * lit(oneMinusAlpha)), col("__n_cal")))
       .select(col("__score").as("__qhat"), col("__n_cal"))
-    pred.crossJoin(broadcast(qFrame))
+    // Fail loudly on an empty calibration fold instead of silently
+    // producing zero evaluation rows (a mis-split fold would otherwise
+    // read as "no data"): the 1-row assert frame rides the same
+    // broadcast and throws at execution time when n_cal = 0.
+    val qChecked = nFrame
+      .select(assert_true(col("__n_cal") > 0,
+        lit("conformalSets: empty calibration fold")).as("__chk"))
+      .crossJoin(qFrame)
+    pred.crossJoin(broadcast(qChecked)).drop("__chk")
       .withColumn("in0", col(probCol) <= col("__qhat"))
       .withColumn("in1", (lit(1.0) - col(probCol)) <= col("__qhat"))
       .withColumn("__cov",

@@ -1252,7 +1252,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val w = windowTokens
     val wins = docs.select(col(idCol),
-      posexplode(Hashing.hashedShingles(col(textCol), w)).as(Seq("pos", "wh")))
+      posexplode(Hashing.hashedShingles60(col(textCol), w)).as(Seq("pos", "wh")))
     val dupHashes = wins.groupBy("wh").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > 1).select("wh")
     val dupPos = wins.join(dupHashes, Seq("wh"), "left_semi")
@@ -1285,7 +1285,7 @@ object Dedup {
   }
 
   /** DuckDB twin of [[duplicatedSpans]] over `documents`: same tokenizer,
-    * same 7-hex-char SHA window hash, same running-max island merge. */
+    * same 15-hex-char SHA window hash, same running-max island merge. */
   def duplicatedSpansSql(idCol: String, textExpr: String, windowTokens: Int,
                          from: String = "documents"): String = {
     val w = windowTokens
@@ -1294,7 +1294,7 @@ object Dedup {
        |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
        |wins AS (
        |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos,
-       |    ${Hashing.sha28Sql(shingle)} AS wh
+       |    ${Hashing.sha60Sql(shingle)} AS wh
        |  FROM tks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
        |occ AS (SELECT wh FROM wins GROUP BY wh HAVING count(*) > 1),
        |dup AS (SELECT w.$idCol, w.pos FROM wins w JOIN occ USING (wh)),
@@ -1356,7 +1356,7 @@ object Dedup {
                 windowTokens: Int): DataFrame = {
     val w = windowTokens
     val wins = docs.select(col(idCol),
-      posexplode(Hashing.hashedShingles(col(textCol), w)).as(Seq("pos", "wh")))
+      posexplode(Hashing.hashedShingles60(col(textCol), w)).as(Seq("pos", "wh")))
     val occ = wins.groupBy("wh").agg(
       count(lit(1)).as("n_occ"),
       min(struct(col(idCol), col("pos"))).as("first_occ"))
@@ -1412,10 +1412,10 @@ object Dedup {
                   textCol: String, windowTokens: Int): DataFrame = {
     val w = windowTokens
     val evalWins = evalDocs
-      .select(explode(Hashing.hashedShingles(col(textCol), w)).as("wh"))
+      .select(explode(Hashing.hashedShingles60(col(textCol), w)).as("wh"))
       .distinct()
     val wins = train.select(col(idCol),
-      posexplode(Hashing.hashedShingles(col(textCol), w)).as(Seq("pos", "wh")))
+      posexplode(Hashing.hashedShingles60(col(textCol), w)).as(Seq("pos", "wh")))
     val contaminated = wins
       .join(broadcast(evalWins), Seq("wh"), "left_semi")
       .select(col(idCol), col("pos"))
@@ -1433,11 +1433,11 @@ object Dedup {
        |etks AS (SELECT
        |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $evalFrom),
        |ewins AS (
-       |  SELECT DISTINCT ${Hashing.sha28Sql(shingle)} AS wh
+       |  SELECT DISTINCT ${Hashing.sha60Sql(shingle)} AS wh
        |  FROM etks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
        |wins AS (
        |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos,
-       |    ${Hashing.sha28Sql(shingle)} AS wh
+       |    ${Hashing.sha60Sql(shingle)} AS wh
        |  FROM ttks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
        |cutw AS (SELECT $idCol, pos FROM wins SEMI JOIN ewins USING (wh)),
        |cutpos AS (
@@ -1469,7 +1469,7 @@ object Dedup {
        |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
        |wins AS (
        |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos,
-       |    ${Hashing.sha28Sql(shingle)} AS wh
+       |    ${Hashing.sha60Sql(shingle)} AS wh
        |  FROM tks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
        |ranked AS (
        |  SELECT $idCol, pos,
@@ -1517,7 +1517,7 @@ object Dedup {
   def softDedupWeights(docs: DataFrame, idCol: String, textCol: String,
                        windowTokens: Int): DataFrame = {
     val wins = docs.select(col(idCol),
-      explode(Hashing.hashedShingles(col(textCol), windowTokens)).as("wh"))
+      explode(Hashing.hashedShingles60(col(textCol), windowTokens)).as("wh"))
     val occ = wins.groupBy("wh").agg(count(lit(1)).as("n_occ"))
     val perDoc = wins.join(occ, "wh").groupBy(idCol).agg(
       count(lit(1)).as("n_windows"),
@@ -1541,7 +1541,7 @@ object Dedup {
     s"""WITH tks AS (SELECT $idCol,
        |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
        |wins AS (
-       |  SELECT $idCol, ${Hashing.sha28Sql(shingle)} AS wh
+       |  SELECT $idCol, ${Hashing.sha60Sql(shingle)} AS wh
        |  FROM tks, unnest(range(1, len(tk) - $w + 2)) AS t(i)),
        |occ AS (SELECT wh, count(*) AS n_occ FROM wins GROUP BY wh),
        |per_doc AS (
