@@ -58,7 +58,7 @@ private[functions] object ShingleTokenizer {
 case class HashedShingles(child: Expression, k: Int, hexChars: Int = 7)
     extends UnaryExpression {
 
-  require(k >= 1 && k <= 16, s"shingle size out of range: $k")
+  require(k >= 1 && k <= 128, s"shingle size out of range: $k")
   require(hexChars > 0 && hexChars <= 15,
     s"hexChars must be in [1, 15] to fit a non-negative long, got $hexChars")
 
@@ -154,7 +154,7 @@ object HashedShingles {
 case class ShingleStrings(child: Expression, k: Int)
     extends UnaryExpression {
 
-  require(k >= 1 && k <= 16, s"shingle size out of range: $k")
+  require(k >= 1 && k <= 128, s"shingle size out of range: $k")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 

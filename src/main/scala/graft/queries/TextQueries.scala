@@ -898,6 +898,36 @@ object TextQueries {
         docs.filter(col("doc_id") < 20), "doc_id", "text", 4)
     }),
 
+    // The PRODUCTION-WINDOW forms of the ExactSubstr family: W = 50
+    // tokens, the window Lee et al. (ACL 2022) run corpus dedup at
+    // (their 50-token threshold is what separates boilerplate-length
+    // duplication from incidental n-gram overlap). Same plans as
+    // dd24/dd26/dd27 — the knob is the only change — registered so the
+    // deep-decade probes measure the family at the knob a 100-TB corpus
+    // actually uses (stride-1 windows ≈ corpus tokens REGARDLESS of W;
+    // what W changes is the duplicated mass and the cut-expansion
+    // constant). Oracle-gated at sf0.01 like every prod-knob variant:
+    // the fixture carries 280 duplicated 50-token windows across 277
+    // long-enough docs, so both the cut and keep paths see traffic.
+    "dd24_dup_spans_prod" -> ((s, dir) =>
+      Dedup.duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", 50)),
+
+    "dd26_substr_cut_prod" -> ((s, dir) =>
+      Dedup.substrCut(Tables.documents(s, dir), "doc_id", "text", 50)),
+
+    // Eval split is doc_id % 50 == 7 (2% of docs at every scale) rather
+    // than dd27's doc_id < 20: the probe fixtures' ids grow with the
+    // corpus, and a fixed-id eval set would vanish against 20M docs. A
+    // production decontamination has a FIXED-size eval side (benchmark
+    // suites don't grow with the corpus), so the proportional split
+    // makes the probe's broadcast an over-estimate — conservative in
+    // the direction that matters.
+    "dd27_decontam_cut_prod" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontamCut(docs.filter(col("doc_id") % 50 =!= 7),
+        docs.filter(col("doc_id") % 50 === 7), "doc_id", "text", 50)
+    }),
+
     // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
     // the published Gopher rule gate (t31's flags in filter form) drops
     // structurally bad documents first, exact-substring chunk dedup
@@ -2705,6 +2735,17 @@ object TextQueries {
         Dedup.decontamCutSql("doc_id", "text", 4,
           "(SELECT * FROM documents WHERE doc_id >= 20)",
           "(SELECT * FROM documents WHERE doc_id < 20)"),
+
+      "dd24_dup_spans_prod" ->
+        Dedup.duplicatedSpansSql("doc_id", "text", 50),
+
+      "dd26_substr_cut_prod" ->
+        Dedup.substrCutSql("doc_id", "text", 50),
+
+      "dd27_decontam_cut_prod" ->
+        Dedup.decontamCutSql("doc_id", "text", 50,
+          "(SELECT * FROM documents WHERE doc_id % 50 <> 7)",
+          "(SELECT * FROM documents WHERE doc_id % 50 = 7)"),
 
       // mm5 twin: integer sample/sum arithmetic from the generator
       // formula; the single double division + sqrt replays the engine's

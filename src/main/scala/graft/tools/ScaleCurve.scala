@@ -88,7 +88,12 @@ object ScaleCurve {
     // soft down-weighting, cut-and-reassemble)
     "e2e_c4_prep", "dd24_dup_spans", "dd25_soft_dedup", "dd26_substr_cut",
     "dd27_decontam_cut", "mm8_scene_cuts", "e2e_decontam_prep",
-    "dd21_lsh_wide_bands")
+    "dd21_lsh_wide_bands",
+    // round-11: the ExactSubstr family at its production window (W=50,
+    // Lee et al.'s corpus knob) — stride-1 window volume is corpus
+    // tokens regardless of W, but the duplicated mass and cut-expansion
+    // constant are W-shaped, so the prod knob gets its own curve.
+    "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -153,7 +158,11 @@ object ScaleCurve {
     "e2e_decontam_prep",
     // round-10: the wide-banding response measured wherever the
     // production banding is
-    "dd21_lsh_wide_bands")
+    "dd21_lsh_wide_bands",
+    // round-11: the production-window ExactSubstr family joins the deep
+    // set alongside its W=4 audit forms; DeepDocsProbe carries these
+    // three into the third/fourth docs scales (DEEPDOCS.json).
+    "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
