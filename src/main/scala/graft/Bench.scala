@@ -135,7 +135,9 @@ object Bench {
     val runs = results.map { case (k, (_, n)) => s"\"" + k + "\":" + n }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
-    // system load average (1-min, sampled at suite end): a polluted run —
+    // system load average (1-min, sampled at suite end — named load_avg_end
+    // so the bench's OWN 32-way work, which this sample includes, can't be
+    // misread against "contended": the gate is load_avg_start): a polluted run —
     // Bench sharing the machine with sbt/PlanAudit — self-identifies in
     // the artifact instead of masquerading as a regression (the r6
     // e2e 7s->49s incident). On this 32-cpu host a clean run sits near
@@ -148,7 +150,7 @@ object Bench {
     // total; the published time is the min. A query at runs=5 never
     // converged under the agreement rule and its min is still suspect.
     val policy = "min of runs; 2 base + adaptive to 5 while warm runs disagree >1.5x"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_policy":"$policy","load_avg":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_policy":"$policy","load_avg_end":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}"""
     // The driver captures only a bounded TAIL of stdout; with 189 queries
     // the full per-query dict is ~9 KB and the line's head (metric/value)
     // is truncated away — BENCH_r07.json recorded "parsed": null. Print a
@@ -162,7 +164,7 @@ object Bench {
       "mm6_image_ahash", "m6_model_families", "s5_xml_scan")
     val headQs = headline.flatMap(k => results.get(k).map(v => (k, v._1)))
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headQs,"n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","load_avg":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headQs,"n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","load_avg_end":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}""")
     // The driver tail-truncates Bench stdout, which destroyed the per-query
     // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist
     // the identical line to a committed file so timing history survives

@@ -1532,6 +1532,89 @@ object Dedup {
           .as("sample_weight"))
   }
 
+  /** dd28 — PII redaction as a CUT operator: [[TextAnalysis.piiColumns]]
+    * DETECTS (and char-rewrites in one map pass); this is the token-span
+    * form on the [[substrCut]] machinery — every token matching a PII
+    * pattern (email / phone / IPv4, the shared engine+oracle regexes at
+    * [[TextAnalysis.piiEmailRe]]) is cut at its exact token position,
+    * runs of adjacent PII tokens merge into ONE span, and the document
+    * is reassembled with a single `<PII>` sentinel where each span was —
+    * the scrubbed text plus the span/token accounting an audit trail
+    * needs. Versus the char-level rewrite, the token-span form composes
+    * with the rest of the cut family (its output positions are the same
+    * token grid dd26/dd27 cut on) and yields one sentinel per span
+    * rather than per match.
+    *
+    * Scale design: per-row tokenize + regex flag (map-only), then the
+    * span merge and reassembly inside ONE hash-partitioning by document
+    * — the lag-window span start, the conditional keep, and the
+    * array_sort-of-structs rebuild all cluster by doc, so the whole
+    * plan is one exchange past the scan. No join at all: redaction is
+    * per-document, unlike dd26's corpus-global first-occurrence rule. */
+  def piiRedactCut(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val piiRe = s"(${TextAnalysis.piiEmailRe})|(${TextAnalysis.piiPhoneRe})|(${TextAnalysis.piiIpv4Re})"
+    val toks = docs.select(col(idCol),
+        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      .withColumn("is_pii", col("tok").rlike(piiRe))
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val flagged = toks.withColumn("span_start",
+      col("is_pii") && !coalesce(lag(col("is_pii"), 1).over(byDoc), lit(false)))
+    // collect_list drops nulls, so the when(...) without otherwise keeps
+    // exactly the surviving tokens: non-PII verbatim, one sentinel per
+    // span start, later span members dropped.
+    val perDoc = flagged.groupBy(idCol).agg(
+      sum(when(col("is_pii"), 1L).otherwise(0L)).as("n_pii_tokens"),
+      sum(when(col("span_start"), 1L).otherwise(0L)).as("n_pii_spans"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(
+          when(!col("is_pii") || col("span_start"),
+            struct(col("pos"),
+              when(col("is_pii"), lit("<PII>")).otherwise(col("tok"))
+                .as("out_tok"))))),
+        s => s.getField("out_tok"))).as("redacted_text"))
+    docs.select(col(idCol),
+        size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_pii_tokens"), lit(0L)).as("n_pii_tokens"),
+        coalesce(col("n_pii_spans"), lit(0L)).as("n_pii_spans"),
+        coalesce(col("redacted_text"), lit("")).as("redacted_text"))
+  }
+
+  /** DuckDB twin of [[piiRedactCut]] over `from`. */
+  def piiRedactCutSql(idCol: String, textExpr: String,
+                      from: String = "documents"): String = {
+    val re = s"(${TextAnalysis.piiEmailRe})|(${TextAnalysis.piiPhoneRe})|(${TextAnalysis.piiIpv4Re})"
+    s"""WITH tks AS (SELECT $idCol,
+       |    string_split_regex(lower($textExpr), '\\s+') AS tk FROM $from),
+       |toks AS (
+       |  SELECT $idCol, CAST(i - 1 AS INTEGER) AS pos, tk[i] AS tok
+       |  FROM tks, unnest(range(1, len(tk) + 1)) AS r(i)),
+       |flg AS (
+       |  SELECT $idCol, pos, tok, regexp_matches(tok, '$re') AS is_pii
+       |  FROM toks),
+       |isl AS (
+       |  SELECT $idCol, pos, tok, is_pii,
+       |    is_pii AND NOT coalesce(lag(is_pii) OVER (PARTITION BY $idCol
+       |      ORDER BY pos), false) AS span_start
+       |  FROM flg),
+       |per_doc AS (
+       |  SELECT $idCol,
+       |    sum(CASE WHEN is_pii THEN 1 ELSE 0 END) AS n_pii_tokens,
+       |    sum(CASE WHEN span_start THEN 1 ELSE 0 END) AS n_pii_spans,
+       |    array_to_string(list(CASE WHEN is_pii THEN '<PII>' ELSE tok END
+       |      ORDER BY pos) FILTER (WHERE NOT is_pii OR span_start), ' ')
+       |      AS redacted_text
+       |  FROM isl GROUP BY $idCol)
+       |SELECT d.$idCol,
+       |  CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(n_pii_tokens, 0) AS BIGINT) AS n_pii_tokens,
+       |  CAST(coalesce(n_pii_spans, 0) AS BIGINT) AS n_pii_spans,
+       |  coalesce(redacted_text, '') AS redacted_text
+       |FROM tks d LEFT JOIN per_doc p USING ($idCol)""".stripMargin
+  }
+
   /** DuckDB twin of [[softDedupWeights]] over `documents`. */
   def softDedupWeightsSql(idCol: String, textExpr: String,
                           windowTokens: Int,

@@ -1319,6 +1319,41 @@ object TextAnalysis {
         s"regexp_replace(regexp_replace(regexp_replace($textExpr, '$e', '<PII>', 'g'), '$p', '<PII>', 'g'), '$i', '<PII>', 'g')")
   }
 
+  /** URL canonicalization — the crawl-curation convention (what a
+    * host-grain dedup/cap keys on): scheme and `?query` / `#fragment`
+    * stripped, host lowercased with any leading `www.` and the default
+    * `:80` / `:443` ports dropped, trailing slashes removed from the
+    * path. Adds `url_host` (the canonical host — the capping key) and
+    * `url_canon` (host + canonical path — the dedup key: the same page
+    * crawled under different schemes, casings, or tracking queries
+    * collapses to one canonical form). Pure per-row anchored-regex
+    * expressions — map-only, no shuffle, codegen'd. */
+  def urlColumns(df: DataFrame, urlCol: String): DataFrame = {
+    val noScheme =
+      regexp_replace(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val noQuery = regexp_replace(noScheme, "[?#].*", "")
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_extract(noQuery, "^[^/]*", 0)),
+        "^www\\.", ""),
+      ":(80|443)$", "")
+    val path = regexp_replace(regexp_replace(noQuery, "^[^/]*", ""),
+      "/+$", "")
+    df.withColumn("url_host", host)
+      .withColumn("url_canon", concat(host, path))
+  }
+
+  /** DuckDB twins for [[urlColumns]] (expression fragments over a URL
+    * expression). DuckDB's regexp_replace is first-match-only by
+    * default, which these anchored patterns need anyway. */
+  def urlSql(urlExpr: String): Map[String, String] = {
+    val noQuery =
+      s"regexp_replace(regexp_replace($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*', '')"
+    val host =
+      s"regexp_replace(regexp_replace(lower(regexp_extract($noQuery, '^[^/]*')), '^www\\.', ''), ':(80|443)$$', '')"
+    val path = s"regexp_replace(regexp_replace($noQuery, '^[^/]*', ''), '/+$$', '')"
+    Map("url_host" -> host, "url_canon" -> s"($host || $path)")
+  }
+
   /** t16 — EXACT frequent tokens at scale via a Misra-Gries candidate pass
     * + exact verify. Returns every token whose corpus count is at least
     * `ceil(total_tokens * num / den)` (the fraction as a rational so the

@@ -928,6 +928,72 @@ object TextQueries {
         docs.filter(col("doc_id") % 50 === 7), "doc_id", "text", 50)
     }),
 
+    // dd28: PII redaction as a CUT — t11 detects; this rewrites. Token
+    // spans matching the shared PII regexes are cut at their exact token
+    // positions and replaced by one <PII> sentinel per maximal span (two
+    // adjacent PII tokens -> one sentinel). The synthetic corpus is
+    // PII-free, so the query plants deterministic PII on two id strata:
+    // %11==3 docs get an email + a dashed phone (two separated spans),
+    // %11==7 docs get TWO ADJACENT IPv4 tokens (span merging carries
+    // traffic); every other doc exercises the clean path. Both engines
+    // derive the identical planted corpus, so the oracle replays the
+    // rewrite byte-for-byte.
+    "dd28_pii_redact" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val planted = docs.withColumn("text",
+        when(col("doc_id") % 11 === 3,
+          concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
+            lit("@mail.example or 555-010-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .when(col("doc_id") % 11 === 7,
+          concat(col("text"), lit(" node 10.0."),
+            (col("doc_id") % 200).cast("string"), lit("."),
+            (col("doc_id") % 13).cast("string"), lit(" 10.1."),
+            (col("doc_id") % 200).cast("string"), lit("."),
+            (col("doc_id") % 13).cast("string")))
+        .otherwise(col("text")))
+      Dedup.piiRedactCut(planted, "doc_id", "text")
+    }),
+
+    // dd29: host-grain curation — URL canonicalization, URL-exact dedup,
+    // per-host cap. Real corpora key curation on the canonical URL (the
+    // same page recrawled under different schemes / casings / tracking
+    // queries must collapse) and cap per HOST so no domain dominates the
+    // mix (dd17's recipe at the grain crawls actually have). The fixture
+    // plants a deliberately messy URL per doc — scheme/WWW casing,
+    // default ports, utm queries, fragments, trailing slashes — with a
+    // HOT host (40% of docs) so the capPerGroup two-phase path is doing
+    // real skew work, and path collisions (doc_id % 50) so the URL-dedup
+    // stage has traffic. Survivors: first doc per canonical URL, then
+    // the longest-text 30 per host (doc_id tie-break).
+    "dd29_host_cap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val urled = docs.withColumn("url", concat(
+        when(col("doc_id") % 3 === 0, lit("HTTPS://"))
+          .when(col("doc_id") % 3 === 1, lit("http://"))
+          .otherwise(lit("https://")),
+        when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+        when(col("doc_id") % 5 < 2, lit("Big.Example.COM"))
+          .otherwise(concat(lit("site"), (col("doc_id") % 97).cast("string"),
+            lit(".example.org"))),
+        when(col("doc_id") % 7 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), (col("doc_id") % 50).cast("string"),
+        when(col("doc_id") % 6 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm=x&ref="), (col("doc_id") % 9).cast("string")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("#s2")).otherwise(lit(""))))
+      val canon = TextAnalysis.urlColumns(urled, "url")
+      val firstPerUrl = canon.groupBy("url_canon")
+        .agg(min("doc_id").as("doc_id"))
+      val kept = canon.join(firstPerUrl, Seq("url_canon", "doc_id"),
+        "left_semi")
+      Dedup.capPerGroup(kept, "url_host", "doc_id",
+          Seq(col("n_chars").desc), n = 30)
+        .select(col("doc_id"), col("url_host"), col("url_canon"),
+          col("grp_rank"))
+    }),
+
     // e2e_llm_prep: the modern LLM-data-prep chain composed end-to-end —
     // the published Gopher rule gate (t31's flags in filter form) drops
     // structurally bad documents first, exact-substring chunk dedup
@@ -1091,6 +1157,33 @@ object TextQueries {
         .orderBy(col("gumbel_key").desc, col("doc_id"))
         .limit(100)
         .select("doc_id", "n_feats", "log_w", "gumbel_key")
+    }),
+
+    // t33: dd25's soft-dedup weights WIRED INTO the sampler — the
+    // SoftDeDup consumer: selection probability is DSIR importance
+    // TIMES the dedup down-weight (1/commonness), so a document
+    // assembled from passages seen k times is k-fold less likely to be
+    // packed even when its domain fit is high. In log space the two
+    // weights ADD (log_w - ln commonness) and ride t28's exact Gumbel
+    // top-k unchanged — weighted sampling composes multiplicatively,
+    // which is why the standalone scorer (dd25) is the right interface.
+    "t33_soft_sample" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val wts = TextAnalysis.dsirWeightsByPred(docs,
+          col("source").isin("src1", "src2", "src3", "src4"),
+          "doc_id", "text", 256)
+        .filter(col("log_w").isNotNull)
+      val soft = Dedup.softDedupWeights(docs, "doc_id", "text", 4)
+        .select(col("doc_id"), col("commonness"))
+      val u = (pmod(Hashing.sha28(concat(lit("softdsir|"), col("doc_id"))),
+        lit(1048576L)).cast("double") + 0.5) / 1048576.0
+      wts.join(soft, "doc_id")
+        .withColumn("log_w_soft", round(col("log_w") - log(col("commonness")), 6))
+        .withColumn("gumbel_key",
+          round(col("log_w_soft") - log(-log(u)), 6))
+        .orderBy(col("gumbel_key").desc, col("doc_id"))
+        .limit(100)
+        .select("doc_id", "log_w", "commonness", "log_w_soft", "gumbel_key")
     }),
 
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
@@ -2747,6 +2840,66 @@ object TextQueries {
           "(SELECT * FROM documents WHERE doc_id % 50 <> 7)",
           "(SELECT * FROM documents WHERE doc_id % 50 = 7)"),
 
+      "dd28_pii_redact" ->
+        Dedup.piiRedactCutSql("doc_id", "text",
+          // NB: the outer template applies stripMargin to the composed
+          // string, so no line here may start with a `||` concat — keep
+          // the operators at line ends.
+          from = """(SELECT doc_id,
+            |  CASE WHEN doc_id % 11 = 3 THEN
+            |    text || ' mail u' || CAST(doc_id AS VARCHAR) ||
+            |      '@mail.example or 555-010-' ||
+            |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+            |  WHEN doc_id % 11 = 7 THEN
+            |    text || ' node 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+            |      '.' || CAST(doc_id % 13 AS VARCHAR) ||
+            |      ' 10.1.' || CAST(doc_id % 200 AS VARCHAR) ||
+            |      '.' || CAST(doc_id % 13 AS VARCHAR)
+            |  ELSE text END AS text
+            |  FROM documents)""".stripMargin),
+
+      // dd29 twin: same planted-URL derivation, canonicalization
+      // fragments from urlSql, URL-exact dedup via min(doc_id), and the
+      // single-window per-host rank the two-phase plan implements
+      // losslessly (the dd17 convention).
+      "dd29_host_cap" -> {
+        val u = TextAnalysis.urlSql("url")
+        s"""WITH urled AS (
+          |  SELECT doc_id, n_chars,
+          |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
+          |          WHEN doc_id % 3 = 1 THEN 'http://'
+          |          ELSE 'https://' END)
+          |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+          |    || (CASE WHEN doc_id % 5 < 2 THEN 'Big.Example.COM'
+          |          ELSE 'site' || CAST(doc_id % 97 AS VARCHAR)
+          |            || '.example.org' END)
+          |    || (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END)
+          |    || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+          |    || (CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END)
+          |    || (CASE WHEN doc_id % 2 = 0
+          |          THEN '?utm=x&ref=' || CAST(doc_id % 9 AS VARCHAR)
+          |          ELSE '' END)
+          |    || (CASE WHEN doc_id % 11 = 0 THEN '#s2' ELSE '' END) AS url
+          |  FROM documents),
+          |canon AS (
+          |  SELECT doc_id, n_chars, ${u("url_host")} AS url_host,
+          |    ${u("url_canon")} AS url_canon
+          |  FROM urled),
+          |first_per_url AS (
+          |  SELECT url_canon, min(doc_id) AS doc_id
+          |  FROM canon GROUP BY url_canon),
+          |kept AS (
+          |  SELECT c.* FROM canon c SEMI JOIN first_per_url f
+          |  USING (url_canon, doc_id)),
+          |ranked AS (
+          |  SELECT doc_id, url_host, url_canon,
+          |    row_number() OVER (PARTITION BY url_host
+          |      ORDER BY n_chars DESC, doc_id) AS grp_rank
+          |  FROM kept)
+          |SELECT doc_id, url_host, url_canon, CAST(grp_rank AS BIGINT) AS grp_rank
+          |FROM ranked WHERE grp_rank <= 30""".stripMargin
+      },
+
       // mm5 twin: integer sample/sum arithmetic from the generator
       // formula; the single double division + sqrt replays the engine's
       // exact operands (sum of squares stays integral until the cast).
@@ -2784,6 +2937,29 @@ object TextQueries {
           |    round(log_w - ln(-ln($u)), 6) AS gumbel_key
           |  FROM wts)
           |SELECT doc_id, n_feats, log_w, gumbel_key
+          |FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
+      },
+
+      // t33 twin: t21's weight chain joined with dd25's commonness (both
+      // fragments verbatim), combined in log space, ranked on the same
+      // rounded Gumbel key over a fresh SHA uniform.
+      "t33_soft_sample" -> {
+        val u = s"(${Hashing.sha28Sql("'softdsir|' || doc_id")} % 1048576" +
+          " + 0.5) / 1048576.0"
+        s"""WITH wts AS (
+          |  SELECT * FROM (${TextAnalysis.dsirWeightsSql("doc_id", "text",
+                "source IN ('src1', 'src2', 'src3', 'src4')", 256)})
+          |  WHERE log_w IS NOT NULL),
+          |soft AS (
+          |  SELECT doc_id, commonness
+          |  FROM (${Dedup.softDedupWeightsSql("doc_id", "text", 4)})),
+          |keyed AS (
+          |  SELECT w.doc_id, w.log_w, s.commonness,
+          |    round(w.log_w - ln(s.commonness), 6) AS log_w_soft,
+          |    round(round(w.log_w - ln(s.commonness), 6)
+          |      - ln(-ln($u)), 6) AS gumbel_key
+          |  FROM wts w JOIN soft s USING (doc_id))
+          |SELECT doc_id, log_w, commonness, log_w_soft, gumbel_key
           |FROM keyed ORDER BY gumbel_key DESC, doc_id LIMIT 100""".stripMargin
       },
 

@@ -93,7 +93,10 @@ object ScaleCurve {
     // Lee et al.'s corpus knob) — stride-1 window volume is corpus
     // tokens regardless of W, but the duplicated mass and cut-expansion
     // constant are W-shaped, so the prod knob gets its own curve.
-    "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod")
+    "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod",
+    // round-11: PII span redaction (cut form), host-grain URL dedup+cap,
+    // and the soft-dedup-weighted DSIR sampler composition.
+    "dd28_pii_redact", "dd29_host_cap", "t33_soft_sample")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -162,7 +165,12 @@ object ScaleCurve {
     // round-11: the production-window ExactSubstr family joins the deep
     // set alongside its W=4 audit forms; DeepDocsProbe carries these
     // three into the third/fourth docs scales (DEEPDOCS.json).
-    "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod")
+    "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod",
+    // round-11: the PII span cut (per-doc window/agg chain — the regex
+    // flag pass dominates) and the host cap (the planted hot host is
+    // 40% of the corpus, so the second decade measures the two-phase
+    // cap doing real skew work).
+    "dd28_pii_redact", "dd29_host_cap")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
@@ -424,7 +432,18 @@ object ScaleCurve {
         "in the notes below, so ratio2 > 10 is floor-bound, not a " +
         "contraction defect — the SAME star-contraction at production " +
         "banding is inside dd22_dedup_corpus_prod (ratio2 ~6, measured " +
-        "through the third and fourth docs decades)."))
+        "through the third and fourth docs decades)."),
+      "t22_centrality" -> ("OUTPUT-superlinear on this fixture via its " +
+        "audit-knob INPUT: it ranks the nodes of the dd3-family " +
+        "candidate graph at 2-bands-x-2-hashes, so the band-collision " +
+        "floor quantified below densifies the edge set superlinearly " +
+        "and the output (every node touching an edge, rows x14/decade) " +
+        "and the per-round join work follow the edges — dd8's mechanism " +
+        "wearing a PageRank loop (each round is one equi-join + one " +
+        "agg, lineage cut every 3 rounds; the iteration itself is " +
+        "edge-linear). At production the edge set comes from dd21/dd22's " +
+        "banding, whose cluster-shaped volume is measured through the " +
+        "fourth docs scale."))
     sb ++= "| query | sf0.1g sec | sf1g sec | ratio | sf10g sec | ratio2 | rows sf0.1g | rows sf1g | rows sf10g |\n"
     sb ++= "|---|---|---|---|---|---|---|---|---|\n"
     rows.foreach { case (name, tS, tL, r, nS, nL, dRes, _) =>

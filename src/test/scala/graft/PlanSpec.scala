@@ -346,6 +346,46 @@ class PlanSpec extends SparkTestBase {
       "eval window set not broadcast — would shuffle the full corpus on wh")
   }
 
+  test("production-window ExactSubstr (W=50) keeps the family's plan shapes") {
+    // same pins as the W=4 forms — the knob must not change the plan
+    for (q <- Seq("dd24_dup_spans_prod", "dd26_substr_cut_prod",
+        "dd27_decontam_cut_prod")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q degenerated to a product:\n${plan.take(600)}")
+      assert(plan.contains("HashAggregate") || plan.contains("ObjectHashAggregate"),
+        s"$q: window-occurrence agg not hash-aggregated")
+    }
+    assert(planOf("dd27_decontam_cut_prod").contains("BroadcastHashJoin"),
+      "prod decontam: eval window set not broadcast")
+  }
+
+  test("dd28: PII redaction is map + one doc-clustered window/agg chain — no join on the cut path") {
+    val plan = planOf("dd28_pii_redact")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dd28 degenerated to a product:\n${plan.take(600)}")
+    // redaction is per-document: the span merge + reassembly cluster by
+    // doc — at most the window exchange plus the final n_tokens attach
+    val docExchanges = "hashpartitioning\\(doc_id".r
+      .findAllIn(plan.toLowerCase).size
+    assert(docExchanges <= 2,
+      s"dd28 re-partitions by doc per stage ($docExchanges doc exchanges)")
+  }
+
+  test("dd29: host cap is equi-only; the per-host rank never sorts a whole host in one task") {
+    val plan = planOf("dd29_host_cap")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"dd29 degenerated to a product:\n${plan.take(600)}")
+    // capPerGroup phase 1 partitions by (host, id-bucket) — the skew
+    // defense against the planted hot host; pin that the bucketed
+    // window partitioning survives into the physical plan
+    assert(plan.toLowerCase.contains("hashpartitioning(url_host"),
+      "dd29: two-phase cap's bucketed/host partitionings missing")
+  }
+
   test("band keys ship as sha60 longs, not concat strings") {
     // the band key is shuffle-join currency: a LongType column (8 bytes
     // per banded row), never the minima concat string (60-80 bytes for

@@ -540,4 +540,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(3)._1 == 2L && out(3)._2 == 1L)
     assert(out(3)._5 == "<PII> mails <PII> twice; phone <PII>")
   }
+
+  test("piiRedactCut: token spans cut with one sentinel per maximal span") {
+    val docs = Seq(
+      // two separated spans -> two sentinels
+      (1L, "mail bob@example.org or call 555-123-4567 today"),
+      // two ADJACENT PII tokens -> ONE merged span, one sentinel
+      (2L, "nodes 10.0.0.1 10.0.0.2 up"),
+      (3L, "clean text only"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = operators.Dedup.piiRedactCut(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_tokens", "n_pii_tokens", "n_pii_spans", "redacted_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out(0) == ((6L, 2L, 2L, "mail <PII> or call <PII> today")))
+    assert(out(1) == ((4L, 2L, 1L, "nodes <PII> up")))
+    assert(out(2) == ((3L, 0L, 0L, "clean text only")))
+    assert(out(3)._2 == 0L)
+  }
+
+  test("urlColumns: scheme/query/fragment/www/port/trailing-slash canonicalization") {
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Big.Example.COM:443/p/3/?utm=x#frag"),
+      (2L, "http://big.example.com/p/3"),
+      (3L, "https://site9.example.org"),          // no path
+      (4L, "www.site9.example.org:80/a//")         // no scheme, double slash
+    ).toDF("doc_id", "url")
+    val out = TextAnalysis.urlColumns(urls, "url").orderBy("doc_id")
+      .select("url_host", "url_canon").as[(String, String)].collect().toSeq
+    assert(out(0) == (("big.example.com", "big.example.com/p/3")))
+    assert(out(1) == (("big.example.com", "big.example.com/p/3")))
+    assert(out(2) == (("site9.example.org", "site9.example.org")))
+    assert(out(3) == (("site9.example.org", "site9.example.org/a")))
+  }
 }
