@@ -88,7 +88,7 @@ object Bench {
           .foreach(_.unpersist(blocking = true))
         System.gc()
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { graft.tools.TimingSink.rows(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             failed = true
@@ -150,7 +150,7 @@ object Bench {
     // total; the published time is the min. A query at runs=5 never
     // converged under the agreement rule and its min is still suspect.
     val policy = "min of runs; 2 base + adaptive to 5 while warm runs disagree >1.5x"
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_policy":"$policy","load_avg_end":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"run_policy":"$policy","sink":"toRdd-rows","load_avg_end":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}"""
     // The driver captures only a bounded TAIL of stdout; with 189 queries
     // the full per-query dict is ~9 KB and the line's head (metric/value)
     // is truncated away — BENCH_r07.json recorded "parsed": null. Print a
@@ -164,7 +164,7 @@ object Bench {
       "mm6_image_ahash", "m6_model_families", "s5_xml_scan")
     val headQs = headline.flatMap(k => results.get(k).map(v => (k, v._1)))
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headQs,"n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","load_avg_end":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$headQs,"n_queries":${results.size},"queries_file":"BENCH_LOCAL.json","sink":"toRdd-rows","load_avg_end":$loadAvg,"load_avg_start":$loadAtStart,"contended":$contended,"sf":"$sfDir"}""")
     // The driver tail-truncates Bench stdout, which destroyed the per-query
     // timing dict two rounds running (BENCH_r04/r05 "parsed": null). Persist
     // the identical line to a committed file so timing history survives

@@ -60,18 +60,31 @@ object DeepDocsProbe {
     val deep4Docs = sys.env.getOrElse("SPARK_GRAFT_DEEP4_DOCS", "20000000").toLong
     val deep4 = s"/tmp/graft_scale/sfd4_$deep4Docs"
     val probe4 = names.exists(deep4Names)
+    // Fifth scale (opt-in per query, SPARK_GRAFT_DEEP5=name,name): the
+    // 50M-doc row the daily-ingest path (dd23) plausibly fits in —
+    // its shuffle footprint is batch-proportional, ~4x smaller than
+    // dd22's corpus-wide one that measurably out-spilled this sandbox
+    // at 50M. Rendered as its own subsection keyed to root deep5_docs.
+    val deep5Names = sys.env.get("SPARK_GRAFT_DEEP5")
+      .map(_.split(',').toSet).getOrElse(Set.empty[String])
+    val deep5Docs = sys.env.getOrElse("SPARK_GRAFT_DEEP5_DOCS", "50000000").toLong
+    val deep5 = s"/tmp/graft_scale/sfd5_$deep5Docs"
+    val probe5 = names.exists(deep5Names)
     ScaleCurve.ensureDocs(spark, base, 500000L)
     ScaleCurve.ensureDocs(spark, deep, 5000000L)
     if (probe4) ScaleCurve.ensureDocs(spark, deep4, deep4Docs)
+    if (probe5) ScaleCurve.ensureDocs(spark, deep5, deep5Docs)
     // out-of-timing warm-up: footers + dd13's stored corpus state (the
     // digest/signature tables a production incremental ingest reads, not
     // recomputes — same contract as Bench's warm-up)
-    (Seq(base, deep) ++ (if (probe4) Seq(deep4) else Nil)).foreach { d =>
+    (Seq(base, deep) ++ (if (probe4) Seq(deep4) else Nil) ++
+        (if (probe5) Seq(deep5) else Nil)).foreach { d =>
       graft.core.Tables.documents(spark, d).count()
       if (names.contains("dd13_incremental"))
         graft.queries.TextQueries.dd13StateFixture(spark, d)
       if (names.contains("dd23_incremental_prod") &&
-          (d != deep4 || deep4Names.contains("dd23_incremental_prod")))
+          (d != deep4 || deep4Names.contains("dd23_incremental_prod")) &&
+          (d != deep5 || deep5Names.contains("dd23_incremental_prod")))
         graft.queries.TextQueries.dd23StateFixture(spark, d)
     }
     // The artifact is merged + rewritten after EVERY query, not once at
@@ -85,7 +98,7 @@ object DeepDocsProbe {
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
         System.gc()
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
+        val n = TimingSink.rows(fn(spark, dir))
         ((System.nanoTime() - t0) / 1e9, n)
       }
       // min of 2 at each scale; no untimed warm-up — at these absolute
@@ -105,9 +118,15 @@ object DeepDocsProbe {
           f"$t4%8.2f s (rows=$n4)  x${t4 / tD}%4.1f vs 5M")
         f""","deep4_sec":$t4%.2f,"deep4_rows":$n4"""
       } else ""
-      writeMerged(deep4Docs, Map(name ->
+      val d5 = if (deep5Names.contains(name)) {
+        val (t5, n5) = best(deep5)
+        System.err.println(f"[deep-docs] $name%-24s ${deep5Docs / 1000000}M: " +
+          f"$t5%8.2f s (rows=$n5)")
+        f""","deep5_sec":$t5%.2f,"deep5_rows":$n5"""
+      } else ""
+      writeMerged(deep4Docs, deep5Docs, Map(name ->
         (f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD""" +
-          d4 + "}")))
+          d4 + d5 + "}")))
     }
     spark.stop()
   }
@@ -116,7 +135,8 @@ object DeepDocsProbe {
     * Prior rows survive (a filtered invocation must not drop other
     * queries' measurements) unless they carry a different fixture
     * version — those measured different data. */
-  private def writeMerged(deep4Docs: Long, fresh: Map[String, String]): Unit = {
+  private def writeMerged(deep4Docs: Long, deep5Docs: Long,
+                          fresh: Map[String, String]): Unit = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val prior: Map[String, String] = {
       val f = new java.io.File(OutPath)
@@ -134,7 +154,8 @@ object DeepDocsProbe {
     val all = (prior ++ fresh).toSeq.sortBy(_._1)
       .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
     val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
-      s""","base_docs":500000,"deep_docs":5000000,"deep4_docs":$deep4Docs,"queries":$all}"""
+      s""","base_docs":500000,"deep_docs":5000000,"deep4_docs":$deep4Docs""" +
+      s""","deep5_docs":$deep5Docs,"queries":$all}"""
     java.nio.file.Files.writeString(java.nio.file.Paths.get(OutPath), json + "\n")
     println(json)
   }

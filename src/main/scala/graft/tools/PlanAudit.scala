@@ -74,7 +74,7 @@ object PlanAudit {
     "e12_time_to_convert" -> (1 -> "1-row viewer-count frame joined to the 1-row latency-percentile frame (global-stat broadcast pattern)"),
     "t29_hll_overlap" -> (1 -> "sources x sources pair-dimension build (t19 pattern: bounded by source cardinality, not the corpus; everything downstream of the checkpointed register table is sources^2 x m rows)"),
     "t25_hll_diversity" -> (1 -> "1-row merged-estimate frame cross-joined to the 1-row exact-ALL frame (global-stat broadcast pattern; replaced the sentinel-key join a review flagged)"),
-    "m19_conformal" -> (1 -> "1-row conformal-threshold frame (qhat + n_cal) broadcast onto the evaluation fold (global-stat broadcast pattern)"))
+    "m19_conformal" -> (2 -> "two 1-row frames on the global-stat broadcast pattern: the conformal-threshold frame (qhat + n_cal) onto the evaluation fold, and the calibration-size assert frame (fails loudly on an empty calibration fold) onto the threshold frame"))
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,

@@ -63,7 +63,7 @@ object ProfileE2E {
         // the build is INSIDE the timed window: eager checkpoints inside
         // a stage body (prepare's boundary, chunk_dedup's) do their work
         // at construction, not at count()
-        val n = build.count()
+        val n = TimingSink.rows(build)
         val sec = (System.nanoTime() - t0) / 1e9
         // sweep blocks the run itself created, keep the materialized inputs
         sc.getPersistentRDDs.foreach { case (id, rdd) =>
