@@ -151,8 +151,8 @@ object HashedShingles {
   * calls plus an interpreted `concat_ws` per shingle. Here the shingle
   * window is joined in a tight JIT'd loop over the token array.
   */
-case class ShingleStrings(child: Expression, k: Int)
-    extends UnaryExpression {
+case class ShingleStrings(child: Expression, k: Int,
+    dropEmpty: Boolean = false) extends UnaryExpression {
 
   require(k >= 1 && k <= 128, s"shingle size out of range: $k")
 
@@ -168,7 +168,7 @@ case class ShingleStrings(child: Expression, k: Int)
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
-    ShingleStrings.compute(v.asInstanceOf[UTF8String], k)
+    ShingleStrings.compute(v.asInstanceOf[UTF8String], k, dropEmpty)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -178,7 +178,7 @@ case class ShingleStrings(child: Expression, k: Int)
         ${c.code}
         org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
           graft.functions.ShingleStrings.compute(
-            ${c.isNull} ? null : ${c.value}, $k);""",
+            ${c.isNull} ? null : ${c.value}, $k, $dropEmpty);""",
       isNull = FalseLiteral)
   }
 
@@ -188,9 +188,18 @@ case class ShingleStrings(child: Expression, k: Int)
 
 object ShingleStrings {
 
-  /** One document -> its UTF8String[] of k-shingles, in order. */
-  def compute(text: UTF8String, k: Int): ArrayData = {
-    val toks = ShingleTokenizer.tokens(text, k)
+  /** One document -> its UTF8String[] of k-shingles, in order. With
+    * `dropEmpty`, empty tokens are removed BEFORE windowing — the
+    * composable `filter(split(lower(text), "\\s+"), t => t =!= "")`
+    * preamble the repetition metrics use (a leading separator otherwise
+    * contributes an empty first token). */
+  def compute(text: UTF8String, k: Int, dropEmpty: Boolean = false): ArrayData = {
+    val toks0 = ShingleTokenizer.tokens(text, 1)
+    val toksF =
+      if (toks0 == null) null
+      else if (dropEmpty) toks0.filter(_.nonEmpty)
+      else toks0
+    val toks = if (toksF == null || toksF.length < k) null else toksF
     if (toks == null) return new GenericArrayData(new Array[Any](0))
     val n = toks.length
     val out = new Array[Any](n - k + 1)
@@ -212,4 +221,7 @@ object ShingleStrings {
 
   def apply(c: Column, k: Int): Column =
     GraftShim.column(ShingleStrings(GraftShim.expression(c), k))
+
+  def apply(c: Column, k: Int, dropEmpty: Boolean): Column =
+    GraftShim.column(ShingleStrings(GraftShim.expression(c), k, dropEmpty))
 }

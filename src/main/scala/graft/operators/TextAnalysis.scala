@@ -1182,16 +1182,19 @@ object TextAnalysis {
     * zero-guarded ratios (C9) are 0.0 for empty/one-token docs. */
   def repetitionMetrics(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val tk = filter(tokens(col(textCol)), t => t =!= "")
-    // bigram list guarded like Dedup.shingles: sequence(1, 0) DESCENDS
-    val bigrams = when(size(col("tk")) >= 2,
-      transform(sequence(lit(1), size(col("tk")) - 1),
-        i => concat_ws(" ", element_at(col("tk"), i), element_at(col("tk"), i + 1))))
-      .otherwise(array().cast("array<string>"))
-    val base = docs.select(col(idCol), tk.as("tk"))
-      .select(col(idCol),
-        size(col("tk")).cast("long").as("n_tokens"),
-        size(array_distinct(col("tk"))).cast("long").as("n_distinct"),
+    // Native kernel for both the filtered token array (k = 1 shingles
+    // with dropEmpty — the composable form's filter(tokens, _ =!= "")
+    // preamble) and the bigrams over it: the composable
+    // transform(sequence, i => concat_ws(element_at, element_at)) chain
+    // is CodegenFallback — one boxed interpreted lambda PER BIGRAM —
+    // and was the whole bench's top cost once the timing sink stopped
+    // letting the optimizer delete it (14.9 s -> ~1 s at sf0.1).
+    // Value-identity with the composable chain is spec-pinned.
+    val tkArr = graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true)
+    val bigrams = graft.functions.ShingleStrings(col(textCol), 2, dropEmpty = true)
+    val base = docs.select(col(idCol),
+        size(tkArr).cast("long").as("n_tokens"),
+        size(array_distinct(tkArr)).cast("long").as("n_distinct"),
         bigrams.as("bg"))
     val topBigram = base
       .select(col(idCol), explode(col("bg")).as("bigram"))

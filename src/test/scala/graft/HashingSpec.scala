@@ -155,6 +155,29 @@ class HashingSpec extends SparkTestBase {
     assert(n.getSeq[String](0).isEmpty)
   }
 
+  test("ShingleStrings dropEmpty equals the filter-then-window composable chain") {
+    import spark.implicits._
+    import graft.functions.ShingleStrings
+    val df = shingleFixture.toDF("s")
+    // composable reference: drop empty tokens FIRST (the t10 preamble),
+    // then window — a leading separator must not yield an empty-token
+    // shingle, and the windows must be adjacency in the FILTERED array
+    def ref(k: Int) = {
+      val tk = filter(split(lower(col("s")), "\\s+"), t => t =!= "")
+      when(size(tk) >= k,
+        transform(sequence(lit(1), size(tk) - (k - 1)),
+          i => concat_ws(" ", (0 until k).map(j => element_at(tk, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+    }
+    Seq(1, 2, 3).foreach { k =>
+      val mism = df.select(
+          ShingleStrings(col("s"), k, dropEmpty = true).as("fast"),
+          ref(k).as("ref"))
+        .filter(not(col("fast") <=> col("ref")))
+      assert(mism.isEmpty, s"dropEmpty shingle kernel diverged at k=$k")
+    }
+  }
+
   test("VecDot/VecSqDist equal the zip_with+aggregate folds, edges included") {
     import spark.implicits._
     import graft.functions.{VecDot, VecSqDist}
