@@ -178,7 +178,15 @@ object Bench {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
       // append-only history so per-round timings accumulate in the repo
-      // (BENCH_LOCAL.json always holds just the latest line)
+      // (BENCH_LOCAL.json always holds just the latest line).
+      // SCHEMA BOUNDARY for history consumers: lines before round 11
+      // (no "sink" key) were timed through df.count(), which let the
+      // optimizer DELETE left-join-tailed work (SPARK-36194) — their
+      // timings are NOT comparable with "sink":"toRdd-rows" lines for
+      // such queries — and carried the load sample as "load_avg"; from
+      // round 11 on it is "load_avg_end" (end-of-suite sample) plus
+      // "load_avg_start" (the contention gate). Key off "sink" presence
+      // to partition the eras.
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), line + "\n",
         java.nio.file.StandardOpenOption.CREATE,

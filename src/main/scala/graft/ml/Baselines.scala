@@ -147,15 +147,24 @@ object Baselines {
       .filter(col("__rk") ===
         least(ceil((col("__n_cal") + 1) * lit(oneMinusAlpha)), col("__n_cal")))
       .select(col("__score").as("__qhat"), col("__n_cal"))
+      // Aggregate to a GUARANTEED 1-row frame (min over the exactly-one
+      // matching rank row is the identity): an empty calibration fold
+      // makes the rank filter match nothing, and a no-groupBy agg over
+      // zero rows still yields one all-null row — the null the guard
+      // below turns into a runtime error instead of a silent zero-row
+      // result.
+      .agg(min("__qhat").as("__qhat"), min("__n_cal").as("__n_cal"))
     // Fail loudly on an empty calibration fold instead of silently
     // producing zero evaluation rows (a mis-split fold would otherwise
-    // read as "no data"): the 1-row assert frame rides the same
-    // broadcast and throws at execution time when n_cal = 0.
-    val qChecked = nFrame
-      .select(assert_true(col("__n_cal") > 0,
-        lit("conformalSets: empty calibration fold")).as("__chk"))
-      .crossJoin(qFrame)
-    pred.crossJoin(broadcast(qChecked)).drop("__chk")
+    // read as "no data"). The assert must stay REFERENCED by an executed
+    // operator: a projected-then-dropped assert column is column-pruned
+    // into dead code (the round-11 form never ran). assert_true yields
+    // null on success, so this filter passes every row, cannot be
+    // pruned, and throws per evaluation row when n_cal is the null of an
+    // empty fold.
+    pred.crossJoin(broadcast(qFrame))
+      .filter(assert_true(col("__n_cal").isNotNull,
+        lit("conformalSets: empty calibration fold")).isNull)
       .withColumn("in0", col(probCol) <= col("__qhat"))
       .withColumn("in1", (lit(1.0) - col(probCol)) <= col("__qhat"))
       .withColumn("__cov",

@@ -1179,7 +1179,11 @@ object TextAnalysis {
     * top-bigram count is explode → count on (doc, bigram) → max on doc —
     * all high-cardinality aggregation keys, no window over the corpus.
     * Returns (id, n_tokens, n_distinct, dup_token_frac, top_bigram_frac);
-    * zero-guarded ratios (C9) are 0.0 for empty/one-token docs. */
+    * zero-guarded ratios (C9) are 0.0 for empty/one-token docs. Null
+    * text is PINNED as an empty document — n_tokens = 0, ratios 0.0
+    * (the fused kernel maps null to an empty token array; the
+    * pre-kernel composable chain propagated null here instead — the
+    * spec fixes the empty-doc convention). */
   def repetitionMetrics(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
     // Native kernel for both the filtered token array (k = 1 shingles
@@ -1323,20 +1327,30 @@ object TextAnalysis {
   }
 
   /** URL canonicalization — the crawl-curation convention (what a
-    * host-grain dedup/cap keys on): scheme and `?query` / `#fragment`
-    * stripped, host lowercased with any leading `www.` and the default
-    * `:80` / `:443` ports dropped, trailing slashes removed from the
-    * path. Adds `url_host` (the canonical host — the capping key) and
-    * `url_canon` (host + canonical path — the dedup key: the same page
-    * crawled under different schemes, casings, or tracking queries
-    * collapses to one canonical form). Pure per-row anchored-regex
-    * expressions — map-only, no shuffle, codegen'd. */
+    * host-grain dedup/cap keys on): scheme, a `user:pw@` userinfo
+    * component, and `?query` / `#fragment` stripped, host lowercased
+    * with any leading `www.` and the default `:80` / `:443` ports
+    * dropped, trailing slashes removed from the path. Adds `url_host`
+    * (the canonical host — the capping key) and `url_canon` (host +
+    * canonical path — the dedup key: the same page crawled under
+    * different schemes, casings, credentials, or tracking queries
+    * collapses to one canonical form). Stated conventions: `:80`/`:443`
+    * are stripped regardless of the (already-discarded) scheme, so
+    * `http://h:443` collapses with `h`; NON-default ports are KEPT —
+    * a different port is a different origin and caps separately. Pure
+    * per-row anchored-regex expressions — map-only, no shuffle,
+    * codegen'd. */
   def urlColumns(df: DataFrame, urlCol: String): DataFrame = {
     val noScheme =
       regexp_replace(col(urlCol), "^[A-Za-z][A-Za-z0-9+.-]*://", "")
     val noQuery = regexp_replace(noScheme, "[?#].*", "")
+    // userinfo strip runs on the pre-slash authority segment only ('@'
+    // in a path never reaches it) and BEFORE www/port normalization, so
+    // user:pw@www.Host:443 canonicalizes identically to host.
     val host = regexp_replace(
-      regexp_replace(lower(regexp_extract(noQuery, "^[^/]*", 0)),
+      regexp_replace(
+        regexp_replace(lower(regexp_extract(noQuery, "^[^/]*", 0)),
+          "^[^@]*@", ""),
         "^www\\.", ""),
       ":(80|443)$", "")
     val path = regexp_replace(regexp_replace(noQuery, "^[^/]*", ""),
@@ -1352,7 +1366,7 @@ object TextAnalysis {
     val noQuery =
       s"regexp_replace(regexp_replace($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*', '')"
     val host =
-      s"regexp_replace(regexp_replace(lower(regexp_extract($noQuery, '^[^/]*')), '^www\\.', ''), ':(80|443)$$', '')"
+      s"regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract($noQuery, '^[^/]*')), '^[^@]*@', ''), '^www\\.', ''), ':(80|443)$$', '')"
     val path = s"regexp_replace(regexp_replace($noQuery, '^[^/]*', ''), '/+$$', '')"
     Map("url_host" -> host, "url_canon" -> s"($host || $path)")
   }

@@ -961,7 +961,8 @@ object TextQueries {
     // queries must collapse) and cap per HOST so no domain dominates the
     // mix (dd17's recipe at the grain crawls actually have). The fixture
     // plants a deliberately messy URL per doc — scheme/WWW casing,
-    // default ports, utm queries, fragments, trailing slashes — with a
+    // `user:pw@` userinfo, default ports, utm queries, fragments,
+    // trailing slashes — with a
     // HOT host (40% of docs) so the capPerGroup two-phase path is doing
     // real skew work, and path collisions (doc_id % 50) so the URL-dedup
     // stage has traffic. Survivors: first doc per canonical URL, then
@@ -972,6 +973,8 @@ object TextQueries {
         when(col("doc_id") % 3 === 0, lit("HTTPS://"))
           .when(col("doc_id") % 3 === 1, lit("http://"))
           .otherwise(lit("https://")),
+        when(col("doc_id") % 13 === 0, lit("crawler:Tok3n@"))
+          .otherwise(lit("")),
         when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
         when(col("doc_id") % 5 < 2, lit("Big.Example.COM"))
           .otherwise(concat(lit("site"), (col("doc_id") % 97).cast("string"),
@@ -2869,6 +2872,7 @@ object TextQueries {
           |    (CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://'
           |          WHEN doc_id % 3 = 1 THEN 'http://'
           |          ELSE 'https://' END)
+          |    || (CASE WHEN doc_id % 13 = 0 THEN 'crawler:Tok3n@' ELSE '' END)
           |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
           |    || (CASE WHEN doc_id % 5 < 2 THEN 'Big.Example.COM'
           |          ELSE 'site' || CAST(doc_id % 97 AS VARCHAR)

@@ -110,7 +110,11 @@ class HashingSpec extends SparkTestBase {
     val tricky = Seq("", "one", "one two", "one two three",
       "  leading", "trailing  ", "a  b\tc\nd", "UPPER Case MiX",
       "héllo wörld é中文 tokens here", "a b a b a b a b",
-      (1 to 200).map(i => s"w${i % 17}").mkString(" "))
+      (1 to 200).map(i => s"w${i % 17}").mkString(" "),
+      // null text: every kernel AND every composable reference chain in
+      // these identity tests maps it to an empty list (the when-guard's
+      // otherwise branch), pinning the dropEmpty form too
+      null: String)
     val rng = new scala.util.Random(7)
     val words = Vector("alpha", "beta", "Gamma", "DELTA", "e", "zz", "中")
     tricky ++ (1 to 300).map(_ =>

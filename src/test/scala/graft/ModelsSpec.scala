@@ -200,4 +200,21 @@ class ModelsSpec extends SparkTestBase {
     assert(r.getAs[Boolean]("in0") === true)   // 0.25 <= 0.3
     assert(r.getAs[Boolean]("in1") === false)  // 0.75 > 0.3
   }
+
+  test("m19: an EMPTY calibration fold fails loudly at execution time") {
+    // The guard must survive optimization: a projected-then-dropped
+    // assert column is column-pruned into dead code (the round-11 form
+    // silently returned 0 rows here). The executed-filter form throws.
+    val cal = Seq.empty[(Long, Double, Double)]
+      .toDF("user_id", "prob", "label")
+    val eval = Seq((1L, 0.25, 0.0)).toDF("user_id", "prob", "label")
+    val ex = intercept[Exception] {
+      graft.ml.Baselines.conformalSets(cal, eval, "prob", "label",
+        Seq("user_id"), alpha = 0.2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("empty calibration fold")),
+      s"expected the empty-fold assert, got: $ex")
+  }
 }

@@ -332,7 +332,8 @@ class TextAnalysisSpec extends SparkTestBase {
       (2L, "u v w x y"),         // all distinct, every bigram unique
       (3L, "solo"),              // one token: no bigrams
       (4L, ""),                  // zero tokens
-      (5L, "z z z z")            // fully degenerate
+      (5L, "z z z z"),           // fully degenerate
+      (6L, null: String)         // null text PINNED as an empty doc
     ).toDF("doc_id", "text")
     val m = TextAnalysis.repetitionMetrics(docs, "doc_id", "text")
       .orderBy("doc_id")
@@ -345,6 +346,10 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(m(2) == ((1L, 1L, 0.0, 0.0)))
     assert(m(3) == ((0L, 0L, 0.0, 0.0)))
     assert(m(4)._3 == 0.75 && m(4)._4 == 1.0)
+    // null text = empty doc (0 tokens, ratios 0.0) — the fused-kernel
+    // convention, pinned here because the pre-kernel composable chain
+    // propagated null for n_tokens/n_distinct instead.
+    assert(m(5) == ((0L, 0L, 0.0, 0.0)))
   }
 
   test("ngramRepetition: hand-computed top/dup coverage, short-doc zeros") {
@@ -565,7 +570,10 @@ class TextAnalysisSpec extends SparkTestBase {
       (1L, "HTTPS://WWW.Big.Example.COM:443/p/3/?utm=x#frag"),
       (2L, "http://big.example.com/p/3"),
       (3L, "https://site9.example.org"),          // no path
-      (4L, "www.site9.example.org:80/a//")         // no scheme, double slash
+      (4L, "www.site9.example.org:80/a//"),        // no scheme, double slash
+      (5L, "https://user:Pw@WWW.Big.Example.COM:443/p/3"), // userinfo
+      (6L, "ftp://u@site9.example.org:2121/a"),    // userinfo + NON-default port
+      (7L, "http://big.example.com/p/3?r=a@b.c")   // '@' in query, not userinfo
     ).toDF("doc_id", "url")
     val out = TextAnalysis.urlColumns(urls, "url").orderBy("doc_id")
       .select("url_host", "url_canon").as[(String, String)].collect().toSeq
@@ -573,5 +581,12 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(1) == (("big.example.com", "big.example.com/p/3")))
     assert(out(2) == (("site9.example.org", "site9.example.org")))
     assert(out(3) == (("site9.example.org", "site9.example.org/a")))
+    // userinfo is stripped before www/port normalization, so a
+    // credentialed recrawl collapses with the clean URL...
+    assert(out(4) == (("big.example.com", "big.example.com/p/3")))
+    // ...while a non-default port stays: different origin, its own cap
+    assert(out(5) == (("site9.example.org:2121", "site9.example.org:2121/a")))
+    // '@' after the authority segment (query/path) is NOT userinfo
+    assert(out(6) == (("big.example.com", "big.example.com/p/3")))
   }
 }
