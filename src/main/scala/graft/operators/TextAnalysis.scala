@@ -613,34 +613,27 @@ object TextAnalysis {
   /** BPE tokenization counts: the subword token count a fixed BPE
     * vocabulary produces per document — the number that actually fills
     * a training shard (whitespace counts under-estimate it, char counts
-    * over-estimate). Per word: split to characters, fold the merge
-    * table, count remaining symbols; per doc: words + subwords + the
-    * chars-per-subword compression ratio. Pure per-row higher-order
-    * column expressions (no UDF, no shuffle) — the merge fold compiles
-    * to a chain of `replace` calls inside whole-stage codegen. */
+    * over-estimate). Per word: split to characters (sentinel-space form
+    * " v a l u e " — a merge pattern " A B " -> " AB " can only match
+    * COMPLETE symbols; each merge runs twice so leftmost non-overlapping
+    * replace picks up adjacent repeats — exact unless a pair repeats >2
+    * times consecutively within one word, the documented contract), fold
+    * the merge table, count remaining symbols; per doc: words + subwords
+    * + the chars-per-subword compression ratio.
+    *
+    * The counting runs in [[graft.functions.BpeCounts]] — ONE codegen'd
+    * scan per document. The original composable form routed every word
+    * through interpreted `transform`/`aggregate` lambdas plus a
+    * `regexp_replace("(.)")` engine pass (the t10 CodegenFallback shape
+    * on the e2e compositions' BPE pricing stage); the kernel is
+    * BpeKernelSpec-pinned value-identical to that chain. */
   def bpeTokenCounts(docs: DataFrame, idCol: String,
                      textCol: String): DataFrame = {
-    val words = filter(tokens(col(textCol)), w => w =!= "")
-    // sentinel-space form " v a l u e ": a merge pattern " A B " -> " AB "
-    // can only match COMPLETE symbols (a bare replace("u e","ue") would
-    // also fire inside "u er", merging a pair the table never contained).
-    // Each merge runs twice: leftmost non-overlapping replace skips every
-    // second occurrence of an adjacent repeat (" a b a b "), and the
-    // second pass picks those up — exact unless a pair repeats >2 times
-    // consecutively within one word, which the doc notes as the contract.
-    def spaced(w: Column): Column =
-      concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
-    def merged(w: Column): Column =
-      bpeMerges.foldLeft(spaced(w)) { case (c, (p, r)) =>
-        val pat = lit(s" $p ")
-        val rep = lit(s" $r ")
-        replace(replace(c, pat, rep), pat, rep) }
-    val subPerWord = transform(words, w => size(split(trim(merged(w)), " ")))
+    val c = graft.functions.BpeCounts(col(textCol), bpeMerges)
     docs.select(col(idCol),
-        size(words).cast("long").as("n_words"),
-        aggregate(subPerWord, lit(0L), (a, b) => a + b).as("n_subwords"),
-        aggregate(transform(words, w => length(w)), lit(0L), (a, b) => a + b)
-          .as("n_chars"))
+        c.getField("n_words").as("n_words"),
+        c.getField("n_subwords").as("n_subwords"),
+        c.getField("n_chars").as("n_chars"))
       .withColumn("chars_per_subword",
         when(col("n_subwords") > 0,
           graft.functions.Canon.round(
@@ -723,7 +716,7 @@ object TextAnalysis {
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol), targetPred.as("__is_t"),
         explode(concat(
-          filter(tokens(col(textCol)), t => t =!= ""),
+          graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true),
           Dedup.shingles(col(textCol), 2))).as("feat"))
       .filter(col("feat") =!= "")
       .select(pmod(Hashing.sha28(col("feat")), lit(buckets)).as("bucket"),
@@ -745,7 +738,7 @@ object TextAnalysis {
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol),
         explode(concat(
-          filter(tokens(col(textCol)), t => t =!= ""),
+          graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true),
           Dedup.shingles(col(textCol), 2))).as("feat"))
       .filter(col("feat") =!= "")
       .withColumn("bucket", pmod(Hashing.sha28(col("feat")), lit(buckets)))
@@ -900,7 +893,7 @@ object TextAnalysis {
     // bounded by the bucket, so no task ever sorts a whole stratum.
     val counted = docs
       .withColumn("n_tokens",
-        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+        size(graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true)).cast("long"))
       .withColumn("__g_sha", sha2(col(idCol).cast("string"), 256))
       .withColumn("__g_bkt", shaBucket(col("__g_sha"), bucketHexLen))
     val offsets = counted.groupBy(col(stratumCol), col("__g_bkt"))
@@ -930,7 +923,7 @@ object TextAnalysis {
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
       .withColumn("n_tokens",
-        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+        size(graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true)).cast("long"))
       .withColumn("shard_id",
         floor(coalesce(sum(col("n_tokens")).over(w), lit(0L)) /
           lit(budgetTokens)))
@@ -972,7 +965,7 @@ object TextAnalysis {
       }
     val counted = docs
       .withColumn("n_tokens",
-        size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+        size(graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true)).cast("long"))
       .withColumn("__g_sha", sha2(col(idCol).cast("string"), 256))
       .withColumn("__g_bkt", shaBucket(col("__g_sha"), bucketHexLen))
     val perBucket = counted.groupBy(col(groupCol), col("__g_bkt"))
@@ -1007,7 +1000,7 @@ object TextAnalysis {
         when(col(groupCol) === g, lit(wt)).otherwise(acc)
       }
     val counted = docs.withColumn("n_tokens",
-      size(filter(tokens(col(textCol)), t => t =!= "")).cast("long"))
+      size(graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true)).cast("long"))
     val total = counted.agg(sum(col("n_tokens")).as("total_tokens"))
     val w = Window.partitionBy(col(groupCol))
       .orderBy(sha2(col(idCol).cast("string"), 256), col(idCol))
@@ -1037,7 +1030,7 @@ object TextAnalysis {
       s"chunkDocuments: need 0 <= overlap ($overlapTokens) < chunk ($chunkTokens)")
     val stride = chunkTokens - overlapTokens
     val toks = docs.select(col(idCol),
-      filter(tokens(col(textCol)), t => t =!= "").as("tok"))
+      graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true).as("tok"))
       .withColumn("n_tokens", size(col("tok")).cast("long"))
     // last chunk index: the first start whose window reaches the end —
     // greatest(ceil((n - chunk) / stride), 0). The naive floor((n-1)/stride)
@@ -1430,7 +1423,7 @@ object TextAnalysis {
     // time. The total avoids a third tokenize pass too — per-row
     // non-empty-token counts summed, no explode.
     val total = df.agg(
-      coalesce(sum(size(filter(tokens(col(textCol)), t => length(t) > 0))
+      coalesce(sum(size(graft.functions.ShingleStrings(col(textCol), 1, dropEmpty = true))
         .cast("long")), lit(0L)).as("__hh_total"))
     toks.join(broadcast(candidates), Seq("token"), "left_semi")
       .groupBy("token")

@@ -4,6 +4,11 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.plans.LeftOuter
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LogicalPlan, Project, SubqueryAlias}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
 
 /** Physical-plan audit over every `SparkEntry` query — the 100-TB
   * scale-plan review as a committed artifact instead of a by-hand
@@ -74,11 +79,152 @@ object PlanAudit {
     "e12_time_to_convert" -> (1 -> "1-row viewer-count frame joined to the 1-row latency-percentile frame (global-stat broadcast pattern)"),
     "t29_hll_overlap" -> (1 -> "sources x sources pair-dimension build (t19 pattern: bounded by source cardinality, not the corpus; everything downstream of the checkpointed register table is sources^2 x m rows)"),
     "t25_hll_diversity" -> (1 -> "1-row merged-estimate frame cross-joined to the 1-row exact-ALL frame (global-stat broadcast pattern; replaced the sentinel-key join a review flagged)"),
-    "m19_conformal" -> (2 -> "two 1-row frames on the global-stat broadcast pattern: the conformal-threshold frame (qhat + n_cal) onto the evaluation fold, and the calibration-size assert frame (fails loudly on an empty calibration fold) onto the threshold frame"))
+    "m19_conformal" -> (2 -> "the conformal-threshold frame (qhat + n_cal, aggregated to a guaranteed 1 row) on the global-stat broadcast pattern onto the evaluation fold; an executed filter on assert_true(n_cal IS NOT NULL) fails loudly on an empty calibration fold (referenced in the plan, not prunable)"))
+
+  /** Interpreted-expression classes that are benign ANYWHERE because
+    * they cannot sit in a per-row hot path by construction (each entry
+    * must say why). Any other `CodegenFallback` expression in a final
+    * plan needs a per-query [[allowedFallback]] entry or the audit
+    * exits nonzero — the standing gate distilled from the t10 incident,
+    * where one interpreted higher-order lambda (transform/sequence,
+    * evaluated per BIGRAM) was the whole bench's top cost and went
+    * unnoticed until an honest timing sink made it the slowest query. */
+  val benignFallback: Map[String, String] = Map(
+    // raise_error sits behind a short-circuit `if` guard and evaluates
+    // its message only on the failure path (assert_true / loud guards)
+    "RaiseError" -> "error-path only: evaluated when the guard fires",
+    // constituents of a higher-order call, not independent costs — the
+    // enclosing Array*/Map* operator is the unit this audit flags
+    "LambdaFunction" -> "lambda body wrapper of the enclosing HOF",
+    "NamedLambdaVariable" -> "lambda variable leaf of the enclosing HOF",
+    // TypedImperativeAggregates: Spark has NO codegen form for these —
+    // the interpreted surface is the agg-buffer update, which is the
+    // operation itself, not avoidable dispatch. Group boundedness for
+    // the collects is argued at each use site (bounded-group contracts)
+    "Percentile" -> "exact percentile: TypedImperativeAggregate, no codegen form exists",
+    "PivotFirst" -> "pivot's internal aggregate: no codegen form, column set bounded by the pivot values",
+    "CollectList" -> "TypedImperativeAggregate; every use site carries a bounded-group contract",
+    "CollectSet" -> "TypedImperativeAggregate; every use site carries a bounded-group contract",
+    // Spark's own JSON parser is CodegenFallback by upstream design;
+    // the cost is the Jackson parse itself, not expression dispatch
+    "JsonToStructs" -> "from_json: Spark's canonical JSON path, interpreted upstream")
+
+  /** Per-query allowlist for `CodegenFallback` expressions that ARE in
+    * the final plan but provably off the corpus-per-element hot path —
+    * query -> (allowed class names, why the lambda's element count is
+    * bounded per row). The t10 criterion: an interpreted lambda is a
+    * bug when its element count grows with document/corpus size AND the
+    * query is hot; everything here is bounded by a contract (dim,
+    * window, spans, study length) with the fused-kernel upgrade path
+    * (HashedShingles/RuleKernels/BpeCounts pattern) if it ever tops the
+    * bench. */
+  val allowedFallback: Map[String, (Set[String], String)] = {
+    val substrTail = (Set("ArraySort", "ArrayTransform"),
+      "per-doc cut-span reconstruction: the collected span list is " +
+        "bounded by substring matches per document; the family is " +
+        "honest-sink measured through 20M docs (DEEPDOCS)")
+    val simLambda = (Set("ArrayTransform", "ArrayAggregate"),
+      "per-row lambda element count bounded by embedding dim / " +
+        "centroid / codebook cardinality — the intended O(dim*k) " +
+        "assign/ADC math; the inner products already run in the VecDot " +
+        "kernel family")
+    Map(
+      "a11_naps_daily" -> (Set("ArrayTransform", "ArrayAggregate"),
+        "per-day parsed naps array, bounded by naps per day"),
+      "a7_named_rollup" -> (Set("ArraySort"),
+        "sort over the per-day collected label set (label vocabulary)"),
+      "a8_label_union" -> (Set("ArraySort"),
+        "sort over per-day collected labels (bounded by labels/day)"),
+      "d2_ks_boundaries" -> (Set("ArrayTransform", "ArrayAggregate"),
+        "pooled KS boundary grid, bounded by the study-window value set"),
+      "d2_ks_exact" -> (Set("ArrayTransform", "ArrayAggregate",
+        "KsExactPValue"),
+        "KS grid as d2_ks_boundaries; KsExactPValue evaluates once on " +
+          "the 1-row KS stat frame"),
+      "dd16_semantic_dedup" -> (Set("ArrayTransform"),
+        "embedding-dim-bounded quantizer-cell mapping"),
+      "dd18_lsh_quality" -> (Set("ArraySort"),
+        "sample-contract-bounded SHA arrays (ground-truth stage)"),
+      "dd19_chunk_dedup" -> substrTail,
+      "dd26_substr_cut" -> substrTail,
+      "dd26_substr_cut_prod" -> substrTail,
+      "dd27_decontam_cut" -> substrTail,
+      "dd27_decontam_cut_prod" -> substrTail,
+      "dd28_pii_redact" -> substrTail,
+      "e2e_decontam_prep" -> substrTail,
+      "dd5_ngram_jaccard" -> (Set("ArraySort"),
+        "per-doc shingle arrays (document-bounded)"),
+      "e6_session_paths" -> (Set("ArraySort", "ArrayTransform"),
+        "per-session collected event paths (session-length-bounded)"),
+      "m6_model_families" -> (Set("ArrayAggregate"),
+        "dot-product folds over study-length fold frames"),
+      "sim10_centroid_drift" -> simLambda,
+      "sim3_ann_ivf" -> simLambda,
+      "sim3_assign" -> simLambda,
+      "sim4_quantize" -> simLambda,
+      "sim5_ivf_assign" -> simLambda,
+      "sim6_pq_adc" -> simLambda,
+      "sim6_pq_encode" -> simLambda,
+      "sim9_ivfadc" -> simLambda,
+      "sim_recall" -> simLambda,
+      "sim_recall_build" -> simLambda,
+      "t20_containment" -> (Set("ArraySort"),
+        "per-doc sorted shingle sets (document-bounded)"),
+      "w11_ewma" -> (Set("ArrayAggregate"),
+        "EWMA fold over the collected trailing window (window-bounded)"),
+      "w12_rolling_mad" -> (Set("ArraySort", "ArrayTransform"),
+        "median-of-window math over the collected trailing window"))
+  }
 
   final case class Counts(shuffles: Int, singlePart: Int, bcast: Int,
                           sorts: Int, nlj: Int, wscg: Int, rows: Long,
-                          err: Option[String])
+                          fallback: Set[String] = Set.empty,
+                          lojAgg: Int = 0,
+                          err: Option[String] = None)
+
+  /** Every `CodegenFallback` expression class in the FINAL (post-AQE)
+    * physical plan — interpreted row-at-a-time eval inside otherwise
+    * JIT'd stages (higher-order lambdas, non-codegen custom exprs).
+    * Descends into adaptive plans and settled query stages; expression
+    * subtrees are walked in full so a fallback nested under a codegen'd
+    * parent still surfaces. */
+  private[graft] def fallbackClasses(plan: SparkPlan): Set[String] = {
+    val out = scala.collection.mutable.Set.empty[String]
+    def walk(p: SparkPlan): Unit = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: QueryStageExec => walk(s.plan)
+      case other =>
+        other.expressions.foreach(_.foreach {
+          case e: CodegenFallback => out += e.getClass.getSimpleName
+          case _ => ()
+        })
+        other.children.foreach(walk)
+    }
+    walk(plan)
+    out.toSet
+  }
+
+  /** Count of left-outer joins onto an Aggregate in the OPTIMIZED
+    * logical plan — the SPARK-36194 shape: if a downstream rewrite
+    * stops referencing the aggregate's columns (`df.count()` does
+    * exactly that), Catalyst deletes the join and the aggregate
+    * wholesale. The plan itself is CORRECT — this column is the
+    * standing warning that timing such a query through any counting
+    * sink measures a plan with the tail removed (the round-11 incident:
+    * 20M-doc ExactSubstr "measurements" that timed a bare scan). All
+    * committed timing tools consume through `TimingSink.rows`, which is
+    * immune; the column exists so the next hand-rolled probe isn't. */
+  private[graft] def lojAggTails(plan: LogicalPlan): Int = {
+    def strip(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, c) => strip(c)
+      case SubqueryAlias(_, c) => strip(c)
+      case other => other
+    }
+    plan.collect {
+      case Join(_, right, LeftOuter, _, _)
+        if strip(right).isInstanceOf[Aggregate] => 1
+    }.sum
+  }
 
   private val treeChars = Set(' ', ':', '+', '-')
 
@@ -142,7 +288,9 @@ object PlanAudit {
           case _ => ()
         }
     }
-    Counts(sh, sp, bc, so, nl, spans.size, rows, err = None)
+    Counts(sh, sp, bc, so, nl, spans.size, rows,
+      fallback = fallbackClasses(df.queryExecution.executedPlan),
+      lojAgg = lojAggTails(df.queryExecution.optimizedPlan))
   }
 
   def main(args: Array[String]): Unit = {
@@ -165,7 +313,7 @@ object PlanAudit {
           try audit(fn(spark, sfDir))
           catch {
             case e: Throwable =>
-              Counts(0, 0, 0, 0, 0, 0, -1, Some(e.getMessage))
+              Counts(0, 0, 0, 0, 0, 0, -1, err = Some(e.getMessage))
           }
         System.err.println(s"[plan-audit] $name -> $c")
         name -> c
@@ -195,30 +343,50 @@ object PlanAudit {
       sb ++= s"- `$q` (<= $n): $why\n"
     }
     sb ++= "\n## Per-query operator counts\n\n"
-    sb ++= "| query | shuffles | 1part | bcast | sorts | nlj | wscg | rows |\n"
-    sb ++= "|---|---|---|---|---|---|---|---|\n"
+    sb ++= "`fallback` = CodegenFallback (interpreted) expression classes in\n"
+    sb ++= "the final plan — the t10 gate: anything outside the benign set\n"
+    sb ++= "or a per-query allowlist entry fails the audit (one interpreted\n"
+    sb ++= "higher-order lambda was the whole bench's top cost in round 11).\n"
+    sb ++= "`lojAgg` = left-outer-join-onto-Aggregate tails in the optimized\n"
+    sb ++= "logical plan: the plan is correct, but timing such a query\n"
+    sb ++= "through ANY counting sink (df.count()) measures a plan with the\n"
+    sb ++= "tail DELETED (SPARK-36194) — use `tools.TimingSink.rows`.\n\n"
+    sb ++= "| query | shuffles | 1part | bcast | sorts | nlj | wscg | fallback | lojAgg | rows |\n"
+    sb ++= "|---|---|---|---|---|---|---|---|---|---|\n"
     results.foreach { case (name, c) =>
       c.err match {
         case Some(m) =>
-          sb ++= s"| $name | ERR: ${m.takeWhile(_ != '\n').take(60)} |||||||\n"
+          sb ++= s"| $name | ERR: ${m.takeWhile(_ != '\n').take(60)} |||||||||\n"
         case None =>
+          val fb = if (c.fallback.isEmpty) "-"
+            else c.fallback.toSeq.sorted.mkString(" ")
           sb ++= s"| $name | ${c.shuffles} | ${c.singlePart} | ${c.bcast} " +
-            s"| ${c.sorts} | ${c.nlj} | ${c.wscg} | ${c.rows} |\n"
+            s"| ${c.sorts} | ${c.nlj} | ${c.wscg} | $fb | ${c.lojAgg} | ${c.rows} |\n"
       }
     }
     val totals = results.map(_._2)
     sb ++= s"\nTotals: ${totals.map(_.shuffles).sum} shuffles, " +
       s"${totals.map(_.bcast).sum} broadcasts, " +
-      s"${totals.map(_.nlj).sum} nested-loop joins over " +
+      s"${totals.map(_.nlj).sum} nested-loop joins, " +
+      s"${totals.count(_.fallback.exists(!benignFallback.contains(_)))} queries " +
+      s"with non-benign interpreted expressions, " +
+      s"${totals.map(_.lojAgg).sum} counting-sink-unsafe join tails over " +
       s"${results.size} queries.\n"
     Files.write(Paths.get(outPath),
       sb.toString.getBytes(StandardCharsets.UTF_8))
     val bad = results.filter { case (name, c) =>
-      c.err.isDefined || c.nlj > allowedNlj.get(name).map(_._1).getOrElse(0)
+      val unvetted = c.fallback -- benignFallback.keySet --
+        allowedFallback.get(name).map(_._1).getOrElse(Set.empty)
+      c.err.isDefined ||
+        c.nlj > allowedNlj.get(name).map(_._1).getOrElse(0) ||
+        unvetted.nonEmpty
     }
     bad.foreach { case (n, c) =>
+      val unvetted = c.fallback -- benignFallback.keySet --
+        allowedFallback.get(n).map(_._1).getOrElse(Set.empty)
       System.err.println(s"[plan-audit] FLAG $n: nlj=${c.nlj} " +
-        s"(allowed=${allowedNlj.get(n).map(_._1).getOrElse(0)}) err=${c.err}")
+        s"(allowed=${allowedNlj.get(n).map(_._1).getOrElse(0)}) " +
+        s"fallback=${unvetted.mkString(",")} err=${c.err}")
     }
     spark.stop()
     if (bad.nonEmpty) sys.exit(1)

@@ -162,4 +162,39 @@ class RuleKernelsSpec extends SparkTestBase {
         "\n"))
     check("wrapVarying", WordWrap(col("text"), wpl), twin)
   }
+
+  test("BpeCounts fields == the composable sentinel-space merge chain") {
+    // extra BPE-traffic rows on top of the shared edge fixture: words
+    // the merge table actually rewrites, adjacent-repeat pairs (the
+    // replace-twice contract), and mixed-case folds the lower() catches
+    val bpeDocs = docs.union(Seq(
+      (100L, "value queue sterling therapy banana bubble"),
+      (101L, "ab abab ababab abababab thethethe"),
+      (102L, "VALUE Queue vAlUe antler interest")
+    ).toDF("doc_id", "text"))
+    val merges = graft.operators.TextAnalysis.bpeMerges
+    val t = col("text")
+    val words = filter(split(lower(t), "\\s+"), w => w =!= "")
+    def spaced(w: Column): Column =
+      concat(lit(" "), trim(regexp_replace(w, "(.)", "$1 ")), lit(" "))
+    def merged(w: Column): Column =
+      merges.foldLeft(spaced(w)) { case (c, (p, r)) =>
+        val pat = lit(s" $p ")
+        val rep = lit(s" $r ")
+        replace(replace(c, pat, rep), pat, rep) }
+    val k = graft.functions.BpeCounts(t, merges)
+    def check2(name: String, native: Column, twin: Column): Unit = {
+      val diff = bpeDocs.select(col("doc_id"), native.as("k"), twin.as("c"))
+        .filter(!(col("k") <=> col("c")))
+        .collect()
+      assert(diff.isEmpty, s"$name diverges from the composable twin: " +
+        diff.mkString("; "))
+    }
+    check2("n_words", k.getField("n_words"), size(words).cast("long"))
+    check2("n_subwords", k.getField("n_subwords"),
+      aggregate(transform(words, w => size(split(trim(merged(w)), " "))),
+        lit(0L), (a, b) => a + b))
+    check2("n_chars", k.getField("n_chars"),
+      aggregate(transform(words, w => length(w)), lit(0L), (a, b) => a + b))
+  }
 }
