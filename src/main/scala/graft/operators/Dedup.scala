@@ -842,6 +842,46 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Hamming-band join over a 64-bit signature carried as two 32-bit
+    * halves (`sig_hi`, `sig_lo` — the BIGINT-safe packing
+    * [[graft.multimodal.Multimodal.aHash64]] emits): [[simhashBandJoin]]'s
+    * recipe at the two-word grain, for engines/columns where a single
+    * 64-bit word would need sign-gymnastics. `bands` must split 64
+    * evenly with an even count so each half contributes `bands/2` keys;
+    * by the pigeonhole argument two signatures within `maxHamming < bands`
+    * share at least one intact band, so the candidate set is exact.
+    * Same scale shape as the text banding: the only join is an
+    * equi-join on the band key, verify is a per-pair popcount, and
+    * callers block on DISTINCT signatures (the [[simhashDedupCorpus]]
+    * contraction) so equal-hash masses never enumerate m² pairs. */
+  def hammingBandJoin64(sigs: DataFrame, idCol: String, bands: Int,
+                        maxHamming: Int): DataFrame = {
+    require(bands >= 2 && bands % 2 == 0 && 64 % bands == 0,
+      s"hammingBandJoin64: bands must be an even divisor of 64, got $bands")
+    require(maxHamming < bands,
+      s"hammingBandJoin64: need maxHamming ($maxHamming) < bands ($bands) " +
+        "for the pigeonhole guarantee")
+    val perHalf = bands / 2
+    val bandBits = 32 / perHalf
+    val mask = (1L << bandBits) - 1
+    val banded = (0 until bands).map { j =>
+      val half = if (j < perHalf) col("sig_lo") else col("sig_hi")
+      val off = (j % perHalf) * bandBits
+      sigs.select(col(idCol), col("sig_hi"), col("sig_lo"),
+        concat_ws("_", lit(j),
+          shiftright(half, off).bitwiseAND(mask)).as("bk"))
+    }.reduce(_ union _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.bk") === col("r.bk") && col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        (bit_count(col("l.sig_hi").bitwiseXOR(col("r.sig_hi"))) +
+          bit_count(col("l.sig_lo").bitwiseXOR(col("r.sig_lo"))))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** CTE chain of [[simhashPairs]]'s banded blocking + verify, ending in
     * `vpairs(id_a, id_b)` — composable with the recursive component CTEs
     * the dd8/dd9/dd11 oracles share. */

@@ -730,6 +730,44 @@ object TextAnalysis {
     dsirScore(docs, idCol, textCol, buckets, tgtCnt, rawCnt)
   }
 
+  /** t34 — LEARNED quality classifier (the fastText lineage production
+    * pipelines actually score with, vs t2's heuristic rules): hashed
+    * bag-of-n-grams features (unigrams + bigrams sha28-folded into
+    * `buckets` counts by [[graft.functions.HashedBucketCounts]], one
+    * codegen'd scan per document), a deterministic gradient-descent
+    * logistic regression ([[graft.ml.Models.logisticRegressionGD]] —
+    * m5's exactly-replayable fit: canonical roundings at every
+    * cross-engine boundary) fit on the `trainPred` labeled split with
+    * `labelExpr` as the quality label (the classic curated-vs-crawl
+    * discriminator), then MAP-ONLY corpus-wide scoring.
+    *
+    * Scale design: the fit side is 1 + `iters` driver aggregations over
+    * the labeled fold — bounded by contract (labels are the expensive
+    * artifact; a 100-TB corpus is scored, not labeled). The fitted
+    * state is O(buckets) driver scalars that enter the scoring plan as
+    * LITERALS, so the corpus side is one projection — zero joins, zero
+    * shuffles, the kernel + a sigmoid per row. `buckets` here is the
+    * oracle-exact audit knob; the vector-form scale-up (a features
+    * array + the same GD in vector arithmetic) changes the fit loop,
+    * not the map-only scoring shape. */
+  def qualityClassifierScores(docs: DataFrame, idCol: String,
+                              textCol: String, labelExpr: Column,
+                              trainPred: Column, buckets: Int = 16,
+                              iters: Int = 3, lr: Double = 0.5): DataFrame = {
+    require(buckets > 0, s"qualityClassifierScores: buckets $buckets")
+    val cnts = graft.functions.HashedBucketCounts(col(textCol), buckets)
+    val featNames = (0 until buckets).map(b => s"f$b")
+    val featured = docs.select(
+      Seq(col(idCol), labelExpr.cast("double").as("label"),
+        trainPred.as("__is_tr")) ++
+        (0 until buckets).map(b =>
+          element_at(cnts, b + 1).cast("double").as(s"f$b")): _*)
+    graft.ml.Models.logisticRegressionGD(
+        featured.filter(col("__is_tr")), featured,
+        featNames, "label", iters, lr)
+      .select(col(idCol), col("label"), col("prob"), col("y_pred"))
+  }
+
   private def dsirFeats(df: DataFrame, idCol: String, textCol: String,
                         buckets: Int): DataFrame =
     // round-robin spread first: the explode+SHA pass is CPU-bound and

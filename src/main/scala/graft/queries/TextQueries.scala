@@ -72,6 +72,24 @@ object TextQueries {
   }
 
   // t12 target mixture over the language key (sums to 1.0)
+  /** dd28's deterministic PII planting (the synthetic corpus is
+    * PII-free): %11==3 docs get an email + a dashed phone (two separated
+    * spans), %11==7 two ADJACENT IPv4 tokens (span merging carries
+    * traffic). Shared by the dd28 fixture, the e2e_decontam_prep redact
+    * stage, and ProfileE2E's stage replay; the SQL twins restate it. */
+  def plantPii(docs: DataFrame): DataFrame = docs.withColumn("text",
+    when(col("doc_id") % 11 === 3,
+      concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
+        lit("@mail.example or 555-010-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+    .when(col("doc_id") % 11 === 7,
+      concat(col("text"), lit(" node 10.0."),
+        (col("doc_id") % 200).cast("string"), lit("."),
+        (col("doc_id") % 13).cast("string"), lit(" 10.1."),
+        (col("doc_id") % 200).cast("string"), lit("."),
+        (col("doc_id") % 13).cast("string")))
+    .otherwise(col("text")))
+
   private val mixtureWeights = Map(
     "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
 
@@ -724,6 +742,56 @@ object TextQueries {
         .agg(count(lit(1)).as("n_images"), min("doc_id").as("rep_id"))
     }),
 
+    // mm9: multimodal near-duplicate DEDUP — the text dd-family machinery
+    // applied to images (mm6 detects equal hashes; this one CLUSTERS
+    // nearby ones): aHash signatures, hamming-band join over the 64-bit
+    // hash as two 32-bit halves (4 bands of 16 bits — pigeonhole-exact
+    // at maxHamming 3, and the 65536-value band keys keep bucket
+    // occupancy ~|distinct sigs|/65536 at depth where 8-bit keys would
+    // go quadratic), exact-popcount verify, connected components,
+    // cluster rollup. The fixture plants genuine near-duplicates: groups
+    // of 4 consecutive doc_ids share one gradient pattern + dims and
+    // differ by a unit seed offset — a brightness shift whose channel
+    // carries flip a few aHash bits (the near-dup regime) — while
+    // distinct gradients land far apart. Blocking runs on DISTINCT
+    // signatures labeled by their min doc_id (the simhashDedupCorpus
+    // contraction), so equal-hash image masses attach by hash equality
+    // and never enumerate m² pairs. The twin verifies the banding's
+    // EXACTNESS: its vpairs is the brute all-pairs hamming filter over
+    // the (bounded) distinct-signature table, so a band-key slip that
+    // drops a within-radius pair hash-diverges.
+    "mm9_image_near_dup" -> ((s, dir) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, dir).select(col("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+      val outSchema = new org.apache.spark.sql.types.StructType()
+        .add("doc_id", org.apache.spark.sql.types.LongType)
+        .add("payload", org.apache.spark.sql.types.BinaryType)
+      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+        .encoderFor(outSchema)
+      val withPayload = media.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val base = id - id % 4
+          val w = (base % 13 + 4).toInt
+          val h = (base % 7 + 4).toInt
+          org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, "png", w, h))
+        }
+      }(enc)
+      val sigStats = Multimodal.aHash64(withPayload, "payload")
+        .groupBy("sig_hi", "sig_lo")
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+      val pairs = Dedup.hammingBandJoin64(sigStats, "rid",
+        bands = 4, maxHamming = 3)
+      val clusters = Dedup.dupClusters(pairs)
+      sigStats
+        .join(clusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(coalesce(col("cluster_id"), col("rid")).as("cluster_id"),
+          col("n"))
+        .groupBy("cluster_id")
+        .agg(sum(col("n")).as("n_images"), count(lit(1)).as("n_sigs"))
+    }),
+
     // Multimodal frame sampling: video-like payloads (bytes a pure
     // function of (media_id, offset), demux-shaped n_frames metadata)
     // sliced into frames by [[Multimodal.sampleFrames]] (every 2nd
@@ -938,22 +1006,9 @@ object TextQueries {
     // traffic); every other doc exercises the clean path. Both engines
     // derive the identical planted corpus, so the oracle replays the
     // rewrite byte-for-byte.
-    "dd28_pii_redact" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val planted = docs.withColumn("text",
-        when(col("doc_id") % 11 === 3,
-          concat(col("text"), lit(" mail u"), col("doc_id").cast("string"),
-            lit("@mail.example or 555-010-"),
-            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
-        .when(col("doc_id") % 11 === 7,
-          concat(col("text"), lit(" node 10.0."),
-            (col("doc_id") % 200).cast("string"), lit("."),
-            (col("doc_id") % 13).cast("string"), lit(" 10.1."),
-            (col("doc_id") % 200).cast("string"), lit("."),
-            (col("doc_id") % 13).cast("string")))
-        .otherwise(col("text")))
-      Dedup.piiRedactCut(planted, "doc_id", "text")
-    }),
+    "dd28_pii_redact" -> ((s, dir) =>
+      Dedup.piiRedactCut(plantPii(Tables.documents(s, dir)),
+        "doc_id", "text")),
 
     // dd29: host-grain curation — URL canonicalization, URL-exact dedup,
     // per-host cap. Real corpora key curation on the canonical URL (the
@@ -1043,29 +1098,47 @@ object TextQueries {
     "e2e_decontam_prep" -> ((s, dir) => {
       val all = Tables.documents(s, dir)
       val evalDocs = all.filter(col("doc_id") < 20)
-        .select(col("doc_id"), col("text").as("dedup_text"))
+        .select(col("doc_id"), col("text").as("redacted_text"))
       val train = TextAnalysis.gopherStructuralFilter(
         all.filter(col("doc_id") >= 20), "text")
-      // stage boundary: the substr-cut reassembly feeds the decontam
-      // tokenization AND the final source attach — without it the cut
-      // replays per consumer
-      val cut = Dedup.substrCut(train, "doc_id", "text", 4)
+      // dd28's deterministic PII planting, on the GATED train split (the
+      // synthetic corpus is PII-free, so the redaction stage would
+      // otherwise be a no-op; planting after the gate keeps the gate's
+      // decisions on the pristine text)
+      val planted = plantPii(train)
+      // stage boundary: the substr-cut reassembly feeds the redaction
+      // pass AND the final source attach — without it the cut replays
+      // per consumer
+      val cut = Dedup.substrCut(planted, "doc_id", "text", 4)
         .select(col("doc_id"), col("dedup_text"))
-        .join(train.select("doc_id", "source"), "doc_id")
+        .join(planted.select("doc_id", "source"), "doc_id")
         .localCheckpoint(true)
+      // dd28 stage: scrub PII spans BEFORE anything downstream tokenizes
+      // the corpus for packing — a real prep chain redacts before the
+      // decontam shingles leave the cluster. Boundary: consumed by the
+      // decontam pass AND the final per-source PII accounting.
+      val red = Dedup.piiRedactCut(
+          cut.select(col("doc_id"), col("dedup_text")),
+          "doc_id", "dedup_text")
+        .select(col("doc_id"), col("n_pii_spans"), col("redacted_text"))
+        .localCheckpoint(true)
+      // decontamCut reassembles into its canonical `dedup_text` column
+      // whatever the input text column is named
       val decon = Dedup.decontamCut(
-        cut.select(col("doc_id"), col("dedup_text")), evalDocs,
-        "doc_id", "dedup_text", 4)
+        red.select(col("doc_id"), col("redacted_text")), evalDocs,
+        "doc_id", "redacted_text", 4)
       TextAnalysis.bpeTokenCounts(
           decon.select(col("doc_id"), col("dedup_text")),
           "doc_id", "dedup_text")
         .join(decon.select(col("doc_id"), col("tokens_cut")), "doc_id")
+        .join(red.select(col("doc_id"), col("n_pii_spans")), "doc_id")
         .join(cut.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("n_subwords")).as("total_subwords"),
           round(avg(col("chars_per_subword")), 6).as("mean_cps"),
-          sum(col("tokens_cut")).as("decontam_tokens_cut"))
+          sum(col("tokens_cut")).as("decontam_tokens_cut"),
+          sum(col("n_pii_spans")).as("pii_spans_redacted"))
     }),
 
     // e2e_c4_prep: the C4-lineage prep chain — materially different from
@@ -1188,6 +1261,28 @@ object TextQueries {
         .limit(100)
         .select("doc_id", "log_w", "commonness", "log_w_soft", "gumbel_key")
     }),
+
+    // t34: LEARNED quality classifier — t2's heuristics' production
+    // successor: hashed unigram+bigram bucket counts (one fused kernel
+    // scan per doc), the deterministic GD logistic regression (m5's
+    // exactly-replayable fit) trained on a 20% labeled split (doc_id %
+    // 5, the deterministic fold convention), then map-only scoring of
+    // the whole corpus — the fastText-lineage quality-classifier shape.
+    // Label: the Gopher keep6 gate, i.e. RULE DISTILLATION — train a
+    // cheap classifier to mimic the expensive/curated quality label
+    // (the production pattern when gold labels are a bounded fold).
+    // This is the corpus's only text-DERIVABLE label: its lang/source
+    // columns are text-independent by construction (token
+    // distributions are shared across both — measured), so a
+    // discriminator on either would honestly fit a constant. The twin
+    // replays the identical fit: unrolled gradient CTEs with the same
+    // round-8 boundaries.
+    "t34_quality_clf" -> ((s, dir) =>
+      TextAnalysis.qualityClassifierScores(Tables.documents(s, dir),
+        "doc_id", "text",
+        labelExpr = graft.functions.GopherCounts(col("text"),
+          TextAnalysis.gopherStopwords).getField("keep6") === 1L,
+        trainPred = col("doc_id") % 5 === 0, iters = 12)),
 
     // Incremental daily-ingest dedup: the 20% batch (doc_id % 5 = 0)
     // deduped against the 80% corpus THROUGH its STORED digest +
@@ -2711,6 +2806,77 @@ object TextQueries {
           |SELECT sig_hi, sig_lo, count(*) AS n_images, min(doc_id) AS rep_id
           |FROM sig GROUP BY 1, 2""".stripMargin,
 
+      // mm9 twin: mm6's 64-cell integer aHash replay at the mm9 fixture
+      // dims (groups of 4 ids share w/h; seed = doc_id), then the
+      // BRUTE all-pairs hamming filter over distinct signatures — an
+      // independent check that the banded join is pigeonhole-exact —
+      // and the recursive component CTEs (dd8 pattern) + rollup.
+      "mm9_image_near_dup" ->
+        """WITH RECURSIVE p AS (
+          |  SELECT doc_id,
+          |    (doc_id - doc_id % 4) % 13 + 4 AS w,
+          |    (doc_id - doc_id % 4) % 7 + 4 AS h
+          |  FROM documents),
+          |cells AS (
+          |  SELECT ci, cj
+          |  FROM (SELECT unnest(range(0, 8)) AS ci) a
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cj) b),
+          |bnd AS (
+          |  SELECT doc_id, w, h, ci, cj,
+          |    (cj * w) // 8 AS x0,
+          |    least(greatest(((cj + 1) * w) // 8, (cj * w) // 8 + 1), w) AS x1,
+          |    (ci * h) // 8 AS y0,
+          |    least(greatest(((ci + 1) * h) // 8, (ci * h) // 8 + 1), h) AS y1
+          |  FROM p CROSS JOIN cells),
+          |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM bnd),
+          |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
+          |g AS (
+          |  SELECT doc_id, ci, cj,
+          |    299 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) // 65536)
+          |      + 587 * ((((doc_id * 31 + x * 7 + y * 13) % 16777216) // 256) % 256)
+          |      + 114 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) % 256)
+          |      AS luma
+          |  FROM bxy),
+          |cellm AS (
+          |  SELECT doc_id, ci, cj,
+          |    CAST(sum(luma) // count(*) AS BIGINT) AS m
+          |  FROM g GROUP BY 1, 2, 3),
+          |tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot FROM cellm GROUP BY 1),
+          |bits AS (
+          |  SELECT c.doc_id, c.ci * 8 + c.cj AS k,
+          |    CASE WHEN 64 * c.m > t.tot THEN 1 ELSE 0 END AS bit
+          |  FROM cellm c JOIN tot t USING (doc_id)),
+          |sig AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+          |      ELSE 0 END) AS BIGINT) AS sig_hi,
+          |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+          |      ELSE 0 END) AS BIGINT) AS sig_lo
+          |  FROM bits GROUP BY 1),
+          |sigstats AS (
+          |  SELECT sig_hi, sig_lo, min(doc_id) AS rid, count(*) AS n
+          |  FROM sig GROUP BY 1, 2),
+          |vpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM sigstats l JOIN sigstats r ON l.rid < r.rid
+          |  WHERE bit_count(xor(l.sig_hi, r.sig_hi))
+          |      + bit_count(xor(l.sig_lo, r.sig_lo)) <= 3),
+          |edges AS (
+          |  SELECT id_a AS u, id_b AS v FROM vpairs
+          |  UNION SELECT id_b, id_a FROM vpairs),
+          |reach AS (
+          |  SELECT u AS id, v AS r FROM edges
+          |  UNION
+          |  SELECT t.id, e.v AS r FROM reach t JOIN edges e ON t.r = e.u),
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+          |labeled AS (
+          |  SELECT coalesce(c.cid, s.rid) AS cluster_id, s.n
+          |  FROM sigstats s LEFT JOIN clusters c ON s.rid = c.id)
+          |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_images,
+          |  count(*) AS n_sigs
+          |FROM labeled GROUP BY 1""".stripMargin,
+
       // mm7 twin: delta-energy fingerprint replayed from the PCM sample
       // formula x_i = (doc_id*7 + i*13) % 201 - 100 — integer energies,
       // lead() comparison, LSB-first bit packing. The fixture's window
@@ -2970,6 +3136,82 @@ object TextQueries {
       "t23_bpe" ->
         TextAnalysis.bpeTokenCountsSql("doc_id", "text"),
 
+      // t34 twin: the m5 GD-fit replay generalized to 16 hashed-bucket
+      // features — identical round-8 boundaries at stats and gradients,
+      // unrolled iteration CTEs, guard s=0/NULL -> 1, then the scored
+      // corpus with round-6 prob and the threshold on the ROUNDED prob
+      // (the engine's y_pred contract).
+      "t34_quality_clf" -> {
+        val B = 16
+        val iters = 12
+        val gr = TextAnalysis.gopherRulesSql("doc_id", "text")
+        val featCols = (0 until B).map(b =>
+          s"CAST(len(list_filter(fl, f -> ${Hashing.sha28Sql("f")} % $B = $b)) AS DOUBLE) AS f$b")
+          .mkString(",\n|    ")
+        val statCols = (0 until B).map(b =>
+          s"round(avg(f$b), 8) AS m$b, round(stddev_samp(f$b), 8) AS sr$b")
+          .mkString(",\n|  ")
+        val guardCols = (0 until B).map(b =>
+          s"m$b, CASE WHEN sr$b IS NULL OR sr$b = 0 THEN 1.0 ELSE sr$b END AS s$b")
+          .mkString(",\n|  ")
+        val zCols = (0 until B).map(b => s"(f$b - m$b) / s$b AS z$b")
+          .mkString(", ")
+        def sig(bt: String) = s"1/(1+exp(-($bt.c0 + " +
+          (0 until B).map(b => s"$bt.c${b + 1}*z$b").mkString(" + ") + ")))"
+        val b0Cols = ("0.0 AS c0" +: (0 until B).map(b => s"0.0 AS c${b + 1}"))
+          .mkString(", ")
+        val iterCtes = (1 to iters).map { k =>
+          val prev = s"b${k - 1}"
+          val gCols = (s"round(avg(${sig(prev)} - y), 8) AS g0" +:
+            (0 until B).map(b =>
+              s"round(avg((${sig(prev)} - y) * z$b), 8) AS g${b + 1}"))
+            .mkString(",\n|    ")
+          val bCols = (s"$prev.c0 - 0.5*g0 AS c0" +:
+            (0 until B).map(b => s"$prev.c${b + 1} - 0.5*g${b + 1} AS c${b + 1}"))
+            .mkString(", ")
+          // MATERIALIZED: DuckDB inlines plain CTEs, so an unrolled
+          // GD chain re-expands the whole upstream fit per reference —
+          // exponential in iterations. Materializing pins each step to
+          // one evaluation (the engine's driver loop does the same).
+          s"""g$k AS MATERIALIZED (SELECT $gCols FROM tr, $prev),
+             |b$k AS MATERIALIZED (SELECT $bCols FROM $prev, g$k)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH gf AS (
+          |  SELECT doc_id,
+          |    CASE WHEN r1_word_count AND r2_mean_word_len
+          |      AND r3_symbol_ratio AND r4_bullet_lines
+          |      AND r5_ellipsis_lines AND r6_alpha_words
+          |    THEN 1.0 ELSE 0.0 END AS label
+          |  FROM ($gr)),
+          |toks AS (
+          |  SELECT doc_id,
+          |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS w
+          |  FROM documents),
+          |fs AS (
+          |  SELECT doc_id, list_concat(w,
+          |    CASE WHEN len(w) >= 2
+          |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+          |      ELSE [] END) AS fl
+          |  FROM toks),
+          |fx AS MATERIALIZED (
+          |  SELECT doc_id, g.label, doc_id % 5 = 0 AS is_tr,
+          |    $featCols
+          |  FROM fs JOIN gf g USING (doc_id)),
+          |tr0 AS (SELECT * FROM fx WHERE is_tr),
+          |st AS (SELECT $statCols FROM tr0),
+          |stg AS (SELECT $guardCols FROM st),
+          |tr AS MATERIALIZED (SELECT label AS y, $zCols FROM tr0, stg),
+          |b0 AS (SELECT $b0Cols),
+          |$iterCtes,
+          |te AS (SELECT doc_id, label, $zCols FROM fx, stg),
+          |pred AS (SELECT doc_id, label,
+          |  round(${sig(s"b$iters")}, 6) AS prob FROM te, b$iters)
+          |SELECT doc_id, label, prob,
+          |  CASE WHEN prob IS NULL THEN NULL
+          |       WHEN prob >= 0.5 THEN 1 ELSE 0 END AS y_pred
+          |FROM pred""".stripMargin
+      },
+
       // e2e_llm_prep twin: the t31/dd19/t21/t23 fragments composed.
       // DuckDB permits a WITH inside a derived table, which is how each
       // self-contained fragment nests into this chain unchanged. The
@@ -3003,16 +3245,20 @@ object TextQueries {
           |GROUP BY k.source""".stripMargin
       },
 
-      // e2e_decontam_prep twin: the gopher/substr-cut/decontam/bpe
-      // fragments composed — each self-contained WITH nests as a derived
-      // table, the e2e_llm_prep pattern.
+      // e2e_decontam_prep twin: the gopher/substr-cut/PII-redact/
+      // decontam/bpe fragments composed — each self-contained WITH nests
+      // as a derived table, the e2e_llm_prep pattern. The PII planting
+      // (dd28's two id strata) runs AFTER the gate, mirroring the engine.
       "e2e_decontam_prep" -> {
         val gr = TextAnalysis.gopherRulesSql("doc_id", "text",
           from = "train")
-        val cutSql = Dedup.substrCutSql("doc_id", "text", 4, from = "gated")
-        val deconSql = Dedup.decontamCutSql("doc_id", "dedup_text", 4,
-          trainFrom = "(SELECT doc_id, dedup_text FROM cutq)",
-          evalFrom = "(SELECT doc_id, text AS dedup_text FROM documents " +
+        val cutSql = Dedup.substrCutSql("doc_id", "text", 4,
+          from = "planted")
+        val redSql = Dedup.piiRedactCutSql("doc_id", "dedup_text",
+          from = "(SELECT doc_id, dedup_text FROM cutq)")
+        val deconSql = Dedup.decontamCutSql("doc_id", "redacted_text", 4,
+          trainFrom = "(SELECT doc_id, redacted_text FROM redq)",
+          evalFrom = "(SELECT doc_id, text AS redacted_text FROM documents " +
             "WHERE doc_id < 20)")
         val bpe = TextAnalysis.bpeTokenCountsSql("doc_id", "dedup_text",
           from = "decon")
@@ -3023,16 +3269,32 @@ object TextQueries {
           |  WHERE g.r1_word_count AND g.r2_mean_word_len
           |    AND g.r3_symbol_ratio AND g.r4_bullet_lines
           |    AND g.r5_ellipsis_lines AND g.r6_alpha_words),
+          |planted AS (
+          |  SELECT doc_id, source,
+          |    CASE WHEN doc_id % 11 = 3 THEN
+          |      text || ' mail u' || CAST(doc_id AS VARCHAR) ||
+          |        '@mail.example or 555-010-' ||
+          |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |    WHEN doc_id % 11 = 7 THEN
+          |      text || ' node 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+          |        '.' || CAST(doc_id % 13 AS VARCHAR) ||
+          |        ' 10.1.' || CAST(doc_id % 200 AS VARCHAR) ||
+          |        '.' || CAST(doc_id % 13 AS VARCHAR)
+          |    ELSE text END AS text
+          |  FROM gated),
           |cutq AS (SELECT * FROM ($cutSql)),
+          |redq AS (SELECT * FROM ($redSql)),
           |decon AS (SELECT * FROM ($deconSql))
           |SELECT k.source,
           |  CAST(count(*) AS BIGINT) AS n_docs_kept,
           |  CAST(sum(c.n_subwords) AS BIGINT) AS total_subwords,
           |  round(avg(c.chars_per_subword), 6) AS mean_cps,
-          |  CAST(sum(dc.tokens_cut) AS BIGINT) AS decontam_tokens_cut
+          |  CAST(sum(dc.tokens_cut) AS BIGINT) AS decontam_tokens_cut,
+          |  CAST(sum(r.n_pii_spans) AS BIGINT) AS pii_spans_redacted
           |FROM ($bpe) c
           |JOIN decon dc USING (doc_id)
-          |JOIN (SELECT doc_id, source FROM gated) k USING (doc_id)
+          |JOIN redq r USING (doc_id)
+          |JOIN (SELECT doc_id, source FROM planted) k USING (doc_id)
           |GROUP BY k.source""".stripMargin
       },
 

@@ -183,17 +183,22 @@ object ProfileE2E {
       graft.SparkEntry.queries("e2e_c4_prep")(spark, dir))
 
     // ---- e2e_decontam_prep: Gopher gate -> stride-1 ExactSubstr cut ->
-    //      eval decontamination -> BPE pricing ----
+    //      PII span redaction (dd28) -> eval decontamination -> BPE
+    //      pricing ----
     val deconStages = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Long)]
     def stageD(label: String)(build: => DataFrame): Unit =
       deconStages += { val (s, n) = timeBody(label)(build); (label, s, n) }
 
     val evalM = mat(docs.filter(col("doc_id") < 20)
-      .select(col("doc_id"), col("text").as("dedup_text")))
+      .select(col("doc_id"), col("text").as("redacted_text")))
     stageD("gopher_gate")(TextAnalysis.gopherStructuralFilter(
       docs.filter(col("doc_id") >= 20), "text"))
-    val trainM = mat(TextAnalysis.gopherStructuralFilter(
-      docs.filter(col("doc_id") >= 20), "text"))
+    // trainM carries the query's PII planting (a map-only projection;
+    // its cost rides the untimed materialization, the full-query row
+    // measures everything)
+    val trainM = mat(graft.queries.TextQueries.plantPii(
+      TextAnalysis.gopherStructuralFilter(
+        docs.filter(col("doc_id") >= 20), "text")))
     // stage body mirrors the query, including its checkpoint boundary
     stageD("substr_cut") {
       Dedup.substrCut(trainM, "doc_id", "text", 4)
@@ -205,26 +210,37 @@ object ProfileE2E {
       .select(col("doc_id"), col("dedup_text"))
       .join(trainM.select("doc_id", "source"), "doc_id"))
     drop(trainM)
+    stageD("pii_redact") {
+      Dedup.piiRedactCut(cutM.select(col("doc_id"), col("dedup_text")),
+          "doc_id", "dedup_text")
+        .select(col("doc_id"), col("n_pii_spans"), col("redacted_text"))
+        .localCheckpoint(true)
+    }
+    val redM = mat(Dedup.piiRedactCut(
+        cutM.select(col("doc_id"), col("dedup_text")), "doc_id", "dedup_text")
+      .select(col("doc_id"), col("n_pii_spans"), col("redacted_text")))
     stageD("decontam_cut")(Dedup.decontamCut(
-      cutM.select(col("doc_id"), col("dedup_text")), evalM,
-      "doc_id", "dedup_text", 4))
+      redM.select(col("doc_id"), col("redacted_text")), evalM,
+      "doc_id", "redacted_text", 4))
     val deconM = mat(Dedup.decontamCut(
-      cutM.select(col("doc_id"), col("dedup_text")), evalM,
-      "doc_id", "dedup_text", 4))
+      redM.select(col("doc_id"), col("redacted_text")), evalM,
+      "doc_id", "redacted_text", 4))
     drop(evalM)
     stageD("bpe_pricing") {
       TextAnalysis.bpeTokenCounts(
           deconM.select(col("doc_id"), col("dedup_text")),
           "doc_id", "dedup_text")
         .join(deconM.select(col("doc_id"), col("tokens_cut")), "doc_id")
+        .join(redM.select(col("doc_id"), col("n_pii_spans")), "doc_id")
         .join(cutM.select("doc_id", "source"), "doc_id")
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs_kept"),
           sum(col("n_subwords")).as("total_subwords"),
           round(avg(col("chars_per_subword")), 6).as("mean_cps"),
-          sum(col("tokens_cut")).as("decontam_tokens_cut"))
+          sum(col("tokens_cut")).as("decontam_tokens_cut"),
+          sum(col("n_pii_spans")).as("pii_spans_redacted"))
     }
-    drop(deconM); drop(cutM)
+    drop(deconM); drop(cutM); drop(redM)
     val (fullDecon, _) = timeBody("full_decontam(real query)")(
       graft.SparkEntry.queries("e2e_decontam_prep")(spark, dir))
 

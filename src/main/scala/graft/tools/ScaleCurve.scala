@@ -96,7 +96,11 @@ object ScaleCurve {
     "dd24_dup_spans_prod", "dd26_substr_cut_prod", "dd27_decontam_cut_prod",
     // round-11: PII span redaction (cut form), host-grain URL dedup+cap,
     // and the soft-dedup-weighted DSIR sampler composition.
-    "dd28_pii_redact", "dd29_host_cap", "t33_soft_sample")
+    "dd28_pii_redact", "dd29_host_cap", "t33_soft_sample",
+    // round-12: image near-dup clustering (the text banding machinery on
+    // aHash signatures) and the learned quality classifier (fused
+    // bucket-count features + deterministic GD-LR, map-only scoring).
+    "mm9_image_near_dup", "t34_quality_clf")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -170,7 +174,14 @@ object ScaleCurve {
     // flag pass dominates) and the host cap (the planted hot host is
     // 40% of the corpus, so the second decade measures the two-phase
     // cap doing real skew work).
-    "dd28_pii_redact", "dd29_host_cap")
+    "dd28_pii_redact", "dd29_host_cap",
+    // round-12: t33's second decade (its TakeOrdered tail is scale-safe
+    // by shape — this row shows it, closing the blank sf10g column);
+    // mm9 joins mm6's codec-family rationale PLUS the signature-graph
+    // question (does the gradient fixture's distinct-sig count stay
+    // bounded at depth); t34's corpus side is map-only scoring whose
+    // second decade should track the scan.
+    "t33_soft_sample", "mm9_image_near_dup", "t34_quality_clf")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events

@@ -135,6 +135,42 @@ class DupClusterSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("hammingBandJoin64 equals brute-force hamming, cross-half distances included") {
+    // hand-placed 64-bit signatures as (hi, lo) halves: pairs whose
+    // distance straddles the hi/lo boundary must still be found (a
+    // banding that mixed up halves or offsets would drop them), and the
+    // pigeonhole bound must hold on a random fleet
+    val rnd = new scala.util.Random(11)
+    val base = (1L to 40L).map { i =>
+      (i, rnd.nextInt() & 0xffffffffL, rnd.nextInt() & 0xffffffffL)
+    }
+    val planted = Seq(
+      (101L, base(0)._2, base(0)._3),                        // hamming 0 vs id 1
+      (102L, base(1)._2 ^ 3L, base(1)._3 ^ (1L << 31)),      // 3 bits: 2 in hi, 1 in lo top bit
+      (103L, base(2)._2 ^ (1L << 31), base(2)._3 ^ 1L),      // straddles both half tops
+      (104L, base(3)._2 ^ 0xfL, base(3)._3)                  // hamming 4 > cap: must be absent
+    )
+    val sigs = (base ++ planted).toDF("rid", "sig_hi", "sig_lo")
+    val all = (base ++ planted)
+    val want = (for {
+      (a, ah, al) <- all; (b, bh, bl) <- all if a < b
+      h = java.lang.Long.bitCount(ah ^ bh) + java.lang.Long.bitCount(al ^ bl)
+      if h <= 3
+    } yield (a, b, h.toLong)).toSet
+    // both the production banding (4x16-bit keys — mm9's depth knob)
+    // and the finer 8x8 split must equal brute force exactly
+    Seq(4, 8).foreach { bands =>
+      val got = Dedup.hammingBandJoin64(sigs, "rid", bands, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === want,
+        s"band join diverged at bands=$bands: got ${got.size}, want ${want.size}")
+      assert(!got.exists(p => p._1 == 4L && p._2 == 104L),
+        s"over-cap pair leaked at bands=$bands")
+    }
+    assert(want.exists(_._1 == 2L) && want.exists(_._1 == 3L),
+      "fixture lost its planted cross-half pairs")
+  }
+
   test("bloomExactMembership: exact dups found, new docs rejected, bloom in plan") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
       .toDF("doc_id", "text")

@@ -329,4 +329,24 @@ class HashingSpec extends SparkTestBase {
     }
     assert(out == expected)
   }
+
+  test("HashedBucketCounts equals the per-bucket filter-count composable form") {
+    import spark.implicits._
+    import graft.functions.{HashedBucketCounts, ShingleStrings}
+    val B = 16
+    val df = shingleFixture.toDF("s")
+    // composable reference: unigram+bigram dropEmpty shingles, sha28 per
+    // feature, one interpreted filter-count per bucket (the shape the
+    // kernel exists to avoid)
+    val feats = concat(
+      ShingleStrings(col("s"), 1, dropEmpty = true),
+      ShingleStrings(col("s"), 2, dropEmpty = true))
+    val ref = array((0 until B).map(b =>
+      size(filter(feats, f => pmod(Hashing.sha28(f), lit(B)) === b))
+        .cast("long")): _*)
+    val mism = df.select(HashedBucketCounts(col("s"), B).as("fast"),
+        ref.as("ref"))
+      .filter(not(col("fast") <=> col("ref")))
+    assert(mism.isEmpty, "bucket-count kernel diverged from the composable form")
+  }
 }

@@ -176,6 +176,30 @@ class PlanSpec extends SparkTestBase {
       "no join in band-join plan")
   }
 
+  test("mm9: the image hamming-band join is an equi-join over distinct signatures") {
+    import org.apache.spark.sql.functions._
+    // synthetic (sig_hi, sig_lo) frame shaped like aHash64's output —
+    // the plan contract is independent of the codec path: band join is
+    // an equi-join on the band key, never a product, and the node frame
+    // below it is the distinct-signature aggregation
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * 2654435761L, lit(1L << 32)).as("sig_hi"),
+        pmod(col("doc_id") * 40503L, lit(1L << 32)).as("sig_lo"))
+      .groupBy("sig_hi", "sig_lo")
+      .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+    val plan = graft.operators.Dedup
+      .hammingBandJoin64(sigs, "rid", bands = 8, maxHamming = 3)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "image hamming band join degenerated to a product join")
+    assert(plan.contains("Join"), "no join in the band-join plan")
+    assert(plan.contains("HashAggregate"),
+      "distinct-signature aggregation missing below the band join")
+  }
+
   test("dd14: the component graph is the distinct-signature frame, not doc pairs") {
     import org.apache.spark.sql.functions._
     // the sig-domain contract, asserted structurally: the band join that
