@@ -33,9 +33,18 @@ object DeepDocsProbe {
       else Seq("dd21_lsh_prod_bands", "dd22_dedup_corpus_prod",
         "dd23_incremental_prod")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle-partition override (SPARK_GRAFT_SHUFFLE) — the task-sizing
+    // knob a cluster actually turns at depth: 32 one-task-per-core
+    // partitions at 50M docs put ~86M stride-1 windows in ONE hash
+    // probe (~1.4 GB x 32 concurrent against the 16 GB unified pool —
+    // the measured UNABLE_TO_ACQUIRE_MEMORY failure); 256 partitions
+    // make each task's probe fit with the same 32 threads. AQE
+    // coalesces the small scales back, so the knob distorts nothing
+    // below the scale that needs it. Recorded in the artifact root.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "8")
@@ -108,25 +117,39 @@ object DeepDocsProbe {
         val a = once(dir); val b = once(dir)
         (math.min(a._1, b._1), b._2)
       }
-      val (tB, nB) = best(base)
-      val (tD, nD) = best(deep)
-      System.err.println(f"[deep-docs] $name%-24s 500k: $tB%8.2f s " +
-        f"(rows=$nB) -> 5M: $tD%8.2f s (rows=$nD)  x${tD / tB}%4.1f")
-      val d4 = if (deep4Names.contains(name)) {
-        val (t4, n4) = best(deep4)
-        System.err.println(f"[deep-docs] $name%-24s ${deep4Docs / 1000000}M: " +
-          f"$t4%8.2f s (rows=$n4)  x${t4 / tD}%4.1f vs 5M")
-        f""","deep4_sec":$t4%.2f,"deep4_rows":$n4"""
-      } else ""
-      val d5 = if (deep5Names.contains(name)) {
+      // SPARK_GRAFT_DEEP5_ONLY=1 skips the base/5M/20M (re-)measurement
+      // for queries that already carry those rows — a 50M attempt is
+      // tens of minutes, and re-paying the shallow scales just to reach
+      // it doubles the bill. writeMerged merges FIELD-wise, so the
+      // existing shallow fields survive next to the fresh deep5 ones.
+      val deep5Only = sys.env.get("SPARK_GRAFT_DEEP5_ONLY").contains("1") &&
+        deep5Names.contains(name)
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      if (!deep5Only) {
+        val (tB, nB) = best(base)
+        val (tD, nD) = best(deep)
+        System.err.println(f"[deep-docs] $name%-24s 500k: $tB%8.2f s " +
+          f"(rows=$nB) -> 5M: $tD%8.2f s (rows=$nD)  x${tD / tB}%4.1f")
+        parts += f""""base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD"""
+        if (deep4Names.contains(name)) {
+          val (t4, n4) = best(deep4)
+          System.err.println(f"[deep-docs] $name%-24s ${deep4Docs / 1000000}M: " +
+            f"$t4%8.2f s (rows=$n4)  x${t4 / tD}%4.1f vs 5M")
+          parts += f""""deep4_sec":$t4%.2f,"deep4_rows":$n4"""
+        }
+      }
+      if (deep5Names.contains(name)) {
         val (t5, n5) = best(deep5)
         System.err.println(f"[deep-docs] $name%-24s ${deep5Docs / 1000000}M: " +
           f"$t5%8.2f s (rows=$n5)")
-        f""","deep5_sec":$t5%.2f,"deep5_rows":$n5"""
-      } else ""
-      writeMerged(deep4Docs, deep5Docs, Map(name ->
-        (f"""{"base_sec":$tB%.2f,"base_rows":$nB,"deep_sec":$tD%.2f,"deep_rows":$nD""" +
-          d4 + d5 + "}")))
+        parts += f""""deep5_sec":$t5%.2f,"deep5_rows":$n5"""
+        // record the task-sizing knob this row was measured under, when
+        // it differs from the one-task-per-core default
+        sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(p =>
+          parts += s""""deep5_shuffle_partitions":$p""")
+      }
+      writeMerged(deep4Docs, deep5Docs,
+        Map(name -> parts.mkString("{", ",", "}")))
     }
     spark.stop()
   }
@@ -151,7 +174,22 @@ object DeepDocsProbe {
         } else Map.empty
       } catch { case _: Throwable => Map.empty }
     }
-    val all = (prior ++ fresh).toSeq.sortBy(_._1)
+    // FIELD-level merge per query: a deep5-only invocation must land its
+    // fresh deep5 fields NEXT TO the row's existing shallow-scale fields,
+    // not replace the row (which would silently drop base/deep history)
+    val mergedFresh = fresh.map { case (n, j) =>
+      prior.get(n) match {
+        case Some(pj) =>
+          val pn = mapper.readTree(pj)
+            .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          val fn = mapper.readTree(j)
+          scala.jdk.CollectionConverters.IteratorHasAsScala(fn.fieldNames())
+            .asScala.toSeq.foreach(f => pn.set(f, fn.get(f)))
+          n -> pn.toString
+        case None => n -> j
+      }
+    }
+    val all = (prior ++ mergedFresh).toSeq.sortBy(_._1)
       .map { case (n, j) => s""""$n":$j""" }.mkString("{", ",", "}")
     val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
       s""","base_docs":500000,"deep_docs":5000000,"deep4_docs":$deep4Docs""" +
