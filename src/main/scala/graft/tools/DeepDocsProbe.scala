@@ -183,8 +183,10 @@ object DeepDocsProbe {
           val pn = mapper.readTree(pj)
             .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
           val fn = mapper.readTree(j)
+          // replace, not set: ObjectNode.set's generic return infers
+          // Nothing under Scala foreach and class-casts at runtime
           scala.jdk.CollectionConverters.IteratorHasAsScala(fn.fieldNames())
-            .asScala.toSeq.foreach(f => pn.set(f, fn.get(f)))
+            .asScala.toSeq.foreach(f => pn.replace(f, fn.get(f)))
           n -> pn.toString
         case None => n -> j
       }

@@ -611,15 +611,31 @@ object ScaleCurve {
           sb ++= s"Same probe, past the third decade (min of 2 runs, " +
             "same quiet process as the rows above) — the deepest direct " +
             "evidence behind the 100-TB claim. The full fourth DECADE " +
-            "(50M docs) was attempted and is excluded FOR THE CORPUS-WIDE " +
-            "PATH by a measured sandbox limit, not a plan property: " +
-            "dd22's single-run shuffle+spill footprint exceeded the " +
-            "~71 GB of free disk ~12 minutes in (SparkOutOfMemoryError: " +
-            "spill failed, no space left on device). The batch-" +
-            "proportional incremental path (dd23) DOES fit — its 50M row " +
-            "is the fifth-scale section below. On a cluster dd22's " +
-            "footprint is exactly what distributes — it is the shuffle " +
-            "the plan declares, spread over executors' local disks.\n\n"
+            "(50M docs) was attempted for every fourth-scale query; two " +
+            "measured sandbox limits — not plan properties — bound who " +
+            "reaches it: dd22's single-run shuffle+spill footprint " +
+            "exceeded the ~71 GB of free disk ~12 minutes in " +
+            "(SparkOutOfMemoryError: spill failed, no space left on " +
+            "device), and the ExactSubstr prod family at the probe's " +
+            "one-task-per-core default (32 shuffle partitions) put " +
+            "~86M stride-1 windows in a single hash probe and exhausted " +
+            "the 16 GB unified pool (UNABLE_TO_ACQUIRE_MEMORY: 'Unable " +
+            "to acquire 65536 bytes, got 0'). The second limit is the " +
+            "one a cluster REMOVES by task sizing: re-measured at " +
+            "spark.sql.shuffle.partitions=256 (same 32 threads, rows " +
+            "tagged with the knob below), dd24_dup_spans_prod's 50M row " +
+            "lands in the fifth-scale section — alongside the batch-" +
+            "proportional incremental path (dd23), which fit at the " +
+            "default. dd26_substr_cut_prod and dd27_decontam_cut_prod " +
+            "remain excluded at 50M by the FIRST limit even under the " +
+            "finer task sizing: both out-spilled the ~59 GB of free " +
+            "disk (SPILL_OUT_OF_MEMORY / 'No space left on device', " +
+            "measured this round) — their cut stages carry the full " +
+            "window volume through a second join+reassembly pass that " +
+            "dd24's detect-only rollup does not pay. On a cluster " +
+            "dd22's (and their) footprint is exactly what distributes — " +
+            "it is the shuffle the plan declares, spread over " +
+            "executors' local disks.\n\n"
           sb ++= f"| query | 5M-doc sec | $d4M-doc sec | ratio ($factor%.0fx data) | rows 5M | rows $d4M | rows ratio |\n"
           sb ++= "|---|---|---|---|---|---|---|\n"
           with4.foreach { n =>
@@ -641,13 +657,20 @@ object ScaleCurve {
             val f5 = d5.toDouble / d4
             sb ++= s"## Docs family — fifth scale ($d4M -> $d5M docs, " +
               f"${f5}%.1fx)\n\n"
-            sb ++= f"| query | $d4M-doc sec | $d5M-doc sec | ratio ($f5%.1fx data) | rows $d4M | rows $d5M |\n"
-            sb ++= "|---|---|---|---|---|---|\n"
+            sb ++= "`parts` = spark.sql.shuffle.partitions the 50M row " +
+              "was measured under (the 20M column is the one-task-per-" +
+              "core 32 everywhere, so a sub-data ratio under a finer " +
+              "knob reads as the TASK-SIZING win it is, not free " +
+              "scaling).\n\n"
+            sb ++= f"| query | $d4M-doc sec | $d5M-doc sec | ratio ($f5%.1fx data) | rows $d4M | rows $d5M | parts |\n"
+            sb ++= "|---|---|---|---|---|---|---|\n"
             with5.foreach { n =>
               val q = qs.get(n)
               val (t4, t5) = (q.get("deep4_sec").asDouble, q.get("deep5_sec").asDouble)
               val (n4, n5) = (q.get("deep4_rows").asLong, q.get("deep5_rows").asLong)
-              sb ++= f"| $n | $t4%.1f | $t5%.1f | ${t5 / t4}%.1f | $n4 | $n5 |\n"
+              val p5 = if (q.has("deep5_shuffle_partitions"))
+                q.get("deep5_shuffle_partitions").asText else "32"
+              sb ++= f"| $n | $t4%.1f | $t5%.1f | ${t5 / t4}%.1f | $n4 | $n5 | $p5 |\n"
             }
             sb ++= "\n"
           }
