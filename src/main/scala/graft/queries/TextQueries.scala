@@ -90,6 +90,34 @@ object TextQueries {
         (col("doc_id") % 13).cast("string")))
     .otherwise(col("text")))
 
+  /** mm9/mm10 shared image fixture + perceptual hash: deterministic
+    * near-duplicate PNG payloads (groups of 4 consecutive doc_ids share
+    * one gradient pattern + dims; the unit seed offsets are brightness
+    * shifts whose channel carries flip a few aHash bits — the near-dup
+    * regime) hashed by [[graft.multimodal.Multimodal.aHash64]].
+    * Returns one (doc_id, sig_hi, sig_lo) row per document. */
+  def mm9DocSigs(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Tables.documents(s, dir).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("payload", org.apache.spark.sql.types.BinaryType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    val withPayload = media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val base = id - id % 4
+        val w = (base % 13 + 4).toInt
+        val h = (base % 7 + 4).toInt
+        org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, "png", w, h))
+      }
+    }(enc)
+    Multimodal.aHash64(withPayload, "payload")
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+  }
+
   private val mixtureWeights = Map(
     "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
 
@@ -761,24 +789,7 @@ object TextQueries {
     // the (bounded) distinct-signature table, so a band-key slip that
     // drops a within-radius pair hash-diverges.
     "mm9_image_near_dup" -> ((s, dir) => {
-      import graft.multimodal.Multimodal
-      val media = Tables.documents(s, dir).select(col("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-      val outSchema = new org.apache.spark.sql.types.StructType()
-        .add("doc_id", org.apache.spark.sql.types.LongType)
-        .add("payload", org.apache.spark.sql.types.BinaryType)
-      val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
-        .encoderFor(outSchema)
-      val withPayload = media.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(0)
-          val base = id - id % 4
-          val w = (base % 13 + 4).toInt
-          val h = (base % 7 + 4).toInt
-          org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, "png", w, h))
-        }
-      }(enc)
-      val sigStats = Multimodal.aHash64(withPayload, "payload")
+      val sigStats = mm9DocSigs(s, dir)
         .groupBy("sig_hi", "sig_lo")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
       val pairs = Dedup.hammingBandJoin64(sigStats, "rid",
@@ -790,6 +801,38 @@ object TextQueries {
           col("n"))
         .groupBy("cluster_id")
         .agg(sum(col("n")).as("n_images"), count(lit(1)).as("n_sigs"))
+    }),
+
+    // mm10: CROSS-MODAL dedup composition — the multimodal corpus dedups
+    // each modality at ITS grain, in order: near-duplicate IMAGES
+    // collapse first (mm9's hamming-banded aHash clusters; a re-encoded
+    // or brightness-shifted thumbnail must not let its caption dodge
+    // text dedup by riding a "different" document), one representative
+    // doc survives per image cluster, and TEXT near-dup (the dd9
+    // LSH-verify composition at its oracle knobs) then runs on the
+    // image-level survivors. Both stages are the already-gated
+    // operators; the twin composes mm9's pixel-replay sig chain with
+    // the dd9 CTE chain over the survivor set (two recursive component
+    // chains, image-side names i-prefixed).
+    "mm10_crossmodal_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val hashed = mm9DocSigs(s, dir)
+      val sigStats = hashed.groupBy("sig_hi", "sig_lo")
+        .agg(min("doc_id").as("rid"))
+      val iclusters = Dedup.dupClusters(
+        Dedup.hammingBandJoin64(sigStats, "rid", bands = 4, maxHamming = 3))
+      val docLabeled = hashed.join(sigStats, Seq("sig_hi", "sig_lo"))
+        .join(iclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
+      val imgReps = docLabeled.groupBy("cluster_id")
+        .agg(min("doc_id").as("doc_id"))
+      val survivors = docs.join(imgReps.select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      val tclusters = Dedup.dupClusters(
+        Dedup.lshVerifiedPairs(survivors, "doc_id", "text", 2, 4, 2, 0.05))
+      Dedup.keepClusterRepresentatives(survivors, "doc_id", tclusters)
+        .select("doc_id", "lang", "source")
     }),
 
     // Multimodal frame sampling: video-like payloads (bytes a pure
@@ -1525,7 +1568,8 @@ object TextQueries {
     * `Dedup.bandKeyExprs`'s '<band>_<mh>_..._<mh>' concat exactly. */
   private def lshVerifiedCtesFor(shingleK: Int, numHashes: Int,
                                  rowsPerBand: Int,
-                                 minJaccard: Double): String = {
+                                 minJaccard: Double,
+                                 from: String = "documents"): String = {
     val sigCols = (0 until numHashes)
       .map(i => s"${Dedup.minhashSql(shingleK, i)} AS mh$i").mkString(",\n  ")
     val shExpr = Dedup.shinglesOverTkSql(shingleK)
@@ -1534,7 +1578,7 @@ object TextQueries {
         .mkString(s"'${b}_' || ", " || '_' || ", "")
       s"SELECT doc_id, ${Hashing.sha60Sql(s"($key)")} AS band_key FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
+    s"""sig AS (SELECT doc_id,\n  $sigCols\nFROM ${Dedup.tkSourceSqlFrom(from, "text", "doc_id")}),
       |bands AS (
       |  $bandSelects),
       |cand AS (
@@ -1544,7 +1588,7 @@ object TextQueries {
       |sets AS (
       |  SELECT doc_id,
       |    list_sort(list_distinct(list_transform($shExpr, s -> ${Hashing.sha28Sql("s")}))) AS sh
-      |  FROM ${Dedup.tkSourceSql("text", "doc_id")}),
+      |  FROM ${Dedup.tkSourceSqlFrom(from, "text", "doc_id")}),
       |verified AS (
       |  SELECT c.id_a, c.id_b,
       |    round(len(list_intersect(a.sh, b.sh)) /
@@ -2876,6 +2920,88 @@ object TextQueries {
           |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_images,
           |  count(*) AS n_sigs
           |FROM labeled GROUP BY 1""".stripMargin,
+
+      // mm10 twin: mm9's pixel-replay signature chain (CTEs i-prefixed
+      // where they would collide with the text-dedup fragment) ->
+      // doc-level image-cluster labels -> one representative per image
+      // cluster -> dd9's LSH-verify + recursive-component chain over
+      // the survivor set.
+      "mm10_crossmodal_dedup" -> {
+        val textCtes = lshVerifiedCtesFor(2, 4, 2, 0.05, from = "surv")
+        s"""WITH RECURSIVE p AS (
+          |  SELECT doc_id,
+          |    (doc_id - doc_id % 4) % 13 + 4 AS w,
+          |    (doc_id - doc_id % 4) % 7 + 4 AS h
+          |  FROM documents),
+          |cells AS (
+          |  SELECT ci, cj
+          |  FROM (SELECT unnest(range(0, 8)) AS ci) a
+          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cj) b),
+          |bnd AS (
+          |  SELECT doc_id, w, h, ci, cj,
+          |    (cj * w) // 8 AS x0,
+          |    least(greatest(((cj + 1) * w) // 8, (cj * w) // 8 + 1), w) AS x1,
+          |    (ci * h) // 8 AS y0,
+          |    least(greatest(((ci + 1) * h) // 8, (ci * h) // 8 + 1), h) AS y1
+          |  FROM p CROSS JOIN cells),
+          |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM bnd),
+          |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
+          |g AS (
+          |  SELECT doc_id, ci, cj,
+          |    299 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) // 65536)
+          |      + 587 * ((((doc_id * 31 + x * 7 + y * 13) % 16777216) // 256) % 256)
+          |      + 114 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) % 256)
+          |      AS luma
+          |  FROM bxy),
+          |cellm AS (
+          |  SELECT doc_id, ci, cj,
+          |    CAST(sum(luma) // count(*) AS BIGINT) AS m
+          |  FROM g GROUP BY 1, 2, 3),
+          |tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot FROM cellm GROUP BY 1),
+          |bits AS (
+          |  SELECT c.doc_id, c.ci * 8 + c.cj AS k,
+          |    CASE WHEN 64 * c.m > t.tot THEN 1 ELSE 0 END AS bit
+          |  FROM cellm c JOIN tot t USING (doc_id)),
+          |isig AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+          |      ELSE 0 END) AS BIGINT) AS sig_hi,
+          |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+          |      ELSE 0 END) AS BIGINT) AS sig_lo
+          |  FROM bits GROUP BY 1),
+          |sigstats AS (
+          |  SELECT sig_hi, sig_lo, min(doc_id) AS rid
+          |  FROM isig GROUP BY 1, 2),
+          |ivpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM sigstats l JOIN sigstats r ON l.rid < r.rid
+          |  WHERE bit_count(xor(l.sig_hi, r.sig_hi))
+          |      + bit_count(xor(l.sig_lo, r.sig_lo)) <= 3),
+          |iedges AS (
+          |  SELECT id_a AS u, id_b AS v FROM ivpairs
+          |  UNION SELECT id_b, id_a FROM ivpairs),
+          |ireach AS (
+          |  SELECT u AS id, v AS r FROM iedges
+          |  UNION
+          |  SELECT t.id, e.v AS r FROM ireach t JOIN iedges e ON t.r = e.u),
+          |icl AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM ireach GROUP BY id),
+          |dlab AS (
+          |  SELECT d.doc_id, coalesce(c.cid, s.rid) AS cluster_id
+          |  FROM isig d
+          |  JOIN sigstats s USING (sig_hi, sig_lo)
+          |  LEFT JOIN icl c ON s.rid = c.id),
+          |img_reps AS (
+          |  SELECT min(doc_id) AS doc_id FROM dlab GROUP BY cluster_id),
+          |surv AS (
+          |  SELECT d.* FROM documents d SEMI JOIN img_reps USING (doc_id)),
+          |$textCtes,
+          |$componentCtes,
+          |tcl AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id)
+          |SELECT doc_id, lang, source FROM surv
+          |WHERE doc_id NOT IN (SELECT id FROM tcl WHERE id <> cid)""".stripMargin
+      },
 
       // mm7 twin: delta-energy fingerprint replayed from the PCM sample
       // formula x_i = (doc_id*7 + i*13) % 201 - 100 — integer energies,
