@@ -98,9 +98,10 @@ object ScaleCurve {
     // and the soft-dedup-weighted DSIR sampler composition.
     "dd28_pii_redact", "dd29_host_cap", "t33_soft_sample",
     // round-12: image near-dup clustering (the text banding machinery on
-    // aHash signatures) and the learned quality classifier (fused
-    // bucket-count features + deterministic GD-LR, map-only scoring).
-    "mm9_image_near_dup", "t34_quality_clf")
+    // aHash signatures), the learned quality classifier (fused
+    // bucket-count features + deterministic GD-LR, map-only scoring),
+    // and the cross-modal composition (image clusters -> text dedup).
+    "mm9_image_near_dup", "t34_quality_clf", "mm10_crossmodal_dedup")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -181,7 +182,11 @@ object ScaleCurve {
     // question (does the gradient fixture's distinct-sig count stay
     // bounded at depth); t34's corpus side is map-only scoring whose
     // second decade should track the scan.
-    "t33_soft_sample", "mm9_image_near_dup", "t34_quality_clf")
+    "t33_soft_sample", "mm9_image_near_dup", "t34_quality_clf",
+    // the cross-modal composition joins its components' deep set — a
+    // pipeline of individually-linear stages can still compose a
+    // superlinear term (the e2e rationale)
+    "mm10_crossmodal_dedup")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
