@@ -1377,11 +1377,14 @@ object TextAnalysis {
     val noQuery = regexp_replace(noScheme, "[?#].*", "")
     // userinfo strip runs on the pre-slash authority segment only ('@'
     // in a path never reaches it) and BEFORE www/port normalization, so
-    // user:pw@www.Host:443 canonicalizes identically to host.
+    // user:pw@www.Host:443 canonicalizes identically to host. RFC 3986
+    // userinfo extends to the LAST '@' in the authority, hence the
+    // greedy '^.*@' (a@b@host → host, not b@host); the segment is
+    // pre-extracted so greed cannot eat into the path.
     val host = regexp_replace(
       regexp_replace(
         regexp_replace(lower(regexp_extract(noQuery, "^[^/]*", 0)),
-          "^[^@]*@", ""),
+          "^.*@", ""),
         "^www\\.", ""),
       ":(80|443)$", "")
     val path = regexp_replace(regexp_replace(noQuery, "^[^/]*", ""),
@@ -1397,7 +1400,7 @@ object TextAnalysis {
     val noQuery =
       s"regexp_replace(regexp_replace($urlExpr, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '[?#].*', '')"
     val host =
-      s"regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract($noQuery, '^[^/]*')), '^[^@]*@', ''), '^www\\.', ''), ':(80|443)$$', '')"
+      s"regexp_replace(regexp_replace(regexp_replace(lower(regexp_extract($noQuery, '^[^/]*')), '^.*@', ''), '^www\\.', ''), ':(80|443)$$', '')"
     val path = s"regexp_replace(regexp_replace($noQuery, '^[^/]*', ''), '/+$$', '')"
     Map("url_host" -> host, "url_canon" -> s"($host || $path)")
   }

@@ -143,10 +143,14 @@ object DeepDocsProbe {
         System.err.println(f"[deep-docs] $name%-24s ${deep5Docs / 1000000}M: " +
           f"$t5%8.2f s (rows=$n5)")
         parts += f""""deep5_sec":$t5%.2f,"deep5_rows":$n5"""
-        // record the task-sizing knob this row was measured under, when
-        // it differs from the one-task-per-core default
-        sys.env.get("SPARK_GRAFT_SHUFFLE").foreach(p =>
-          parts += s""""deep5_shuffle_partitions":$p""")
+        // ALWAYS record the task-sizing knob this row was measured under
+        // (writeMerged merges field-wise without deleting, so an absent
+        // tag would leave a stale 256 next to a fresh default-knob row);
+        // parse the env var so a non-numeric value can't corrupt the JSON
+        val shufParts = sys.env.get("SPARK_GRAFT_SHUFFLE")
+          .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+          .getOrElse(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+        parts += s""""deep5_shuffle_partitions":$shufParts"""
       }
       writeMerged(deep4Docs, deep5Docs,
         Map(name -> parts.mkString("{", ",", "}")))

@@ -198,6 +198,10 @@ object PlanAudit {
           case e: CodegenFallback => out += e.getClass.getSimpleName
           case _ => ()
         })
+        // Subquery physical plans (ScalarSubquery / InSubqueryExec) hang
+        // off expressions, not `children` — a fallback inside one would
+        // otherwise escape the gate.
+        other.subqueries.foreach(walk)
         other.children.foreach(walk)
     }
     walk(plan)
@@ -365,11 +369,23 @@ object PlanAudit {
       }
     }
     val totals = results.map(_._2)
+    // Same subtraction as the `bad` gate below — a query only counts as
+    // non-benign if its fallback set survives BOTH the benign set and its
+    // per-query allowlist entry; allowlisted queries are reported apart.
+    val nonBenign = results.count { case (name, c) =>
+      (c.fallback -- benignFallback.keySet --
+        allowedFallback.get(name).map(_._1).getOrElse(Set.empty)).nonEmpty
+    }
+    val allowlisted = results.count { case (name, c) =>
+      val afterBenign = c.fallback -- benignFallback.keySet
+      afterBenign.nonEmpty && (afterBenign --
+        allowedFallback.get(name).map(_._1).getOrElse(Set.empty)).isEmpty
+    }
     sb ++= s"\nTotals: ${totals.map(_.shuffles).sum} shuffles, " +
       s"${totals.map(_.bcast).sum} broadcasts, " +
       s"${totals.map(_.nlj).sum} nested-loop joins, " +
-      s"${totals.count(_.fallback.exists(!benignFallback.contains(_)))} queries " +
-      s"with non-benign interpreted expressions, " +
+      s"$nonBenign queries with non-benign interpreted expressions " +
+      s"($allowlisted with allowlisted-only interpreted expressions), " +
       s"${totals.map(_.lojAgg).sum} counting-sink-unsafe join tails over " +
       s"${results.size} queries.\n"
     Files.write(Paths.get(outPath),

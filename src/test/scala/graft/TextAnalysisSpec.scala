@@ -573,7 +573,8 @@ class TextAnalysisSpec extends SparkTestBase {
       (4L, "www.site9.example.org:80/a//"),        // no scheme, double slash
       (5L, "https://user:Pw@WWW.Big.Example.COM:443/p/3"), // userinfo
       (6L, "ftp://u@site9.example.org:2121/a"),    // userinfo + NON-default port
-      (7L, "http://big.example.com/p/3?r=a@b.c")   // '@' in query, not userinfo
+      (7L, "http://big.example.com/p/3?r=a@b.c"),  // '@' in query, not userinfo
+      (8L, "http://a@b@site9.example.org/p")        // '@' INSIDE userinfo: RFC 3986 userinfo ends at the LAST '@'
     ).toDF("doc_id", "url")
     val out = TextAnalysis.urlColumns(urls, "url").orderBy("doc_id")
       .select("url_host", "url_canon").as[(String, String)].collect().toSeq
@@ -588,5 +589,7 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out(5) == (("site9.example.org:2121", "site9.example.org:2121/a")))
     // '@' after the authority segment (query/path) is NOT userinfo
     assert(out(6) == (("big.example.com", "big.example.com/p/3")))
+    // userinfo with an embedded '@' strips to the LAST '@'
+    assert(out(7) == (("site9.example.org", "site9.example.org/p")))
   }
 }
