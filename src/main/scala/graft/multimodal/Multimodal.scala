@@ -478,6 +478,49 @@ object Multimodal {
     }(enc)
   }
 
+  /** 256-bit perceptual average-hash: 16×16 luma thumbnail, each cell
+    * thresholded against the 256-cell mean in the same EXACT integer
+    * arithmetic as [[aHash64]] (bit_k = 256·m_k > Σm), packed LSB-first
+    * into EIGHT 32-bit words `sig0..sig7` (word w carries bits
+    * [32w, 32w+32) — BIGINT-safe in every engine). This is the WIDE
+    * response to aHash64's banding ceiling: a 64-bit hash cannot band
+    * wider than 4×16 bits without losing pigeonhole exactness at
+    * hamming radius 3, so its band-bucket collision floor is pinned at
+    * ~n²/2¹⁶ per band over however many distinct signatures the corpus
+    * realizes; 256 bits band as 16×16 (exact through radius 15) over a
+    * 4× larger signature space. Failed decodes yield null sig columns
+    * (QC accounting, same contract as [[decodePixels]]). */
+  def aHash256(media: DataFrame, payloadCol: String): DataFrame = {
+    val thumb = 16
+    val outSchema = (0 until 8).foldLeft(media.schema)(
+      (s, w) => s.add(s"sig$w", LongType))
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(outSchema)
+    val idx = media.schema.fieldIndex(payloadCol)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](idx)
+        val img =
+          if (payload == null) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null) Row.fromSeq(r.toSeq ++ Seq.fill(8)(null))
+        else {
+          val (sums, ns) = poolLumaCells(img, thumb)
+          val m = Array.tabulate(256)(k => sums(k) / ns(k))
+          val tot = m.sum
+          val words = new Array[Long](8)
+          var k = 0
+          while (k < 256) {
+            if (256L * m(k) > tot) words(k >> 5) |= 1L << (k & 31)
+            k += 1
+          }
+          Row.fromSeq(r.toSeq ++ words.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Deterministic REAL image payload for fixtures/queries: encode a
     * `width`×`height` RGB image whose pixel (x, y) is a fixed function of
     * (seed, x, y), through the JDK's own ImageIO codec ("png" or "jpg").
@@ -486,7 +529,18 @@ object Multimodal {
     * functions of the inputs, which is what lets a SQL oracle recompute
     * the decoded columns without a codec. */
   def encodeTestImage(seed: Long, format: String, width: Int,
-                      height: Int): Array[Byte] = {
+                      height: Int): Array[Byte] =
+    encodeTestImage(seed, format, width, height, 7, 13)
+
+  /** [[encodeTestImage]] with caller-chosen gradient slopes: pixel
+    * (x, y) = (seed·31 + x·ax + y·ay) & 0xffffff. The 3-arg form pins
+    * (ax, ay) = (7, 13) for the fixtures whose oracles replay those
+    * literals (mm3/mm6); per-doc slopes are what give a corpus-scale
+    * fixture a signature space that GROWS with the corpus (the seed
+    * term alone is a brightness shift the mean-thresholded aHash
+    * cancels, so seed-only fixtures saturate at the dim-combo count). */
+  def encodeTestImage(seed: Long, format: String, width: Int,
+                      height: Int, ax: Long, ay: Long): Array[Byte] = {
     require(width > 0 && height > 0, s"encodeTestImage: bad dims ${width}x$height")
     val img = new java.awt.image.BufferedImage(
       width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -494,7 +548,7 @@ object Multimodal {
     while (y < height) {
       var x = 0
       while (x < width) {
-        val v = (seed * 31 + x * 7 + y * 13) & 0xffffff
+        val v = (seed * 31 + x * ax + y * ay) & 0xffffff
         img.setRGB(x, y, v.toInt)
         x += 1
       }

@@ -861,25 +861,67 @@ object Dedup {
     require(maxHamming < bands,
       s"hammingBandJoin64: need maxHamming ($maxHamming) < bands ($bands) " +
         "for the pigeonhole guarantee")
-    val perHalf = bands / 2
-    val bandBits = 32 / perHalf
+    hammingBandCandidatesWords(sigs, idCol, Seq("sig_lo", "sig_hi"), bands / 2)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** [[hammingBandJoin64]] generalized to a signature carried as N
+    * 32-bit words (`wordCols`, LSB-first — word w holds bits
+    * [32w, 32w+32)): each word contributes `bandsPerWord` contiguous
+    * bands of 32/bandsPerWord bits, `wordCols.size * bandsPerWord`
+    * bands total; by pigeonhole the candidate set is EXACT for
+    * maxHamming < total bands. This is how a wider perceptual hash
+    * buys a deeper exact radius AND a larger band-key space than the
+    * 64-bit form's 4×16 ceiling — same scale shape throughout: the
+    * only join is an equi-join on the band key, verify is a per-pair
+    * popcount sum, callers block on DISTINCT signatures. */
+  def hammingBandJoinWords(sigs: DataFrame, idCol: String,
+                           wordCols: Seq[String], bandsPerWord: Int,
+                           maxHamming: Int,
+                           blockCols: Seq[String] = Nil): DataFrame = {
+    require(maxHamming < wordCols.size * bandsPerWord,
+      s"hammingBandJoinWords: need maxHamming ($maxHamming) < total bands " +
+        s"(${wordCols.size * bandsPerWord}) for the pigeonhole guarantee")
+    hammingBandCandidatesWords(sigs, idCol, wordCols, bandsPerWord, blockCols)
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** The pre-verify stage of [[hammingBandJoinWords]]: every DISTINCT
+    * id pair sharing at least one band key, with its hamming distance
+    * attached but NOT filtered — the candidate volume a banding emits,
+    * which is what the collision-floor probes measure (verify work
+    * follows candidates, not documents). `blockCols` join as extra
+    * equi-keys next to the band key: signatures in different blocks
+    * are never candidates (e.g. audio fingerprints only compare at
+    * equal window counts — a different-length clip is a different
+    * object, and the block key keeps it out of the bucket). */
+  def hammingBandCandidatesWords(sigs: DataFrame, idCol: String,
+                                 wordCols: Seq[String],
+                                 bandsPerWord: Int,
+                                 blockCols: Seq[String] = Nil): DataFrame = {
+    require(bandsPerWord >= 1 && 32 % bandsPerWord == 0,
+      s"hammingBandCandidatesWords: bandsPerWord must divide 32, got $bandsPerWord")
+    val totalBands = wordCols.size * bandsPerWord
+    val bandBits = 32 / bandsPerWord
     val mask = (1L << bandBits) - 1
-    val banded = (0 until bands).map { j =>
-      val half = if (j < perHalf) col("sig_lo") else col("sig_hi")
-      val off = (j % perHalf) * bandBits
-      sigs.select(col(idCol), col("sig_hi"), col("sig_lo"),
+    val banded = (0 until totalBands).map { j =>
+      val word = col(wordCols(j / bandsPerWord))
+      val off = (j % bandsPerWord) * bandBits
+      sigs.select(col(idCol) +: (wordCols ++ blockCols).map(col) :+
         concat_ws("_", lit(j),
-          shiftright(half, off).bitwiseAND(mask)).as("bk"))
+          shiftright(word, off).bitwiseAND(mask)).as("bk"): _*)
     }.reduce(_ union _)
     val l = banded.as("l")
     val r = banded.as("r")
-    l.join(r, col("l.bk") === col("r.bk") && col(s"l.$idCol") < col(s"r.$idCol"))
+    val ham = wordCols.map(wc =>
+      bit_count(col(s"l.$wc").bitwiseXOR(col(s"r.$wc")))).reduce(_ + _)
+    val cond = (Seq("bk") ++ blockCols)
+      .map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _) && col(s"l.$idCol") < col(s"r.$idCol")
+    l.join(r, cond)
       .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
-        (bit_count(col("l.sig_hi").bitwiseXOR(col("r.sig_hi"))) +
-          bit_count(col("l.sig_lo").bitwiseXOR(col("r.sig_lo"))))
-          .cast("long").as("hamming"))
+        ham.cast("long").as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
   /** CTE chain of [[simhashPairs]]'s banded blocking + verify, ending in

@@ -13,6 +13,10 @@ import graft.operators._
   */
 object MlQueries {
 
+  /** Exposed for [[graft.tools.ProfileM6]] (the m6 fit-cost probe). */
+  def dailyUserFrame(s: SparkSession, dir: String): DataFrame =
+    dailyUser(s, dir)
+
   private def dailyUser(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("date"))

@@ -90,16 +90,73 @@ object TextQueries {
         (col("doc_id") % 13).cast("string")))
     .otherwise(col("text")))
 
-  /** mm9/mm10 shared image fixture + perceptual hash: deterministic
-    * near-duplicate PNG payloads (groups of 4 consecutive doc_ids share
-    * one gradient pattern + dims; the unit seed offsets are brightness
-    * shifts whose channel carries flip a few aHash bits — the near-dup
-    * regime) hashed by [[graft.multimodal.Multimodal.aHash64]].
-    * Returns one (doc_id, sig_hi, sig_lo) row per document. */
-  def mm9DocSigs(s: SparkSession, dir: String): DataFrame = {
+  /** mm9/mm10 shared image fixture: deterministic near-duplicate PNG
+    * payloads. Groups of 4 consecutive doc_ids share one gradient
+    * pattern (dims AND per-group slopes ax/ay — the slopes are what
+    * make the DISTINCT-signature count grow with the corpus instead of
+    * saturating at the ~91 dim combos a seed-only fixture realizes:
+    * the seed term is a brightness shift the mean-thresholded aHash
+    * mostly cancels); within a group the unit seed offsets flip a few
+    * hash bits via channel carries — the near-dup regime. */
+  def mm9Media(s: SparkSession, dir: String): DataFrame = {
     import graft.multimodal.Multimodal
     val media = Tables.documents(s, dir).select(col("doc_id"))
       .repartition(s.sparkContext.defaultParallelism)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("doc_id", org.apache.spark.sql.types.LongType)
+      .add("payload", org.apache.spark.sql.types.BinaryType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val base = id - id % 4
+        // dims >= 16 so EVERY cell of the 16x16 (and 8x8) pooling
+        // covers its own pixels: sub-thumbnail images replicate pixels
+        // across cells, collapsing per-band key entropy — the measured
+        // 0.5M-doc probe on 4-16px dims out-spilled the sandbox in the
+        // band join for BOTH hash widths, a fixture artifact, not an
+        // operator property
+        val w = (base % 13 + 16).toInt
+        val h = (base % 7 + 16).toInt
+        val ax = 1 + (base * 7919) % 65027
+        val ay = 1 + (base * 104729) % 64921
+        org.apache.spark.sql.Row(id,
+          Multimodal.encodeTestImage(id, "png", w, h, ax, ay))
+      }
+    }(enc)
+  }
+
+  /** [[mm9Media]] hashed by [[graft.multimodal.Multimodal.aHash64]]:
+    * one (doc_id, sig_hi, sig_lo) row per document. */
+  def mm9DocSigs(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aHash64(mm9Media(s, dir), "payload")
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+
+  /** [[mm9Media]] hashed by the WIDE 256-bit
+    * [[graft.multimodal.Multimodal.aHash256]]: one
+    * (doc_id, sig0..sig7) row per document — mm9_wide's input. */
+  def mm9WideDocSigs(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.aHash256(mm9Media(s, dir), "payload")
+      .select(col("doc_id") +: (0 until 8).map(w => col(s"sig$w")): _*)
+
+  /** mm11 audio fixture + fingerprint over an arbitrary doc_id frame:
+    * deterministic near-duplicate PCM16-LE payloads. Groups of 4
+    * consecutive doc_ids share one base waveform — per-group sample
+    * count n = base%180+68 (so the fingerprint space GROWS with the
+    * corpus: 17–61 windows, up to 60 delta bits — not a saturating
+    * few-window space) and step sa = 1+(base*37)%199, sample
+    * x_i = (base*7 + i*sa) % 201, all NONNEGATIVE so engine and SQL
+    * twin agree on integer division. Within a group the variant
+    * v = doc_id%4 applies an integer gain x' = (x*(16+v))//16: a
+    * uniform re-leveling whose truncation noise flips a few borderline
+    * delta-energy signs — the audio near-dup regime (v=0 is the
+    * identity, so each group also carries an exact collision). Returns
+    * one (doc_id, n_windows, fp) row per input doc. */
+  def mm11FpsFor(docIds: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = docIds.select(col("doc_id"))
+      .repartition(docIds.sparkSession.sparkContext.defaultParallelism)
     val outSchema = new org.apache.spark.sql.types.StructType()
       .add("doc_id", org.apache.spark.sql.types.LongType)
       .add("payload", org.apache.spark.sql.types.BinaryType)
@@ -109,14 +166,27 @@ object TextQueries {
       rows.map { r =>
         val id = r.getLong(0)
         val base = id - id % 4
-        val w = (base % 13 + 4).toInt
-        val h = (base % 7 + 4).toInt
-        org.apache.spark.sql.Row(id, Multimodal.encodeTestImage(id, "png", w, h))
+        val n = (base % 180 + 68).toInt
+        val sa = 1 + (base * 37) % 199
+        val gv = 16 + (id % 4).toInt
+        val b = new Array[Byte](2 * n)
+        var i = 0
+        while (i < n) {
+          val x = (((base * 7 + i * sa) % 201) * gv / 16).toInt
+          b(2 * i) = (x & 0xff).toByte
+          b(2 * i + 1) = ((x >> 8) & 0xff).toByte
+          i += 1
+        }
+        org.apache.spark.sql.Row(id, b)
       }
     }(enc)
-    Multimodal.aHash64(withPayload, "payload")
-      .select(col("doc_id"), col("sig_hi"), col("sig_lo"))
+    Multimodal.audioFingerprint(withPayload, "payload")
+      .select(col("doc_id"), col("n_windows"), col("fp"))
   }
+
+  /** [[mm11FpsFor]] over the whole documents table. */
+  def mm11DocFps(s: SparkSession, dir: String): DataFrame =
+    mm11FpsFor(Tables.documents(s, dir).select(col("doc_id")))
 
   private val mixtureWeights = Map(
     "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
@@ -237,6 +307,21 @@ object TextQueries {
       val sig = Dedup.minhashSignature(Tables.documents(s, dir),
         "doc_id", "text", 2, 4)
       val pairs = Dedup.lshCandidatesEager(sig, "doc_id", 4, 2)
+      Dedup.pagerankOverPairs(pairs, "id_a", "id_b", damping = 0.85,
+        iters = 6)
+    }),
+
+    // t22_prod: the same PageRank hub signal over dd21's
+    // PRODUCTION-banded verified pairs (16 hashes, 4 bands of 4,
+    // J >= 0.5) — t22's audit-knob curve is collision-floor-bound by
+    // its dd3 input (documented in SCALING.md), so the claim that the
+    // production edge set behaves is measured here instead of argued
+    // by reference: the edge volume is dd21's cluster-shaped output,
+    // and each PageRank round stays one equi-join + one aggregation
+    // over it.
+    "t22_prod" -> ((s, dir) => {
+      val pairs = Dedup.lshVerifiedPairs(Tables.documents(s, dir),
+        "doc_id", "text", 3, 16, 4, 0.5)
       Dedup.pagerankOverPairs(pairs, "id_a", "id_b", damping = 0.85,
         iters = 6)
     }),
@@ -803,31 +888,122 @@ object TextQueries {
         .agg(sum(col("n")).as("n_images"), count(lit(1)).as("n_sigs"))
     }),
 
+    // mm9_wide: the WIDE-hash response to aHash64's banding ceiling —
+    // dd21_lsh_wide_bands' treatment for images, with the banding
+    // chosen by MEASUREMENT (BANDCANDS image rows at 0.5M docs):
+    // aHash64 is pinned at 4 bands of 16 bits by pigeonhole exactness
+    // at radius 3 and emits 115 candidates per distinct signature;
+    // naively banding the 256-bit hash 16×16 is WORSE (1352 cands/sig
+    // — more bands = more chances for correlated thumbnail rows to
+    // collide); 8 bands of 32 bits (exact through radius 7) is the
+    // measured sweet spot at 28.7 cands/sig — wider keys buy entropy
+    // faster than fewer pigeonhole slots cost radius. Same plan shape
+    // as mm9: distinct-signature contraction, equi-join on band keys,
+    // per-pair popcount verify, cluster rollup. The twin replays the
+    // 16×16 integer pooling pixel-for-pixel and brute-forces all-pairs
+    // hamming over distinct signatures, so the banding's EXACTNESS at
+    // radius 7 is oracle-checked, not argued.
+    "mm9_wide" -> ((s, dir) => {
+      val sigCols = (0 until 8).map(w => s"sig$w")
+      val sigStats = mm9WideDocSigs(s, dir)
+        .groupBy(sigCols.head, sigCols.tail: _*)
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+      val pairs = Dedup.hammingBandJoinWords(sigStats, "rid",
+        sigCols, bandsPerWord = 1, maxHamming = 7)
+      val clusters = Dedup.dupClusters(pairs)
+      sigStats
+        .join(clusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(coalesce(col("cluster_id"), col("rid")).as("cluster_id"),
+          col("n"))
+        .groupBy("cluster_id")
+        .agg(sum(col("n")).as("n_images"), count(lit(1)).as("n_sigs"))
+    }),
+
+    // mm11: audio near-dup dedup — mm9's treatment at the audio grain.
+    // mm7's delta-energy fingerprint over the mm11 fixture (planted
+    // near-dup payloads: per-group base waveforms, per-variant integer
+    // gain re-leveling whose truncation noise flips a few borderline
+    // delta bits), then the hamming-banded equi-join BLOCKED on the
+    // window count (a different-length clip is a different object —
+    // the block key keeps it out of the bucket entirely), exact
+    // per-pair popcount verify at radius 3, cluster rollup. Blocking
+    // runs on DISTINCT (n_windows, fp) signatures, so equal-fingerprint
+    // masses attach by equality and never enumerate m² pairs; the twin
+    // replays samples from the byte formula and brute-forces all-pairs
+    // hamming within each window-count block — banding exactness is
+    // oracle-checked.
+    "mm11_audio_near_dup" -> ((s, dir) => {
+      val sigStats = mm11DocFps(s, dir)
+        .groupBy("n_windows", "fp")
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+        .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
+        .withColumn("sig_hi", shiftright(col("fp"), 32))
+      val pairs = Dedup.hammingBandJoinWords(sigStats, "rid",
+        Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
+        blockCols = Seq("n_windows"))
+      val clusters = Dedup.dupClusters(pairs)
+      sigStats
+        .join(clusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(coalesce(col("cluster_id"), col("rid")).as("cluster_id"),
+          col("n"))
+        .groupBy("cluster_id")
+        .agg(sum(col("n")).as("n_audios"), count(lit(1)).as("n_sigs"))
+    }),
+
     // mm10: CROSS-MODAL dedup composition — the multimodal corpus dedups
-    // each modality at ITS grain, in order: near-duplicate IMAGES
+    // EVERY modality at ITS grain, in order: near-duplicate IMAGES
     // collapse first (mm9's hamming-banded aHash clusters; a re-encoded
     // or brightness-shifted thumbnail must not let its caption dodge
-    // text dedup by riding a "different" document), one representative
-    // doc survives per image cluster, and TEXT near-dup (the dd9
-    // LSH-verify composition at its oracle knobs) then runs on the
-    // image-level survivors. Both stages are the already-gated
-    // operators; the twin composes mm9's pixel-replay sig chain with
-    // the dd9 CTE chain over the survivor set (two recursive component
-    // chains, image-side names i-prefixed).
+    // downstream dedup by riding a "different" document), one
+    // representative doc survives per image cluster; near-duplicate
+    // AUDIO collapses next (mm11's window-count-blocked fingerprint
+    // banding, computed ONLY over the image-stage survivors — the
+    // per-doc decode work shrinks with each stage); and TEXT near-dup
+    // (the dd9 LSH-verify composition at its oracle knobs) runs on the
+    // audio-level survivors. All three stages are the already-gated
+    // operators; the twin composes the WIDE pixel-replay sig chain
+    // (i-prefixed), mm11's sample-replay chain (au-prefixed) and the
+    // dd9 CTE chain over the survivor set — three recursive component
+    // chains. The image stage runs at mm9_wide's 256-bit banding, not
+    // mm9's 64-bit form: the composition is the production-shaped
+    // pipeline, and the 64-bit banding's candidate floor is MEASURED
+    // (BANDCANDS: 115 cands/sig at 0.5M docs vs mm9_wide's 28.7) — a
+    // three-stage chain rides the measured-best banding.
     "mm10_crossmodal_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val hashed = mm9DocSigs(s, dir)
-      val sigStats = hashed.groupBy("sig_hi", "sig_lo")
+      val sigCols = (0 until 8).map(w => s"sig$w")
+      val hashed = mm9WideDocSigs(s, dir)
+      val sigStats = hashed.groupBy(sigCols.head, sigCols.tail: _*)
         .agg(min("doc_id").as("rid"))
       val iclusters = Dedup.dupClusters(
-        Dedup.hammingBandJoin64(sigStats, "rid", bands = 4, maxHamming = 3))
-      val docLabeled = hashed.join(sigStats, Seq("sig_hi", "sig_lo"))
+        Dedup.hammingBandJoinWords(sigStats, "rid", sigCols,
+          bandsPerWord = 1, maxHamming = 7))
+      val docLabeled = hashed.join(sigStats, sigCols)
         .join(iclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
       val imgReps = docLabeled.groupBy("cluster_id")
         .agg(min("doc_id").as("doc_id"))
-      val survivors = docs.join(imgReps.select("doc_id"),
+      val isurv = docs.join(imgReps.select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // audio stage over the image survivors only
+      val afps = mm11FpsFor(isurv.select("doc_id"))
+      val asigStats = afps.groupBy("n_windows", "fp")
+        .agg(min("doc_id").as("rid"))
+        .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
+        .withColumn("sig_hi", shiftright(col("fp"), 32))
+      val aclusters = Dedup.dupClusters(
+        Dedup.hammingBandJoinWords(asigStats, "rid",
+          Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
+          blockCols = Seq("n_windows")))
+      val aLabeled = afps.join(asigStats.select("n_windows", "fp", "rid"),
+          Seq("n_windows", "fp"))
+        .join(aclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
+      val audReps = aLabeled.groupBy("cluster_id")
+        .agg(min("doc_id").as("doc_id"))
+      val survivors = isurv.join(audReps.select("doc_id"),
         Seq("doc_id"), "left_semi")
       val tclusters = Dedup.dupClusters(
         Dedup.lshVerifiedPairs(survivors, "doc_id", "text", 2, 4, 2, 0.05))
@@ -1166,10 +1342,15 @@ object TextQueries {
         .select(col("doc_id"), col("n_pii_spans"), col("redacted_text"))
         .localCheckpoint(true)
       // decontamCut reassembles into its canonical `dedup_text` column
-      // whatever the input text column is named
+      // whatever the input text column is named. Boundary: consumed by
+      // the BPE pricing pass AND the tokens_cut audit join — without it
+      // the decontam window pass (the chain's widest surviving
+      // intermediate) replays per consumer, the measured 5.4 s
+      // live-vs-marginal gap in PROFILE_E2E.
       val decon = Dedup.decontamCut(
         red.select(col("doc_id"), col("redacted_text")), evalDocs,
         "doc_id", "redacted_text", 4)
+        .localCheckpoint(true)
       TextAnalysis.bpeTokenCounts(
           decon.select(col("doc_id"), col("dedup_text")),
           "doc_id", "dedup_text")
@@ -1720,6 +1901,133 @@ object TextQueries {
       |  UNION
       |  SELECT t.id, e.v AS r FROM reach t JOIN edges e ON t.r = e.u)""".stripMargin
 
+  /** Pixel-replay CTE chain for the mm9 image fixture — the DuckDB side
+    * recomputes the per-group dims + gradient slopes, every pooled
+    * pixel, the integer milli-luma cell means and the mean-threshold
+    * bits, ending in a per-doc signature CTE named `sigName`. `thumb` 8
+    * packs 64 bits into (sig_hi, sig_lo); 16 packs 256 bits into 8
+    * 32-bit words sig0..sig7 — both replays of the engine's
+    * exact-integer pooling, so one flipped bit hash-diverges. */
+  private def mm9SigCtes(thumb: Int, sigName: String): String = {
+    val cellsN = thumb * thumb
+    val pack =
+      if (thumb == 8)
+        """    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
+          |      ELSE 0 END) AS BIGINT) AS sig_hi,
+          |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
+          |      ELSE 0 END) AS BIGINT) AS sig_lo""".stripMargin
+      else
+        (0 until 8).map(w =>
+          s"""    CAST(sum(CASE WHEN k // 32 = $w THEN bit * (1::BIGINT << (k % 32))
+             |      ELSE 0 END) AS BIGINT) AS sig$w""".stripMargin)
+          .mkString(",\n")
+    s"""p AS (
+      |  SELECT doc_id,
+      |    (doc_id - doc_id % 4) % 13 + 16 AS w,
+      |    (doc_id - doc_id % 4) % 7 + 16 AS h,
+      |    1 + ((doc_id - doc_id % 4) * 7919) % 65027 AS ax,
+      |    1 + ((doc_id - doc_id % 4) * 104729) % 64921 AS ay
+      |  FROM documents),
+      |cells AS (
+      |  SELECT ci, cj
+      |  FROM (SELECT unnest(range(0, $thumb)) AS ci) a
+      |  CROSS JOIN (SELECT unnest(range(0, $thumb)) AS cj) b),
+      |bnd AS (
+      |  SELECT doc_id, w, h, ax, ay, ci, cj,
+      |    (cj * w) // $thumb AS x0,
+      |    least(greatest(((cj + 1) * w) // $thumb, (cj * w) // $thumb + 1), w) AS x1,
+      |    (ci * h) // $thumb AS y0,
+      |    least(greatest(((ci + 1) * h) // $thumb, (ci * h) // $thumb + 1), h) AS y1
+      |  FROM p CROSS JOIN cells),
+      |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM bnd),
+      |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
+      |g AS (
+      |  SELECT doc_id, ci, cj,
+      |    299 * (((doc_id * 31 + x * ax + y * ay) % 16777216) // 65536)
+      |      + 587 * ((((doc_id * 31 + x * ax + y * ay) % 16777216) // 256) % 256)
+      |      + 114 * (((doc_id * 31 + x * ax + y * ay) % 16777216) % 256)
+      |      AS luma
+      |  FROM bxy),
+      |cellm AS (
+      |  SELECT doc_id, ci, cj,
+      |    CAST(sum(luma) // count(*) AS BIGINT) AS m
+      |  FROM g GROUP BY 1, 2, 3),
+      |tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot FROM cellm GROUP BY 1),
+      |bits AS (
+      |  SELECT c.doc_id, c.ci * $thumb + c.cj AS k,
+      |    CASE WHEN $cellsN * c.m > t.tot THEN 1 ELSE 0 END AS bit
+      |  FROM cellm c JOIN tot t USING (doc_id)),
+      |$sigName AS MATERIALIZED (
+      |  SELECT doc_id,
+      |$pack
+      |  FROM bits GROUP BY 1)""".stripMargin
+  }
+
+  /** Sample-replay CTE chain for the mm11 audio fixture: recompute
+    * every gained PCM sample from the byte formula, the per-window
+    * exact integer energies, the delta-sign bits and the LSB-first
+    * packed fingerprint, ending in `${pfx}f(doc_id, n_windows, fp)` —
+    * so a gain-truncation slip, window off-by-one or packing bug
+    * hash-diverges. All CTE names are `pfx`-prefixed so the chain
+    * composes into multi-modality twins. */
+  private def mm11FpCtes(pfx: String, from: String): String =
+    s"""${pfx}q AS (
+      |  SELECT doc_id,
+      |    (doc_id - doc_id % 4) % 180 + 68 AS n,
+      |    1 + ((doc_id - doc_id % 4) * 37) % 199 AS sa,
+      |    16 + doc_id % 4 AS gv,
+      |    (doc_id - doc_id % 4) AS gb
+      |  FROM $from),
+      |${pfx}s AS (
+      |  SELECT doc_id, n // 4 AS nw, sa, gv, gb,
+      |    unnest(range(0, 4 * (n // 4))) AS i
+      |  FROM ${pfx}q),
+      |${pfx}x AS (
+      |  SELECT doc_id, nw, i // 4 AS wi,
+      |    (((gb * 7 + i * sa) % 201) * gv) // 16 AS v
+      |  FROM ${pfx}s),
+      |${pfx}e AS (
+      |  SELECT doc_id, nw, wi, sum(v * v) AS energy
+      |  FROM ${pfx}x GROUP BY 1, 2, 3),
+      |${pfx}d AS (
+      |  SELECT doc_id, nw, wi, energy,
+      |    lead(energy) OVER (PARTITION BY doc_id ORDER BY wi) AS nexte
+      |  FROM ${pfx}e),
+      |${pfx}f AS MATERIALIZED (
+      |  SELECT doc_id, CAST(nw AS INTEGER) AS n_windows,
+      |    CAST(coalesce(sum(CASE WHEN nexte > energy
+      |      THEN 1::BIGINT << wi ELSE 0 END), 0) AS BIGINT) AS fp
+      |  FROM ${pfx}d WHERE wi < nw - 1 AND wi < 63 GROUP BY 1, 2)""".stripMargin
+
+  /** PageRank-over-edges CTE chain (expects `edges(src, dst)` upstream):
+    * degree, node count, uniform r0 and `iters` unrolled fixed-point
+    * rounds ending in `r$iters(id, deg, r)`. All arithmetic forced to
+    * DOUBLE (DuckDB parses bare numeric literals as DECIMAL, whose
+    * exact 0.15 differs from the engine's binary 1.0-0.85) so both
+    * engines replay identical IEEE operations. */
+  private def pagerankCtes(iters: Int): String = {
+    val d = "CAST(0.85 AS DOUBLE)"
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (
+         |  SELECT e.dst AS id, sum(p.r / p.deg) AS in_r
+         |  FROM edges e JOIN r${k - 1} p ON p.id = e.src
+         |  GROUP BY e.dst),
+         |r$k AS (
+         |  SELECT d.id, d.deg,
+         |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * coalesce(c.in_r,
+         |      CAST(0.0 AS DOUBLE)) AS r
+         |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON c.id = d.id)"""
+        .stripMargin }.mkString(",\n")
+    // deg is referenced by nn, r0 and every unrolled round — without
+    // MATERIALIZED DuckDB re-inlines the whole upstream edge chain at
+    // each reference (exponential replay, the t34 lesson)
+    s"""deg AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
+      |nn AS (SELECT count(*) AS n FROM deg),
+      |r0 AS (SELECT id, deg, CAST(1.0 AS DOUBLE) / nn.n AS r
+      |  FROM deg CROSS JOIN nn),
+      |$iterCtes""".stripMargin
+  }
+
   def oracles: Map[String, String] = {
     Map(
       "t25_hll_diversity" ->
@@ -1813,18 +2121,6 @@ object TextQueries {
       "t22_centrality" -> {
         val cols = (0 until 4)
           .map(i => s"${Dedup.minhashSql(2, i)} AS mh$i").mkString(",\n  ")
-        val d = "CAST(0.85 AS DOUBLE)"
-        val iterCtes = (1 to 6).map { k =>
-          s"""c$k AS (
-             |  SELECT e.dst AS id, sum(p.r / p.deg) AS in_r
-             |  FROM edges e JOIN r${k - 1} p ON p.id = e.src
-             |  GROUP BY e.dst),
-             |r$k AS (
-             |  SELECT d.id, d.deg,
-             |    (CAST(1.0 AS DOUBLE) - $d) / nn.n + $d * coalesce(c.in_r,
-             |      CAST(0.0 AS DOUBLE)) AS r
-             |  FROM deg d CROSS JOIN nn LEFT JOIN c$k c ON c.id = d.id)"""
-            .stripMargin }.mkString(",\n")
         s"""WITH sig AS (SELECT doc_id,\n  $cols\nFROM ${Dedup.tkSourceSql("text", "doc_id")}),
           |bands AS (
           |  SELECT doc_id, CAST(('0x' || substr(sha256(('0_' || mh0 || '_' || mh1)), 1, 15)) AS BIGINT) AS band_key FROM sig
@@ -1833,17 +2129,25 @@ object TextQueries {
           |  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
           |  FROM bands l JOIN bands r
           |    ON l.band_key = r.band_key AND l.doc_id < r.doc_id),
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM cand
+          |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM cand
           |  UNION ALL SELECT id_b, id_a FROM cand),
-          |deg AS (SELECT src AS id, count(*) AS deg FROM edges GROUP BY src),
-          |nn AS (SELECT count(*) AS n FROM deg),
-          |r0 AS (SELECT id, deg, CAST(1.0 AS DOUBLE) / nn.n AS r
-          |  FROM deg CROSS JOIN nn),
-          |$iterCtes
+          |${pagerankCtes(6)}
           |SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg,
           |  round(r, 6) AS centrality
           |FROM r6""".stripMargin
       },
+
+      // t22_prod twin: dd21's production-banded verify chain (vpairs at
+      // J >= 0.5), then the same unrolled PageRank rounds over its
+      // undirected edge expansion.
+      "t22_prod" ->
+        s"""WITH ${lshVerifiedCtesFor(3, 16, 4, 0.5)},
+          |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM vpairs
+          |  UNION ALL SELECT id_b, id_a FROM vpairs),
+          |${pagerankCtes(6)}
+          |SELECT id AS doc_id, CAST(deg AS BIGINT) AS deg,
+          |  round(r, 6) AS centrality
+          |FROM r6""".stripMargin,
 
       "dd5_ngram_jaccard" -> {
         val shExpr = Dedup.shinglesOverTkSql(2)
@@ -2851,53 +3155,14 @@ object TextQueries {
           |FROM sig GROUP BY 1, 2""".stripMargin,
 
       // mm9 twin: mm6's 64-cell integer aHash replay at the mm9 fixture
-      // dims (groups of 4 ids share w/h; seed = doc_id), then the
-      // BRUTE all-pairs hamming filter over distinct signatures — an
-      // independent check that the banded join is pigeonhole-exact —
-      // and the recursive component CTEs (dd8 pattern) + rollup.
+      // dims + per-group gradient slopes (shared [[mm9SigCtes]] chain),
+      // then the BRUTE all-pairs hamming filter over distinct
+      // signatures — an independent check that the banded join is
+      // pigeonhole-exact — and the recursive component CTEs (dd8
+      // pattern) + rollup.
       "mm9_image_near_dup" ->
-        """WITH RECURSIVE p AS (
-          |  SELECT doc_id,
-          |    (doc_id - doc_id % 4) % 13 + 4 AS w,
-          |    (doc_id - doc_id % 4) % 7 + 4 AS h
-          |  FROM documents),
-          |cells AS (
-          |  SELECT ci, cj
-          |  FROM (SELECT unnest(range(0, 8)) AS ci) a
-          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cj) b),
-          |bnd AS (
-          |  SELECT doc_id, w, h, ci, cj,
-          |    (cj * w) // 8 AS x0,
-          |    least(greatest(((cj + 1) * w) // 8, (cj * w) // 8 + 1), w) AS x1,
-          |    (ci * h) // 8 AS y0,
-          |    least(greatest(((ci + 1) * h) // 8, (ci * h) // 8 + 1), h) AS y1
-          |  FROM p CROSS JOIN cells),
-          |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM bnd),
-          |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
-          |g AS (
-          |  SELECT doc_id, ci, cj,
-          |    299 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) // 65536)
-          |      + 587 * ((((doc_id * 31 + x * 7 + y * 13) % 16777216) // 256) % 256)
-          |      + 114 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) % 256)
-          |      AS luma
-          |  FROM bxy),
-          |cellm AS (
-          |  SELECT doc_id, ci, cj,
-          |    CAST(sum(luma) // count(*) AS BIGINT) AS m
-          |  FROM g GROUP BY 1, 2, 3),
-          |tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot FROM cellm GROUP BY 1),
-          |bits AS (
-          |  SELECT c.doc_id, c.ci * 8 + c.cj AS k,
-          |    CASE WHEN 64 * c.m > t.tot THEN 1 ELSE 0 END AS bit
-          |  FROM cellm c JOIN tot t USING (doc_id)),
-          |sig AS (
-          |  SELECT doc_id,
-          |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
-          |      ELSE 0 END) AS BIGINT) AS sig_hi,
-          |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
-          |      ELSE 0 END) AS BIGINT) AS sig_lo
-          |  FROM bits GROUP BY 1),
-          |sigstats AS (
+        s"""WITH RECURSIVE ${mm9SigCtes(8, "sig")},
+          |sigstats AS MATERIALIZED (
           |  SELECT sig_hi, sig_lo, min(doc_id) AS rid, count(*) AS n
           |  FROM sig GROUP BY 1, 2),
           |vpairs AS (
@@ -2905,13 +3170,7 @@ object TextQueries {
           |  FROM sigstats l JOIN sigstats r ON l.rid < r.rid
           |  WHERE bit_count(xor(l.sig_hi, r.sig_hi))
           |      + bit_count(xor(l.sig_lo, r.sig_lo)) <= 3),
-          |edges AS (
-          |  SELECT id_a AS u, id_b AS v FROM vpairs
-          |  UNION SELECT id_b, id_a FROM vpairs),
-          |reach AS (
-          |  SELECT u AS id, v AS r FROM edges
-          |  UNION
-          |  SELECT t.id, e.v AS r FROM reach t JOIN edges e ON t.r = e.u),
+          |$componentCtes,
           |clusters AS (
           |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
           |labeled AS (
@@ -2921,62 +3180,82 @@ object TextQueries {
           |  count(*) AS n_sigs
           |FROM labeled GROUP BY 1""".stripMargin,
 
+      // mm9_wide twin: the 16×16-cell 256-bit replay (8 packed 32-bit
+      // words), brute all-pairs hamming <= 7 over distinct signatures
+      // — so the 8-band join's pigeonhole exactness at the measured
+      // banding is oracle-checked — then the same cluster rollup.
+      "mm9_wide" -> {
+        // bit_count returns TINYINT in DuckDB — eight summed popcounts
+        // overflow 127 without the per-term widening
+        val ham = (0 until 8).map(w =>
+          s"CAST(bit_count(xor(l.sig$w, r.sig$w)) AS BIGINT)")
+          .mkString("\n      + ")
+        val cols = (0 until 8).map(w => s"sig$w").mkString(", ")
+        s"""WITH RECURSIVE ${mm9SigCtes(16, "sig")},
+          |sigstats AS MATERIALIZED (
+          |  SELECT $cols, min(doc_id) AS rid, count(*) AS n
+          |  FROM sig GROUP BY ${(1 to 8).mkString(", ")}),
+          |vpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM sigstats l JOIN sigstats r ON l.rid < r.rid
+          |  WHERE $ham <= 7),
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+          |labeled AS (
+          |  SELECT coalesce(c.cid, s.rid) AS cluster_id, s.n
+          |  FROM sigstats s LEFT JOIN clusters c ON s.rid = c.id)
+          |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_images,
+          |  count(*) AS n_sigs
+          |FROM labeled GROUP BY 1""".stripMargin
+      },
+
+      // mm11 twin: the audio fixture's gained samples replayed from the
+      // byte formula (shared [[mm11FpCtes]] chain), then brute all-pairs
+      // hamming <= 3 WITHIN each window-count block over distinct
+      // (n_windows, fp) signatures — the banded join's blocked
+      // pigeonhole exactness is oracle-checked — and the cluster rollup.
+      "mm11_audio_near_dup" ->
+        s"""WITH RECURSIVE ${mm11FpCtes("", "documents")},
+          |sigstats AS MATERIALIZED (
+          |  SELECT n_windows, fp, min(doc_id) AS rid, count(*) AS n
+          |  FROM f GROUP BY 1, 2),
+          |vpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM sigstats l JOIN sigstats r
+          |    ON l.n_windows = r.n_windows AND l.rid < r.rid
+          |  WHERE bit_count(xor(l.fp, r.fp)) <= 3),
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+          |labeled AS (
+          |  SELECT coalesce(c.cid, s.rid) AS cluster_id, s.n
+          |  FROM sigstats s LEFT JOIN clusters c ON s.rid = c.id)
+          |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_audios,
+          |  count(*) AS n_sigs
+          |FROM labeled GROUP BY 1""".stripMargin,
+
       // mm10 twin: mm9's pixel-replay signature chain (CTEs i-prefixed
       // where they would collide with the text-dedup fragment) ->
       // doc-level image-cluster labels -> one representative per image
-      // cluster -> dd9's LSH-verify + recursive-component chain over
-      // the survivor set.
+      // cluster -> mm11's sample-replay chain (au-prefixed) over the
+      // image survivors -> one representative per audio cluster ->
+      // dd9's LSH-verify + recursive-component chain over the final
+      // survivor set. Three recursive component chains.
       "mm10_crossmodal_dedup" -> {
         val textCtes = lshVerifiedCtesFor(2, 4, 2, 0.05, from = "surv")
-        s"""WITH RECURSIVE p AS (
-          |  SELECT doc_id,
-          |    (doc_id - doc_id % 4) % 13 + 4 AS w,
-          |    (doc_id - doc_id % 4) % 7 + 4 AS h
-          |  FROM documents),
-          |cells AS (
-          |  SELECT ci, cj
-          |  FROM (SELECT unnest(range(0, 8)) AS ci) a
-          |  CROSS JOIN (SELECT unnest(range(0, 8)) AS cj) b),
-          |bnd AS (
-          |  SELECT doc_id, w, h, ci, cj,
-          |    (cj * w) // 8 AS x0,
-          |    least(greatest(((cj + 1) * w) // 8, (cj * w) // 8 + 1), w) AS x1,
-          |    (ci * h) // 8 AS y0,
-          |    least(greatest(((ci + 1) * h) // 8, (ci * h) // 8 + 1), h) AS y1
-          |  FROM p CROSS JOIN cells),
-          |bx AS (SELECT *, unnest(range(x0, x1)) AS x FROM bnd),
-          |bxy AS (SELECT *, unnest(range(y0, y1)) AS y FROM bx),
-          |g AS (
-          |  SELECT doc_id, ci, cj,
-          |    299 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) // 65536)
-          |      + 587 * ((((doc_id * 31 + x * 7 + y * 13) % 16777216) // 256) % 256)
-          |      + 114 * (((doc_id * 31 + x * 7 + y * 13) % 16777216) % 256)
-          |      AS luma
-          |  FROM bxy),
-          |cellm AS (
-          |  SELECT doc_id, ci, cj,
-          |    CAST(sum(luma) // count(*) AS BIGINT) AS m
-          |  FROM g GROUP BY 1, 2, 3),
-          |tot AS (SELECT doc_id, CAST(sum(m) AS BIGINT) AS tot FROM cellm GROUP BY 1),
-          |bits AS (
-          |  SELECT c.doc_id, c.ci * 8 + c.cj AS k,
-          |    CASE WHEN 64 * c.m > t.tot THEN 1 ELSE 0 END AS bit
-          |  FROM cellm c JOIN tot t USING (doc_id)),
-          |isig AS (
-          |  SELECT doc_id,
-          |    CAST(sum(CASE WHEN k >= 32 THEN bit * (1::BIGINT << (k - 32))
-          |      ELSE 0 END) AS BIGINT) AS sig_hi,
-          |    CAST(sum(CASE WHEN k < 32 THEN bit * (1::BIGINT << k)
-          |      ELSE 0 END) AS BIGINT) AS sig_lo
-          |  FROM bits GROUP BY 1),
-          |sigstats AS (
-          |  SELECT sig_hi, sig_lo, min(doc_id) AS rid
-          |  FROM isig GROUP BY 1, 2),
+        val icols = (0 until 8).map(w => s"sig$w").mkString(", ")
+        val iham = (0 until 8).map(w =>
+          s"CAST(bit_count(xor(l.sig$w, r.sig$w)) AS BIGINT)")
+          .mkString("\n      + ")
+        s"""WITH RECURSIVE ${mm9SigCtes(16, "isig")},
+          |sigstats AS MATERIALIZED (
+          |  SELECT $icols, min(doc_id) AS rid
+          |  FROM isig GROUP BY ${(1 to 8).mkString(", ")}),
           |ivpairs AS (
           |  SELECT l.rid AS id_a, r.rid AS id_b
           |  FROM sigstats l JOIN sigstats r ON l.rid < r.rid
-          |  WHERE bit_count(xor(l.sig_hi, r.sig_hi))
-          |      + bit_count(xor(l.sig_lo, r.sig_lo)) <= 3),
+          |  WHERE $iham <= 7),
           |iedges AS (
           |  SELECT id_a AS u, id_b AS v FROM ivpairs
           |  UNION SELECT id_b, id_a FROM ivpairs),
@@ -2989,12 +3268,39 @@ object TextQueries {
           |dlab AS (
           |  SELECT d.doc_id, coalesce(c.cid, s.rid) AS cluster_id
           |  FROM isig d
-          |  JOIN sigstats s USING (sig_hi, sig_lo)
+          |  JOIN sigstats s USING ($icols)
           |  LEFT JOIN icl c ON s.rid = c.id),
           |img_reps AS (
           |  SELECT min(doc_id) AS doc_id FROM dlab GROUP BY cluster_id),
-          |surv AS (
+          |isurv AS MATERIALIZED (
           |  SELECT d.* FROM documents d SEMI JOIN img_reps USING (doc_id)),
+          |${mm11FpCtes("au", "isurv")},
+          |asigstats AS MATERIALIZED (
+          |  SELECT n_windows, fp, min(doc_id) AS rid
+          |  FROM auf GROUP BY 1, 2),
+          |avpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM asigstats l JOIN asigstats r
+          |    ON l.n_windows = r.n_windows AND l.rid < r.rid
+          |  WHERE bit_count(xor(l.fp, r.fp)) <= 3),
+          |aedges AS (
+          |  SELECT id_a AS u, id_b AS v FROM avpairs
+          |  UNION SELECT id_b, id_a FROM avpairs),
+          |areach AS (
+          |  SELECT u AS id, v AS r FROM aedges
+          |  UNION
+          |  SELECT t.id, e.v AS r FROM areach t JOIN aedges e ON t.r = e.u),
+          |acl AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM areach GROUP BY id),
+          |adlab AS (
+          |  SELECT f.doc_id, coalesce(c.cid, s.rid) AS cluster_id
+          |  FROM auf f
+          |  JOIN asigstats s USING (n_windows, fp)
+          |  LEFT JOIN acl c ON s.rid = c.id),
+          |aud_reps AS (
+          |  SELECT min(doc_id) AS doc_id FROM adlab GROUP BY cluster_id),
+          |surv AS MATERIALIZED (
+          |  SELECT i.* FROM isurv i SEMI JOIN aud_reps USING (doc_id)),
           |$textCtes,
           |$componentCtes,
           |tcl AS (

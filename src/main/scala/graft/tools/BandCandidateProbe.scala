@@ -30,6 +30,17 @@ object BandCandidateProbe {
     (16, 4, "16 hashes, 4 bands of 4 (dd21 production knobs)"),
     (128, 8, "128 hashes, 16 bands of 8 (dd21_wide response)"))
 
+  /** Image-signature bandings (hash kind, label) — measured with
+    * SPARK_GRAFT_BAND_IMAGE=1 over the mm9 fixture's distinct
+    * perceptual-hash signatures: the mm9 / mm9_wide contrast. The
+    * candidate metric here is per distinct SIGNATURE (the banded join's
+    * input after the equal-hash contraction), so rows also carry
+    * `distinct_sigs`. */
+  private val ImageBandings = Seq(
+    ("aHash64", 2, "image aHash64, 4 bands of 16 (mm9 banding)"),
+    ("aHash256", 2, "image aHash256, 16 bands of 16 (radius-15 exact)"),
+    ("aHash256", 1, "image aHash256, 8 bands of 32 (mm9_wide banding)"))
+
   def main(args: Array[String]): Unit = {
     val dirs = if (args.nonEmpty) args.toSeq
       else Seq("/tmp/graft_scale/sf10g", "/tmp/graft_scale/sf100gd",
@@ -42,10 +53,53 @@ object BandCandidateProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val fresh = (for {
+    import org.apache.spark.sql.functions.{col, min}
+    val imageMode = sys.env.get("SPARK_GRAFT_BAND_IMAGE").contains("1")
+    // SPARK_GRAFT_BAND_HASH=aHash64|aHash256 narrows the image sweep to
+    // one hash — the 64-bit banding's candidate volume at 5M docs
+    // MEASURABLY out-spills this sandbox (the floor the wide hash
+    // answers), so the decades past 0.5M are probed wide-only.
+    val hashFilter = sys.env.get("SPARK_GRAFT_BAND_HASH")
+    // artifact is merged + rewritten after EVERY row (not once at the
+    // end): a deep row that out-spills the disk must not discard the
+    // scales already measured
+    if (imageMode) {
+      for {
+        (hash, bpw, label) <- ImageBandings
+        if hashFilter.forall(f => f == hash || f == s"$hash/$bpw")
+        d <- dirs
+      } {
+        val nDocs = graft.core.Tables.documents(spark, d).count()
+        val (sigStats, wordCols) =
+          if (hash == "aHash64")
+            (graft.queries.TextQueries.mm9DocSigs(spark, d)
+              .groupBy("sig_hi", "sig_lo").agg(min("doc_id").as("rid")),
+              Seq("sig_lo", "sig_hi"))
+          else {
+            val sigCols = (0 until 8).map(w => s"sig$w")
+            (graft.queries.TextQueries.mm9WideDocSigs(spark, d)
+              .groupBy(sigCols.head, sigCols.tail: _*)
+              .agg(min("doc_id").as("rid")),
+              sigCols)
+          }
+        // persist the contraction so the 5M-image PNG decode is paid
+        // once, not once per banded union leg
+        val ss = sigStats.persist()
+        val nSigs = ss.count()
+        val cands = graft.operators.Dedup.hammingBandCandidatesWords(
+          ss, "rid", wordCols, bandsPerWord = bpw).count()
+        ss.unpersist()
+        System.err.println(
+          f"[band-cands] $hash%-8s $d%-34s docs=$nDocs%,12d " +
+            f"sigs=$nSigs%,12d candidates=$cands%,14d " +
+            f"cands/sig=${cands.toDouble / nSigs}%8.3f")
+        writeMerged(Map((label, nDocs) ->
+          s"""{"docs":$nDocs,"candidates":$cands,"distinct_sigs":$nSigs}"""))
+      }
+    } else for {
       (hashes, rpb, label) <- Bandings
       d <- dirs
-    } yield {
+    } {
       val docs = graft.core.Tables.documents(spark, d)
       val nDocs = docs.count()
       val sig = graft.operators.Dedup.minhashSignature(
@@ -55,10 +109,9 @@ object BandCandidateProbe {
       System.err.println(
         f"[band-cands] ${hashes}x$rpb $d%-34s docs=$nDocs%,12d " +
           f"candidates=$cands%,14d cands/doc=${cands.toDouble / nDocs}%8.3f")
-      (label, nDocs) ->
-        s"""{"docs":$nDocs,"candidates":$cands}"""
-    }).toMap
-    writeMerged(fresh)
+      writeMerged(Map((label, nDocs) ->
+        s"""{"docs":$nDocs,"candidates":$cands}"""))
+    }
     spark.stop()
   }
 
@@ -87,10 +140,13 @@ object BandCandidateProbe {
       } catch { case _: Throwable => Map.empty }
     }
     val all = prior ++ fresh
-    val bandingJson = Bandings.map { case (_, _, label) =>
+    val allLabels = Bandings.map(_._3) ++ ImageBandings.map(_._3)
+    val bandingJson = allLabels.flatMap { label =>
       val scales = all.collect { case ((l, d), j) if l == label => d -> j }
-        .toSeq.sortBy(_._1).map(_._2).mkString("[", ",", "]")
-      s"""{"banding":"$label","scales":$scales}"""
+        .toSeq.sortBy(_._1).map(_._2)
+      if (scales.isEmpty) None
+      else Some(s"""{"banding":"$label","scales":${
+        scales.mkString("[", ",", "]")}}""")
     }.mkString("[", ",", "]")
     val json = s"""{"fixture_version":"${ScaleCurve.FixtureVersion}"""" +
       s""","bandings":$bandingJson}"""

@@ -101,7 +101,19 @@ object ScaleCurve {
     // aHash signatures), the learned quality classifier (fused
     // bucket-count features + deterministic GD-LR, map-only scoring),
     // and the cross-modal composition (image clusters -> text dedup).
-    "mm9_image_near_dup", "t34_quality_clf", "mm10_crossmodal_dedup")
+    "mm9_image_near_dup", "t34_quality_clf", "mm10_crossmodal_dedup",
+    // round-13: the wide-hash response for images (256-bit aHash,
+    // 16 bands of 16 — dd21_wide's treatment at the image grain), and
+    // the fixture now grows distinct signatures with the corpus
+    // (per-group gradient slopes), so these rows measure the BANDED
+    // JOIN's depth behavior, not just decode+hash; mm11 is the audio
+    // near-dup analog (window-count-blocked fingerprint banding over a
+    // signature space that grows with the corpus)
+    "mm9_wide", "mm11_audio_near_dup",
+    // round-13: t22's PageRank at dd21's production-banded edge set —
+    // the curve that replaces the argument-by-reference for the audit
+    // knob's super-linear rows
+    "t22_prod")
 
   /** Second-decade subset (sf1g -> sf10g, 500k docs): the dedup/sim
     * family whose 100-TB structural claims rest on the measured curve —
@@ -178,15 +190,27 @@ object ScaleCurve {
     "dd28_pii_redact", "dd29_host_cap",
     // round-12: t33's second decade (its TakeOrdered tail is scale-safe
     // by shape — this row shows it, closing the blank sf10g column);
-    // mm9 joins mm6's codec-family rationale PLUS the signature-graph
-    // question (does the gradient fixture's distinct-sig count stay
-    // bounded at depth); t34's corpus side is map-only scoring whose
-    // second decade should track the scan.
-    "t33_soft_sample", "mm9_image_near_dup", "t34_quality_clf",
+    // t34's corpus side is map-only scoring whose second decade should
+    // track the scan. mm9's round-13 fixture fix (per-group gradient
+    // slopes + >= thumbnail dims) answered the signature-graph
+    // question: distinct sigs now grow ~n, so its deep row measures the
+    // 64-bit banding's REAL collision floor (BANDCANDS image rows: 115
+    // cands/sig at 0.5M docs) — kept here WITH that annotation, dd8's
+    // treatment; the registered response measured alongside is
+    // mm9_wide.
+    "t33_soft_sample", "t34_quality_clf", "mm9_image_near_dup",
     // the cross-modal composition joins its components' deep set — a
     // pipeline of individually-linear stages can still compose a
     // superlinear term (the e2e rationale)
-    "mm10_crossmodal_dedup")
+    "mm10_crossmodal_dedup",
+    // round-13: the image wide-banding response measured at depth (the
+    // 64-bit form is excluded there by its measured floor — see the
+    // CurveDeep note above), plus the audio near-dup banding whose
+    // fingerprint space grows with the corpus
+    "mm9_wide", "mm11_audio_near_dup",
+    // round-13: the production-banded PageRank gets the second decade
+    // its audit-knob sibling cannot carry
+    "t22_prod")
 
   /** Event-family THIRD decade: the four core event operators are
     * additionally measured on a 20M-event / 300k-user corpus (events
@@ -520,7 +544,18 @@ object ScaleCurve {
       "(4 rows/band, J>=0.5). The round-8 measurement that settled this " +
       "(retained as the recorded contrast, not re-measured each regen): " +
       "dd7 ratio2 15.2 with output x35/decade vs dd21 ratio2 6.4 with " +
-      "cluster-shaped output — same operator, one banding parameter.\n\n" +
+      "cluster-shaped output — same operator, one banding parameter. " +
+      "The image analog of that contrast is `mm9_image_near_dup` vs " +
+      "`mm9_wide`, both measured at depth: mm9's 64-bit aHash can band " +
+      "no wider than 4x16 bits while staying pigeonhole-exact at " +
+      "radius 3, and on the slope-diverse fixture the BANDCANDS image " +
+      "rows quantify its floor (115 candidates per distinct signature " +
+      "at 0.5M docs); mm9_wide's 256-bit hash banded 8x32 (exact " +
+      "through radius 7) measures 28.7 — and the 16x16 banding the " +
+      "bit-budget symmetry suggests is MEASURED WORSE (1352 cands/sig: " +
+      "more bands multiply collision chances when correlated thumbnail " +
+      "rows keep per-band entropy flat). mm10's image stage runs at " +
+      "the measured-best banding.\n\n" +
       "On banded candidate growth (dd3 and everything downstream of " +
       "it): with 2 bands of 2 hashes, a random doc pair collides with " +
       "probability ~J^2 per band, so the candidate count has an " +
@@ -697,13 +732,25 @@ object ScaleCurve {
                 val scales = b.get("scales")
                 if (scales != null && scales.size() >= 1) {
                   sb ++= s"Banding ${b.get("banding")}:\n\n"
-                  sb ++= "| docs | candidates | cands/doc |\n|---|---|---|\n"
+                  // image bandings carry the distinct-signature count:
+                  // their join input is the equal-hash contraction, so
+                  // cands/SIG is the floor metric there
+                  val hasSigs = scales.get(0).has("distinct_sigs")
+                  if (hasSigs)
+                    sb ++= "| docs | distinct sigs | candidates | cands/sig |\n|---|---|---|---|\n"
+                  else
+                    sb ++= "| docs | candidates | cands/doc |\n|---|---|---|\n"
                   (0 until scales.size()).foreach { i =>
                     val s = scales.get(i)
                     val (d, c) = (s.get("docs").asLong,
                       s.get("candidates").asLong)
-                    sb ++= f"| ${d / 1000000.0}%.1fM | $c " +
-                      f"| ${c.toDouble / d}%.3f |\n"
+                    if (hasSigs) {
+                      val m = s.get("distinct_sigs").asLong
+                      sb ++= f"| ${d / 1000000.0}%.1fM | $m | $c " +
+                        f"| ${c.toDouble / m}%.3f |\n"
+                    } else
+                      sb ++= f"| ${d / 1000000.0}%.1fM | $c " +
+                        f"| ${c.toDouble / d}%.3f |\n"
                   }
                   sb ++= "\n"
                 }
@@ -732,6 +779,26 @@ object ScaleCurve {
                 "the candidate join finished; the hashed form is the " +
                 "same join with ~8x less shuffle, and the oracle " +
                 "replays the hash (collisions included) exactly.\n"
+              val hasImage = (0 until bandings.size()).exists(bi =>
+                bandings.get(bi).get("banding").asText.startsWith("image"))
+              if (hasImage)
+                sb ++= "\nThe image rows are the same floor mechanism " +
+                  "at the perceptual-hash grain (measured with " +
+                  "`SPARK_GRAFT_BAND_IMAGE=1`): aHash64 is pinned at " +
+                  "4 bands of 16 bits by the pigeonhole-exactness " +
+                  "requirement at hamming radius 3, so once the corpus " +
+                  "realizes distinct signatures ~n the per-band bucket " +
+                  "collisions grow quadratically and cands/sig rises " +
+                  "with the corpus. The response is NOT more bands: " +
+                  "banding the 256-bit hash 16x16 measures WORSE than " +
+                  "the 64-bit form (more bands multiply collision " +
+                  "chances while correlated thumbnail rows keep " +
+                  "per-band entropy flat); 8 bands of 32 bits — wider " +
+                  "keys, exact through radius 7 — is the measured " +
+                  "minimum and is mm9_wide's registered banding. All " +
+                  "three joins run on the DISTINCT-signature " +
+                  "contraction, so equal-hash image masses never " +
+                  "enumerate pairs at all.\n"
             }
           }
         }

@@ -171,6 +171,41 @@ class DupClusterSpec extends SparkTestBase {
       "fixture lost its planted cross-half pairs")
   }
 
+  test("hammingBandJoinWords (256-bit, 16 bands) equals brute force at radius 15") {
+    // 8-word (256-bit) signatures — the mm9_wide shape. A random fleet
+    // plus planted near-dups whose flipped bits SPREAD across words
+    // (a banding that mis-mapped word/offset would lose them), one pair
+    // exactly AT the radius, one just over it.
+    val rnd = new scala.util.Random(13)
+    def words() = Array.fill(8)(rnd.nextInt() & 0xffffffffL)
+    val base = (1L to 30L).map(i => (i, words()))
+    def flip(w: Array[Long], bits: Seq[Int]): Array[Long] = {
+      val c = w.clone()
+      bits.foreach(k => c(k / 32) ^= 1L << (k % 32))
+      c
+    }
+    val planted = Seq(
+      (201L, base(0)._2.clone()),                         // hamming 0
+      (202L, flip(base(1)._2, Seq(0, 33, 66, 99, 255))),  // 5 bits, 5 words
+      (203L, flip(base(2)._2, 0 until 15)),               // exactly 15
+      (204L, flip(base(3)._2, 0 until 16)))               // 16 > cap: absent
+    val all = base ++ planted
+    val sigs = all.map { case (id, w) =>
+      (id, w(0), w(1), w(2), w(3), w(4), w(5), w(6), w(7))
+    }.toDF("rid", "sig0", "sig1", "sig2", "sig3", "sig4", "sig5", "sig6", "sig7")
+    val want = (for {
+      (a, aw) <- all; (b, bw) <- all if a < b
+      h = (0 until 8).map(k => java.lang.Long.bitCount(aw(k) ^ bw(k))).sum
+      if h <= 15
+    } yield (a, b, h.toLong)).toSet
+    val got = Dedup.hammingBandJoinWords(sigs, "rid",
+        (0 until 8).map(w => s"sig$w"), bandsPerWord = 2, maxHamming = 15)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === want, s"words band join diverged: got ${got.size}, want ${want.size}")
+    assert(want.exists(p => p._2 == 203L), "fixture lost its at-radius pair")
+    assert(!got.exists(p => p._2 == 204L), "over-cap pair leaked")
+  }
+
   test("bloomExactMembership: exact dups found, new docs rejected, bloom in plan") {
     val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"))
       .toDF("doc_id", "text")
