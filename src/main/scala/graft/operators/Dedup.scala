@@ -1449,30 +1449,52 @@ object Dedup {
       windowStarts = laterOcc.select(col(idCol), col("pos")), w)
   }
 
-  /** Shared tail of [[substrCut]] / [[decontamCut]]: expand each cut
-    * window start into its <= W covered token positions, drop covered
-    * tokens via one left-anti equi-join, reassemble survivors in
-    * position order (dd19's array_sort-of-structs aggregation). */
+  /** Shared tail of [[substrCut]] / [[decontamCut]]: merge the cut
+    * window starts into maximal disjoint spans per document
+    * ([[duplicatedSpans]]' running-max island shape — ONE
+    * hash-partitioning by doc of the DUP-WINDOW volume), collect each
+    * doc's span list, and cut + reassemble with the fused
+    * [[graft.functions.CutSpans]] codegen kernel in a single per-row
+    * pass over one docs-grain equi-join.
+    *
+    * This replaced the round-12 tail (expand every window into <= W
+    * token positions + distinct, left-anti join the corpus's whole
+    * token stream, array_sort reassembly) whose second window-volume
+    * join+reassembly pass was the MEASURED mechanism keeping dd26/dd27
+    * off the 50M-doc scale dd24 reaches: a duplicated run of L stride-1
+    * windows shipped ~L·W cut positions and the corpus's token stream
+    * shuffled twice more; now the post-detect traffic is span lists
+    * (bounded by cut REGIONS, not windows x W) and nothing
+    * token-grained ever shuffles. */
   private def cutReassemble(docs: DataFrame, idCol: String, textCol: String,
                             windowStarts: DataFrame, w: Int): DataFrame = {
-    val cutPos = windowStarts
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy(idCol).orderBy("pos")
+    val marked = windowStarts
+      .withColumn("endp", col("pos") + lit(w))
+      .withColumn("run_end", max("endp").over(
+        byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_start",
+        col("run_end").isNull || col("pos") > col("run_end"))
+    // span grouping and the per-doc span-list collect both cluster by
+    // doc — no exchange past the island window's
+    val spans = marked
+      .withColumn("island",
+        sum(when(col("is_start"), 1L).otherwise(0L)).over(byDoc))
+      .groupBy(col(idCol), col("island"))
+      .agg(min("pos").as("s"), max("endp").as("e"))
+    val spansPerDoc = spans.groupBy(idCol)
+      .agg(collect_list(struct(col("s"), col("e"))).as("cut_spans"))
+    val noSpans = array().cast("array<struct<s:int,e:int>>")
+    docs.join(spansPerDoc, Seq(idCol), "left")
+      .withColumn("__cut", graft.functions.CutSpans(
+        split(lower(col(textCol)), "\\s+"),
+        coalesce(col("cut_spans"), noSpans)))
       .select(col(idCol),
-        explode(sequence(col("pos"), col("pos") + (w - 1))).as("tpos"))
-      .distinct()
-    val toks = docs.select(col(idCol),
-      posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("tpos", "tok")))
-    val kept = toks.join(cutPos, Seq(idCol, "tpos"), "left_anti")
-    val perDoc = kept.groupBy(idCol).agg(
-      count(lit(1)).as("n_kept"),
-      concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("tpos"), col("tok")))),
-        s => s.getField("tok"))).as("dedup_text"))
-    docs.select(col(idCol),
-        size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
-      .join(perDoc, Seq(idCol), "left")
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("tokens_cut"),
-        coalesce(col("dedup_text"), lit("")).as("dedup_text"))
+        col("__cut.n_tokens").as("n_tokens"),
+        (col("__cut.n_tokens") - col("__cut.n_kept")).as("tokens_cut"),
+        // null-text docs keep the old tail's empty-string convention
+        coalesce(col("__cut.dedup_text"), lit("")).as("dedup_text"))
   }
 
   /** Span-level eval-set decontamination — the CUT counterpart of
