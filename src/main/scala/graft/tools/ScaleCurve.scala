@@ -550,12 +550,15 @@ object ScaleCurve {
       "no wider than 4x16 bits while staying pigeonhole-exact at " +
       "radius 3, and on the slope-diverse fixture the BANDCANDS image " +
       "rows quantify its floor (115 candidates per distinct signature " +
-      "at 0.5M docs); mm9_wide's 256-bit hash banded 8x32 (exact " +
-      "through radius 7) measures 28.7 — and the 16x16 banding the " +
-      "bit-budget symmetry suggests is MEASURED WORSE (1352 cands/sig: " +
-      "more bands multiply collision chances when correlated thumbnail " +
-      "rows keep per-band entropy flat). mm10's image stage runs at " +
-      "the measured-best banding.\n\n" +
+      "at 0.5M docs; its 5M attempt MEASURABLY out-spilled this " +
+      "sandbox's ~59 GB free disk inside the candidate join — the " +
+      "dd22-at-50M treatment); mm9_wide's 256-bit hash banded 8x32 " +
+      "(exact through radius 7) measures 28.7 at 0.5M and COMPLETES " +
+      "5M at 276.7 — and the 16x16 banding the bit-budget symmetry " +
+      "suggests is MEASURED WORSE than the 64-bit form (1352 " +
+      "cands/sig: more bands multiply collision chances when " +
+      "correlated thumbnail rows keep per-band entropy flat). mm10's " +
+      "image stage runs at the measured-best banding.\n\n" +
       "On banded candidate growth (dd3 and everything downstream of " +
       "it): with 2 bands of 2 hashes, a random doc pair collides with " +
       "probability ~J^2 per band, so the candidate count has an " +
@@ -789,16 +792,25 @@ object ScaleCurve {
                   "requirement at hamming radius 3, so once the corpus " +
                   "realizes distinct signatures ~n the per-band bucket " +
                   "collisions grow quadratically and cands/sig rises " +
-                  "with the corpus. The response is NOT more bands: " +
-                  "banding the 256-bit hash 16x16 measures WORSE than " +
+                  "with the corpus (the 4x16 banding's 5M-doc attempt " +
+                  "out-spilled this sandbox's disk inside the " +
+                  "candidate join — a measured exclusion, not a " +
+                  "shrug). The response is NOT more bands: banding " +
+                  "the 256-bit hash 16x16 measures WORSE than " +
                   "the 64-bit form (more bands multiply collision " +
                   "chances while correlated thumbnail rows keep " +
                   "per-band entropy flat); 8 bands of 32 bits — wider " +
                   "keys, exact through radius 7 — is the measured " +
-                  "minimum and is mm9_wide's registered banding. All " +
-                  "three joins run on the DISTINCT-signature " +
-                  "contraction, so equal-hash image masses never " +
-                  "enumerate pairs at all.\n"
+                  "minimum, is mm9_wide's registered banding, and " +
+                  "completes the 5M scale. Its cands/sig still grows " +
+                  "~linearly with the corpus (28.7 -> 276.7 on 10x): " +
+                  "every finite banding keeps an n^2-shaped tail — " +
+                  "wider keys shrink its coefficient (~40x here), " +
+                  "they cannot delete it; past this regime the lever " +
+                  "is blocking (per-band keys salted with coarse " +
+                  "metadata) or a longer hash. All three joins run on " +
+                  "the DISTINCT-signature contraction, so equal-hash " +
+                  "image masses never enumerate pairs at all.\n"
             }
           }
         }

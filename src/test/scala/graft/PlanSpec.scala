@@ -200,6 +200,38 @@ class PlanSpec extends SparkTestBase {
       "distinct-signature aggregation missing below the band join")
   }
 
+  test("mm9_wide/mm11: words band join stays an equi-join, incl. block columns") {
+    import org.apache.spark.sql.functions._
+    // the generalized N-word banding (mm9_wide's 8x32) and the
+    // block-column form (mm11's window-count blocking) both keep the
+    // band-join contract: equi-join, never a product; the block column
+    // rides the SAME equi-join keys (a plan that applied it as a
+    // post-join filter would still be correct but would pay cross-block
+    // candidate traffic)
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * 2654435761L, lit(1L << 32)).as("sig_lo"),
+        pmod(col("doc_id") * 40503L, lit(1L << 32)).as("sig_hi"),
+        pmod(col("doc_id"), lit(7)).as("nw"))
+      .groupBy("nw", "sig_lo", "sig_hi")
+      .agg(min("doc_id").as("rid"))
+    val plan = graft.operators.Dedup
+      .hammingBandJoinWords(sigs, "rid", Seq("sig_lo", "sig_hi"),
+        bandsPerWord = 1, maxHamming = 1, blockCols = Seq("nw"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "words band join degenerated to a product join")
+    assert(plan.contains("Join"), "no join in the words band-join plan")
+    // the block column is part of the JOIN KEYS, not a post-join filter:
+    // the formatted plan's join node lists its key expressions
+    val joinKeys = plan.linesIterator
+      .filter(l => l.contains("keys") && l.contains("bk")).mkString("\n")
+    assert(joinKeys.contains("nw"),
+      s"block column missing from the equi-join keys:\n$joinKeys")
+  }
+
   test("dd14: the component graph is the distinct-signature frame, not doc pairs") {
     import org.apache.spark.sql.functions._
     // the sig-domain contract, asserted structurally: the band join that
