@@ -113,15 +113,23 @@ object EventAnalytics {
     // (t, k, e) struct sort below
     val wSess = Window.partitionBy(col(userCol), col("sess"))
       .orderBy(col(tsCol), col(tieCol), col(typeCol))
+    // The path is assembled from maxPathEvents SLOT aggregates
+    // (max(when(rk = i, type)) — exactly one row per slot, empty slots
+    // null and skipped by concat_ws), NOT a collect_list of structs:
+    // collect_list runs on ObjectHashAggregate, which falls back to
+    // SORT-based aggregation past a small in-memory key threshold — at
+    // this fixture's gap density sessions ~ events (19M groups at 20M
+    // events), and the measured third-decade profile put 4.4 of e6's
+    // 9.8 s in that fallback sort. Slot maxes keep the aggregation a
+    // codegen HashAggregate with map-side combine; the output string is
+    // identical because rk IS the (ts, tie, type) sort order the old
+    // array_sort reproduced.
     val perSession = sess
       .withColumn("rk", row_number().over(wSess))
       .groupBy(col(userCol), col("sess"))
       .agg(count(lit(1)).as("n_events"),
-        array_join(
-          transform(
-            array_sort(collect_list(when(col("rk") <= maxPathEvents, struct(
-              col(tsCol).as("t"), col(tieCol).as("k"), col(typeCol).as("e"))))),
-            x => x("e")), ">").as("path"))
+        concat_ws(">", (1 to maxPathEvents).map(i =>
+          max(when(col("rk") === i, col(typeCol)))): _*).as("path"))
     perSession.groupBy("path")
       .agg(count(lit(1)).as("n_sessions"),
         round(avg(col("n_events")), 6).as("avg_events"))

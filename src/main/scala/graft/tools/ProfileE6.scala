@@ -45,10 +45,8 @@ object ProfileE6 {
       def perSession = ranked
         .groupBy(col("user_id"), col("sess"))
         .agg(count(lit(1)).as("n_events"),
-          array_join(transform(array_sort(collect_list(
-            when(col("rk") <= 8, struct(col("ts").as("t"),
-              col("event_id").as("k"), col("event_type").as("e"))))),
-            x => x("e")), ">").as("path"))
+          concat_ws(">", (1 to 8).map(i =>
+            max(when(col("rk") === i, col("event_type")))): _*).as("path"))
       Seq(
         "1_scan" -> (() => ev),
         "2_sessionize(window1)" -> (() => sess),

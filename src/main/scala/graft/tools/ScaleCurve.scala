@@ -524,7 +524,19 @@ object ScaleCurve {
       xRows.foreach { case (name, tD, tX, nD, nX) =>
         sb ++= f"| $name | $tD%.2f | $tX%.2f | ${tX / tD}%.1f | $nD | $nX |\n"
       }
-      sb ++= "\n"
+      sb ++= "\ne6's round-12 row sat at ratio3 5.9 while its siblings " +
+        "held 2.3-3.3; the stage profile (`sbt \"runMain graft.tools" +
+        ".ProfileE6\"`) put 4.4 of its 9.8 s in the per-session " +
+        "collect_list aggregation — ObjectHashAggregate falls back to " +
+        "SORT-based aggregation past a small in-memory key threshold, " +
+        "and at this fixture's gap density sessions ~ events (19M " +
+        "groups). Round 13 replaced the struct collect with " +
+        "maxPathEvents slot aggregates (max(when(rk = i, type)) per " +
+        "slot, concat_ws skipping empty slots — output-identical " +
+        "because rk IS the order the old array_sort reproduced), " +
+        "keeping the aggregation a codegen HashAggregate with map-side " +
+        "combine; the re-measured full query dropped 9.8 -> 5.4 s at " +
+        "20M events.\n\n"
     }
     sb ++= "Excluded by contract: `dd6_embed_dups` (all-pairs-within-block " +
       "baseline — quadratic per block by definition; the corpus-scale " +
