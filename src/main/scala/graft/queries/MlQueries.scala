@@ -796,7 +796,19 @@ object MlQueries {
           col("y_pred").cast("int").cast("string").as("y_pred_s"),
           col("date"))
       }), Duration.Inf)
-      val all = preds.reduce(_ unionByName _)
+      // Boundary: the union of the 8 fits' PREDICTION frames (tiny —
+      // validation rows) is consumed once per family by the metrics
+      // passes below; without it each pass re-executes all 8 lazy
+      // model transforms (the fits themselves are eager, but ProfileM6
+      // measured the full query at ~2.7x the concurrent fit wall —
+      // the metrics tail replaying transforms was most of the gap).
+      // ProfileM6 breakdown (sf0.1, min-of-2): per-(family,fold) fits
+      // sum to ~15 s sequential — svc/gbt are the heavy families
+      // (~2.3-2.9 s each vs ~1.0-1.25 for rf/logreg; MLlib iteration
+      // scheduling, not compute) — the concurrent form collapses that
+      // to a ~3.5-6.4 s wall, and with this checkpoint the metrics
+      // tail adds ~2 s (was ~6 s replaying transforms).
+      val all = preds.reduce(_ unionByName _).localCheckpoint(true)
       families.map { case (name, _) =>
         Reports.perFoldMetrics(all.filter(col("model") === name),
             "fold_id", "y_true", "y_pred_s", "date", Seq("0", "1", "2"))
