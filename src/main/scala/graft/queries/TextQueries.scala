@@ -1344,9 +1344,11 @@ object TextQueries {
       // decontamCut reassembles into its canonical `dedup_text` column
       // whatever the input text column is named. Boundary: consumed by
       // the BPE pricing pass AND the tokens_cut audit join — without it
-      // the decontam window pass (the chain's widest surviving
-      // intermediate) replays per consumer, the measured 5.4 s
-      // live-vs-marginal gap in PROFILE_E2E.
+      // the decontam window pass replayed per consumer (the round-12
+      // measured 5.4 s live-vs-marginal gap in PROFILE_E2E; with these
+      // boundaries + the fused cut tail the full query dropped
+      // 24.3 -> 16.2 s at sf10g, the residual gap being the checkpoint
+      // writes themselves).
       val decon = Dedup.decontamCut(
         red.select(col("doc_id"), col("redacted_text")), evalDocs,
         "doc_id", "redacted_text", 4)

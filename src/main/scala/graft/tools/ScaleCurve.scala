@@ -860,8 +860,12 @@ object ScaleCurve {
           fullSec.foreach { f =>
             sb ++= f" Real end-to-end query (scan to final count, live " +
               f"lineage): **$f%.2f s** vs $total%.2f s sum of marginals — " +
-              "the gap is the re-scan/recompute each live stage boundary " +
-              "pays that materialized inputs factor out."
+              "the residual gap is the localCheckpoint materialization " +
+              "cost itself: since round 13 the live chains checkpoint " +
+              "each multiply-consumed intermediate (so no stage body " +
+              "replays), but the corpus-sized checkpoint WRITES sit on " +
+              "the live path while the marginal probe materializes its " +
+              "stage inputs outside the timed window."
           }
           sb ++= "\n"
         }
