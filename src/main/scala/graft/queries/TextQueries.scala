@@ -188,6 +188,87 @@ object TextQueries {
   def mm11DocFps(s: SparkSession, dir: String): DataFrame =
     mm11FpsFor(Tables.documents(s, dir).select(col("doc_id")))
 
+  /** mm12 video fixture: deterministic near-duplicate demuxed-container
+    * payloads over an arbitrary doc_id frame. Groups of 4 consecutive
+    * doc_ids share one base clip — n_frames nf = g%8+56 (56–63 frames,
+    * so the temporal hash below carries 55–62 delta bits and every
+    * 16-bit band of the 64-bit signature has meaningful bits — a
+    * shorter-clip fixture would leave the top band constant within a
+    * block, collapsing its key entropy), frame length fl = g%7+4
+    * bytes, and a multiplicative-hash byte value (an arithmetic-
+    * progression formula makes frame sums PERIODIC in the frame index,
+    * so one borderline delta repeats at every frame and variant noise
+    * flips bits in all-or-nothing bursts — measured on the prototype:
+    * h∈{0} ∪ {≥4}, nothing in the verify radius). Within a group the
+    * variant applies mm11's integer gain re-leveling PLUS a ±1-scale
+    * per-byte jitter (re-encode noise): borderline frame-mean deltas
+    * flip independently, so planted variants land at hamming 0–3 of
+    * their base (measured at sf0.01: 587 variant pairs at h=0, 136 at
+    * h 1–3, 27 beyond — the video near-dup regime with negative-path
+    * traffic). plen carries a g%3 tail remainder so the demux
+    * drop-the-tail contract stays exercised. */
+  def mm12Media(docIds: DataFrame): DataFrame = {
+    val media = docIds.select(col("doc_id"))
+      .repartition(docIds.sparkSession.sparkContext.defaultParallelism)
+    val outSchema = new org.apache.spark.sql.types.StructType()
+      .add("media_id", org.apache.spark.sql.types.LongType)
+      .add("payload", org.apache.spark.sql.types.BinaryType)
+      .add("n_frames", org.apache.spark.sql.types.IntegerType)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder
+      .encoderFor(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val g = id / 4
+        val gv = 16 + (id % 4)
+        val nf = (g % 8 + 56).toInt
+        val fl = (g % 7 + 4).toInt
+        val plen = nf * fl + (g % 3).toInt
+        val b = new Array[Byte](plen)
+        var i = 0
+        while (i < plen) {
+          val v = (g * 131071 + i * 8191) % 1000003 * 2654435761L % 1000033 % 200
+          val x = v * gv / 16 +
+            (id * 8191 + i * 127) % 1000003 * 2654435761L % 999983 % 3
+          b(i) = (x & 0xff).toByte
+          i += 1
+        }
+        org.apache.spark.sql.Row(id, b, nf)
+      }
+    }(enc)
+  }
+
+  /** Temporal video hash over [[mm12Media]] payloads — the per-frame
+    * mean-intensity delta-sign signature (the TIRI-lineage temporal
+    * fingerprint at the byte-stat proxy level this container works at;
+    * with a real decoder the same plan runs on per-frame luma means):
+    * demux every frame ([[graft.multimodal.Multimodal.sampleFrames]]
+    * at stride 1 — a fingerprint pass needs the full temporal
+    * structure; sampling would alias cuts), per-frame integer byte
+    * sums ([[graft.multimodal.Multimodal.frameStats]]), then bit_f =
+    * sum(f+1) > sum(f) packed LSB-first by one lag window + one
+    * grouped aggregation. Frames within a clip share one length, so
+    * comparing integer byte SUMS is comparing means — the whole
+    * signature stays in exact integer arithmetic, replayable by any
+    * engine from the byte formula. Returns (doc_id, n_frames_sampled,
+    * fp). */
+  def mm12DocFps(docIds: DataFrame): DataFrame = {
+    import graft.multimodal.Multimodal
+    val stats = Multimodal.frameStats(
+      Multimodal.sampleFrames(mm12Media(docIds), stride = 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    stats
+      .withColumn("nxt", lead("byte_sum", 1).over(w))
+      .groupBy("media_id")
+      .agg(count(lit(1)).cast("int").as("n_frames_sampled"),
+        coalesce(sum(when(col("nxt") > col("byte_sum"),
+            expr("shiftleft(cast(1 as bigint), frame_idx)"))
+          .otherwise(lit(0L))), lit(0L)).as("fp"))
+      .select(col("media_id").as("doc_id"), col("n_frames_sampled"),
+        col("fp"))
+  }
+
   private val mixtureWeights = Map(
     "en" -> 0.4, "zh" -> 0.2, "es" -> 0.15, "de" -> 0.15, "fr" -> 0.1)
 
@@ -950,6 +1031,38 @@ object TextQueries {
         .agg(sum(col("n")).as("n_audios"), count(lit(1)).as("n_sigs"))
     }),
 
+    // mm12: video near-dup dedup — mm9/mm11's treatment at the video
+    // grain. The temporal hash over demuxed frame means (mm12DocFps —
+    // stride-1 sampleFrames + frameStats + one lag window, all exact
+    // integer arithmetic), then the hamming-banded equi-join BLOCKED on
+    // the frame count (a different-length clip is a different object),
+    // exact per-pair popcount verify at radius 3, cluster rollup.
+    // Blocking runs on DISTINCT (n_frames_sampled, fp) signatures so
+    // equal-fingerprint masses attach by equality and never enumerate
+    // m² pairs; the fixture pins 56–63-frame clips so all four 16-bit
+    // bands of the 64-bit signature carry key entropy inside every
+    // block (see mm12Media). The twin replays byte sums from the byte
+    // formula and brute-forces all-pairs hamming within each
+    // frame-count block — banding exactness is oracle-checked, not
+    // argued.
+    "mm12_video_near_dup" -> ((s, dir) => {
+      val fps = mm12DocFps(Tables.documents(s, dir).select(col("doc_id")))
+      val sigStats = fps.groupBy("n_frames_sampled", "fp")
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+        .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
+        .withColumn("sig_hi", shiftright(col("fp"), 32))
+      val pairs = Dedup.hammingBandJoinWords(sigStats, "rid",
+        Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
+        blockCols = Seq("n_frames_sampled"))
+      val clusters = Dedup.dupClusters(pairs)
+      sigStats
+        .join(clusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(coalesce(col("cluster_id"), col("rid")).as("cluster_id"),
+          col("n"))
+        .groupBy("cluster_id")
+        .agg(sum(col("n")).as("n_videos"), count(lit(1)).as("n_sigs"))
+    }),
+
     // mm10: CROSS-MODAL dedup composition — the multimodal corpus dedups
     // EVERY modality at ITS grain, in order: near-duplicate IMAGES
     // collapse first (mm9's hamming-banded aHash clusters; a re-encoded
@@ -958,13 +1071,15 @@ object TextQueries {
     // representative doc survives per image cluster; near-duplicate
     // AUDIO collapses next (mm11's window-count-blocked fingerprint
     // banding, computed ONLY over the image-stage survivors — the
-    // per-doc decode work shrinks with each stage); and TEXT near-dup
-    // (the dd9 LSH-verify composition at its oracle knobs) runs on the
-    // audio-level survivors. All three stages are the already-gated
+    // per-doc decode work shrinks with each stage); near-duplicate
+    // VIDEO collapses third (mm12's frame-count-blocked temporal-hash
+    // banding over the audio survivors); and TEXT near-dup (the dd9
+    // LSH-verify composition at its oracle knobs) runs on the
+    // video-level survivors. All four stages are the already-gated
     // operators; the twin composes the WIDE pixel-replay sig chain
-    // (i-prefixed), mm11's sample-replay chain (au-prefixed) and the
-    // dd9 CTE chain over the survivor set — three recursive component
-    // chains. The image stage runs at mm9_wide's 256-bit banding, not
+    // (i-prefixed), mm11's sample-replay chain (au-prefixed), mm12's
+    // byte-replay chain (vd-prefixed) and the dd9 CTE chain over the
+    // survivor set — four recursive component chains. The image stage runs at mm9_wide's 256-bit banding, not
     // mm9's 64-bit form: the composition is the production-shaped
     // pipeline, and the 64-bit banding's candidate floor is MEASURED
     // (BANDCANDS: 115 cands/sig at 0.5M docs vs mm9_wide's 28.7) — a
@@ -1003,7 +1118,29 @@ object TextQueries {
           coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
       val audReps = aLabeled.groupBy("cluster_id")
         .agg(min("doc_id").as("doc_id"))
-      val survivors = isurv.join(audReps.select("doc_id"),
+      val asurv = isurv.join(audReps.select("doc_id"),
+        Seq("doc_id"), "left_semi")
+      // video stage over the audio survivors (mm12's temporal-hash
+      // banding) — each modality's decode/fingerprint work keeps
+      // shrinking with the survivor set
+      val vfps = mm12DocFps(asurv.select("doc_id"))
+      val vsigStats = vfps.groupBy("n_frames_sampled", "fp")
+        .agg(min("doc_id").as("rid"))
+        .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
+        .withColumn("sig_hi", shiftright(col("fp"), 32))
+      val vclusters = Dedup.dupClusters(
+        Dedup.hammingBandJoinWords(vsigStats, "rid",
+          Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
+          blockCols = Seq("n_frames_sampled")))
+      val vLabeled = vfps.join(
+          vsigStats.select("n_frames_sampled", "fp", "rid"),
+          Seq("n_frames_sampled", "fp"))
+        .join(vclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
+      val vidReps = vLabeled.groupBy("cluster_id")
+        .agg(min("doc_id").as("doc_id"))
+      val survivors = asurv.join(vidReps.select("doc_id"),
         Seq("doc_id"), "left_semi")
       val tclusters = Dedup.dupClusters(
         Dedup.lshVerifiedPairs(survivors, "doc_id", "text", 2, 4, 2, 0.05))
@@ -2000,6 +2137,42 @@ object TextQueries {
       |    CAST(coalesce(sum(CASE WHEN nexte > energy
       |      THEN 1::BIGINT << wi ELSE 0 END), 0) AS BIGINT) AS fp
       |  FROM ${pfx}d WHERE wi < nw - 1 AND wi < 63 GROUP BY 1, 2)""".stripMargin
+
+  /** Byte-replay CTE chain for the mm12 video fixture — recomputes the
+    * per-group frame geometry, every payload byte from the
+    * multiplicative-hash formula (tail-remainder bytes never generated:
+    * the demux drops them, so the replay starts from the kept frames),
+    * per-frame integer byte sums, and the delta-sign temporal hash,
+    * ending in `${pfx}f(doc_id, n_frames_sampled, fp)`. */
+  private def mm12FpCtes(pfx: String, from: String): String =
+    s"""${pfx}q AS (
+      |  SELECT doc_id, doc_id // 4 AS g, 16 + doc_id % 4 AS gv
+      |  FROM $from),
+      |${pfx}m AS (
+      |  SELECT doc_id, g, gv, g % 8 + 56 AS nf, g % 7 + 4 AS fl
+      |  FROM ${pfx}q),
+      |${pfx}s AS (
+      |  SELECT doc_id, g, gv, nf, fl, unnest(range(0, nf * fl)) AS i
+      |  FROM ${pfx}m),
+      |${pfx}x AS (
+      |  SELECT doc_id, nf, i // fl AS f,
+      |    ((((g * 131071 + i * 8191) % 1000003) * 2654435761)
+      |      % 1000033) % 200 * gv // 16
+      |    + ((((doc_id * 8191 + i * 127) % 1000003) * 2654435761)
+      |      % 999983) % 3 AS v
+      |  FROM ${pfx}s),
+      |${pfx}b AS (
+      |  SELECT doc_id, nf, f, sum(v) AS byte_sum
+      |  FROM ${pfx}x GROUP BY 1, 2, 3),
+      |${pfx}d AS (
+      |  SELECT doc_id, nf, f, byte_sum,
+      |    lead(byte_sum) OVER (PARTITION BY doc_id ORDER BY f) AS nxt
+      |  FROM ${pfx}b),
+      |${pfx}f AS MATERIALIZED (
+      |  SELECT doc_id, CAST(nf AS INTEGER) AS n_frames_sampled,
+      |    CAST(coalesce(sum(CASE WHEN nxt > byte_sum
+      |      THEN 1::BIGINT << f ELSE 0 END), 0) AS BIGINT) AS fp
+      |  FROM ${pfx}d WHERE f < nf - 1 AND f < 63 GROUP BY 1, 2)""".stripMargin
 
   /** PageRank-over-edges CTE chain (expects `edges(src, dst)` upstream):
     * degree, node count, uniform r0 and `iters` unrolled fixed-point
@@ -3237,13 +3410,41 @@ object TextQueries {
           |  count(*) AS n_sigs
           |FROM labeled GROUP BY 1""".stripMargin,
 
+      // mm12 twin: the byte-replay temporal-hash chain, then brute
+      // all-pairs hamming WITHIN each frame-count block (banding
+      // exactness oracle-checked against the engine's 4×16 banded
+      // join) and the recursive connected-component rollup.
+      "mm12_video_near_dup" ->
+        s"""WITH RECURSIVE ${mm12FpCtes("", "documents")},
+          |sigstats AS MATERIALIZED (
+          |  SELECT n_frames_sampled, fp, min(doc_id) AS rid,
+          |    count(*) AS n
+          |  FROM f GROUP BY 1, 2),
+          |vpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM sigstats l JOIN sigstats r
+          |    ON l.n_frames_sampled = r.n_frames_sampled
+          |      AND l.rid < r.rid
+          |  WHERE bit_count(xor(l.fp, r.fp)) <= 3),
+          |$componentCtes,
+          |clusters AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+          |labeled AS (
+          |  SELECT coalesce(c.cid, s.rid) AS cluster_id, s.n
+          |  FROM sigstats s LEFT JOIN clusters c ON s.rid = c.id)
+          |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_videos,
+          |  count(*) AS n_sigs
+          |FROM labeled GROUP BY 1""".stripMargin,
+
       // mm10 twin: mm9's pixel-replay signature chain (CTEs i-prefixed
       // where they would collide with the text-dedup fragment) ->
       // doc-level image-cluster labels -> one representative per image
       // cluster -> mm11's sample-replay chain (au-prefixed) over the
       // image survivors -> one representative per audio cluster ->
-      // dd9's LSH-verify + recursive-component chain over the final
-      // survivor set. Three recursive component chains.
+      // mm12's byte-replay chain (vd-prefixed) over the audio
+      // survivors -> one representative per video cluster -> dd9's
+      // LSH-verify + recursive-component chain over the final survivor
+      // set. Four recursive component chains.
       "mm10_crossmodal_dedup" -> {
         val textCtes = lshVerifiedCtesFor(2, 4, 2, 0.05, from = "surv")
         val icols = (0 until 8).map(w => s"sig$w").mkString(", ")
@@ -3301,8 +3502,36 @@ object TextQueries {
           |  LEFT JOIN acl c ON s.rid = c.id),
           |aud_reps AS (
           |  SELECT min(doc_id) AS doc_id FROM adlab GROUP BY cluster_id),
-          |surv AS MATERIALIZED (
+          |asurv AS MATERIALIZED (
           |  SELECT i.* FROM isurv i SEMI JOIN aud_reps USING (doc_id)),
+          |${mm12FpCtes("vd", "asurv")},
+          |vsigstats AS MATERIALIZED (
+          |  SELECT n_frames_sampled, fp, min(doc_id) AS rid
+          |  FROM vdf GROUP BY 1, 2),
+          |vvpairs AS (
+          |  SELECT l.rid AS id_a, r.rid AS id_b
+          |  FROM vsigstats l JOIN vsigstats r
+          |    ON l.n_frames_sampled = r.n_frames_sampled
+          |      AND l.rid < r.rid
+          |  WHERE bit_count(xor(l.fp, r.fp)) <= 3),
+          |vedges AS (
+          |  SELECT id_a AS u, id_b AS v FROM vvpairs
+          |  UNION SELECT id_b, id_a FROM vvpairs),
+          |vreach AS (
+          |  SELECT u AS id, v AS r FROM vedges
+          |  UNION
+          |  SELECT t.id, e.v AS r FROM vreach t JOIN vedges e ON t.r = e.u),
+          |vcl AS (
+          |  SELECT id, least(id, min(r)) AS cid FROM vreach GROUP BY id),
+          |vdlab AS (
+          |  SELECT f.doc_id, coalesce(c.cid, s.rid) AS cluster_id
+          |  FROM vdf f
+          |  JOIN vsigstats s USING (n_frames_sampled, fp)
+          |  LEFT JOIN vcl c ON s.rid = c.id),
+          |vid_reps AS (
+          |  SELECT min(doc_id) AS doc_id FROM vdlab GROUP BY cluster_id),
+          |surv AS MATERIALIZED (
+          |  SELECT a.* FROM asurv a SEMI JOIN vid_reps USING (doc_id)),
           |$textCtes,
           |$componentCtes,
           |tcl AS (

@@ -110,6 +110,9 @@ object ScaleCurve {
     // near-dup analog (window-count-blocked fingerprint banding over a
     // signature space that grows with the corpus)
     "mm9_wide", "mm11_audio_near_dup",
+    // round-13: the video near-dup analog (temporal hash over demuxed
+    // frame means, frame-count-blocked banding)
+    "mm12_video_near_dup",
     // round-13: t22's PageRank at dd21's production-banded edge set —
     // the curve that replaces the argument-by-reference for the audit
     // knob's super-linear rows
@@ -205,9 +208,9 @@ object ScaleCurve {
     "mm10_crossmodal_dedup",
     // round-13: the image wide-banding response measured at depth (the
     // 64-bit form is excluded there by its measured floor — see the
-    // CurveDeep note above), plus the audio near-dup banding whose
-    // fingerprint space grows with the corpus
-    "mm9_wide", "mm11_audio_near_dup",
+    // CurveDeep note above), plus the audio and video near-dup bandings
+    // whose fingerprint spaces grow with the corpus
+    "mm9_wide", "mm11_audio_near_dup", "mm12_video_near_dup",
     // round-13: the production-banded PageRank gets the second decade
     // its audit-knob sibling cannot carry
     "t22_prod")
@@ -625,22 +628,31 @@ object ScaleCurve {
           "are dd22/dd23 — the identical compositions at dd21's " +
           "production banding.\n\n"
         sb ++= "The production-window ExactSubstr rows (dd24/dd26/dd27 " +
-          "`_prod`, W=50) are REGIME-shaped, and the three scales " +
-          "together are what separate regime from asymptote: the " +
-          "500k->5M step crosses this one machine's in-memory-shuffle " +
-          "to disk-spill boundary (stride-1 windows + the full-token " +
-          "reassembly explode ~55 rows per doc, so 5M docs is ~275M " +
-          "shuffled tokens — hence dd24 x14.4, dd26 x33 on 10x data), " +
-          "while the 5M->20M step on 4x data lands at x4.6 / x1.8 / " +
-          "x2.0 — AT or UNDER the data ratio, with per-doc cost " +
-          "non-monotone across scales (dd26: ~17 -> ~55 -> ~25 " +
-          "us/doc). A term that grew with the corpus would grow " +
-          "through the fourth scale; what the curve shows instead is " +
-          "a one-time spill-threshold penalty that amortizes once the " +
-          "whole run lives in the spill regime — on a cluster this is " +
-          "the shuffle the plan declares, spread over executors' " +
-          "local disks (scans + hash aggs + equi-joins only, " +
-          "PlanSpec-pinned).\n\n"
+          "`_prod`, W=50) are REGIME-shaped, and the scales together " +
+          "are what separate regime from asymptote. dd24's detect " +
+          "rollup still crosses this one machine's in-memory-shuffle " +
+          "to disk-spill boundary at the 500k->5M step (stride-1 " +
+          "windows are ~50 shuffled rows per doc, so 5M docs is ~250M " +
+          "shuffled windows — hence its x14.4 on 10x data, then x4.6 " +
+          "on 4x once the whole run lives in the spill regime). The " +
+          "CUT forms used to pay that same crossing harder (round-12: " +
+          "dd26 x33) by re-carrying full window volume through a " +
+          "second join+reassembly pass; the round-13 span-merge tail " +
+          "(merge cut windows into maximal spans per doc, then a " +
+          "per-row codegen cut — `Dedup.cutReassemble`) replaced that " +
+          "pass, and the re-measured curve shows the regime shift: " +
+          "dd26 4.3 -> 27.9 -> 211.6 s (x6.4 on 10x, then x7.6 on 4x " +
+          "— the spill crossing MOVED a decade deeper, to the 5M->20M " +
+          "step, peak scratch ~23 GB), dd27 6.4 -> 31.8 -> 98.8 s " +
+          "(x5.0, x3.1 — at/under data ratio throughout). Per-doc " +
+          "cost stays in single-digit-to-low-teens us/doc for all " +
+          "three at every scale. A term that grew with the corpus " +
+          "would keep growing through the deeper scales; what the " +
+          "curves show instead is a one-time spill-threshold penalty " +
+          "at whatever scale the footprint first exceeds memory — on " +
+          "a cluster this is the shuffle the plan declares, spread " +
+          "over executors' local disks (scans + hash aggs + " +
+          "equi-joins only, PlanSpec-pinned).\n\n"
         sb ++= "| query | 500k-doc sec | 5M-doc sec | ratio3 | rows 500k | rows 5M | rows ratio |\n"
         sb ++= "|---|---|---|---|---|---|---|\n"
         val names = scala.jdk.CollectionConverters

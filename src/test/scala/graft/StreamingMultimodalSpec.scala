@@ -675,6 +675,49 @@ class StreamingMultimodalSpec extends SparkTestBase {
       "sub-window payload must yield null, not a zero-window fingerprint")
   }
 
+  test("mm12 temporal video hash: parity with direct byte recompute; planted near-dup regime") {
+    import graft.queries.TextQueries
+    val ids = (0L until 200L).toSeq.toDF("doc_id")
+    val fps = TextQueries.mm12DocFps(ids).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    // independent reference: recompute every fingerprint straight from
+    // the committed payload BYTES (not the formula the fixture shares
+    // with the twin) — a demux slicing bug, a stride slip, or a window
+    // mis-order in mm12DocFps diverges here even if fixture and twin
+    // agree
+    val payloads = TextQueries.mm12Media(ids).collect()
+      .map(r => (r.getLong(0), r.getAs[Array[Byte]](1), r.getInt(2)))
+    payloads.foreach { case (id, payload, nf) =>
+      val fl = payload.length / nf
+      val sums = (0 until nf).map(f =>
+        (0 until fl).map(j => payload(f * fl + j) & 0xff).sum.toLong)
+      var expFp = 0L
+      (0 until nf - 1).foreach { f =>
+        if (sums(f + 1) > sums(f)) expFp |= 1L << f
+      }
+      assert(fps(id) === ((nf, expFp)),
+        s"doc $id: engine fp disagrees with byte recompute")
+    }
+    // planted regime over the 50 groups: variants collapse equal or land
+    // within the radius for most pairs, with SOME distinct-sig pairs in
+    // hamming 1..3 (the banded join's positive path) and a beyond-radius
+    // tail (the verify filter's negative path)
+    val byGroup = fps.toSeq.groupBy { case (id, _) => id / 4 }
+    val hs = byGroup.values.flatMap { docs =>
+      docs.combinations(2).map { case Seq((_, (_, a)), (_, (_, b))) =>
+        java.lang.Long.bitCount(a ^ b)
+      }
+    }.toSeq
+    assert(hs.count(_ == 0) > 0, "no equal-fp collapse in the fixture")
+    assert(hs.count(h => h >= 1 && h <= 3) > 0,
+      "no distinct-sig near-dups within the verify radius")
+    assert(hs.count(_ > 3) > 0, "no beyond-radius variant pairs")
+    // the signature space grows with the corpus: far more distinct
+    // (n_frames, fp) keys than the 8 frame-count blocks
+    assert(fps.values.toSet.size > 50,
+      "fingerprint space saturated — fixture regressed to mm9's seed-only trap")
+  }
+
   test("streaming funnel: pure state machine — order, window, dedupe, completion") {
     import StreamingDaily.{funnelStep, FunnelEvent, FunnelState}
     val steps = Seq("view", "click", "buy")
