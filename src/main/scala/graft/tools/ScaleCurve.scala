@@ -679,29 +679,32 @@ object ScaleCurve {
             "same quiet process as the rows above) — the deepest direct " +
             "evidence behind the 100-TB claim. The full fourth DECADE " +
             "(50M docs) was attempted for every fourth-scale query; two " +
-            "measured sandbox limits — not plan properties — bound who " +
-            "reaches it: dd22's single-run shuffle+spill footprint " +
-            "exceeded the ~71 GB of free disk ~12 minutes in " +
+            "measured sandbox limits — not plan properties — used to " +
+            "bound who reaches it: dd22's single-run shuffle+spill " +
+            "footprint exceeded the ~71 GB of free disk ~12 minutes in " +
             "(SparkOutOfMemoryError: spill failed, no space left on " +
             "device), and the ExactSubstr prod family at the probe's " +
             "one-task-per-core default (32 shuffle partitions) put " +
             "~86M stride-1 windows in a single hash probe and exhausted " +
             "the 16 GB unified pool (UNABLE_TO_ACQUIRE_MEMORY: 'Unable " +
             "to acquire 65536 bytes, got 0'). The second limit is the " +
-            "one a cluster REMOVES by task sizing: re-measured at " +
+            "one a cluster REMOVES by task sizing: at " +
             "spark.sql.shuffle.partitions=256 (same 32 threads, rows " +
-            "tagged with the knob below), dd24_dup_spans_prod's 50M row " +
-            "lands in the fifth-scale section — alongside the batch-" +
-            "proportional incremental path (dd23), which fit at the " +
-            "default. dd26_substr_cut_prod and dd27_decontam_cut_prod " +
-            "remain excluded at 50M by the FIRST limit even under the " +
-            "finer task sizing: both out-spilled the ~59 GB of free " +
-            "disk (SPILL_OUT_OF_MEMORY / 'No space left on device', " +
-            "measured this round) — their cut stages carry the full " +
-            "window volume through a second join+reassembly pass that " +
-            "dd24's detect-only rollup does not pay. On a cluster " +
-            "dd22's (and their) footprint is exactly what distributes — " +
-            "it is the shuffle the plan declares, spread over " +
+            "tagged with the knob below) the ENTIRE ExactSubstr prod " +
+            "family now lands in the fifth-scale section — dd24 " +
+            "directly, and dd26/dd27 after the round-13 span-fused cut " +
+            "tail (their round-12 50M attempts out-spilled the ~59 GB " +
+            "of free disk in the second join+reassembly pass that " +
+            "tail replaced; its removal is also what moved their " +
+            "spill-regime crossing a decade deeper in the tables " +
+            "above). The batch-proportional incremental path (dd23) " +
+            "fits at the default knob. Probe hygiene, measured: a 50M " +
+            "cut query run in a JVM that already ran ANOTHER 50M query " +
+            "can die on driver heap (block-manager residue against the " +
+            "16 GB default) — the committed 50M rows are each measured " +
+            "in a fresh process. dd22's footprint remains the one " +
+            "disk-measured exclusion; on a cluster it is exactly what " +
+            "distributes — the shuffle the plan declares, spread over " +
             "executors' local disks.\n\n"
           sb ++= f"| query | 5M-doc sec | $d4M-doc sec | ratio ($factor%.0fx data) | rows 5M | rows $d4M | rows ratio |\n"
           sb ++= "|---|---|---|---|---|---|---|\n"
