@@ -886,6 +886,65 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** ADAPTIVE-width hamming-band join over a single ≤63-bit fingerprint
+    * column whose meaningful bit count varies per block (`bitsCol`,
+    * which must be constant within a block — e.g. mm11's n_windows−1
+    * delta bits under its n_windows blocking): every row emits exactly
+    * `bands` band keys of per-block width w = max(1, ceil(bits/bands)),
+    * covering the MEANINGFUL range only. The fixed 4×16 banding hashes
+    * a short-fingerprint block's constant high bands into one bucket —
+    * the bucket is the whole block and candidates go quadratic (the
+    * probe measured 955 cands/sig at 500k docs on the mm11 fixture);
+    * fitting the bands to the meaningful range restores per-band key
+    * entropy exactly where the fixed form loses it. Pigeonhole
+    * exactness holds PER BLOCK: rows in a block share w, the bands
+    * partition [0, bands·w) ⊇ the meaningful range, so two signatures
+    * within `maxHamming < bands` flipped bits share an intact band.
+    * Same scale shape as the fixed form: equi-join on (block, band
+    * key), per-pair popcount verify, callers block on distinct
+    * signatures. */
+  def hammingBandJoinAdaptive(sigs: DataFrame, idCol: String,
+                              fpCol: String, bitsCol: String, bands: Int,
+                              maxHamming: Int,
+                              blockCols: Seq[String]): DataFrame = {
+    require(maxHamming < bands,
+      s"hammingBandJoinAdaptive: need maxHamming ($maxHamming) < bands " +
+        s"($bands) for the pigeonhole guarantee")
+    hammingBandCandidatesAdaptive(sigs, idCol, fpCol, bitsCol, bands,
+      blockCols).filter(col("hamming") <= maxHamming)
+  }
+
+  /** The pre-verify stage of [[hammingBandJoinAdaptive]] — the
+    * candidate volume the adaptive banding emits (the collision-floor
+    * probe's metric). */
+  def hammingBandCandidatesAdaptive(sigs: DataFrame, idCol: String,
+                                    fpCol: String, bitsCol: String,
+                                    bands: Int,
+                                    blockCols: Seq[String]): DataFrame = {
+    require(bands >= 2, s"hammingBandCandidatesAdaptive: bands >= 2, got $bands")
+    // per-block band width; SQL-expression shifts because the width is
+    // a COLUMN (functions.shiftright takes a literal offset)
+    val withW = sigs.withColumn("__w",
+      greatest(lit(1),
+        ceil(col(bitsCol).cast("double") / lit(bands)).cast("int")))
+    val banded = (0 until bands).map { j =>
+      withW.select(col(idCol) +: (Seq(fpCol) ++ blockCols).map(col) :+
+        concat_ws("_", lit(j),
+          expr(s"shiftright(cast($fpCol as bigint), $j * __w) & " +
+            "((cast(1 as bigint) << __w) - 1)")).as("bk"): _*)
+    }.reduce(_ union _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    val cond = (Seq("bk") ++ blockCols)
+      .map(c => col(s"l.$c") === col(s"r.$c"))
+      .reduce(_ && _) && col(s"l.$idCol") < col(s"r.$idCol")
+    l.join(r, cond)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"),
+        bit_count(col(s"l.$fpCol").bitwiseXOR(col(s"r.$fpCol")))
+          .cast("long").as("hamming"))
+      .distinct()
+  }
+
   /** The pre-verify stage of [[hammingBandJoinWords]]: every DISTINCT
     * id pair sharing at least one band key, with its hamming distance
     * attached but NOT filtered — the candidate volume a banding emits,

@@ -1031,6 +1031,34 @@ object TextQueries {
         .agg(sum(col("n")).as("n_audios"), count(lit(1)).as("n_sigs"))
     }),
 
+    // mm11_adaptive_bands: the measured RESPONSE to the fixed 4×16
+    // banding's degenerate-block floor (BANDCANDS: 955 cands/sig at
+    // 500k docs — a 17-window clip has 16 meaningful fingerprint bits,
+    // so three of the four fixed bands are constant zero inside its
+    // block and each such band's bucket is the whole block). The
+    // adaptive form fits the four band widths to the block's meaningful
+    // bit range (n_windows−1 delta bits), restoring per-band key
+    // entropy exactly where the fixed banding loses it; pigeonhole
+    // exactness is preserved per block, so the output — and the oracle
+    // twin — are IDENTICAL to mm11's: the twin's brute all-pairs
+    // hamming gates both bandings against the same clusters.
+    "mm11_adaptive_bands" -> ((s, dir) => {
+      val sigStats = mm11DocFps(s, dir)
+        .groupBy("n_windows", "fp")
+        .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+        .withColumn("n_bits", (col("n_windows") - 1).cast("int"))
+      val pairs = Dedup.hammingBandJoinAdaptive(sigStats, "rid", "fp",
+        bitsCol = "n_bits", bands = 4, maxHamming = 3,
+        blockCols = Seq("n_windows"))
+      val clusters = Dedup.dupClusters(pairs)
+      sigStats
+        .join(clusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
+        .select(coalesce(col("cluster_id"), col("rid")).as("cluster_id"),
+          col("n"))
+        .groupBy("cluster_id")
+        .agg(sum(col("n")).as("n_audios"), count(lit(1)).as("n_sigs"))
+    }),
+
     // mm12: video near-dup dedup — mm9/mm11's treatment at the video
     // grain. The temporal hash over demuxed frame means (mm12DocFps —
     // stride-1 sampleFrames + frameStats + one lag window, all exact
@@ -2137,6 +2165,31 @@ object TextQueries {
       |    CAST(coalesce(sum(CASE WHEN nexte > energy
       |      THEN 1::BIGINT << wi ELSE 0 END), 0) AS BIGINT) AS fp
       |  FROM ${pfx}d WHERE wi < nw - 1 AND wi < 63 GROUP BY 1, 2)""".stripMargin
+
+  /** mm11's DuckDB twin — brute all-pairs hamming within each
+    * window-count block over the sample-replayed fingerprints, then the
+    * recursive connected-component rollup. Shared verbatim by
+    * `mm11_audio_near_dup` and `mm11_adaptive_bands`: both bandings are
+    * exact, so one replay gates both. */
+  private lazy val mm11TwinSql: String =
+    s"""WITH RECURSIVE ${mm11FpCtes("", "documents")},
+      |sigstats AS MATERIALIZED (
+      |  SELECT n_windows, fp, min(doc_id) AS rid, count(*) AS n
+      |  FROM f GROUP BY 1, 2),
+      |vpairs AS (
+      |  SELECT l.rid AS id_a, r.rid AS id_b
+      |  FROM sigstats l JOIN sigstats r
+      |    ON l.n_windows = r.n_windows AND l.rid < r.rid
+      |  WHERE bit_count(xor(l.fp, r.fp)) <= 3),
+      |$componentCtes,
+      |clusters AS (
+      |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
+      |labeled AS (
+      |  SELECT coalesce(c.cid, s.rid) AS cluster_id, s.n
+      |  FROM sigstats s LEFT JOIN clusters c ON s.rid = c.id)
+      |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_audios,
+      |  count(*) AS n_sigs
+      |FROM labeled GROUP BY 1""".stripMargin
 
   /** Byte-replay CTE chain for the mm12 video fixture — recomputes the
     * per-group frame geometry, every payload byte from the
@@ -3390,25 +3443,13 @@ object TextQueries {
       // hamming <= 3 WITHIN each window-count block over distinct
       // (n_windows, fp) signatures — the banded join's blocked
       // pigeonhole exactness is oracle-checked — and the cluster rollup.
-      "mm11_audio_near_dup" ->
-        s"""WITH RECURSIVE ${mm11FpCtes("", "documents")},
-          |sigstats AS MATERIALIZED (
-          |  SELECT n_windows, fp, min(doc_id) AS rid, count(*) AS n
-          |  FROM f GROUP BY 1, 2),
-          |vpairs AS (
-          |  SELECT l.rid AS id_a, r.rid AS id_b
-          |  FROM sigstats l JOIN sigstats r
-          |    ON l.n_windows = r.n_windows AND l.rid < r.rid
-          |  WHERE bit_count(xor(l.fp, r.fp)) <= 3),
-          |$componentCtes,
-          |clusters AS (
-          |  SELECT id, least(id, min(r)) AS cid FROM reach GROUP BY id),
-          |labeled AS (
-          |  SELECT coalesce(c.cid, s.rid) AS cluster_id, s.n
-          |  FROM sigstats s LEFT JOIN clusters c ON s.rid = c.id)
-          |SELECT cluster_id, CAST(sum(n) AS BIGINT) AS n_audios,
-          |  count(*) AS n_sigs
-          |FROM labeled GROUP BY 1""".stripMargin,
+      "mm11_audio_near_dup" -> mm11TwinSql,
+
+      // mm11_adaptive_bands twin: IDENTICAL to mm11's — the adaptive
+      // banding is exact per block (pigeonhole over meaningful-range
+      // bands), so the same brute all-pairs-within-block replay gates
+      // both banded forms against the same clusters.
+      "mm11_adaptive_bands" -> mm11TwinSql,
 
       // mm12 twin: the byte-replay temporal-hash chain, then brute
       // all-pairs hamming WITHIN each frame-count block (banding

@@ -63,6 +63,62 @@ object BandCandidateProbe {
     // artifact is merged + rewritten after EVERY row (not once at the
     // end): a deep row that out-spills the disk must not discard the
     // scales already measured
+    // SPARK_GRAFT_BAND_FP=1: the blocked 64-bit fingerprint bandings
+    // (mm11's window-count-blocked audio fp, mm12's frame-count-blocked
+    // video fp) — 4 bands of 16 over distinct (block, fp) signatures,
+    // the block column riding the same equi-key. cands/sig is the floor
+    // metric: within a block the top bands can carry fewer meaningful
+    // bits (mm11's short clips), which is exactly what this probe
+    // surfaces at depth.
+    // "1" probes both kinds; "audio"/"video" narrows to one — the audio
+    // banding's 5M candidate volume is quadratic inside its
+    // degenerate-top-band blocks (see the 500k row), so the deeper
+    // scales are probed per-kind in separate processes.
+    val fpFilter = sys.env.get("SPARK_GRAFT_BAND_FP")
+    val fpMode = fpFilter.exists(v => v == "1" || v == "audio" || v == "video")
+    if (fpMode) {
+      import org.apache.spark.sql.functions.{lit => flit, shiftright,
+        col => fcol}
+      for {
+        (kind, label) <- Seq(
+          ("audio", "audio fp64, 4 bands of 16, n_windows-blocked (mm11 banding)"),
+          ("audio_adaptive", "audio fp64, 4 ADAPTIVE bands over meaningful bits (mm11_adaptive_bands)"),
+          ("video", "video fp64, 4 bands of 16, n_frames-blocked (mm12 banding)"))
+        if fpFilter.forall(f => f == "1" || f == kind)
+        d <- dirs
+      } {
+        val ids = graft.core.Tables.documents(spark, d).select("doc_id")
+        val nDocs = ids.count()
+        val (fps, blockCol) =
+          if (kind.startsWith("audio"))
+            (graft.queries.TextQueries.mm11FpsFor(ids), "n_windows")
+          else
+            (graft.queries.TextQueries.mm12DocFps(ids), "n_frames_sampled")
+        val sigStats = fps.groupBy(blockCol, "fp")
+          .agg(min("doc_id").as("rid"))
+          .withColumn("sig_lo", fcol("fp").bitwiseAND(flit(0xffffffffL)))
+          .withColumn("sig_hi", shiftright(fcol("fp"), 32))
+          .persist()
+        val nSigs = sigStats.count()
+        val cands = (if (kind == "audio_adaptive")
+          graft.operators.Dedup.hammingBandCandidatesAdaptive(
+            sigStats.withColumn("n_bits", (fcol(blockCol) - 1).cast("int")),
+            "rid", "fp", "n_bits", bands = 4, blockCols = Seq(blockCol))
+        else
+          graft.operators.Dedup.hammingBandCandidatesWords(
+            sigStats, "rid", Seq("sig_lo", "sig_hi"), bandsPerWord = 2,
+            blockCols = Seq(blockCol))).count()
+        sigStats.unpersist()
+        System.err.println(
+          f"[band-cands] $kind%-8s $d%-34s docs=$nDocs%,12d " +
+            f"sigs=$nSigs%,12d candidates=$cands%,14d " +
+            f"cands/sig=${cands.toDouble / nSigs}%8.3f")
+        writeMerged(Map((label, nDocs) ->
+          s"""{"docs":$nDocs,"candidates":$cands,"distinct_sigs":$nSigs}"""))
+      }
+      spark.stop()
+      return
+    }
     if (imageMode) {
       for {
         (hash, bpw, label) <- ImageBandings

@@ -111,8 +111,9 @@ object ScaleCurve {
     // signature space that grows with the corpus)
     "mm9_wide", "mm11_audio_near_dup",
     // round-13: the video near-dup analog (temporal hash over demuxed
-    // frame means, frame-count-blocked banding)
-    "mm12_video_near_dup",
+    // frame means, frame-count-blocked banding), and the adaptive-width
+    // response to the audio banding's measured degenerate-block floor
+    "mm12_video_near_dup", "mm11_adaptive_bands",
     // round-13: t22's PageRank at dd21's production-banded edge set —
     // the curve that replaces the argument-by-reference for the audit
     // knob's super-linear rows
@@ -211,6 +212,7 @@ object ScaleCurve {
     // CurveDeep note above), plus the audio and video near-dup bandings
     // whose fingerprint spaces grow with the corpus
     "mm9_wide", "mm11_audio_near_dup", "mm12_video_near_dup",
+    "mm11_adaptive_bands",
     // round-13: the production-banded PageRank gets the second decade
     // its audit-knob sibling cannot carry
     "t22_prod")

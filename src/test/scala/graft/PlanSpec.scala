@@ -232,6 +232,33 @@ class PlanSpec extends SparkTestBase {
       s"block column missing from the equi-join keys:\n$joinKeys")
   }
 
+  test("mm11_adaptive: adaptive band join stays an equi-join with the block in the keys") {
+    import org.apache.spark.sql.functions._
+    // the adaptive-width banding computes the band key from a per-block
+    // width COLUMN — the join must still be a hash equi-join on
+    // (block, bk), never a product, and never a post-join width filter
+    val sigs = graft.core.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        pmod(col("doc_id") * 2654435761L, lit(1L << 40)).as("fp"),
+        (pmod(col("doc_id"), lit(7)) + 17).cast("int").as("nw"))
+      .groupBy("nw", "fp")
+      .agg(min("doc_id").as("rid"))
+      .withColumn("n_bits", (col("nw") - 1).cast("int"))
+    val plan = graft.operators.Dedup
+      .hammingBandJoinAdaptive(sigs, "rid", "fp", "n_bits", bands = 4,
+        maxHamming = 3, blockCols = Seq("nw"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      "adaptive band join degenerated to a product join")
+    assert(plan.contains("Join"), "no join in the adaptive band-join plan")
+    val joinKeys = plan.linesIterator
+      .filter(l => l.contains("keys") && l.contains("bk")).mkString("\n")
+    assert(joinKeys.contains("nw"),
+      s"block column missing from the adaptive equi-join keys:\n$joinKeys")
+  }
+
   test("dd14: the component graph is the distinct-signature frame, not doc pairs") {
     import org.apache.spark.sql.functions._
     // the sig-domain contract, asserted structurally: the band join that
