@@ -75,7 +75,8 @@ object BandCandidateProbe {
     // degenerate-top-band blocks (see the 500k row), so the deeper
     // scales are probed per-kind in separate processes.
     val fpFilter = sys.env.get("SPARK_GRAFT_BAND_FP")
-    val fpMode = fpFilter.exists(v => v == "1" || v == "audio" || v == "video")
+    val fpMode = fpFilter.exists(v =>
+      Set("1", "audio", "audio_adaptive", "video").contains(v))
     if (fpMode) {
       import org.apache.spark.sql.functions.{lit => flit, shiftright,
         col => fcol}
