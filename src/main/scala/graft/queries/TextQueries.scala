@@ -955,9 +955,18 @@ object TextQueries {
     // the (bounded) distinct-signature table, so a band-key slip that
     // drops a within-radius pair hash-diverges.
     "mm9_image_near_dup" -> ((s, dir) => {
+      // materialize the distinct-signature table ONCE: every band
+      // projection of the hamming join (4 union branches) and the final
+      // rollup join otherwise re-execute the whole PNG decode+hash pass
+      // — Spark reuses exchanges, not arbitrary subtrees, so the union
+      // fan-out multiplies the most expensive stage of the query. The
+      // checkpoint is |distinct sigs| rows of 4 columns; the decode now
+      // runs exactly once per execution (guide §5: cut lineage at the
+      // reused expensive intermediate).
       val sigStats = mm9DocSigs(s, dir)
         .groupBy("sig_hi", "sig_lo")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val pairs = Dedup.hammingBandJoin64(sigStats, "rid",
         bands = 4, maxHamming = 3)
       val clusters = Dedup.dupClusters(pairs)
@@ -986,9 +995,13 @@ object TextQueries {
     // radius 7 is oracle-checked, not argued.
     "mm9_wide" -> ((s, dir) => {
       val sigCols = (0 until 8).map(w => s"sig$w")
+      // mm9's materialization note applies ×2 here: 8 band branches,
+      // each re-running the 16×16 decode+hash pass without the
+      // checkpoint (measured: 3.94 s → the decode executed ~10× per run)
       val sigStats = mm9WideDocSigs(s, dir)
         .groupBy(sigCols.head, sigCols.tail: _*)
         .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
+        .localCheckpoint(true)
       val pairs = Dedup.hammingBandJoinWords(sigStats, "rid",
         sigCols, bandsPerWord = 1, maxHamming = 7)
       val clusters = Dedup.dupClusters(pairs)
@@ -1014,11 +1027,14 @@ object TextQueries {
     // hamming within each window-count block — banding exactness is
     // oracle-checked.
     "mm11_audio_near_dup" -> ((s, dir) => {
+      // mm9's materialization note: 4 band branches + the rollup join
+      // otherwise re-run the PCM synth + fingerprint pass each
       val sigStats = mm11DocFps(s, dir)
         .groupBy("n_windows", "fp")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
         .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
         .withColumn("sig_hi", shiftright(col("fp"), 32))
+        .localCheckpoint(true)
       val pairs = Dedup.hammingBandJoinWords(sigStats, "rid",
         Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
         blockCols = Seq("n_windows"))
@@ -1043,10 +1059,12 @@ object TextQueries {
     // twin — are IDENTICAL to mm11's: the twin's brute all-pairs
     // hamming gates both bandings against the same clusters.
     "mm11_adaptive_bands" -> ((s, dir) => {
+      // mm9's materialization note: 4 band branches + the rollup join
       val sigStats = mm11DocFps(s, dir)
         .groupBy("n_windows", "fp")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
         .withColumn("n_bits", (col("n_windows") - 1).cast("int"))
+        .localCheckpoint(true)
       val pairs = Dedup.hammingBandJoinAdaptive(sigStats, "rid", "fp",
         bitsCol = "n_bits", bands = 4, maxHamming = 3,
         blockCols = Seq("n_windows"))
@@ -1074,11 +1092,14 @@ object TextQueries {
     // frame-count block — banding exactness is oracle-checked, not
     // argued.
     "mm12_video_near_dup" -> ((s, dir) => {
+      // mm9's materialization note: 4 band branches + the rollup join
+      // otherwise re-run the demux + frame-stats + lag-window pass each
       val fps = mm12DocFps(Tables.documents(s, dir).select(col("doc_id")))
       val sigStats = fps.groupBy("n_frames_sampled", "fp")
         .agg(min("doc_id").as("rid"), count(lit(1)).as("n"))
         .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
         .withColumn("sig_hi", shiftright(col("fp"), 32))
+        .localCheckpoint(true)
       val pairs = Dedup.hammingBandJoinWords(sigStats, "rid",
         Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
         blockCols = Seq("n_frames_sampled"))
@@ -1115,9 +1136,19 @@ object TextQueries {
     "mm10_crossmodal_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val sigCols = (0 until 8).map(w => s"sig$w")
-      val hashed = mm9WideDocSigs(s, dir)
+      // Stage-boundary materialization (guide §5 / §3.3): without it the
+      // four chained stages MULTIPLY re-execution — every band branch of
+      // a later stage's candidate union re-derives its whole upstream
+      // (the video banding alone re-ran image decode + audio fingerprint
+      // per branch; the baseline final plan carried 52 SerializeFromObject
+      // kernel passes and 200+ exchanges, measured 18.4 s). Each
+      // checkpoint is a per-doc fingerprint or survivor-id frame — the
+      // lightweight-proxy tables of guide §8 — so every decode/
+      // fingerprint pass now runs exactly once per execution.
+      val hashed = mm9WideDocSigs(s, dir).localCheckpoint(true)
       val sigStats = hashed.groupBy(sigCols.head, sigCols.tail: _*)
         .agg(min("doc_id").as("rid"))
+        .localCheckpoint(true)
       val iclusters = Dedup.dupClusters(
         Dedup.hammingBandJoinWords(sigStats, "rid", sigCols,
           bandsPerWord = 1, maxHamming = 7))
@@ -1129,12 +1160,14 @@ object TextQueries {
         .agg(min("doc_id").as("doc_id"))
       val isurv = docs.join(imgReps.select("doc_id"),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       // audio stage over the image survivors only
-      val afps = mm11FpsFor(isurv.select("doc_id"))
+      val afps = mm11FpsFor(isurv.select("doc_id")).localCheckpoint(true)
       val asigStats = afps.groupBy("n_windows", "fp")
         .agg(min("doc_id").as("rid"))
         .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
         .withColumn("sig_hi", shiftright(col("fp"), 32))
+        .localCheckpoint(true)
       val aclusters = Dedup.dupClusters(
         Dedup.hammingBandJoinWords(asigStats, "rid",
           Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
@@ -1148,14 +1181,16 @@ object TextQueries {
         .agg(min("doc_id").as("doc_id"))
       val asurv = isurv.join(audReps.select("doc_id"),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       // video stage over the audio survivors (mm12's temporal-hash
       // banding) — each modality's decode/fingerprint work keeps
       // shrinking with the survivor set
-      val vfps = mm12DocFps(asurv.select("doc_id"))
+      val vfps = mm12DocFps(asurv.select("doc_id")).localCheckpoint(true)
       val vsigStats = vfps.groupBy("n_frames_sampled", "fp")
         .agg(min("doc_id").as("rid"))
         .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
         .withColumn("sig_hi", shiftright(col("fp"), 32))
+        .localCheckpoint(true)
       val vclusters = Dedup.dupClusters(
         Dedup.hammingBandJoinWords(vsigStats, "rid",
           Seq("sig_lo", "sig_hi"), bandsPerWord = 2, maxHamming = 3,
@@ -1170,6 +1205,7 @@ object TextQueries {
         .agg(min("doc_id").as("doc_id"))
       val survivors = asurv.join(vidReps.select("doc_id"),
         Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val tclusters = Dedup.dupClusters(
         Dedup.lshVerifiedPairs(survivors, "doc_id", "text", 2, 4, 2, 0.05))
       Dedup.keepClusterRepresentatives(survivors, "doc_id", tclusters)
