@@ -38,14 +38,17 @@ object Reports {
     * Shape: two aggregation passes over `pred` (per-(fold,class) counts
     * and per-fold span/count) + a broadcast-sized join and a window over
     * the per-fold frame. No per-row collect. */
-  /** Shared per-(fold, class) confusion counts. */
+  /** Shared per-(fold, class) confusion counts (plus caller-chosen slice
+    * columns — e.g. m6's model — so a multi-slice frame aggregates in ONE
+    * pass instead of one filtered pass per slice). */
   private def perClassCounts(pred: DataFrame, foldCol: String, truthCol: String,
-                             predCol: String, classes: Seq[String]): DataFrame =
+                             predCol: String, classes: Seq[String],
+                             sliceCols: Seq[String] = Nil): DataFrame =
     pred
-      .select(col(foldCol).as("fold_id"),
+      .select(sliceCols.map(col) ++ Seq(col(foldCol).as("fold_id"),
         explode(typedLit(classes)).as("label"),
-        col(truthCol).as("y_true"), col(predCol).as("y_pred"))
-      .groupBy("fold_id", "label")
+        col(truthCol).as("y_true"), col(predCol).as("y_pred")): _*)
+      .groupBy((sliceCols :+ "fold_id" :+ "label").map(col): _*)
       .agg(
         sum(when(col("y_true") === col("label") && col("y_pred") === col("label"), 1L)
           .otherwise(0L)).as("tp"),
@@ -76,14 +79,16 @@ object Reports {
   def perFoldMetrics(pred: DataFrame, foldCol: String, truthCol: String,
                      predCol: String, dateCol: String,
                      classes: Seq[String],
-                     trainCounts: Option[DataFrame] = None): DataFrame = {
-    val perClass = perClassCounts(pred, foldCol, truthCol, predCol, classes)
+                     trainCounts: Option[DataFrame] = None,
+                     sliceCols: Seq[String] = Nil): DataFrame = {
+    val perClass = perClassCounts(pred, foldCol, truthCol, predCol, classes,
+      sliceCols)
     val p = precisionExpr
     val r = recallExpr
     val f1 = f1Expr
     val rt = col("tp") + col("fn") // true-class support
     val rp = col("tp") + col("fp") // predicted-class support
-    val metrics = perClass.groupBy("fold_id").agg(
+    val metrics = perClass.groupBy((sliceCols :+ "fold_id").map(col): _*).agg(
       avg(f1).as("f1_macro_raw"),
       (sum(when(rt > 0, r)) / sum(when(rt > 0, 1))).as("ba_raw"),
       sum(col("tp")).as("agree"),
@@ -91,7 +96,8 @@ object Reports {
       sum(rt * rp).as("rtrp"))
     val po = col("agree") / col("n")
     val pe = col("rtrp") / (col("n") * col("n"))
-    val spans = pred.groupBy(col(foldCol).as("fold_id"))
+    val spans = pred.groupBy(sliceCols.map(col) :+
+        col(foldCol).as("fold_id"): _*)
       .agg(min(col(dateCol)).as("val_start"), max(col(dateCol)).as("val_end"),
         count(lit(1)).as("n_val"))
     // n_train: by default all non-validation rows
@@ -102,9 +108,9 @@ object Reports {
     // window (RunPipeline's monthly folds) must pass the actual per-fold
     // sizes via `trainCounts` (fold_id, n_train) or the identity
     // misstates every fold.
-    val wAll = Window.partitionBy()
+    val wAll = Window.partitionBy(sliceCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val joined = spans.join(metrics, Seq("fold_id"))
+    val joined = spans.join(metrics, sliceCols :+ "fold_id")
     trainCounts.fold(
       joined.withColumn("n_train",
         sum(col("n_val")).over(wAll) - col("n_val"))
@@ -113,11 +119,12 @@ object Reports {
           Seq("fold_id"), "left")
         .withColumn("n_train", coalesce(col("n_train"), lit(0L)))
     )
-      .select(col("fold_id"), col("val_start"), col("val_end"),
+      .select(sliceCols.map(col) ++ Seq(col("fold_id"), col("val_start"),
+        col("val_end"),
         col("n_train"), col("n_val"),
         round(col("f1_macro_raw"), 6).as("f1_macro"),
         round(col("ba_raw"), 6).as("balanced_accuracy"),
-        round((po - pe) / (lit(1.0) - pe), 6).as("cohen_kappa"))
+        round((po - pe) / (lit(1.0) - pe), 6).as("cohen_kappa")): _*)
   }
 
   /** Per-fold confusion matrices JSON — the reference's
