@@ -757,11 +757,16 @@ object TextAnalysis {
     require(buckets > 0, s"qualityClassifierScores: buckets $buckets")
     val cnts = graft.functions.HashedBucketCounts(col(textCol), buckets)
     val featNames = (0 until buckets).map(b => s"f$b")
+    // materialized once: the fit's train fold and the full-corpus scoring
+    // pass otherwise each re-run the HashedBucketCounts tokenize+hash
+    // kernel over the whole corpus (the frame is docs-grain, buckets+3
+    // columns — the guide-§8 lightweight proxy of the text)
     val featured = docs.select(
       Seq(col(idCol), labelExpr.cast("double").as("label"),
         trainPred.as("__is_tr")) ++
         (0 until buckets).map(b =>
           element_at(cnts, b + 1).cast("double").as(s"f$b")): _*)
+      .localCheckpoint(true)
     graft.ml.Models.logisticRegressionGD(
         featured.filter(col("__is_tr")), featured,
         featNames, "label", iters, lr)
