@@ -70,7 +70,16 @@ object MinHashOverHashed {
 
   /** One pass over the hashed array updating every seed's running min.
     * Null elements are skipped; if no non-null element exists, every
-    * minimum is null (matching `array_min` over the transformed array). */
+    * minimum is null (matching `array_min` over the transformed array).
+    *
+    * The reduction uses [[Hashing.modP]] (exact Mersenne fold) instead
+    * of the `%` divider: with `0 <= h < 2^39` and the generated seeds
+    * (`a <= 2*255 + 1001 = 1511 < 2^11`, `b < 2^21`), the affine term
+    * `h*a + b < 2^50 + 2^21 < 2^62` sits inside the fold's exact domain.
+    * Contract inputs are 28-bit [[ShaPrefixLong]] values, far inside the
+    * guard; anything outside it (only reachable by composing the
+    * expression over a foreign array<bigint>) takes the original `%`
+    * path, so the result is bit-identical for EVERY input either way. */
   def mins(hashed: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
     val k = as.length
     val n = hashed.numElements()
@@ -82,11 +91,20 @@ object MinHashOverHashed {
       if (!hashed.isNullAt(i)) {
         any = true
         val h = hashed.getLong(i)
-        var j = 0
-        while (j < k) {
-          val v = (h * as(j) + bs(j)) % Hashing.P
-          if (v < m(j)) m(j) = v
-          j += 1
+        if (h >= 0L && h < (1L << 39)) {
+          var j = 0
+          while (j < k) {
+            val v = Hashing.modP(h * as(j) + bs(j))
+            if (v < m(j)) m(j) = v
+            j += 1
+          }
+        } else {
+          var j = 0
+          while (j < k) {
+            val v = (h * as(j) + bs(j)) % Hashing.P
+            if (v < m(j)) m(j) = v
+            j += 1
+          }
         }
       }
       i += 1

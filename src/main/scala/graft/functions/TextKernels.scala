@@ -323,15 +323,38 @@ case class PolyHashFold(child: Expression, mult: Long, mod: Long)
 object PolyHashFold {
 
   /** Null elements poison the composable fold (`acc * m + null` is null
-    * and stays null), so the first null element decides the result. */
+    * and stays null), so the first null element decides the result.
+    *
+    * When the modulus is [[Hashing.P]] (every caller) and the multiplier
+    * is small, the per-element `%` — a LATENCY-serial 64-bit division,
+    * since each step depends on the previous remainder — is replaced by
+    * the exact Mersenne fold [[Hashing.modP]]. Domain argument: on the
+    * fast path `acc` is always in `[0, P) ⊂ [0, 2^31)`, so with
+    * `mult <= 2^20` and `0 <= h < 2^61` the term
+    * `acc*mult + h < 2^51 + 2^61 < 2^62` stays inside the fold's exact
+    * domain (the guard admits both 28- and 60-bit sha prefixes). An out-of-range element (foreign input only; contract
+    * inputs are 28/60-bit sha prefixes) — or a negative remainder it
+    * leaves behind — falls back to the original `%` for exactly that
+    * step, so results are bit-identical for EVERY input. */
   def compute(arr: ArrayData, mult: Long, mod: Long): java.lang.Long = {
     val n = arr.numElements()
     var acc = 0L
     var i = 0
-    while (i < n) {
-      if (arr.isNullAt(i)) return null
-      acc = (acc * mult + arr.getLong(i)) % mod
-      i += 1
+    if (mod == Hashing.P && mult > 0L && mult <= (1L << 20)) {
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        val h = arr.getLong(i)
+        acc =
+          if (acc >= 0L && (h >>> 61) == 0L) Hashing.modP(acc * mult + h)
+          else (acc * mult + h) % mod
+        i += 1
+      }
+    } else {
+      while (i < n) {
+        if (arr.isNullAt(i)) return null
+        acc = (acc * mult + arr.getLong(i)) % mod
+        i += 1
+      }
     }
     java.lang.Long.valueOf(acc)
   }

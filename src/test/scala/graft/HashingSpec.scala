@@ -39,6 +39,17 @@ class HashingSpec extends SparkTestBase {
     assert(n.isNullAt(0))
   }
 
+  test("modP (Mersenne fold) equals % over the whole exact domain") {
+    val rng = new scala.util.Random(11)
+    (1 to 500000).foreach { _ =>
+      val x = rng.nextLong() >>> 2 // uniform over [0, 2^62)
+      assert(Hashing.modP(x) == x % Hashing.P, s"modP($x)")
+    }
+    for (x <- Seq(0L, 1L, Hashing.P - 1, Hashing.P, Hashing.P + 1,
+        (1L << 31) - 1, 1L << 31, (1L << 31) + 1, (1L << 62) - 1))
+      assert(Hashing.modP(x) == x % Hashing.P, s"modP($x) edge")
+  }
+
   test("MinHashOverHashed equals the k-fold transform+array_min form") {
     import spark.implicits._
     import graft.functions.{Hashing => H, MinHashOverHashed}
@@ -48,7 +59,19 @@ class HashingSpec extends SparkTestBase {
         java.lang.Long.valueOf(rnd.nextInt(1 << 28).toLong))) ++
       Seq(Seq.empty[java.lang.Long],            // empty -> null minima
         Seq(null.asInstanceOf[java.lang.Long]), // all-null -> null minima
-        Seq(java.lang.Long.valueOf(5L), null))  // null skipped
+        Seq(java.lang.Long.valueOf(5L), null),  // null skipped
+        // foreign (out-of-contract) values pinning the Mersenne-fold
+        // guard: just outside the 2^39 fast-path bound, far outside it,
+        // and negative — all must take the legacy `%` path and still
+        // equal the composable form (kept small enough that h*a cannot
+        // overflow, which ANSI mode would turn into an error on the
+        // composable side)
+        Seq(java.lang.Long.valueOf(1L << 39),
+          java.lang.Long.valueOf((1L << 39) - 1), // last in-guard value
+          java.lang.Long.valueOf(1L << 45),
+          java.lang.Long.valueOf(1L << 50),
+          java.lang.Long.valueOf(-5L),
+          java.lang.Long.valueOf(-(1L << 30))))
     val df = rows.toDF("hsh")
     val k = 6
     val native = (0 until k).map(i =>
@@ -271,7 +294,19 @@ class HashingSpec extends SparkTestBase {
     // PolyHashFold vs aggregate((acc * 31 + h) % P), null edges included
     val arrs: Seq[Seq[java.lang.Long]] = Seq(
       Seq.empty, Seq(java.lang.Long.valueOf(7L)),
-      Seq(java.lang.Long.valueOf(1L), null, java.lang.Long.valueOf(2L))) ++ {
+      Seq(java.lang.Long.valueOf(1L), null, java.lang.Long.valueOf(2L)),
+      // foreign values pinning the Mersenne-fold guard: a 60-bit hash
+      // (inside the widened 2^61 fast-path bound) and one just past it
+      // (legacy `%`)
+      Seq(java.lang.Long.valueOf((1L << 60) + 12345L),
+        java.lang.Long.valueOf(1L << 61),
+        java.lang.Long.valueOf(7L)),
+      // a LEADING negative element leaves a negative remainder
+      // (acc = -3), which must force the NEXT step onto the legacy
+      // path (acc >= 0 guard) and still match the composable fold
+      Seq(java.lang.Long.valueOf(-3L),
+        java.lang.Long.valueOf(99L),
+        java.lang.Long.valueOf(7L))) ++ {
       val rng = new scala.util.Random(9)
       (1 to 200).map(_ => Seq.fill(rng.nextInt(20))(
         java.lang.Long.valueOf(rng.nextInt(1 << 28).toLong)))
