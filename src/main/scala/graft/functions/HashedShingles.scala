@@ -148,10 +148,94 @@ case class HashedShingles(child: Expression, k: Int, hexChars: Int = 7)
 
 object HashedShingles {
 
-  /** One document -> its long[] of shaPrefix(shingle) values, in order. */
+  // reusable per-thread scratch: token boundary arrays (grown on demand)
+  // and the 32-byte digest output buffer, so the per-shingle path
+  // allocates nothing but the result array.
+  private final class Scratch {
+    var starts: Array[Int] = new Array[Int](64)
+    var ends: Array[Int] = new Array[Int](64)
+    val digestBuf: Array[Byte] = new Array[Byte](32)
+    def grow(n: Int): Unit = {
+      if (n > starts.length) {
+        starts = java.util.Arrays.copyOf(starts, n * 2)
+        ends = java.util.Arrays.copyOf(ends, n * 2)
+      }
+    }
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  // Java-regex \s as BYTES: space plus \t..\r (0x09-0x0D). In UTF-8
+  // these values never occur inside a multi-byte sequence (continuation
+  // bytes are >= 0x80), so byte-level splitting of VALID UTF-8 finds
+  // exactly the boundaries the char-level split finds.
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0d.toByte)
+
+  /** One document -> its long[] of shaPrefix(shingle) values, in order.
+    *
+    * Fast path: tokenize the LOWERCASED document's UTF-8 bytes directly
+    * and stream token byte-slices into the digest — no UTF-16 toString
+    * round-trip, no per-token substring/getBytes allocation. Exactness:
+    * for valid UTF-8 the `toString`+`getBytes(UTF_8)` round-trip the
+    * slow path pays is the identity, so the hashed bytes are the same;
+    * a document whose lowercased form is NOT valid UTF-8 (foreign bytes
+    * only — parquet strings are valid) takes the original String path,
+    * whose replacement-char semantics match the composable
+    * `split(lower(text), ...)` exactly (spec-pinned both ways). */
   def compute(text: UTF8String, k: Int, hexChars: Int): ArrayData = {
-    val toks = ShingleTokenizer.tokens(text, k)
-    if (toks == null) return new GenericArrayData(Array.emptyLongArray)
+    if (text == null) return new GenericArrayData(Array.emptyLongArray)
+    val lower = text.toLowerCase
+    if (!lower.isValid) return computeViaString(lower, k, hexChars)
+    val bytes = lower.getBytes
+    val nb = bytes.length
+    val sc = scratch.get()
+    // token count = whitespace runs + 1 (limit -1 split semantics:
+    // leading/trailing runs contribute empty tokens, kept)
+    var ntok = 0
+    var i = 0
+    var start = 0
+    while (i < nb) {
+      if (isWsByte(bytes(i))) {
+        sc.grow(ntok + 1)
+        sc.starts(ntok) = start; sc.ends(ntok) = i
+        ntok += 1
+        i += 1
+        while (i < nb && isWsByte(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    sc.grow(ntok + 1)
+    sc.starts(ntok) = start; sc.ends(ntok) = nb
+    ntok += 1
+    if (ntok < k) return new GenericArrayData(Array.emptyLongArray)
+    val md = ShaPrefixLong.localDigest()
+    val out = new Array[Long](ntok - k + 1)
+    i = 0
+    while (i <= ntok - k) {
+      md.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) md.update(' '.toByte)
+        md.update(bytes, sc.starts(i + j), sc.ends(i + j) - sc.starts(i + j))
+        j += 1
+      }
+      md.digest(sc.digestBuf, 0, 32)
+      out(i) = ShaPrefixLong.prefixOf(sc.digestBuf, hexChars)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** The original String-path implementation — the exact composable
+    * semantics for malformed-UTF-8 input (and the reference the byte
+    * path is spec-pinned against). `lower` is already lowercased. */
+  private[functions] def computeViaString(lower: UTF8String, k: Int,
+      hexChars: Int): ArrayData = {
+    val toks0 = ShingleTokenizer.splitWs(lower.toString)
+    if (toks0.length < k) return new GenericArrayData(Array.emptyLongArray)
+    val toks = toks0
     val n = toks.length
     val tokBytes = new Array[Array[Byte]](n)
     var i = 0

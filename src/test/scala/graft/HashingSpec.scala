@@ -94,7 +94,19 @@ class HashingSpec extends SparkTestBase {
         java.lang.Long.valueOf(rnd.nextInt(1 << 28).toLong))) ++
       Seq(Seq.empty[java.lang.Long],            // empty -> ALL bits set
         Seq(null.asInstanceOf[java.lang.Long]), // null elem -> -1 every bit
-        Seq(java.lang.Long.valueOf(7L), null))
+        Seq(java.lang.Long.valueOf(7L), null),
+        // SWAR-lane edges: arrays past the 255-element byte-counter
+        // flush boundary (254/255/256/600 elements, nulls mixed in),
+        // foreign values using every chunk incl. the sign bit, and an
+        // exact 50/50 tie (2*ones == n -> bit set)
+        Seq.fill(254)(java.lang.Long.valueOf(1L)),
+        Seq.fill(255)(java.lang.Long.valueOf(3L)),
+        Seq.fill(256)(java.lang.Long.valueOf(1L << 15)),
+        (1 to 600).map(i => if (i % 7 == 0) null
+          else java.lang.Long.valueOf(rnd.nextInt(1 << 28).toLong)),
+        Seq(java.lang.Long.valueOf(-1L), java.lang.Long.valueOf(Long.MinValue),
+          java.lang.Long.valueOf(Long.MaxValue)),
+        Seq(java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)))
     val df = rows.toDF("hsh")
     for (bits <- Seq(16, 64)) {
       val composed = (0 until bits).map { j =>

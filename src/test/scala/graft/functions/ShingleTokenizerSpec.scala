@@ -36,6 +36,58 @@ class ShingleTokenizerSpec extends AnyFunSuite {
     }
   }
 
+  // independent reference for HashedShingles: Pattern.split the
+  // lowercased toString (replacement-char semantics for malformed
+  // UTF-8, exactly the composable split), build shingle STRINGS, hash
+  // through a fresh MessageDigest — no shared code with the kernel's
+  // byte path.
+  private def refHashedShingles(text: org.apache.spark.unsafe.types.UTF8String,
+      k: Int, hexChars: Int): Seq[Long] = {
+    if (text == null) return Seq.empty
+    val toks = ShingleTokenizer.ws.split(text.toLowerCase.toString, -1)
+    if (toks.length < k) return Seq.empty
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    (0 to toks.length - k).map { i =>
+      md.reset()
+      val dig = md.digest(
+        toks.slice(i, i + k).mkString(" ")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (0 until hexChars).foldLeft(0L) { (v, p) =>
+        val b = dig(p >> 1)
+        (v << 4) | (if ((p & 1) == 0) (b >> 4) & 0xf else b & 0xf)
+      }
+    }
+  }
+
+  test("HashedShingles byte path and malformed-UTF-8 fallback equal the reference") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(u: UTF8String, k: Int, hex: Int): Seq[Long] =
+      HashedShingles.compute(u, k, hex).toLongArray().toSeq
+    val valid = Seq("", "one", "one two three", "  lead", "trail  ",
+      "a\tb\nc", "UPPER MiXeD case", "héllo wörld é中文 tokens",
+      "a" * 300 + " tail", (1 to 400).map(i => s"w$i").mkString(" "))
+    for (s <- valid; k <- Seq(1, 2, 3); hex <- Seq(7, 15)) {
+      val u = UTF8String.fromString(s)
+      assert(run(u, k, hex) == refHashedShingles(u, k, hex),
+        s"valid '$s' k=$k hex=$hex")
+    }
+    // malformed UTF-8 (a lone continuation byte, a truncated 2-byte
+    // sequence, an overlong-ish lead) must take the String path whose
+    // replacement-char re-encoding the reference reproduces
+    val bad = Seq(
+      Array[Byte]('a', 0x80.toByte, ' ', 'b'),
+      Array[Byte](0xC3.toByte, ' ', 'x', ' ', 'y'),
+      Array[Byte]('a', ' ', 0xE2.toByte, 0x80.toByte),
+      Array[Byte](0xFF.toByte, 0xFE.toByte))
+    for (b <- bad; k <- Seq(1, 2)) {
+      val u = UTF8String.fromBytes(b)
+      assert(run(u, k, 7) == refHashedShingles(u, k, 7),
+        s"malformed ${b.mkString(",")} k=$k")
+    }
+    // null text -> empty
+    assert(run(null, 2, 7).isEmpty)
+  }
+
   test("splitWs equals Pattern.split on randomized mixed documents") {
     val rng = new scala.util.Random(13)
     val seps = Array(" ", "  ", "\t", "\n", "\r\n", "  ", "\f", "")
