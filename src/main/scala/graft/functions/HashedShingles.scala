@@ -359,3 +359,95 @@ object ShingleStrings {
   def apply(c: Column, k: Int, dropEmpty: Boolean): Column =
     GraftShim.column(ShingleStrings(GraftShim.expression(c), k, dropEmpty))
 }
+
+/** `split(lower(text), "\\s+")` as one native pass — the shared
+  * tokenization of every explode-based term stream (TF-IDF, n-gram
+  * coverage, bigram LM, the mixture/pack token counts) and of the cut
+  * family's reassembly input ([[graft.functions.CutSpans]],
+  * piiRedactCut's posexplode, the n_tokens audit columns).
+  * Value-identical to the composable form INCLUDING null propagation
+  * (null in -> null out, exactly like `split` over a null `lower()`);
+  * the non-null tokenization is [[ShingleTokenizer]]'s spec-pinned
+  * limit-(-1) semantics.
+  *
+  * Why not the built-in: Spark's `StringSplit` re-enters
+  * `Pattern.compile(...).split` per ROW (`UTF8String.split` compiles
+  * the pattern each call) and round-trips UTF-16: UTF8String ->
+  * toString -> regex NFA walk -> String tokens -> UTF8String each. The
+  * fast path here tokenizes the LOWERCASED document's UTF-8 bytes in
+  * place — ASCII `\s` bytes never occur inside a multi-byte sequence —
+  * and emits zero-copy `UTF8String.fromBytes` slices over that one
+  * byte array; a document whose lowercased form is not valid UTF-8
+  * (foreign bytes only) takes the retained String path. Spec-pinned
+  * against the regex form on unicode edges and randomized documents. */
+case class WsTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"expected a string input, got $other")
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    WsTokens.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WsTokens.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WsTokens {
+
+  /** One non-null document -> its UTF8String[] token array, exactly
+    * `split(lower(text), "\\s+")`. */
+  def compute(text: UTF8String): ArrayData = {
+    val lower = text.toLowerCase
+    if (!lower.isValid) {
+      // malformed bytes: the String path's replacement-char semantics
+      // match the composable split exactly (ShingleTokenizer's pin)
+      val toks = ShingleTokenizer.splitWs(lower.toString)
+      val out = new Array[Any](toks.length)
+      var i = 0
+      while (i < toks.length) { out(i) = UTF8String.fromString(toks(i)); i += 1 }
+      return new GenericArrayData(out)
+    }
+    val bytes = lower.getBytes
+    val nb = bytes.length
+    // pass 1: token count = whitespace runs + 1 (limit -1 semantics)
+    var runs = 0
+    var i = 0
+    while (i < nb) {
+      if (isWsByte(bytes(i))) {
+        runs += 1
+        i += 1
+        while (i < nb && isWsByte(bytes(i))) i += 1
+      } else i += 1
+    }
+    val out = new Array[Any](runs + 1)
+    // pass 2: zero-copy slices over the one lowercased byte array
+    var start = 0
+    var t = 0
+    i = 0
+    while (i < nb) {
+      if (isWsByte(bytes(i))) {
+        out(t) = UTF8String.fromBytes(bytes, start, i - start)
+        t += 1
+        i += 1
+        while (i < nb && isWsByte(bytes(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out(t) = UTF8String.fromBytes(bytes, start, nb - start)
+    new GenericArrayData(out)
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20.toByte || (b >= 0x09.toByte && b <= 0x0d.toByte)
+
+  def apply(c: Column): Column =
+    GraftShim.column(WsTokens(GraftShim.expression(c)))
+}

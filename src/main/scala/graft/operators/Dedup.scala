@@ -204,9 +204,15 @@ object Dedup {
     * entries until LRU pressure. */
   def lshCandidatesEager(sig: DataFrame, idCol: String, numHashes: Int,
                          rowsPerBand: Int): DataFrame = {
-    val cached = sig.persist()
-    try bandJoin(cached, idCol, numHashes, rowsPerBand).localCheckpoint(eager = true)
-    finally cached.unpersist()
+    // localCheckpoint instead of persist: same effect (the signature
+    // kernel runs once, every band branch reads the materialized rows)
+    // minus the cache's columnar re-encode, which the job profile
+    // measured at ~0.7 s on a 5k-row signature frame (the block-store
+    // checkpoint keeps UnsafeRows as-is). Lifetime is deterministic
+    // either way: the checkpointed blocks free with the RDD handle.
+    val cached = sig.localCheckpoint(eager = true)
+    bandJoin(cached, idCol, numHashes, rowsPerBand)
+      .localCheckpoint(eager = true)
   }
 
   /** One band-key expression per band over mh0..mh{numHashes-1} — sha60
@@ -1237,9 +1243,18 @@ object Dedup {
     * lineage stays bounded. No collect, no driver-side graph. */
   def pagerankOverPairs(pairs: DataFrame, idA: String, idB: String,
                         damping: Double, iters: Int): DataFrame = {
+    // LAZY checkpoint (eager = false): the plan is cut immediately (the
+    // rounds below never re-derive `pairs`), but materialization folds
+    // into the next action (the deg count) instead of being its own
+    // sequential job — every localCheckpoint in this loop is lazy for
+    // the same reason, so the whole fixed-point chain executes as ONE
+    // action's DAG at the sink rather than ~25 construct-time jobs of
+    // 20-50 ms each (the measured per-job scheduling floor dominated
+    // this operator at bench scale; values are identical — lazy vs
+    // eager changes WHEN blocks materialize, never what they hold).
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("id"), col("deg"))
     val n = deg.count()
@@ -1261,7 +1276,7 @@ object Dedup {
       state = deg.join(contrib, Seq("id"), "left")
         .select(col("id"), col("deg"),
           (base + lit(damping) * coalesce(col("in_r"), lit(0.0))).as("r"))
-      if (i % 3 == 2) state = state.localCheckpoint()
+      if (i % 3 == 2) state = state.localCheckpoint(eager = false)
     }
     state.select(col("id").as("doc_id"), col("deg"),
       round(col("r"), 6).as("centrality"))
@@ -1414,7 +1429,7 @@ object Dedup {
       sum((col("e") - col("s")).cast("long")).as("dup_tokens"),
       sum("nw").as("n_dup_windows"))
     docs.select(col(idCol),
-        size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+        size(graft.functions.WsTokens(col(textCol))).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         greatest(col("n_tokens") - (w - 1), lit(0L)).as("n_windows"),
@@ -1547,7 +1562,7 @@ object Dedup {
     val noSpans = array().cast("array<struct<s:int,e:int>>")
     docs.join(spansPerDoc, Seq(idCol), "left")
       .withColumn("__cut", graft.functions.CutSpans(
-        split(lower(col(textCol)), "\\s+"),
+        graft.functions.WsTokens(col(textCol)),
         coalesce(col("cut_spans"), noSpans)))
       .select(col(idCol),
         col("__cut.n_tokens").as("n_tokens"),
@@ -1718,7 +1733,7 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     val piiRe = s"(${TextAnalysis.piiEmailRe})|(${TextAnalysis.piiPhoneRe})|(${TextAnalysis.piiIpv4Re})"
     val toks = docs.select(col(idCol),
-        posexplode(split(lower(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+        posexplode(graft.functions.WsTokens(col(textCol))).as(Seq("pos", "tok")))
       .withColumn("is_pii", col("tok").rlike(piiRe))
     val byDoc = Window.partitionBy(idCol).orderBy("pos")
     val flagged = toks.withColumn("span_start",
@@ -1737,7 +1752,7 @@ object Dedup {
                 .as("out_tok"))))),
         s => s.getField("out_tok"))).as("redacted_text"))
     docs.select(col(idCol),
-        size(split(lower(col(textCol)), "\\s+")).cast("long").as("n_tokens"))
+        size(graft.functions.WsTokens(col(textCol))).cast("long").as("n_tokens"))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_pii_tokens"), lit(0L)).as("n_pii_tokens"),

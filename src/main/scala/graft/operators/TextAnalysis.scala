@@ -13,8 +13,11 @@ import graft.functions.Hashing
   */
 object TextAnalysis {
 
-  /** Tokenize: lowercase, split on whitespace. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+  /** Tokenize: lowercase, split on whitespace — the fused
+    * [[graft.functions.WsTokens]] kernel, value-identical (spec-pinned,
+    * null included) to `split(lower(text), "\\s+")`, minus the built-in
+    * StringSplit's per-row Pattern.compile + UTF-16 round trip. */
+  def tokens(text: Column): Column = graft.functions.WsTokens(text)
 
   /** Per-language marker-word lists for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny — the operator's value is its shape

@@ -47,6 +47,17 @@ object CorpusPipeline {
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
       .filter(col("quality_score") >= minQuality)
 
+  /** The shared dedup + quality gate of [[prepare]]/[[prepareKeeping]]:
+    * exact dedup -> near dedup (K=3, 6 hashes, 2 bands of 3, J>=0.7) ->
+    * quality_score >= 30. One set of knobs so the two forms can never
+    * gate different corpora. */
+  private def gatedCorpus(docs: DataFrame, idCol: String,
+                          textCol: String): DataFrame =
+    dropNearDups(
+      dropExactDups(docs, idCol, textCol),
+      idCol, textCol, shingleK = 3, numHashes = 6, rowsPerBand = 3,
+      minJaccard = 0.7)
+
   /** Full corpus prep: exact dedup -> near dedup -> quality/analysis.
     * MATERIALIZED (eager localCheckpoint): every downstream consumer of
     * the prepared corpus (mixture pass, chunk build, chunk-dedup probe)
@@ -57,12 +68,24 @@ object CorpusPipeline {
     * form of that stage boundary, and the frame is corpus-shaped (one
     * row per surviving doc, no token arrays). */
   def prepare(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    analyze(
-      dropNearDups(
-        dropExactDups(docs, idCol, textCol),
-        idCol, textCol, shingleK = 3, numHashes = 6, rowsPerBand = 3,
-        minJaccard = 0.7),
-      textCol, minQuality = 30.0)
+    analyze(gatedCorpus(docs, idCol, textCol), textCol, minQuality = 30.0)
+      .localCheckpoint(true)
+
+  /** [[prepare]] trimmed to the columns the caller actually consumes:
+    * the same dedup + quality GATE (row set identical to [[prepare]]'s
+    * by construction — the gate reads only quality_score), but the
+    * analysis kernels whose outputs the caller drops (token counts,
+    * langId, fingerprint — each a full tokenize pass per doc) are never
+    * computed, and the checkpointed frame carries `keep` only instead
+    * of the full analysis row (guide §1.2 "don't compute things you
+    * throw away"; §5 — materialized intermediates should carry the
+    * columns consumed, not the widest row). e2e_corpus_assembly reads
+    * just (id, text, group) downstream of the boundary. */
+  def prepareKeeping(docs: DataFrame, idCol: String, textCol: String,
+                     keep: Seq[String]): DataFrame =
+    TextAnalysis.qualityColumns(gatedCorpus(docs, idCol, textCol), textCol)
+      .filter(col("quality_score") >= 30.0)
+      .select(keep.map(col): _*)
       .localCheckpoint(true)
 
   /** Training-set assembly over a prepared corpus: token-budget mixture

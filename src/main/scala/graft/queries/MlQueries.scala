@@ -535,14 +535,12 @@ object MlQueries {
       val test = daily.filter(col("date") >= lit(TrainEnd).cast("date"))
       // the 3 arms' fits are independent driver-action sequences over
       // disjoint checkpointed folds: construct them CONCURRENTLY (m6's
-      // fit-overlap pattern) — per-arm determinism is unaffected by
-      // sibling jobs, so the coefficients (and the oracle CTE replay)
-      // are bit-identical to the sequential form
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(
-        Seq("2024-01-02", "2024-01-05", TrainEnd).map { cut => Future {
+      // fit-overlap pattern, dedicated bounded-wait pool) — per-arm
+      // determinism is unaffected by sibling jobs, so the coefficients
+      // (and the oracle CTE replay) are bit-identical to the sequential
+      // form
+      graft.core.Concurrency.inParallel("m9-arms",
+        Seq("2024-01-02", "2024-01-05", TrainEnd).map { cut => () => {
         val train = daily.filter(col("date") < lit(cut).cast("date"))
         val pred = graft.ml.Models.logisticRegressionGD(train, test,
             Seq("f_mean", "f_n"), "label", iters = 3, lr = 0.5)
@@ -565,7 +563,7 @@ object MlQueries {
             round(when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
               lit(2.0) * col("tp") /
                 (lit(2.0) * col("tp") + col("fp") + col("fn"))), 6).as("f1"))
-      }}), Duration.Inf).reduce(_ unionByName _)
+      }}).reduce(_ unionByName _)
     }),
 
     // M10 (beyond ref): Poisson-bootstrap CI on test accuracy — THE
@@ -791,33 +789,36 @@ object MlQueries {
       // iteration x family. Checkpointing the (1-partition, sorted) fold
       // slices preserves row order, so the fits — and the pinned
       // snapshot — stay bit-identical.
-      val foldFrames = folds.map { case (fid, vs, ve) =>
-        (fid,
-          daily.filter(col("date") < lit(vs).cast("date"))
+      // the 4 fold-slice materializations are independent filters over
+      // the checkpointed daily frame — overlap them too (guide §2.6)
+      val foldSlices = graft.core.Concurrency.inParallel("m6-folds",
+        folds.flatMap { case (_, vs, ve) => Seq(
+          () => daily.filter(col("date") < lit(vs).cast("date"))
             .localCheckpoint(true),
-          daily.filter(col("date") >= lit(vs).cast("date") &&
+          () => daily.filter(col("date") >= lit(vs).cast("date") &&
             col("date") < lit(ve).cast("date"))
             .localCheckpoint(true))
+        })
+      val foldFrames = folds.zipWithIndex.map { case ((fid, _, _), i) =>
+        (fid, foldSlices(2 * i), foldSlices(2 * i + 1))
       }
       // The 8 (family x fold) fits are independent seeded estimators over
       // the same checkpointed frames: run them CONCURRENTLY (the design
-      // MLlib's own CrossValidator ships as `parallelism`). Each fit is
-      // dominated by per-iteration job-scheduling latency, not compute —
-      // overlapping them collapses the wall time while the outputs stay
-      // bit-identical (per-fit determinism is unaffected by sibling jobs).
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val preds = Await.result(Future.sequence(for {
+      // MLlib's own CrossValidator ships as `parallelism`) on a dedicated
+      // bounded-wait pool. Each fit is dominated by per-iteration
+      // job-scheduling latency, not compute — overlapping them collapses
+      // the wall time while the outputs stay bit-identical (per-fit
+      // determinism is unaffected by sibling jobs).
+      val preds = graft.core.Concurrency.inParallel("m6-fits", for {
         (fid, train, valD) <- foldFrames
         (name, fit) <- families
-      } yield Future {
+      } yield { () =>
         fit(train, valD).select(lit(name).as("model"),
           lit(fid).as("fold_id"),
           col("label").cast("int").cast("string").as("y_true"),
           col("y_pred").cast("int").cast("string").as("y_pred_s"),
           col("date"))
-      }), Duration.Inf)
+      })
       // Boundary: the union of the 8 fits' PREDICTION frames (tiny —
       // validation rows) is consumed once per family by the metrics
       // passes below; without it each pass re-executes all 8 lazy

@@ -1140,12 +1140,35 @@ object TextQueries {
       // four chained stages MULTIPLY re-execution — every band branch of
       // a later stage's candidate union re-derives its whole upstream
       // (the video banding alone re-ran image decode + audio fingerprint
-      // per branch; the baseline final plan carried 52 SerializeFromObject
-      // kernel passes and 200+ exchanges, measured 18.4 s). Each
-      // checkpoint is a per-doc fingerprint or survivor-id frame — the
-      // lightweight-proxy tables of guide §8 — so every decode/
-      // fingerprint pass now runs exactly once per execution.
-      val hashed = mm9WideDocSigs(s, dir).localCheckpoint(true)
+      // per branch; the r12 baseline final plan carried 52
+      // SerializeFromObject kernel passes and 200+ exchanges, measured
+      // 18.4 s). Each checkpoint is a per-doc fingerprint or survivor-ID
+      // frame — the lightweight-proxy tables of guide §8.
+      //
+      // Phase 1 — the three modality fingerprint kernels concurrently
+      // (guide §2.6): each signature is a pure per-doc function, so the
+      // kernels are independent until survivor filtering. The r13 form
+      // fingerprinted each stage's SURVIVORS only, which serialized the
+      // three decode passes behind each other's cluster rounds (~13
+      // sequential driver jobs); fingerprinting every doc up front costs
+      // more decode on the later modalities (~8× at the fixture's dup
+      // rate) but those kernels are the cheap ones (audio ≈250 samples,
+      // video ≈500 bytes per doc vs the PNG decode), the extra work rides
+      // cores the image pass leaves idle, and the survivor semi-joins
+      // that follow are id-frame joins, not kernel re-runs. At cluster
+      // scale with expensive real decoders and high dup rates the
+      // survivor-restricted sequential form can win back the extra
+      // decode — that trade (and the localCheckpoint-vs-persist choice)
+      // is documented in OPTIMIZATION_r14.md; results are identical
+      // either way because every stage's grouping runs AFTER the
+      // survivor filter.
+      val fingerprints = graft.core.Concurrency.inParallel("mm10-fp", Seq(
+        () => mm9WideDocSigs(s, dir).localCheckpoint(true),
+        () => mm11FpsFor(docs.select(col("doc_id"))).localCheckpoint(true),
+        () => mm12DocFps(docs.select(col("doc_id"))).localCheckpoint(true)))
+      val (hashed, afpsAll, vfpsAll) =
+        (fingerprints(0), fingerprints(1), fingerprints(2))
+      // image stage (over all docs — the first filter)
       val sigStats = hashed.groupBy(sigCols.head, sigCols.tail: _*)
         .agg(min("doc_id").as("rid"))
         .localCheckpoint(true)
@@ -1156,13 +1179,17 @@ object TextQueries {
         .join(iclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
-      val imgReps = docLabeled.groupBy("cluster_id")
+      // survivor checkpoints carry the doc_id ONLY (the r13 form
+      // checkpointed full document rows including text per stage —
+      // corpus-sized executor storage at scale for frames whose
+      // consumers need ids; text re-attaches once, at the text stage)
+      val isurvIds = docLabeled.groupBy("cluster_id")
         .agg(min("doc_id").as("doc_id"))
-      val isurv = docs.join(imgReps.select("doc_id"),
-        Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
-      // audio stage over the image survivors only
-      val afps = mm11FpsFor(isurv.select("doc_id")).localCheckpoint(true)
+        .select("doc_id").localCheckpoint(true)
+      // audio stage over the image survivors: filter the materialized
+      // fingerprints (id semi-join), THEN group — identical rows to
+      // fingerprinting the survivors directly
+      val afps = afpsAll.join(isurvIds, Seq("doc_id"), "left_semi")
       val asigStats = afps.groupBy("n_windows", "fp")
         .agg(min("doc_id").as("rid"))
         .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
@@ -1177,15 +1204,12 @@ object TextQueries {
         .join(aclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
-      val audReps = aLabeled.groupBy("cluster_id")
+      val asurvIds = aLabeled.groupBy("cluster_id")
         .agg(min("doc_id").as("doc_id"))
-      val asurv = isurv.join(audReps.select("doc_id"),
-        Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
+        .select("doc_id").localCheckpoint(true)
       // video stage over the audio survivors (mm12's temporal-hash
-      // banding) — each modality's decode/fingerprint work keeps
-      // shrinking with the survivor set
-      val vfps = mm12DocFps(asurv.select("doc_id")).localCheckpoint(true)
+      // banding) — same filter-then-group contraction
+      val vfps = vfpsAll.join(asurvIds, Seq("doc_id"), "left_semi")
       val vsigStats = vfps.groupBy("n_frames_sampled", "fp")
         .agg(min("doc_id").as("rid"))
         .withColumn("sig_lo", col("fp").bitwiseAND(lit(0xffffffffL)))
@@ -1201,10 +1225,15 @@ object TextQueries {
         .join(vclusters.withColumnRenamed("id", "rid"), Seq("rid"), "left")
         .select(col("doc_id"),
           coalesce(col("cluster_id"), col("rid")).as("cluster_id"))
-      val vidReps = vLabeled.groupBy("cluster_id")
+      val vsurvIds = vLabeled.groupBy("cluster_id")
         .agg(min("doc_id").as("doc_id"))
-      val survivors = asurv.join(vidReps.select("doc_id"),
-        Seq("doc_id"), "left_semi")
+        .select("doc_id").localCheckpoint(true)
+      // text stage: re-attach text LATE (guide §8) — the one checkpoint
+      // that carries text, because the LSH verify genuinely reads it.
+      // vsurvIds ⊆ audio survivors ⊆ image survivors, so one semi-join
+      // against docs reproduces the r13 chain's survivor frame exactly.
+      val survivors = docs.select("doc_id", "text", "lang", "source")
+        .join(vsurvIds, Seq("doc_id"), "left_semi")
         .localCheckpoint(true)
       val tclusters = Dedup.dupClusters(
         Dedup.lshVerifiedPairs(survivors, "doc_id", "text", 2, 4, 2, 0.05))
@@ -1756,8 +1785,13 @@ object TextQueries {
     // surviving training chunk — what a user of this engine actually
     // ships to a trainer.
     "e2e_corpus_assembly" -> ((s, dir) => {
-      val prepared = graft.pipeline.CorpusPipeline.prepare(
-        Tables.documents(s, dir), "doc_id", "text")
+      // trimmed prepare: this composition reads only (doc_id, text,
+      // lang) downstream of the stage boundary — the full prepare()
+      // additionally computed token counts + langId + fingerprint per
+      // doc and checkpointed them, all dropped by the final projection
+      val prepared = graft.pipeline.CorpusPipeline.prepareKeeping(
+        Tables.documents(s, dir), "doc_id", "text",
+        Seq("doc_id", "text", "lang"))
       graft.pipeline.CorpusPipeline.assembleTraining(prepared, "doc_id",
           "text", "lang", mixtureWeights, 0.5, 30, 5)
         .select("doc_id", "lang", "chunk_id", "start_tok", "n_chunk_tokens",
@@ -1935,7 +1969,7 @@ object TextQueries {
         length(col("text")).cast("long").as("n_chars_calc"),
         when(col("text").contains("spark"), 1).otherwise(0).as("has_spark"),
         substring(sha2(col("text"), 256), 1, 8).as("sha8"),
-        element_at(split(lower(col("text")), "\\s+"), 1).as("first_tok"))))
+        element_at(graft.functions.WsTokens(col("text")), 1).as("first_tok"))))
 
   /** Shared oracle CTE chain for the LSH-verified near-dup path (dd7 and
     * the dd8/dd9 compositions): minhash sig → bands → candidate pairs →

@@ -326,6 +326,11 @@ object ScaleCurve {
     java.nio.file.Files.writeString(markerFile(dir).toPath, FixtureVersion + "\n")
   }
 
+  /** [[ensureScale]] at the sf1g shape, for [[CoreScale]] (the 8-vs-32
+    * core probe shares this tool's fixture exactly). */
+  def ensureSf1g(spark: SparkSession, dir: String): Unit =
+    ensureScale(spark, dir, 50000L, 20000L, 200000L, 3000L)
+
   private def ensureScale(spark: SparkSession, dir: String, docs: Long,
                           vecs: Long, events: Long, users: Long): Unit = {
     val current = markerCurrent(dir)

@@ -45,6 +45,15 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(rows.forall(r => !r.isNullAt(r.fieldIndex("fp"))))
   }
 
+  test("prepareKeeping: identical gate to prepare, trimmed columns") {
+    val full = CorpusPipeline.prepare(docs, "doc_id", "text")
+    val trimmed = CorpusPipeline.prepareKeeping(docs, "doc_id", "text",
+      Seq("doc_id", "text"))
+    assert(trimmed.columns.toSeq === Seq("doc_id", "text"))
+    assert(trimmed.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+      === full.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("incrementalDedup: new batch deduped against corpus + within itself") {
     import graft.operators.Dedup
     val corpusText = (1 to 50).map(i => s"alpha$i").mkString(" ")

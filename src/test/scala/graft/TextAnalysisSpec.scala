@@ -7,6 +7,22 @@ import graft.operators.TextAnalysis
 class TextAnalysisSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("tokens() kernel equals split(lower(text), \\s+) incl. null/empty") {
+    val docs = Seq(
+      Some("The CAT  sat\t on a MAT "), Some(""), Some("   "),
+      Some(" lead and trail "), Some("héllo WÖRLD 中文"), None)
+      .zipWithIndex.map { case (t, i) => (i.toLong, t.orNull) }
+      .toDF("doc_id", "text")
+    val both = docs.select(
+      TextAnalysis.tokens(col("text")).as("fused"),
+      split(lower(col("text")), "\\s+").as("ref"))
+    both.collect().foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1), s"null drift: $r")
+      if (!r.isNullAt(0))
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"token drift: $r")
+    }
+  }
+
   test("tfIdfTopK: corpus-unique terms outrank ubiquitous ones") {
     val docs = Seq(
       (1L, "the cat sat on a mat"),

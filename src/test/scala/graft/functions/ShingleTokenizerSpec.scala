@@ -88,6 +88,50 @@ class ShingleTokenizerSpec extends AnyFunSuite {
     assert(run(null, 2, 7).isEmpty)
   }
 
+  // independent reference for WsTokens: Pattern.split the lowercased
+  // toString — exactly what the composable split(lower(text), "\s+")
+  // computes, replacement-char semantics included.
+  private def refTokens(text: org.apache.spark.unsafe.types.UTF8String): Seq[String] =
+    ShingleTokenizer.ws.split(text.toLowerCase.toString, -1).toSeq
+
+  test("WsTokens byte path and malformed-UTF-8 fallback equal split(lower(text))") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def run(u: UTF8String): Seq[String] =
+      WsTokens.compute(u).array.map(_.toString).toSeq
+    val valid = Seq("", " ", "  ", "one", "one two three", "  lead",
+      "trail  ", "a\tbc\nd", "UPPER MiXeD case",
+      "héllo wörld é中文 tokens", "a b c", "😀 emoji\ttail",
+      "a" * 300 + " tail", (1 to 400).map(i => s"W$i").mkString(" "))
+    valid.foreach { s =>
+      val u = UTF8String.fromString(s)
+      assert(run(u) == refTokens(u), s"valid '$s'")
+    }
+    // malformed UTF-8 must take the String path whose replacement-char
+    // re-encoding the reference reproduces
+    val bad = Seq(
+      Array[Byte]('a', 0x80.toByte, ' ', 'b'),
+      Array[Byte](0xC3.toByte, ' ', 'x', ' ', 'y'),
+      Array[Byte]('a', ' ', 0xE2.toByte, 0x80.toByte),
+      Array[Byte](0xFF.toByte, 0xFE.toByte))
+    bad.foreach { b =>
+      val u = UTF8String.fromBytes(b)
+      assert(run(u) == refTokens(u), s"malformed ${b.mkString(",")}")
+    }
+    // randomized sweep, uppercase + multi-byte content mixed in
+    val rng = new scala.util.Random(41)
+    val seps = Array(" ", "  ", "\t", "\n", "\r\n", "\f", "")
+    val frag = Array("Word", "A", "", "中文", "W9", "éÉ", " ")
+    (1 to 2000).foreach { _ =>
+      val sb = new StringBuilder
+      (0 until rng.nextInt(40)).foreach { _ =>
+        sb.append(frag(rng.nextInt(frag.length)))
+        sb.append(seps(rng.nextInt(seps.length)))
+      }
+      val u = UTF8String.fromString(sb.toString)
+      assert(run(u) == refTokens(u), s"random '${sb.toString.take(60)}'")
+    }
+  }
+
   test("splitWs equals Pattern.split on randomized mixed documents") {
     val rng = new scala.util.Random(13)
     val seps = Array(" ", "  ", "\t", "\n", "\r\n", "  ", "\f", "")
