@@ -146,8 +146,14 @@ object Impute {
               .otherwise(col(f)))
           .drop((0 until p).map(i => s"__b$i"): _*)
       }
-      // bound plan depth: one materialization per round
-      state = state.localCheckpoint(true)
+      // bound plan depth: one lineage cut per round. LAZY (eager = false):
+      // the plan is truncated immediately, and the blocks materialize
+      // inside the NEXT round's first stats collect (which scans every
+      // partition anyway) instead of as their own sequential driver job —
+      // at 10 rounds that is 10 fewer jobs of pure scheduling floor, with
+      // identical values (lazy vs eager changes when blocks materialize,
+      // never what they hold).
+      state = state.localCheckpoint(eager = false)
     }
     state.drop((features.map(f => s"__obs_$f") ++
       Seq("__seg", "__segn", "__eligible")): _*)

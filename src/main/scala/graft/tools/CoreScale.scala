@@ -31,8 +31,21 @@ object CoreScale {
     "dd23_incremental_prod", "dd14_simhash_corpus", "e2e_llm_prep",
     "t22_prod", "mm9_wide", "dd13_incremental")
 
+  /** The subset worth timing at the DEEP (sf10g, 500k-doc) scale: the
+    * genuinely expensive operators whose per-task work is large enough
+    * there for a core ratio to mean something. Excludes
+    * t22_centrality (output-superlinear audit form — SCALING.md's
+    * structural explanation stands in for a ratio) and the
+    * small-at-depth entries. */
+  private val DeepHeavy = Seq(
+    "mm10_crossmodal_dedup", "dd21_lsh_wide_bands", "dd14_simhash_corpus",
+    "e2e_decontam_prep", "e2e_corpus_assembly", "e2e_llm_prep",
+    "t22_prod", "mm9_wide", "dd23_incremental_prod", "t34_quality_clf",
+    "m6_model_families", "m1_iterative")
+
   def main(args: Array[String]): Unit = {
     val outPath = args.headOption.getOrElse("SCALING_CORES.jsonl")
+    val scale = if (args.length > 1) args(1) else "sf1g"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -42,8 +55,14 @@ object CoreScale {
       .config("spark.sql.ui.retainedExecutions", "8")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/tmp/graft_scale/sf1g"
-    ScaleCurve.ensureSf1g(spark, dir)
+    val dir = s"/tmp/graft_scale/$scale"
+    scale match {
+      case "sf1g" => ScaleCurve.ensureSf1g(spark, dir)
+      case "sf10g" => ScaleCurve.ensureSf10g(spark, dir)
+      case other => throw new IllegalArgumentException(
+        s"CoreScale: unknown scale '$other' (sf1g|sf10g)")
+    }
+    val queries = if (scale == "sf10g") DeepHeavy else Heavy
     // out-of-timing warmup: table counts + the incremental-dedup state
     graft.core.Tables.documents(spark, dir).count()
     spark.read.parquet(s"$dir/embeddings.parquet").count()
@@ -61,7 +80,7 @@ object CoreScale {
       TimingSink.rows(fn(spark, dir))
       (System.nanoTime() - t0) / 1e9
     }
-    val rows = Heavy.flatMap { name =>
+    val rows = queries.flatMap { name =>
       graft.SparkEntry.queries.get(name).map { fn =>
         // untimed warmup (codegen/JIT), then min of 2 timed runs —
         // ScaleCurve's methodology
@@ -73,7 +92,7 @@ object CoreScale {
     }
     val qs = rows.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val line = s"""{"tool":"CoreScale","cpus":$cpus,"dir":"$dir","load_avg_start":$loadStart,"queries":$qs}"""
+    val line = s"""{"tool":"CoreScale","cpus":$cpus,"scale":"$scale","dir":"$dir","load_avg_start":$loadStart,"queries":$qs}"""
     println(line)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath),
       line + "\n", java.nio.file.StandardOpenOption.CREATE,

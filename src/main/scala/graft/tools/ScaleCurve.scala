@@ -331,6 +331,11 @@ object ScaleCurve {
   def ensureSf1g(spark: SparkSession, dir: String): Unit =
     ensureScale(spark, dir, 50000L, 20000L, 200000L, 3000L)
 
+  /** [[ensureScale]] at the sf10g shape (SCALING.md's deep scale), for
+    * [[CoreScale]]'s deep run. */
+  def ensureSf10g(spark: SparkSession, dir: String): Unit =
+    ensureScale(spark, dir, 500000L, 200000L, 2000000L, 30000L)
+
   private def ensureScale(spark: SparkSession, dir: String, docs: Long,
                           vecs: Long, events: Long, users: Long): Unit = {
     val current = markerCurrent(dir)
